@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector math over `array<double>` columns, composed entirely from
+ * codegen'd Catalyst built-ins (`zip_with` + `aggregate`) — no UDFs, so
+ * the hot path stays inside WholeStageCodegen and needs no serialization.
+ *
+ * Determinism note: `aggregate` folds left-to-right over array elements,
+ * which makes the floating-point sum order-stable — the same fold a
+ * `list_reduce` produces in the DuckDB oracle. Do not replace with a
+ * shuffle-order-dependent SUM.
+ */
+object VectorFunctions {
+
+  /** Dot product of two array<double> columns (left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosineSim(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+}

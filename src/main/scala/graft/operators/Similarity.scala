@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/**
+ * Approximate-nearest-neighbor search over an `array<double>` embedding
+ * column (north-star extension; absent from the reference).
+ *
+ * - [[bruteForceTopK]]: the exact baseline — broadcast the (small) query
+ *   set against the corpus; one scan, no corpus shuffle, top-k via a
+ *   per-query window. Exact and embarrassingly parallel: at 100 TB this
+ *   is a single broadcast-join stage.
+ * - [[ivfTopK]]: the scale path — IVF-style coarse quantization: assign
+ *   every vector to its nearest centroid (broadcast centroids), then
+ *   search only within the query's cell. Probed fraction = 1/nCells;
+ *   trade recall for cost by probing more cells upstream.
+ */
+object Similarity {
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`.
+    * Output: query_id, neighbor_id, sim, rank (self-match excluded). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Assign each vector to its nearest centroid (by cosine, ties to the
+    * lowest centroid id). Centroids are broadcast — the corpus never
+    * shuffles for assignment. Output: corpus columns + `cell`. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  vecCol: String, idCol: String, centroidIdCol: String): DataFrame = {
+    val cents = centroids.select(col(centroidIdCol).as("cell"), col(vecCol).as("centv"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cell"))
+    corpus.join(broadcast(cents))
+      .withColumn("__csim", cosineSim(col(vecCol), col("centv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__csim", "__rn", "centv")
+  }
+
+  /** IVF top-k: search only the query's own cell. Output:
+    * query_id, neighbor_id, sim, rank. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              vecCol: String, idCol: String, centroidIdCol: String, k: Int): DataFrame = {
+    val assigned = assignCells(corpus, centroids, vecCol, idCol, centroidIdCol)
+    val q = assigned.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineSim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/**
+ * L-series declared queries: the LLM-training-data-pipeline surface
+ * (north-star extension; entirely absent from the reference — SURVEY.md
+ * §2.2). Deduplication, similarity search, text analysis, multimodal
+ * plumbing, each with a DuckDB oracle.
+ *
+ * Float determinism: every dot product is a left-to-right fold
+ * (Spark `aggregate` ≡ DuckDB `list_reduce`), every corpus-wide sum is
+ * exact (integer / decimal), so results are bit-stable across engines.
+ */
+object LlmQueries {
+
+  // ---- DuckDB SQL fragments mirroring the Scala operators ----
+
+  /** Left-to-right fold sum over a DOUBLE[] expression (≡ Spark aggregate). */
+  private def foldSum(products: String): String =
+    s"list_reduce(list_prepend(0.0, $products), (x, y) -> x + y)"
+
+  private def dotSql(a: String, b: String): String =
+    foldSum(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** doc_id → distinct word-3-gram shingles (≡ TextFunctions.wordShingles). */
+  private val shinglesCte =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(t) >= 3 " +
+      "THEN list_transform(generate_series(1, len(t) - 2), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
+      "ELSE CAST([] AS VARCHAR[]) END)) AS s FROM toks)"
+
+  /** MinHash signatures (k=8) + 4 LSH bands + candidate pairs
+    * (≡ Dedup.minhashCandidatePairs defaults). */
+  private val minhashPairsCte = {
+    val sigs = (0 until 8).map(j => s"min(md5('$j|' || s)) AS sig$j").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sig")
+      .mkString(" UNION ALL ")
+    shinglesCte +
+      s", sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id)" +
+      s", bands AS ($bandRows)" +
+      ", pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+      "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash " +
+      "AND a.doc_id < b.doc_id)"
+  }
+
+  private val embCte =
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  // Language-ID marker stopwords (scored over ' '||lower(text)||' ').
+  private val langMarkers = Seq("en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // L1 — exact dedup profile: content-hash group with multiplicity +
+    // kept (min) id. One hash-partitioned agg with map-side combine.
+    "l1_exact_dedup" -> QueryDef(
+      (s, d) => Dedup.exactProfile(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("h"),
+      Some("SELECT md5(text) AS h, COUNT(*) AS c, MIN(doc_id) AS keep " +
+        "FROM documents GROUP BY md5(text) ORDER BY h")),
+
+    // L2 — whitespace token counting (text analysis).
+    "l2_token_stats" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+          wsTokenCount(col("text")).as("n_tokens_ws"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws " +
+        "FROM documents ORDER BY doc_id")),
+
+    // L3 — brute-force cosine top-10 vs. vector 0 (exact ANN baseline;
+    // broadcast query, no corpus shuffle).
+    "l3_cosine_topk" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+            "embedding", "vec_id", 10)
+          .select(col("neighbor_id").as("vec_id"), round(col("sim"), 6).as("sim"),
+            col("rank").as("rnk"))
+          .orderBy("rnk")
+      },
+      Some(s"WITH $embCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+        s"s AS (SELECT e.vec_id, ${cosSql("qv", "v")} AS sim FROM e, q WHERE e.vec_id <> 0), " +
+        "r AS (SELECT vec_id, sim, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM s) " +
+        "SELECT vec_id, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= 10 ORDER BY rnk")),
+
+    // L4 — MinHash + LSH candidate pairs (k=8 signatures, 4 bands of 2).
+    "l4_minhash_lsh" -> QueryDef(
+      (s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("a_id", "b_id"),
+      Some(s"WITH $minhashPairsCte SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id")),
+
+    // L5 — exact n-gram Jaccard verify over the LSH candidates (≥ 0.5).
+    "l5_ngram_jaccard" -> QueryDef(
+      (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id"),
+      Some(s"WITH $minhashPairsCte, " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id AND sb.s = sa.s " +
+        "GROUP BY p.a_id, p.b_id) " +
+        "SELECT i.a_id, i.b_id, ROUND(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard " +
+        "FROM inter i JOIN sizes na ON na.doc_id = i.a_id JOIN sizes nb ON nb.doc_id = i.b_id " +
+        "WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5 " +
+        "ORDER BY a_id, b_id")),
+
+    // L6 — 32-bit SimHash signature per document.
+    "l6_simhash" -> QueryDef(
+      (s, d) => Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val votes = (0 until 32).map(b =>
+          s"SUM(CASE WHEN instr('89abcdef', substr(h, ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val bits = (0 until 32).map(b =>
+          s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        "WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+          "hs AS (SELECT doc_id, md5(t) AS h FROM tok), " +
+          s"v AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id) " +
+          s"SELECT doc_id, $bits AS simhash FROM v ORDER BY doc_id"
+      }),
+
+    // L7 — embedding near-dup pairs (label-blocked, cosine > 0.4; the
+    // synthetic corpus plants no >0.9 vector dups, so the threshold sits
+    // where the pipeline produces verifiable output).
+    "l7_embed_neardup" -> QueryDef(
+      (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d),
+          "embedding", "vec_id", "label", 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "b_id"),
+      Some(s"WITH $embCte, " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS va, b.v AS vb " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id), " +
+        s"s AS (SELECT a_id, b_id, ${cosSql("va", "vb")} AS sim FROM p) " +
+        "SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM s WHERE sim > 0.4 " +
+        "ORDER BY a_id, b_id")),
+
+    // L8 — IVF ANN: centroids = vectors 0..7, queries = vectors 0..4,
+    // search restricted to the query's cell (the 1/nCells scale path).
+    "l8_ann_ivf" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+            e.filter(col("vec_id") < 8), "embedding", "vec_id", "vec_id", 5)
+          .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
+            col("rank").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"WITH $embCte, " +
+        "cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8), " +
+        s"sims AS (SELECT e.vec_id, cell, ${cosSql("v", "cv")} AS csim FROM e, cents), " +
+        "assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM sims) WHERE rn = 1), " +
+        "qa AS (SELECT a.vec_id AS query_id, a.cell, e.v AS qv FROM assign a " +
+        "JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id < 5), " +
+        "ca AS (SELECT a.vec_id AS neighbor_id, a.cell, e.v AS cv FROM assign a " +
+        "JOIN e ON e.vec_id = a.vec_id), " +
+        s"s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim " +
+        "FROM qa JOIN ca USING (cell) WHERE query_id <> neighbor_id) " +
+        "SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM " +
+        "(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s) " +
+        "WHERE rnk <= 5 ORDER BY query_id, rnk")),
+
+    // L9 — language ID: marker-stopword scoring with a fixed tie-break
+    // preference (en > de > fr > es).
+    "l9_lang_id" -> QueryDef(
+      (s, d) => {
+        val p = concat(lit(" "), lower(col("text")), lit(" "))
+        def score(m: String) =
+          (length(p) - length(regexp_replace(p, java.util.regex.Pattern.quote(m), ""))) / lit(m.length)
+        val Seq(en, de, fr, es) = langMarkers.map { case (_, m) => score(m) }
+        val pred = when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es")
+        Tables.documents(s, d)
+          .select(col("doc_id"), pred.as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def score(m: String) =
+          s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+        val Seq(en, de, fr, es) = langMarkers.map { case (_, m) => score(m) }
+        "WITH pad AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) " +
+          s"SELECT doc_id, CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en' " +
+          s"WHEN $de >= $fr AND $de >= $es THEN 'de' " +
+          s"WHEN $fr >= $es THEN 'fr' ELSE 'es' END AS pred_lang " +
+          "FROM pad ORDER BY doc_id"
+      }),
+
+    // L10 — quality scoring: length / whitespace / punctuation /
+    // stopword-density heuristics.
+    "l10_quality" -> QueryDef(
+      (s, d) => {
+        val t = col("text")
+        val n = length(t)
+        val spaces = n - length(regexp_replace(t, " ", ""))
+        val wsRatio = spaces / n
+        val punct = (n - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long")
+        val p = concat(lit(" "), lower(t), lit(" "))
+        def occ(m: String) =
+          (length(p) - length(regexp_replace(p, java.util.regex.Pattern.quote(m), ""))) / lit(m.length)
+        val stops = occ(" the ") + occ(" a ") + occ(" of ") + occ(" and ")
+        val nTok = n - length(regexp_replace(t, " ", "")) + lit(1)
+        val quality = when(n.between(100, 1000) && wsRatio > 0.05, "ok").otherwise("low")
+        Tables.documents(s, d)
+          .select(col("doc_id"), n.cast("long").as("n_chars_c"),
+            round(wsRatio, 6).as("ws_ratio"), punct.as("punct_cnt"),
+            round(stops / nTok, 6).as("stop_ratio"), quality.as("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def occ(m: String) = s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+        val stops = Seq(" the ", " a ", " of ", " and ").map(occ).mkString(" + ")
+        "WITH base AS (SELECT doc_id, text, length(text) AS n, " +
+          "length(text) - length(replace(text, ' ', '')) AS spaces, " +
+          "' ' || lower(text) || ' ' AS p FROM documents) " +
+          "SELECT doc_id, CAST(n AS BIGINT) AS n_chars_c, " +
+          "ROUND(spaces / n, 6) AS ws_ratio, " +
+          "CAST(n - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt, " +
+          s"ROUND(($stops) / (spaces + 1), 6) AS stop_ratio, " +
+          "CASE WHEN n BETWEEN 100 AND 1000 AND spaces / n > 0.05 THEN 'ok' ELSE 'low' END AS quality " +
+          "FROM base ORDER BY doc_id"
+      }),
+
+    // L11 — rolling-hash document fingerprint (order-stable fold).
+    "l11_fingerprint" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), " +
+        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007) AS fp " +
+        "FROM documents ORDER BY doc_id")),
+
+    // L12 — BPE-ish regex token count.
+    "l12_bpeish_tokens" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), " +
+        s"'$BpePattern')) AS BIGINT) AS n_bpeish FROM documents ORDER BY doc_id")),
+
+    // L13 — multimodal metadata extraction (typed binary pipeline with
+    // the stub decoder; see graft.operators.Multimodal).
+    "l13_multimodal_meta" -> QueryDef(
+      (s, d) => Multimodal.extractMeta(
+          Multimodal.filesFromDocuments(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+        "CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, " +
+        "CAST(64 + (octet_length(encode(text)) * 31) % 512 AS BIGINT) AS height, " +
+        "CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames, " +
+        "CAST((octet_length(encode(text)) // 100 + 1 + 9) // 10 AS BIGINT) AS n_sampled " +
+        "FROM documents ORDER BY doc_id"))
+  )
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.AsOfJoin
+
+/**
+ * R-series declared queries (SURVEY.md §2.4): the relational/batch
+ * surface the reference lacks entirely (§2.2 — no joins, no SQL, no
+ * sorts, no set ops). All Catalyst built-ins; the interesting work is
+ * scale shape: dimension tables broadcast, aggregates partial-agg before
+ * the shuffle, exact decimal arithmetic so sums are order-independent
+ * and hash-stable against the oracle.
+ */
+object RelationalQueries {
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal — double SUM
+    * order-sensitivity would straddle the driver's 6-dp rounding at
+    * 60k+ rows. */
+  private val revenueExpr =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // R1 — multi-way join + agg: revenue per nation. nation (25 rows) is
+    // broadcast explicitly; customer⋈orders⋈lineitem are shuffle hash
+    // joins on their keys (AQE picks broadcast when a side is small).
+    "r1_join_agg" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .orderBy("n_name"),
+      Some("SELECT n_name, CAST(SUM(" + revenueSql + ") AS DOUBLE) AS revenue " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "GROUP BY n_name ORDER BY n_name")),
+
+    // R2 — TPC-H Q1-style scan-heavy sort-agg with pushed-down filter.
+    "r2_pricing_summary" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(revenueExpr).cast("double").as("sum_disc_price"),
+          (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(" + revenueSql + ") AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // R3 — ranking window function: top-3 orders per customer.
+    "r3_window_topk" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
+    // R4 — anti join: customers with no big (>400k) order — the exact
+    // complement of R6's semi join, so together they partition `customer`.
+    // (A plain no-orders anti join is empty in this synthetic data: every
+    // customer has orders, which would make the check vacuous.)
+    "r4_anti_join" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+        "ORDER BY c_custkey")),
+
+    // R5 — set op + distinct: suppliers that both appear in lineitem and
+    // have positive balance.
+    "r5_intersect" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d).select(col("l_suppkey").as("suppkey"))
+        .intersect(Tables.supplier(s, d).filter(col("s_acctbal") > 0)
+          .select(col("s_suppkey").as("suppkey")))
+        .orderBy("suppkey"),
+      Some("SELECT l_suppkey AS suppkey FROM lineitem INTERSECT " +
+        "SELECT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 0 " +
+        "ORDER BY suppkey")),
+
+    // R6 — semi join: customers with at least one big order.
+    "r6_semi_join" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+        "ORDER BY c_custkey")),
+
+    // R7 — rollup (grouping sets): subtotal rows labelled 'ALL'.
+    "r7_rollup" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, " +
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    // R8 — as-of join (custom operator, graft.operators.AsOfJoin): each
+    // purchase paired with the user's most recent click at-or-before it.
+    "r8_asof_join" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        AsOfJoin.lastValueAsOf(
+            e.filter(col("event_type") === "purchase"),
+            e.filter(col("event_type") === "click"),
+            "user_id", "ts", "event_id")
+          .select(col("left_id").as("purchase_id"), col("right_id").as("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+        "j AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn " +
+        "FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts) " +
+        "SELECT purchase_id, click_id FROM j WHERE rn = 1 ORDER BY purchase_id")),
+
+    // R9 — range join: event pairs of the same user within a 5-minute
+    // follow window (equi-key on user bounds the quadratic term).
+    "r9_range_join" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+        val b = e.select(col("user_id"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+        a.join(b, Seq("user_id"))
+          .filter(col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+          .select("a_id", "b_id").orderBy("a_id", "b_id")
+      },
+      Some("SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a " +
+        "JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts " +
+        "AND b.ts <= a.ts + INTERVAL 5 MINUTE ORDER BY a_id, b_id"))
+  )
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.Sessionize
+
+/**
+ * T-series declared queries (SURVEY.md §2.4): the reference engine's own
+ * operator surface — scan, filter, map, flatMap (`process`), keyed ops,
+ * running state, session windows, split — re-expressed as declarative
+ * DataFrame plans so Catalyst owns pushdown/pruning/partial-agg.
+ * Each query cites the reference operator(s) it certifies
+ * (inventory #s from SURVEY.md §2.1; reference /root/reference/src/lib.rs).
+ */
+object TamarQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Session assignment oracle (DuckDB): gaps-and-islands with the exact
+    * Spark `session_window` merge rule — a new session starts iff
+    * ts - prev_ts >= gap (strict `<` keeps the session open), matching
+    * MergingSessionsExec and the reference store (src/lib.rs:458-558). */
+  private def sessionOracle(sourceCte: String, gapMinutes: Int, select: String): String =
+    s"""WITH src AS ($sourceCte),
+       |flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |              < INTERVAL $gapMinutes MINUTE THEN 0 ELSE 1 END AS new_s
+       |  FROM src),
+       |numbered AS (
+       |  SELECT user_id, ts, event_id,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged)
+       |$select""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // T1 — scan / source→sink (#6,#7,#10,#12)
+    "t1_scan" -> QueryDef(
+      (s, d) => ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, user_id, event_type, ROUND(value, 6) AS value " +
+        "FROM events ORDER BY event_id")),
+
+    // T2 — filter (#14)
+    "t2_filter" -> QueryDef(
+      (s, d) => ev(s, d).filter(col("value") > 50.0)
+        .select("event_id").orderBy("event_id"),
+      Some("SELECT event_id FROM events WHERE value > 50.0 ORDER BY event_id")),
+
+    // T3 — map with metadata propagation (#13,#3)
+    "t3_map" -> QueryDef(
+      (s, d) => ev(s, d)
+        .select(col("event_id"),
+          round(col("value") * 2 + 1, 6).as("v2"),
+          upper(col("event_type")).as("et"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, ROUND(value * 2 + 1, 6) AS v2, upper(event_type) AS et " +
+        "FROM events ORDER BY event_id")),
+
+    // T4 — process 1→N / flatMap (#15): floor(value/25) copies per event.
+    "t4_flatmap" -> QueryDef(
+      (s, d) => ev(s, d)
+        .withColumn("n", floor(col("value") / 25))
+        .filter(col("n") > 0)
+        .select(col("event_id"), explode(sequence(lit(0L), col("n") - 1)).as("i"))
+        .orderBy("event_id", "i"),
+      Some("SELECT event_id, i FROM (SELECT event_id, " +
+        "UNNEST(range(0, CAST(floor(value/25) AS BIGINT))) AS i FROM events) " +
+        "ORDER BY event_id, i")),
+
+    // T5 — keyed filter/map (#17,#20,#21)
+    "t5_keyed_filter" -> QueryDef(
+      (s, d) => ev(s, d).filter(col("user_id") % 7 === 3)
+        .select("user_id", "event_id").orderBy("user_id", "event_id"),
+      Some("SELECT user_id, event_id FROM events WHERE user_id % 7 = 3 " +
+        "ORDER BY user_id, event_id")),
+
+    // T6 — keyed running state (#23): per-user running count in (ts, id) order.
+    "t6_keyed_state" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d)
+          .select(col("event_id"),
+            (row_number().over(w) - 1).cast("long").as("key_count"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) - 1 AS key_count FROM events ORDER BY event_id")),
+
+    // T7 — global running state (#16): deliberately single-partition
+    // (the reference's own design is one task; SURVEY.md §7.5.4 flags it
+    // as excluded from the 100 TB path).
+    "t7_global_state" -> QueryDef(
+      (s, d) => {
+        val w = Window.orderBy("ts", "event_id")
+        ev(s, d)
+          .select(col("event_id"),
+            (row_number().over(w) - 1).cast("long").as("global_count"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 " +
+        "AS global_count FROM events ORDER BY event_id")),
+
+    // T8 — session windowization (#24,#26,#30): 30-min gap per user.
+    "t8_session_window" -> QueryDef(
+      (s, d) => Sessionize.sessions(ev(s, d), "ts", "user_id", "30 minutes",
+          Seq(count(lit(1)).as("n_events")))
+        .select("user_id", "session_start", "session_end_last", "n_events")
+        .orderBy("user_id", "session_start"),
+      Some(sessionOracle("SELECT user_id, ts, event_id FROM events", 30,
+        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end_last, " +
+          "COUNT(*) AS n_events FROM numbered GROUP BY user_id, sid " +
+          "ORDER BY user_id, session_start"))),
+
+    // T9 — session aggregate (#33,#34,#38): sum(value) exact via decimal,
+    // MAX(ts) certifies the event_reducer max-timestamp rule
+    // (src/lib.rs:639-654).
+    "t9_session_agg" -> QueryDef(
+      (s, d) => Sessionize.sessions(ev(s, d), "ts", "user_id", "30 minutes",
+          Seq(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
+        .select(col("user_id"), col("session_start"),
+          col("sum_value"), col("session_end_last").as("max_ts"))
+        .orderBy("user_id", "session_start"),
+      Some(sessionOracle("SELECT user_id, ts, event_id, value FROM events", 30,
+        "SELECT user_id, MIN(ts) AS session_start, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+          "MAX(ts) AS max_ts " +
+          "FROM numbered JOIN src USING (user_id, ts, event_id) " +
+          "GROUP BY user_id, sid ORDER BY user_id, session_start"))),
+
+    // T10 — full-window process (#27,#32,#36,#37): time-ordered window
+    // contents (§2.3.4) as a concatenated id list.
+    "t10_session_process" -> QueryDef(
+      (s, d) => ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id")))),
+            x => x.getField("event_id").cast("string"))).as("event_ids"))
+        .select("user_id", "session_start", "event_ids")
+        .orderBy("user_id", "session_start"),
+      Some(sessionOracle("SELECT user_id, ts, event_id FROM events", 30,
+        "SELECT user_id, MIN(ts) AS session_start, " +
+          "STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS event_ids " +
+          "FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start"))),
+
+    // T11 — split fan-out (#18,#25,#39): both branches see the whole stream.
+    "t11_split" -> QueryDef(
+      (s, d) => {
+        val e = ev(s, d)
+        val a = e.filter(col("value") > 50)
+          .select(lit("A").as("b"), col("event_id"))
+        val bb = e.filter(!(col("value") > 50))
+          .select(lit("B").as("b"), col("event_id"))
+        a.unionAll(bb).orderBy("b", "event_id")
+      },
+      Some("SELECT 'A' AS b, event_id FROM events WHERE value > 50 " +
+        "UNION ALL SELECT 'B' AS b, event_id FROM events WHERE NOT value > 50 " +
+        "ORDER BY b, event_id")),
+
+    // T12 — end-to-end minimum slice (#6→#14→#13→#24→#38→#7):
+    // filter clicks → sessionize (30 min) → count per session.
+    "t12_e2e" -> QueryDef(
+      (s, d) => Sessionize.sessions(
+          ev(s, d).filter(col("event_type") === "click"),
+          "ts", "user_id", "30 minutes", Seq(count(lit(1)).as("n_clicks")))
+        .select("user_id", "session_start", "n_clicks")
+        .orderBy("user_id", "session_start"),
+      Some(sessionOracle(
+        "SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'", 30,
+        "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_clicks " +
+          "FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start")))
+  )
+}

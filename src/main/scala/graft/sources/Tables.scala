@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Canonical loaders for the driver testdata tables (TESTDATA.md).
+ *
+ * All loads are plain parquet scans so Catalyst pushdown/pruning applies:
+ * callers `.select(...)`/`.filter(...)` and the scan reads only what is
+ * needed (verify via `.explain`: `ReadSchema`/`PushedFilters`).
+ *
+ * The `events` table is written with parquet TIMESTAMP(NANOS), which the
+ * Spark 4 parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it with
+ * `spark.sql.legacy.parquet.nanosAsLong` and convert to a microsecond
+ * TimestampType ourselves with exact integer arithmetic (`div 1000`, no
+ * double round-trip — ns epochs exceed 2^53). The driver data carries
+ * microsecond resolution, so the truncation is lossless; this mirrors the
+ * reference engine's nanosecond `NaiveDateTime` absorbed at µs per
+ * SURVEY.md §7.5.2 (reference: /root/reference/src/lib.rs:20-26).
+ */
+object Tables {
+
+  /** TPC-H-ish dimension/fact tables: plain scans. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+
+  /** Embeddings with the vector widened to array<double> once, centrally:
+    * float→double per element is exact, and doing it at scan time keeps
+    * every downstream dot-product fold bit-identical to the DuckDB oracle. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  /** Events stream table with `ts` restored to TimestampType (µs). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
