@@ -1,0 +1,162 @@
+package graft.api
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Typed dataflow facade mirroring the reference `DataStream` DSL
+ * (/root/reference/src/lib.rs:108-393) on Spark `Dataset[Event[T]]`.
+ *
+ * Design (SURVEY.md §1.3, §7.1): every operator is a thin delegation to a
+ * Dataset transformation, so the plan stays declarative and Catalyst owns
+ * optimization; the same `GStream` works over a batch or a streaming
+ * Dataset (streaming stateful paths use `flatMapGroupsWithState`).
+ *
+ * Where the reference runs every operator as ONE task with ALL keys in one
+ * HashMap (/root/reference/src/lib.rs:339-355), the keyed paths here hash-
+ * partition by key (`groupByKey` → Exchange) — the 100 TB enabler the
+ * reference lacks. Per-key processing streams over a secondary-sorted
+ * iterator (`flatMapSortedGroups`), so memory is O(open state), not
+ * O(group).
+ */
+final class GStream[T](val ds: Dataset[Event[T]]) {
+
+  /** 1→1 transform of the whole event (reference `map`,
+    * /root/reference/src/lib.rs:127-144). Use `e.withValue(...)` inside
+    * `f` to propagate timestamps. */
+  def map[U](f: Event[T] => Event[U])(implicit e: Encoder[Event[U]]): GStream[U] =
+    new GStream(ds.map(f))
+
+  /** Keep events satisfying the predicate (reference `filter`,
+    * /root/reference/src/lib.rs:146-162). */
+  def filter(p: Event[T] => Boolean): GStream[T] =
+    new GStream(ds.filter(p))
+
+  /** 1→N low-level transform (reference `process`,
+    * /root/reference/src/lib.rs:164-174): emit zero or more events per
+    * input instead of pushing to a `Sender`. */
+  def process[U](f: Event[T] => IterableOnce[Event[U]])(implicit e: Encoder[Event[U]]): GStream[U] =
+    new GStream(ds.flatMap(f))
+
+  /** `process` with global mutable state (reference `process_state`,
+    * /root/reference/src/lib.rs:176-199). Deliberately a single sequential
+    * group — the reference's own design is one task; SURVEY.md §7.5.4
+    * excludes it from the 100 TB path. Events are folded in
+    * (eventTime, processingTime) order. */
+  def processState[S, U](initial: S)(f: (Event[T], S) => (S, Seq[Event[U]]))(
+      implicit es: Encoder[S], eu: Encoder[Event[U]], ei: Encoder[Int],
+      et: Encoder[Event[T]]): GStream[U] =
+    keyBy((_: Event[T]) => 0).processState((_: Int) => initial)((_, e, s) => f(e, s))
+
+  /** Attach a key selector (reference `key_by`,
+    * /root/reference/src/lib.rs:201-211). Like the reference, this moves
+    * no data by itself; the shuffle happens at the first stateful op. */
+  def keyBy[K](sel: Event[T] => K)(implicit ek: Encoder[K], et: Encoder[Event[T]]): KeyedGStream[K, T] =
+    new KeyedGStream(ds, sel)
+
+  /** Duplicate the stream (reference `split`,
+    * /root/reference/src/lib.rs:217-246). Datasets are immutable, so both
+    * branches trivially observe the identical full stream; for a
+    * single-pass guarantee over an expensive source, `persist()` first. */
+  def split(): (GStream[T], GStream[T]) = (this, this)
+
+  /** Merge two streams — absent from the reference (SURVEY.md §2.2: split
+    * fans out but nothing fans back in); included because any real
+    * pipeline needs it. */
+  def union(other: GStream[T]): GStream[T] =
+    new GStream(ds.unionByName(other.ds))
+
+  def persist(): GStream[T] = { ds.persist(); this }
+
+  // ---- sinks (reference `add_sink` / `StdoutSink`, src/lib.rs:117-125,:943-956) ----
+
+  /** Batch sink: collect events to the driver (test/debug only). */
+  def collectEvents(): Seq[Event[T]] = ds.collect().toSeq
+
+  /** Batch sink: collect payloads to the driver (test/debug only). */
+  def collectValues(): Seq[T] = collectEvents().map(_.value)
+
+  /** Console sink (the reference's one production sink). */
+  def printToStdout(): Unit = ds.show(numRows = 100, truncate = false)
+}
+
+/**
+ * Keyed stream (reference `KeyedDataStream`,
+ * /root/reference/src/lib.rs:249-393): the selector is carried and
+ * recomputed per element for map/filter/process (the reference does the
+ * same — key is computed, not stored, src/lib.rs:344-345); stateful ops
+ * shuffle by key.
+ */
+final class KeyedGStream[K, T](
+    private[api] val ds: Dataset[Event[T]],
+    private[api] val sel: Event[T] => K)(
+    implicit kEnc: Encoder[K], etEnc: Encoder[Event[T]]) {
+
+  /** 1→1 transform receiving (key, event); returns an UNKEYED stream,
+    * like the reference (/root/reference/src/lib.rs:269-287).
+    * (Local copies of `sel`/`f` keep the Dataset-holding instance out of
+    * the task closure.) */
+  def map[U](f: (K, Event[T]) => Event[U])(implicit e: Encoder[Event[U]]): GStream[U] = {
+    val s = sel
+    new GStream(ds.map(ev => f(s(ev), ev)))
+  }
+
+  /** Predicate receiving (key, event) (/root/reference/src/lib.rs:289-306). */
+  def filter(p: (K, Event[T]) => Boolean): KeyedGStream[K, T] = {
+    val s = sel
+    new KeyedGStream(ds.filter(ev => p(s(ev), ev)), sel)
+  }
+
+  /** 1→N with the key in hand (/root/reference/src/lib.rs:308-321). */
+  def process[U](f: (K, Event[T]) => IterableOnce[Event[U]])(implicit e: Encoder[Event[U]]): GStream[U] = {
+    val s = sel
+    new GStream(ds.flatMap(ev => f(s(ev), ev)))
+  }
+
+  /**
+   * Per-key stateful 1→N — the `KeyedProcessFunction` analogue (reference
+   * `process_state`, /root/reference/src/lib.rs:323-361): per-key state is
+   * created lazily via `init`, then `f` folds each event through it.
+   *
+   * Batch: one shuffle by key, then a secondary-sorted streaming fold per
+   * key ((eventTime, processingTime) order — the declared deterministic
+   * order, SURVEY.md §2.3.5/§7.5.3) with O(state) memory.
+   * Streaming: `flatMapGroupsWithState`, state in the checkpointed store.
+   */
+  def processState[S, U](init: K => S)(f: (K, Event[T], S) => (S, Seq[Event[U]]))(
+      implicit es: Encoder[S], eu: Encoder[Event[U]]): GStream[U] = {
+    val grouped = ds.groupByKey(sel)
+    val out =
+      if (ds.isStreaming)
+        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (k: K, events: Iterator[Event[T]], gs: GroupState[S]) =>
+            var s = if (gs.exists) gs.get else init(k)
+            val emitted = events.toSeq
+              .sortBy(e => (e.eventTime.map(_.getTime), e.processingTime.getTime))
+              .flatMap { e => val (s2, o) = f(k, e, s); s = s2; o }
+            gs.update(s)
+            emitted.iterator
+        }
+      else
+        grouped.flatMapSortedGroups(col("eventTime").asc_nulls_first,
+          col("processingTime").asc_nulls_first) { (k: K, events: Iterator[Event[T]]) =>
+          var s = init(k)
+          events.flatMap { e => val (s2, o) = f(k, e, s); s = s2; o }
+        }
+    new GStream(out)
+  }
+
+  /** Attach a session window (reference `window` +
+    * `EventTimeSessionWindowFactory` — the one window type it has,
+    * /root/reference/src/lib.rs:363-371,:708-740). */
+  def window(sessionGap: Duration): WindowedGStream[K, T] =
+    new WindowedGStream(ds, sel, sessionGap)
+
+  /** As GStream.split, preserving the key selector
+    * (/root/reference/src/lib.rs:374-393). */
+  def split(): (KeyedGStream[K, T], KeyedGStream[K, T]) = (this, this)
+}

@@ -1,0 +1,134 @@
+package graft.api
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.functions.col
+
+/** Closed-session bounds: first and last event time. Exposed instead of
+  * the reference's synthetic `end = last + 1ns`
+  * (/root/reference/src/lib.rs:480) so results are µs-portable
+  * (SURVEY.md §7.5.2); the exclusive end of the merge interval is
+  * `lastEventTime + gap`. */
+final case class SessionBounds(start: Timestamp, lastEventTime: Timestamp)
+
+/** Executor-side session assignment: lazily split a time-sorted event
+  * iterator into closed sessions (gaps-and-islands). Standalone object so
+  * task closures capture no Dataset-holding instance. */
+private[api] object SessionScan {
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Requires eventTime on every event (reference contract — it
+    * `unwrap()`s, /root/reference/src/lib.rs:459). An event extends the
+    * open session while `ts < last + gap`; at `ts >= last + gap` a new
+    * session starts (SURVEY.md §2.3.1-2 — same rule as `session_window`). */
+  def sessions[T](events: Iterator[Event[T]], gapMicros: Long): Iterator[(SessionBounds, Vector[Event[T]])] =
+    new Iterator[(SessionBounds, Vector[Event[T]])] {
+      private val it = events.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): (SessionBounds, Vector[Event[T]]) = {
+        val first = it.next()
+        var last = first.eventTimeOrThrow
+        val buf = Vector.newBuilder[Event[T]]
+        buf += first
+        var open = true
+        while (open && it.hasNext) {
+          val t = it.head.eventTimeOrThrow
+          if (micros(t) < micros(last) + gapMicros) { buf += it.next(); last = t }
+          else open = false
+        }
+        (SessionBounds(first.eventTimeOrThrow, last), buf.result())
+      }
+    }
+}
+
+/**
+ * Event-time session windows over a keyed stream — the reference's
+ * windowing machinery (/root/reference/src/lib.rs:395-905) re-expressed.
+ *
+ * Batch execution: shuffle by key once, secondary-sort by event time,
+ * then a linear gaps-and-islands scan per key — `aggregate` holds O(1)
+ * state per open session (the reference eagerly re-reduces each window to
+ * one buffered event too, src/lib.rs:673-693), `process` buffers only the
+ * current open session. The relational path
+ * (`graft.operators.Sessionize`, native `session_window`) is preferred
+ * when the aggregate is expressible in columns — Catalyst adds partial
+ * aggregation before the shuffle, which this typed fold cannot.
+ */
+final class WindowedGStream[K, T](
+    private val ds: Dataset[Event[T]],
+    private val sel: Event[T] => K,
+    private val gap: Duration)(
+    implicit kEnc: Encoder[K], etEnc: Encoder[Event[T]]) {
+
+  private def gapMicros: Long = gap.toNanos / 1000L
+
+  private def requireBatch(): Unit =
+    if (ds.isStreaming) throw new UnsupportedOperationException(
+      "streaming session windows: use graft.streaming.StreamingSessions " +
+        "(flatMapGroupsWithState + event-time timeout)")
+
+  /**
+   * Incremental windowed aggregation (reference `aggregate` +
+   * `event_reducer`, /root/reference/src/lib.rs:836-880,:639-654): one
+   * event per closed session; value = combine-fold of `acc` over the
+   * session, processingTime = max over the session, eventTime = last
+   * event's time (the reference's element-wise max rule).
+   */
+  def aggregate[U](acc: T => U)(combine: (U, U) => U)(
+      implicit eu: Encoder[Event[U]]): GStream[U] = {
+    requireBatch()
+    val g = gapMicros
+    val out = ds.groupByKey(sel)
+      .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {
+        (_: K, events: Iterator[Event[T]]) =>
+          SessionScan.sessions(events, g).map { case (bounds, evs) =>
+            val value = evs.iterator.map(e => acc(e.value)).reduce(combine)
+            val maxProc = evs.iterator.map(_.processingTime).maxBy(_.getTime)
+            Event(maxProc, Some(bounds.lastEventTime), value)
+          }
+      }
+    new GStream(out)
+  }
+
+  /** Full-window process (reference windowed `process`,
+    * /root/reference/src/lib.rs:755-769): user fn sees the closed
+    * session's bounds and its complete, time-ordered contents
+    * (SURVEY.md §2.3.4). */
+  def process[U](f: (K, SessionBounds, Seq[Event[T]]) => IterableOnce[Event[U]])(
+      implicit eu: Encoder[Event[U]]): GStream[U] = {
+    requireBatch()
+    val g = gapMicros
+    val out = ds.groupByKey(sel)
+      .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {
+        (k: K, events: Iterator[Event[T]]) =>
+          SessionScan.sessions(events, g).flatMap { case (bounds, evs) => f(k, bounds, evs) }
+      }
+    new GStream(out)
+  }
+
+  /** `process` + per-key state threaded across that key's closed sessions
+    * in time order (reference windowed `process_state`,
+    * /root/reference/src/lib.rs:771-834). */
+  def processState[S, U](init: K => S)(
+      f: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[U]]))(
+      implicit eu: Encoder[Event[U]]): GStream[U] = {
+    requireBatch()
+    val g = gapMicros
+    val out = ds.groupByKey(sel)
+      .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {
+        (k: K, events: Iterator[Event[T]]) =>
+          var s = init(k)
+          SessionScan.sessions(events, g).flatMap { case (bounds, evs) =>
+            val (s2, o) = f(k, bounds, evs, s); s = s2; o
+          }
+      }
+    new GStream(out)
+  }
+
+  /** As GStream.split (reference /root/reference/src/lib.rs:883-905). */
+  def split(): (WindowedGStream[K, T], WindowedGStream[K, T]) = (this, this)
+}

@@ -1,0 +1,179 @@
+package graft.api
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/**
+ * Port of the reference engine's test suite
+ * (/root/reference/src/lib.rs:958-1646) against the graft facade,
+ * re-expressed order-insensitively where Spark gives no cross-partition
+ * ordering (SURVEY.md §5.2): assertions sort outputs, and stateful tests
+ * pin determinism with explicit event times ((eventTime, processingTime)
+ * is the declared fold order, SURVEY.md §7.5.3).
+ */
+class TamarParitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def env = Env(spark)
+  import spark.implicits._
+
+  /** Event on the reference tests' fixed date (`new_event`,
+    * /root/reference/src/lib.rs:1171-1186): event = processing time. */
+  private def ev(value: Int, hour: Int, minute: Int): Event[Int] =
+    Event.at(value, Timestamp.valueOf(f"2009-10-11 $hour%02d:$minute%02d:00"))
+
+  private val gap10 = Duration.ofMinutes(10)
+
+  // --- reference e2e: source → sink (src/lib.rs:1087-1097) ---
+  test("source to sink carries every value") {
+    assert(env.fromValues(0 until 10).collectValues().sorted == (0 until 10))
+  }
+
+  // --- filter (src/lib.rs:1099-1115) ---
+  test("filter keeps only passing events") {
+    val out = env.fromValues(0 until 10).filter(_.value % 2 == 0).collectValues()
+    assert(out.sorted == Seq(0, 2, 4, 6, 8))
+  }
+
+  // --- map + with_value metadata propagation (src/lib.rs:38-45,:127-144) ---
+  test("map via withValue preserves timestamps") {
+    val out = env.fromEvents(Seq(ev(7, 12, 30)))
+      .map(e => e.withValue(e.value * 2))
+      .collectEvents()
+    assert(out.map(_.value) == Seq(14))
+    assert(out.head.eventTime.contains(Timestamp.valueOf("2009-10-11 12:30:00")))
+    assert(out.head.processingTime == Timestamp.valueOf("2009-10-11 12:30:00"))
+  }
+
+  // --- process 1→N (src/lib.rs:1117-1134) ---
+  test("process emits zero or more events per input") {
+    val out = env.fromValues(Seq(0, 1, 2, 3))
+      .process(e => Seq.fill(e.value)(e.withValue(e.value)))
+      .collectValues()
+    assert(out.sorted == Seq(1, 2, 2, 3, 3, 3))
+  }
+
+  // --- keyed process_state (src/lib.rs:1141-1169) ---
+  test("keyed processState counts per key independently") {
+    val events = (0 until 8).map(i => ev(i, 12, i)) // key = i % 2
+    val out = env.fromEvents(events)
+      .keyBy(_.value % 2)
+      .processState((_: Int) => 0) { (k, e, n) =>
+        (n + 1, Seq(e.withValue((k, e.value, n + 1))))
+      }
+      .collectValues()
+    // per key, counts rise 1..4 in event-time order
+    assert(out.sorted == Seq((0, 0, 1), (0, 2, 2), (0, 4, 3), (0, 6, 4),
+      (1, 1, 1), (1, 3, 2), (1, 5, 3), (1, 7, 4)))
+  }
+
+  // --- global process_state (src/lib.rs:1289-1314) ---
+  test("global processState sees every event in time order") {
+    val events = (0 until 6).map(i => ev(10 + i, 12, i))
+    val out = env.fromEvents(events)
+      .processState(0) { (e, n) => (n + 1, Seq(e.withValue((e.value, n + 1)))) }
+      .collectValues()
+    assert(out.sorted == Seq((10, 1), (11, 2), (12, 3), (13, 4), (14, 5), (15, 6)))
+  }
+
+  // --- session store: creation / extension / merge (src/lib.rs:1188-1255) ---
+  test("session windows: create, extend, and merge on a bridging event") {
+    // 12:00 and 12:16 are two sessions at gap 10; adding 12:08 bridges both.
+    def sessions(events: Seq[Event[Int]]): Seq[(Timestamp, Timestamp, Seq[Int])] =
+      env.fromEvents(events).keyBy(_ => "k").window(gap10)
+        .process((_, b, evs) => Seq(evs.last.withValue(
+          (b.start, b.lastEventTime, evs.map(_.value)))))
+        .collectValues()
+        .map { case (s, l, vs) => (s, l, vs) }.sortBy(_._1.getTime)
+
+    val twoApart = sessions(Seq(ev(1, 12, 0), ev(2, 12, 16)))
+    assert(twoApart.map(_._3) == Seq(Seq(1), Seq(2)))
+
+    val bridged = sessions(Seq(ev(1, 12, 0), ev(2, 12, 16), ev(3, 12, 8)))
+    assert(bridged == Seq((Timestamp.valueOf("2009-10-11 12:00:00"),
+      Timestamp.valueOf("2009-10-11 12:16:00"), Seq(1, 3, 2))))
+  }
+
+  test("session windows: event exactly at last + gap starts a new session") {
+    val out = env.fromEvents(Seq(ev(1, 12, 0), ev(2, 12, 10)))
+      .keyBy(_ => "k").window(gap10)
+      .process((_, b, evs) => Seq(evs.head.withValue(evs.map(_.value))))
+      .collectValues()
+    assert(out.map(_.sorted).sortBy(_.head) == Seq(Seq(1), Seq(2)))
+  }
+
+  // --- windowed aggregate (src/lib.rs:1488-1530,:1257-1287) ---
+  test("windowed aggregate: separate events → separate windows") {
+    val out = env.fromEvents(Seq(ev(1, 12, 10), ev(1, 12, 30)))
+      .keyBy(_ => "k").window(gap10)
+      .aggregate(_ => 2)(_ + _)
+      .collectEvents()
+    assert(out.map(_.value) == Seq(2, 2))
+  }
+
+  test("windowed aggregate: joined events sum with max timestamps") {
+    // reference: events at 12:10 and 12:12, acc |_| 2 → Event(4, 12:12)
+    // (src/lib.rs:1508-1530; event_reducer max rule src/lib.rs:639-654)
+    val out = env.fromEvents(Seq(ev(1, 12, 10), ev(1, 12, 12)))
+      .keyBy(_ => "k").window(gap10)
+      .aggregate(_ => 2)(_ + _)
+      .collectEvents()
+    assert(out.size == 1)
+    assert(out.head.value == 4)
+    assert(out.head.eventTime.contains(Timestamp.valueOf("2009-10-11 12:12:00")))
+    assert(out.head.processingTime == Timestamp.valueOf("2009-10-11 12:12:00"))
+  }
+
+  // --- windowed process (src/lib.rs:1316-1382) ---
+  test("windowed process receives full window contents in time order") {
+    val events = Seq(ev(3, 12, 12), ev(1, 12, 10), ev(2, 12, 11))
+    val out = env.fromEvents(events)
+      .keyBy(_ => "k").window(gap10)
+      .process((_, _, evs) => Seq(evs.head.withValue(evs.map(_.value))))
+      .collectValues()
+    assert(out == Seq(Seq(1, 2, 3))) // sorted by event time, not arrival
+  }
+
+  // --- windowed process_state (src/lib.rs:1384-1486) ---
+  test("windowed processState threads state across a key's sessions") {
+    val events = Seq(ev(1, 12, 0), ev(2, 12, 1), ev(3, 13, 0))
+    val out = env.fromEvents(events)
+      .keyBy(_ => "k").window(gap10)
+      .processState((_: String) => 0) { (_, _, evs, nSessions) =>
+        (nSessions + 1, Seq(evs.head.withValue((nSessions + 1, evs.map(_.value).sum))))
+      }
+      .collectValues()
+    assert(out.sorted == Seq((1, 3), (2, 3))) // session 1 sums 1+2, session 2 sums 3
+  }
+
+  // --- split: plain / keyed / windowed (src/lib.rs:1532-1645) ---
+  test("split: both branches observe the identical full stream") {
+    val (a, b) = env.fromValues(0 until 5).split()
+    val filtered = a.filter(_.value % 2 == 0).collectValues().sorted
+    val doubled = b.map(e => e.withValue(e.value * 10)).collectValues().sorted
+    assert(filtered == Seq(0, 2, 4))
+    assert(doubled == Seq(0, 10, 20, 30, 40))
+  }
+
+  test("split on keyed and windowed streams preserves keying and windows") {
+    val events = Seq(ev(1, 12, 0), ev(2, 12, 1), ev(3, 13, 0))
+    val (ka, kb) = env.fromEvents(events).keyBy(_ => "k").split()
+    val (wa, wb) = ka.window(gap10).split()
+    val counts = wa.aggregate(_ => 1)(_ + _).collectValues().sorted
+    val sums = wb.aggregate(identity)(_ + _).collectValues().sorted
+    assert(counts == Seq(1, 2))
+    assert(sums == Seq(3, 3))
+    assert(kb.filter((_, e) => e.value > 1).process((_, e) => Seq(e))
+      .collectValues().sorted == Seq(2, 3))
+  }
+
+  // --- extension: union (absent from the reference, SURVEY.md §2.2) ---
+  test("union merges two streams") {
+    val a = env.fromValues(Seq(1, 2))
+    val b = env.fromValues(Seq(3))
+    assert(a.union(b).collectValues().sorted == Seq(1, 2, 3))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Unit specs for the standalone operators on tiny hand-computed inputs. */
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin.lastValueAsOf picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // after r2 → matches 12
+      (1L, ts("2024-01-01 09:00:00"), 101L), // exactly at r2 → matches 12 (<= semantics)
+      (1L, ts("2024-01-01 07:00:00"), 102L), // before all rights → dropped
+      (2L, ts("2024-01-01 10:00:00"), 103L)  // other key → matches 20
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 11L),
+      (1L, ts("2024-01-01 09:00:00"), 12L),
+      (2L, ts("2024-01-01 09:30:00"), 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsOfJoin.lastValueAsOf(left, right, "user_id", "ts", "event_id")
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 12L), (101L, 12L), (103L, 20L)))
+  }
+
+  test("Dedup.exactProfile groups identical texts; exactKept keeps min id") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val prof = Dedup.exactProfile(docs, "text", "doc_id")
+      .select("c", "keep").as[(Long, Long)].collect().toSet
+    assert(prof == Set((2L, 1L), (1L, 2L)))
+    val kept = Dedup.exactKept(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("Dedup.minhashCandidatePairs finds near-identical docs, not disjoint ones") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "completely different words nothing shared with any other document here at all"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("Dedup.ngramJaccard computes exact shingle Jaccard on candidates") {
+    val a = "w1 w2 w3 w4 w5" // shingles: {w1 w2 w3, w2 w3 w4, w3 w4 w5}
+    val b = "w1 w2 w3 w4 w6" // shingles: {w1 w2 w3, w2 w3 w4, w3 w4 w6} → |∩|=2 |∪|=4
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val j = Dedup.ngramJaccard(docs, "text", "doc_id")
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    // pair may or may not survive LSH banding; if present, value must be exact
+    j.foreach { case (ai, bi, jac) => assert((ai, bi) == (1L, 2L) && jac == 0.5) }
+  }
+
+  test("VectorFunctions.cosineSim is exact on known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 2.0), Array(2.0, 4.0)))
+      .toDF("a", "b")
+    val sims = df.select(VectorFunctions.cosineSim(col("a"), col("b")).as("s"))
+      .as[Double].collect()
+    assert(sims(0) == 0.0)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("Similarity.bruteForceTopK ranks by cosine desc with id tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(1.0, 0.1)),   // most similar to 0
+      (2L, Array(0.0, 1.0)),   // orthogonal
+      (3L, Array(-1.0, 0.0))   // opposite
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs,
+        "embedding", "vec_id", 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("TextFunctions counts: whitespace tokens, shingles, fingerprint") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val row = df.select(
+      TextFunctions.wsTokenCount(col("text")).as("n"),
+      size(TextFunctions.wordShingles(col("text"), 3)).as("sh"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.bpeishTokenCount(col("text")).as("bpe")
+    ).as[(Long, Int, Long, Long)].head()
+    assert(row._1 == 4)
+    assert(row._2 == 2) // "a b c", "b c d"
+    // fold of (acc*31+ascii) over "a b c d"
+    val expected = "a b c d".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(row._3 == expected)
+    assert(row._4 == 4)
+  }
+
+  test("Multimodal stub pipeline derives metadata from payload bytes") {
+    import graft.operators.Multimodal._
+    val files = spark.createDataset(Seq(MediaFile(1L, Array.fill(250)(7.toByte))))
+    val meta = extractMeta(files).collect().head
+    assert(meta == MediaMeta(1L, 250L, 64 + 250 % 512, 64 + (250 * 31) % 512, 3L, 1L))
+  }
+}
