@@ -72,6 +72,14 @@ final class GStream[T](val ds: Dataset[Event[T]]) {
 
   def persist(): GStream[T] = { ds.persist(); this }
 
+  /** Declare the engine watermark on `eventTime` — the Spark equivalent of
+    * the reference's per-event watermark under its own fixed-offset
+    * contract (/root/reference/src/lib.rs:560-563; SURVEY.md §7.5.1).
+    * Required before windowed/stateful ops on a STREAMING dataset; a no-op
+    * concept in batch. */
+  def withWatermark(delay: String): GStream[T] =
+    new GStream(ds.withWatermark("eventTime", delay))
+
   // ---- sinks (reference `add_sink` / `StdoutSink`, src/lib.rs:117-125,:943-956) ----
 
   /** Batch sink: collect events to the driver (test/debug only). */

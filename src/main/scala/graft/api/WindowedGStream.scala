@@ -66,21 +66,23 @@ final class WindowedGStream[K, T](
 
   private def gapMicros: Long = gap.toNanos / 1000L
 
-  private def requireBatch(): Unit =
-    if (ds.isStreaming) throw new UnsupportedOperationException(
-      "streaming session windows: use graft.streaming.StreamingSessions " +
-        "(flatMapGroupsWithState + event-time timeout)")
-
   /**
    * Incremental windowed aggregation (reference `aggregate` +
    * `event_reducer`, /root/reference/src/lib.rs:836-880,:639-654): one
    * event per closed session; value = combine-fold of `acc` over the
    * session, processingTime = max over the session, eventTime = last
    * event's time (the reference's element-wise max rule).
+   *
+   * On a streaming dataset this runs incrementally with per-key state and
+   * watermark close-out (graft.streaming.StreamingSessions); `combine`
+   * must then be associative and commutative, and the stream must carry a
+   * watermark (`GStream.withWatermark`).
    */
   def aggregate[U](acc: T => U)(combine: (U, U) => U)(
       implicit eu: Encoder[Event[U]]): GStream[U] = {
-    requireBatch()
+    if (ds.isStreaming)
+      return new GStream(graft.streaming.StreamingSessions.aggregate(
+        ds, sel, gapMicros, acc, combine))
     val g = gapMicros
     val out = ds.groupByKey(sel)
       .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {
@@ -100,7 +102,9 @@ final class WindowedGStream[K, T](
     * (SURVEY.md §2.3.4). */
   def process[U](f: (K, SessionBounds, Seq[Event[T]]) => IterableOnce[Event[U]])(
       implicit eu: Encoder[Event[U]]): GStream[U] = {
-    requireBatch()
+    if (ds.isStreaming)
+      return new GStream(graft.streaming.StreamingSessions.process(
+        ds, sel, gapMicros, f))
     val g = gapMicros
     val out = ds.groupByKey(sel)
       .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {
@@ -116,7 +120,9 @@ final class WindowedGStream[K, T](
   def processState[S, U](init: K => S)(
       f: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[U]]))(
       implicit eu: Encoder[Event[U]]): GStream[U] = {
-    requireBatch()
+    if (ds.isStreaming) throw new UnsupportedOperationException(
+      "windowed processState on a stream: thread state through " +
+        "window(...).process(...) into a downstream keyed processState instead")
     val g = gapMicros
     val out = ds.groupByKey(sel)
       .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {

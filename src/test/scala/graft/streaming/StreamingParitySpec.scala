@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.TestSpark
+import graft.api.{Env, Event}
+
+/**
+ * Streaming/batch duality (SURVEY.md §7.4): the same facade pipeline over
+ * a MemoryStream must emit, incrementally under watermark close-out, the
+ * sessions the batch path computes — the reference's own trigger tests
+ * re-expressed (watermark passing last+gap fires the session,
+ * /root/reference/src/lib.rs:1320-1344,:1388-1401).
+ */
+class StreamingParitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(value: Long, time: String): Event[Long] =
+    Event.at(value, Timestamp.valueOf(time))
+
+  test("streaming session aggregate fires when the watermark passes last+gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val sessions = Env(spark).fromDataset(input.toDS())
+      .withWatermark("0 seconds")
+      .keyBy(_ => "k")
+      .window(Duration.ofMinutes(10))
+      .aggregate(identity[Long])(_ + _)
+
+    val query = sessions.ds
+      .writeStream.format("memory").queryName("s_agg").outputMode("append").start()
+    try {
+      // batch 1: one session {12:00,12:05} — must NOT fire yet (watermark
+      // is still behind last+gap, as in the reference trigger test).
+      input.addData(ev(1, "2009-10-11 12:00:00"), ev(2, "2009-10-11 12:05:00"))
+      query.processAllAvailable()
+      assert(spark.table("s_agg").count() == 0)
+
+      // batch 2: a far-future event advances the watermark past 12:05+10m.
+      input.addData(ev(100, "2009-10-11 14:00:00"))
+      query.processAllAvailable()
+      // one more empty-ish batch lets the timeout fire after the watermark
+      // update (watermark advances at batch boundaries).
+      input.addData(ev(101, "2009-10-11 15:00:00"))
+      query.processAllAvailable()
+
+      val fired = spark.table("s_agg")
+        .as[Event[Long]].collect().toSeq
+      assert(fired.map(_.value).contains(3L), s"got $fired")
+      val s = fired.find(_.value == 3L).get
+      assert(s.eventTime.contains(Timestamp.valueOf("2009-10-11 12:05:00")))
+    } finally query.stop()
+  }
+
+  test("streaming sessions merge across micro-batches (bridging event)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val sessions = Env(spark).fromDataset(input.toDS())
+      .withWatermark("10 minutes") // allow the bridging event to arrive "late"
+      .keyBy(_ => "k")
+      .window(Duration.ofMinutes(10))
+      .aggregate(identity[Long])(_ + _)
+
+    val query = sessions.ds
+      .writeStream.format("memory").queryName("s_merge").outputMode("append").start()
+    try {
+      // two sessions 16 minutes apart...
+      input.addData(ev(1, "2009-10-11 12:00:00"), ev(2, "2009-10-11 12:16:00"))
+      query.processAllAvailable()
+      // ...bridged by an out-of-order event in the next batch
+      input.addData(ev(4, "2009-10-11 12:08:00"))
+      query.processAllAvailable()
+      // close everything
+      input.addData(ev(100, "2009-10-11 14:00:00"))
+      query.processAllAvailable()
+      input.addData(ev(101, "2009-10-11 15:00:00"))
+      query.processAllAvailable()
+
+      val fired = spark.table("s_merge").as[Event[Long]].collect().toSeq
+      // the three events merged into ONE session summing 1+2+4
+      assert(fired.map(_.value).contains(7L), s"got $fired")
+    } finally query.stop()
+  }
+
+  test("streaming keyed processState accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val counts = Env(spark).fromDataset(input.toDS())
+      .keyBy(_.value % 2)
+      .processState((_: Long) => 0L) { (k, e, n) =>
+        (n + 1, Seq(e.withValue((k, n + 1))))
+      }
+
+    val query = counts.ds
+      .writeStream.format("memory").queryName("s_count").outputMode("append").start()
+    try {
+      input.addData(ev(0, "2009-10-11 12:00:00"), ev(1, "2009-10-11 12:01:00"))
+      query.processAllAvailable()
+      input.addData(ev(2, "2009-10-11 12:02:00"), ev(3, "2009-10-11 12:03:00"))
+      query.processAllAvailable()
+      val out = spark.table("s_count").as[Event[(Long, Long)]]
+        .collect().toSeq.map(_.value).sorted
+      // per key the count rises across batches: key0 → 1,2; key1 → 1,2
+      assert(out == Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)))
+    } finally query.stop()
+  }
+
+  test("streaming full-window process delivers time-ordered contents") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val sessions = Env(spark).fromDataset(input.toDS())
+      .withWatermark("0 seconds")
+      .keyBy(_ => "k")
+      .window(Duration.ofMinutes(10))
+      .process((_, b, evs) => Seq(evs.head.withValue(evs.map(_.value))))
+
+    val query = sessions.ds
+      .writeStream.format("memory").queryName("s_proc").outputMode("append").start()
+    try {
+      input.addData(ev(3, "2009-10-11 12:04:00"), ev(1, "2009-10-11 12:00:00"),
+        ev(2, "2009-10-11 12:02:00"))
+      query.processAllAvailable()
+      input.addData(ev(100, "2009-10-11 14:00:00"))
+      query.processAllAvailable()
+      input.addData(ev(101, "2009-10-11 15:00:00"))
+      query.processAllAvailable()
+      val fired = spark.table("s_proc").as[Event[Seq[Long]]].collect().toSeq
+      assert(fired.map(_.value).contains(Seq(1L, 2L, 3L)), s"got $fired")
+    } finally query.stop()
+  }
+}
