@@ -17,12 +17,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Warm each query once at the smallest SF before timing it at the
+    // target SF: Janino whole-stage-codegen compilation is a one-shot
+    // cost (measured up to 10 s on the widest generated aggregates) that
+    // would otherwise be billed to whichever query runs first with a
+    // given code shape. The generated-class cache is keyed on source, so
+    // the warm run at sf0.001 compiles what the timed run reuses.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String, name: String): Unit =
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
       }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (name, fn) => runOnce(fn, warmDir, name) }
+    val results = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      runOnce(fn, sfDir, name)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -24,16 +24,11 @@ object TextFunctions {
   def wsTokenCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, " ", "")) + lit(1L)).cast("long")
 
-  /** Word n-gram shingles (distinct), space-joined. Empty array when the
-    * document has fewer than n tokens (guards Spark's descending
-    * `sequence` when size-n < 0). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = wsTokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
-  }
+  /** Word n-gram shingles (distinct), space-joined; empty array when the
+    * document has fewer than n tokens. Backed by the codegen'd
+    * [[ShinglesExpr]] — the HOF formulation re-evaluated `split` per
+    * element reference (interpreted, O(tokens × shingles) per doc). */
+  def wordShingles(text: Column, n: Int): Column = ShinglesExpr(text, n)
 
   /** Count of occurrences of a literal marker substring. */
   def occurrences(text: Column, marker: String): Column =
@@ -42,12 +37,10 @@ object TextFunctions {
 
   /** Polynomial rolling-hash document fingerprint:
     * fold((acc * 31 + codepoint(ch)) mod 1e9+7) over the characters,
-    * left-to-right — same fold as DuckDB `list_reduce`. */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(substring(text, i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31L + c) % 1000000007L)
+    * left-to-right — same fold as DuckDB `list_reduce`. Backed by the
+    * codegen'd [[RollingHashExpr]] (one O(n) pass; the HOF formulation
+    * was O(n²) per row). */
+  def fingerprint(text: Column): Column = RollingHashExpr(text)
 
   /** BPE-ish token count: runs of lowercase letters, runs of digits, or a
     * single non-alphanumeric non-space byte, over the lowercased text.
@@ -56,9 +49,4 @@ object TextFunctions {
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   def bpeishTokenCount(text: Column): Column =
     regexp_count(lower(text), lit(BpePattern)).cast("long")
-
-  /** substring(col, pos, 1) where pos is a Column (the DataFrame API's
-    * `substring` only takes literal pos). */
-  private def substring(c: Column, pos: Column, len: Column): Column =
-    c.substr(pos, len)
 }

@@ -17,6 +17,12 @@ import graft.functions.VectorFunctions._
  *   every vector to its nearest centroid (broadcast centroids), then
  *   search only within the query's cell. Probed fraction = 1/nCells;
  *   trade recall for cost by probing more cells upstream.
+ *
+ * All cosine evaluations precompute each side's L2 norm in the projection
+ * BELOW the pair join, so the per-pair work is one dot product — the norm
+ * is per-row, not per-pair. The arithmetic (`dot / (sqrt · sqrt)`) is
+ * unchanged, keeping results bit-identical to the naive form and to the
+ * DuckDB oracle's fold.
  */
 object Similarity {
 
@@ -24,11 +30,13 @@ object Similarity {
     * Output: query_id, neighbor_id, sim, rank (self-match excluded). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSim(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -39,13 +47,15 @@ object Similarity {
     * shuffles for assignment. Output: corpus columns + `cell`. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   vecCol: String, idCol: String, centroidIdCol: String): DataFrame = {
-    val cents = centroids.select(col(centroidIdCol).as("cell"), col(vecCol).as("centv"))
+    val cents = centroids.select(col(centroidIdCol).as("cell"), col(vecCol).as("__centv"),
+      l2Norm(col(vecCol)).as("__centn"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cell"))
-    corpus.join(broadcast(cents))
-      .withColumn("__csim", cosineSim(col(vecCol), col("centv")))
+    corpus.withColumn("__vn", l2Norm(col(vecCol)))
+      .join(broadcast(cents))
+      .withColumn("__csim", dot(col(vecCol), col("__centv")) / (col("__vn") * col("__centn")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__csim", "__rn", "centv")
+      .drop("__csim", "__rn", "__centv", "__centn", "__vn")
   }
 
   /** IVF top-k: search only the query's own cell. Output:
@@ -54,12 +64,14 @@ object Similarity {
               vecCol: String, idCol: String, centroidIdCol: String, k: Int): DataFrame = {
     val assigned = assignCells(corpus, centroids, vecCol, idCol, centroidIdCol)
     val q = assigned.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        l2Norm(col(vecCol)).as("__qn"))
+    val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineSim(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
