@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions must be reachable from pure SQL once registered
+  * (GraftExtensions / GraftFunctions.register). */
+class SqlFunctionSpec extends AnyFunSuite {
+
+  private lazy val spark = { GraftFunctions.register(TestSpark.spark); TestSpark.spark }
+
+  test("rolling_hash is callable from SQL and matches the fold") {
+    import spark.implicits._
+    val got = spark.sql("SELECT rolling_hash('a b c d') AS fp").as[Long].head()
+    val expected = "a b c d".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(got == expected)
+  }
+
+  test("word_shingles is callable from SQL") {
+    import spark.implicits._
+    val got = spark.sql("SELECT word_shingles('a b c d', 3) AS sh").as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    assert(spark.sql("SELECT word_shingles('a b', 3) AS sh").as[Seq[String]].head().isEmpty)
+  }
+
+  test("word_shingles rejects a non-literal n") {
+    val e = intercept[Exception](spark.sql("SELECT word_shingles('a b c', length('xx'))").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+}
