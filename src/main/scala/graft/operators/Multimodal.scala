@@ -52,4 +52,47 @@ object Multimodal {
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaFile]
   }
+
+  /** One sampled frame reference (media id, frame index). */
+  final case class FrameRef(doc_id: Long, frame_idx: Long)
+
+  /** A decoded-and-resized frame: stub payload carries (w, h) only; a
+    * real decoder would emit the pixel buffer in `payload`. */
+  final case class ResizedFrame(doc_id: Long, frame_idx: Long,
+                                width: Long, height: Long, payload: Array[Byte])
+
+  /**
+   * Frame sampling: every `every`-th frame per media item, 1→N via the
+   * declarative `explode(sequence(...))` — stays in the relational plan
+   * (codegen, no UDF) because frame *selection* is pure arithmetic; only
+   * decode needs imperative code.
+   */
+  def sampleFrames(metas: Dataset[MediaMeta], every: Int): Dataset[FrameRef] = {
+    import metas.sparkSession.implicits._
+    metas.toDF()
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))).as("frame_idx"))
+      .as[FrameRef]
+  }
+
+  /**
+   * STUB resize: joins the sampled frames back to the payloads and "runs
+   * the codec" per partition (deterministic fake: payload = first 16
+   * bytes; dimensions = the target box preserving the stub aspect). The
+   * join is the real plumbing: frame refs shuffle to the payload's
+   * partitioning; a native decoder drops into `mapPartitions` unchanged.
+   */
+  def resizeFrames(files: Dataset[MediaFile], frames: Dataset[FrameRef],
+                   maxW: Long, maxH: Long): Dataset[ResizedFrame] = {
+    import files.sparkSession.implicits._
+    files.joinWith(frames, files("doc_id") === frames("doc_id"))
+      .mapPartitions(_.map { case (f, fr) =>
+        val meta = decodeStub(f)
+        val scale = math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height)
+        ResizedFrame(f.doc_id, fr.frame_idx,
+          math.max(1, (meta.width * scale).toLong),
+          math.max(1, (meta.height * scale).toLong),
+          f.payload.take(16))
+      })
+  }
 }

@@ -266,6 +266,16 @@ object LlmQueries {
         "CAST(64 + (octet_length(encode(text)) * 31) % 512 AS BIGINT) AS height, " +
         "CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames, " +
         "CAST((octet_length(encode(text)) // 100 + 1 + 9) // 10 AS BIGINT) AS n_sampled " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+    // L14 — multimodal frame sampling: every 2nd frame per media item,
+    // 1→N via explode(sequence(...)) — declarative frame selection.
+    "l14_frame_sample" -> QueryDef(
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.extractMeta(
+            Multimodal.filesFromDocuments(s, Tables.documents(s, d))), 2)
+        .toDF().orderBy("doc_id", "frame_idx"),
+      Some("SELECT doc_id, UNNEST(range(0, CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT), 2)) AS frame_idx " +
+        "FROM documents ORDER BY doc_id, frame_idx"))
   )
 }

@@ -47,4 +47,20 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** The same events table as a STREAMING source (`readStream`), with the
+    * identical ns→µs conversion — the facade/streaming pipelines run
+    * unchanged on top. Streaming reads require an explicit schema; it is
+    * taken from a batch probe of the same directory, so it always matches
+    * what the files actually contain. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = table(spark, dir, "events").schema
+    // the file-stream source requires a directory; glob-filter down to
+    // the events table within it
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -108,4 +108,18 @@ class OperatorSpec extends AnyFunSuite {
     val meta = extractMeta(files).collect().head
     assert(meta == MediaMeta(1L, 250L, 64 + 250 % 512, 64 + (250 * 31) % 512, 3L, 1L))
   }
+
+  test("Multimodal.sampleFrames takes every k-th frame; resize preserves aspect") {
+    import graft.operators.Multimodal._
+    val files = spark.createDataset(Seq(MediaFile(1L, Array.fill(250)(7.toByte))))
+    val metas = extractMeta(files) // 3 frames
+    val frames = sampleFrames(metas, 2)
+    assert(frames.collect().toSet == Set(FrameRef(1L, 0L), FrameRef(1L, 2L)))
+    val resized = resizeFrames(files, frames, 64, 64).collect()
+    assert(resized.length == 2)
+    resized.foreach { r =>
+      assert(r.width <= 64 && r.height <= 64 && r.width.max(r.height) == 64)
+      assert(r.payload.length == 16)
+    }
+  }
 }
