@@ -18,8 +18,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == "float64" or df[c].dtype == "float32":
             df[c] = df[c].astype(float).round(6).map(
                 lambda x: 0.0 if x == 0 else x)  # -0.0 -> 0.0
-        # timestamps: normalize to ns-less string
+        # timestamps: normalize to ns-less string (tz-aware -> UTC naive)
         if "datetime" in str(df[c].dtype):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]").astype(str)
         if df[c].dtype == object:
             df[c] = df[c].map(lambda x: str(x))

@@ -24,9 +24,14 @@ final class Env(val spark: SparkSession) {
     fromEvents(values.map(Event.now[T]))
 
   /** Head stream from any Dataset already shaped as events — the general
-    * `add_source` (works for batch reads and `readStream` alike). */
+    * form (works for batch reads and `readStream` alike). */
   def fromDataset[T](ds: org.apache.spark.sql.Dataset[Event[T]]): GStream[T] =
     new GStream(ds)
+
+  /** Name-parity with the reference `Environment::add_source`
+    * (/root/reference/src/lib.rs:927-940). */
+  def addSource[T](source: Source[T]): GStream[T] =
+    new GStream(source.run(spark))
 }
 
 object Env {

@@ -90,6 +90,10 @@ final class GStream[T](val ds: Dataset[Event[T]]) {
 
   /** Console sink (the reference's one production sink). */
   def printToStdout(): Unit = ds.show(numRows = 100, truncate = false)
+
+  /** Name-parity with the reference `add_sink`
+    * (/root/reference/src/lib.rs:117-125). */
+  def addSink(sink: Sink[T]): Unit = sink.run(ds)
 }
 
 /**

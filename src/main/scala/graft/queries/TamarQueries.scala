@@ -175,6 +175,28 @@ object TamarQueries {
       Some(sessionOracle(
         "SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'", 30,
         "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_clicks " +
-          "FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start")))
+          "FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start"))),
+
+    // T13 — tumbling window (extension: the reference has session windows
+    // only, SURVEY.md §2.2): hourly event count per user.
+    "t13_tumbling" -> QueryDef(
+      (s, d) => graft.operators.Windows.tumbling(ev(s, d), "ts", "user_id",
+          "1 hour", Seq(count(lit(1)).as("n")))
+        .select("user_id", "w_start", "n")
+        .orderBy("user_id", "w_start"),
+      Some("SELECT user_id, date_trunc('hour', ts) AS w_start, COUNT(*) AS n " +
+        "FROM events GROUP BY user_id, date_trunc('hour', ts) " +
+        "ORDER BY user_id, w_start")),
+
+    // T14 — sliding window (extension): 1-hour window every 30 minutes.
+    "t14_sliding" -> QueryDef(
+      (s, d) => graft.operators.Windows.sliding(ev(s, d), "ts", "user_id",
+          "1 hour", "30 minutes", Seq(count(lit(1)).as("n")))
+        .select("user_id", "w_start", "n")
+        .orderBy("user_id", "w_start"),
+      Some("SELECT user_id, make_timestamp(st * 1800 * 1000000) AS w_start, COUNT(*) AS n FROM (" +
+        "SELECT user_id, UNNEST(range(CAST(floor((epoch(ts) - 3600) / 1800) + 1 AS BIGINT), " +
+        "CAST(floor(epoch(ts) / 1800) + 1 AS BIGINT))) AS st FROM events) " +
+        "GROUP BY user_id, st ORDER BY user_id, w_start"))
   )
 }
