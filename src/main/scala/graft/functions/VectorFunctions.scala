@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
  */
 object VectorFunctions {
 
-  /** Dot product of two array<double> columns (left-to-right fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns (left-to-right fold).
+    * Backed by the codegen'd [[DotProductExpr]]: the HOF formulation
+    * (`aggregate(zip_with(...))`) is CodegenFallback and allocates the
+    * zipped array per pair; fold order is unchanged. */
+  def dot(a: Column, b: Column): Column = DotProductExpr(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
