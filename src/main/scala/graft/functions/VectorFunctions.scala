@@ -27,4 +27,14 @@ object VectorFunctions {
   /** Cosine similarity in [-1, 1]. */
   def cosineSim(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean (L2) distance. */
+  def l2Distance(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    sqrt(dot(diff, diff))
+  }
+
+  /** Unit-normalize a vector (null-safe: zero vector → nulls). */
+  def normalize(a: Column): Column =
+    transform(a, x => x / l2Norm(a))
 }

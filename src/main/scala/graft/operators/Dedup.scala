@@ -141,6 +141,27 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
+  /**
+   * End-to-end corpus dedup: drop exact duplicates (min id per content
+   * hash wins), then drop near-duplicates — for every MinHash candidate
+   * pair whose exact shingle Jaccard ≥ `jaccardThreshold`, the larger id
+   * loses. Returns the surviving rows with their original columns.
+   *
+   * Shape at scale: one exact-hash window pass + the LSH pipeline + one
+   * anti join — no quadratic stage anywhere; union-find chains collapse
+   * greedily (b dropped whenever paired with any surviving-or-not a<b,
+   * the standard keep-first policy for dedup cascades).
+   */
+  def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
+                  jaccardThreshold: Double = 0.8,
+                  k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val exact = exactKept(docs, textCol, idCol)
+    val losers = ngramJaccard(exact, textCol, idCol, k, bands, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("b_id").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs with cosine > threshold, blocked by
     * `blockCol` to bound the pair space. L2 norms are computed per row
     * BELOW the pair join (per-pair work = one dot product); arithmetic

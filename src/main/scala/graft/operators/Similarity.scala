@@ -58,6 +58,34 @@ object Similarity {
       .drop("__csim", "__rn", "__centv", "__centn", "__vn")
   }
 
+  /**
+   * K-means-lite centroid training for the IVF index: deterministic
+   * seeding (the k lowest-id vectors), then `iters` rounds of
+   * assign-to-nearest (broadcast centroids — corpus never shuffles) and
+   * per-cell mean (one partial-aggregating groupBy per round). Driver
+   * holds only k×dim doubles per round. Output: (cell, centroid vector)
+   * with `vecCol`'s name, ready for [[ivfTopK]].
+   */
+  def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cell"), col(vecCol))
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(corpus, cents, vecCol, idCol, "cell")
+      // element-wise mean per cell: sum each dimension, divide by count
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1)).as(s"__s$i"))
+      val agg = assigned.groupBy(col("cell"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
+      cents = agg.select(col("cell"),
+        array((0 until dim).map(i => col(s"__s$i") / col("__n")): _*).as(vecCol))
+      cents.persist() // cut the lineage growth across rounds
+    }
+    cents
+  }
+
   /** IVF top-k: search only the query's own cell. Output:
     * query_id, neighbor_id, sim, rank. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,

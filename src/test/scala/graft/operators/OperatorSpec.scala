@@ -64,6 +64,32 @@ class OperatorSpec extends AnyFunSuite {
     j.foreach { case (ai, bi, jac) => assert((ai, bi) == (1L, 2L) && jac == 0.5) }
   }
 
+  test("Dedup.dedupCorpus drops exact and near duplicates, keeps min ids") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = "completely different words nothing shared with any other document here at all"
+    val docs = Seq((1L, near1), (2L, near2), (3L, other), (4L, near1))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "text", "doc_id", jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 4 is an exact dup of 1; 2 is a near dup of 1; 3 survives
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("Similarity.trainCentroids converges to the two cluster centers") {
+    // even ids on the x-axis, odd ids on the y-axis, so the deterministic
+    // seeding (k lowest ids) starts with one vector from each cluster
+    val cluster0 = (0 until 10).map(i => (i * 2L, Array(1.0 + i * 0.001, 0.0)))
+    val cluster1 = (0 until 10).map(i => (i * 2L + 1, Array(0.0, 1.0 + i * 0.001)))
+    val corpus = (cluster0 ++ cluster1).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 2, iters = 3)
+      .select("embedding").as[Array[Double]].collect()
+    assert(cents.length == 2)
+    // one centroid per axis-aligned cluster
+    assert(cents.exists(c => c(0) > 0.9 && c(1) == 0.0))
+    assert(cents.exists(c => c(1) > 0.9 && c(0) == 0.0))
+  }
+
   test("VectorFunctions.cosineSim is exact on known vectors") {
     val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 2.0), Array(2.0, 4.0)))
       .toDF("a", "b")
