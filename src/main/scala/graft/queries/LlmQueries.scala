@@ -29,9 +29,10 @@ object LlmQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** doc_id → distinct word-3-gram shingles (≡ TextFunctions.wordShingles). */
-  private val shinglesCte =
-    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+  /** doc_id → distinct word-3-gram shingles (≡ TextFunctions.wordShingles),
+    * over an arbitrary source relation. */
+  private def shinglesCte(src: String = "documents") =
+    s"toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src), " +
       "sh AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(t) >= 3 " +
       "THEN list_transform(generate_series(1, len(t) - 2), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
@@ -39,18 +40,27 @@ object LlmQueries {
 
   /** MinHash signatures (k=8) + 4 LSH bands + candidate pairs
     * (≡ Dedup.minhashCandidatePairs defaults). */
-  private val minhashPairsCte = {
+  private def minhashPairsCte(src: String = "documents") = {
     val sigs = (0 until 8).map(j => s"min(md5('$j|' || s)) AS sig$j").mkString(", ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sig")
       .mkString(" UNION ALL ")
-    shinglesCte +
+    shinglesCte(src) +
       s", sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id)" +
       s", bands AS ($bandRows)" +
       ", pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
       "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash " +
       "AND a.doc_id < b.doc_id)"
   }
+
+  /** Exact shingle Jaccard over the candidate pairs (≡ Dedup.ngramJaccard). */
+  private val jaccardCte =
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter FROM pairs p " +
+      "JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id AND sb.s = sa.s " +
+      "GROUP BY p.a_id, p.b_id), " +
+      "jac AS (SELECT i.a_id, i.b_id, CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard " +
+      "FROM inter i JOIN sizes na ON na.doc_id = i.a_id JOIN sizes nb ON nb.doc_id = i.b_id)"
 
   private val embCte =
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
@@ -98,7 +108,7 @@ object LlmQueries {
     "l4_minhash_lsh" -> QueryDef(
       (s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d), "text", "doc_id")
         .orderBy("a_id", "b_id"),
-      Some(s"WITH $minhashPairsCte SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id")),
+      Some(s"WITH ${minhashPairsCte()} SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id")),
 
     // L5 — exact n-gram Jaccard verify over the LSH candidates (≥ 0.5).
     "l5_ngram_jaccard" -> QueryDef(
@@ -106,7 +116,7 @@ object LlmQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id"),
-      Some(s"WITH $minhashPairsCte, " +
+      Some(s"WITH ${minhashPairsCte()}, " +
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
         "inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter FROM pairs p " +
         "JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id AND sb.s = sa.s " +
@@ -276,6 +286,19 @@ object LlmQueries {
             Multimodal.filesFromDocuments(s, Tables.documents(s, d))), 2)
         .toDF().orderBy("doc_id", "frame_idx"),
       Some("SELECT doc_id, UNNEST(range(0, CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT), 2)) AS frame_idx " +
-        "FROM documents ORDER BY doc_id, frame_idx"))
+        "FROM documents ORDER BY doc_id, frame_idx")),
+
+    // L15 — the full dedup cascade as one query: exact dedup (min id per
+    // content hash) → MinHash-LSH candidates → exact Jaccard ≥ 0.8 →
+    // drop the larger id of each surviving pair.
+    "l15_dedup_corpus" -> QueryDef(
+      (s, d) => Dedup.dedupCorpus(Tables.documents(s, d), "text", "doc_id", 0.8)
+        .select("doc_id").orderBy("doc_id"),
+      Some("WITH kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn = 1), " +
+        minhashPairsCte("kept") + ", " + jaccardCte + " " +
+        "SELECT doc_id FROM kept WHERE doc_id NOT IN " +
+        "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"))
   )
 }
