@@ -10,5 +10,8 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // static conf: needed by the bucketed-table specs
+    .config("spark.sql.warehouse.dir",
+      new java.io.File("target/test-warehouse").getAbsolutePath)
     .getOrCreate()
 }
