@@ -167,6 +167,42 @@ object RelationalQueries {
       },
       Some("SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a " +
         "JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts " +
-        "AND b.ts <= a.ts + INTERVAL 5 MINUTE ORDER BY a_id, b_id"))
+        "AND b.ts <= a.ts + INTERVAL 5 MINUTE ORDER BY a_id, b_id")),
+
+    // R10 — TPC-H Q3-style shipping priority: join + selective filters +
+    // agg + deterministic top-10.
+    "r10_ship_priority" -> QueryDef(
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("SELECT l_orderkey, o_orderdate, CAST(SUM(" + revenueSql + ") AS DOUBLE) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10")),
+
+    // R11 — scalar subquery: parts priced above the average retail price.
+    "r11_scalar_subquery" -> QueryDef(
+      (s, d) => {
+        val parts = Tables.part(s, d)
+        val avgPrice = parts.agg(
+          (sum(col("p_retailprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("a"))
+        parts.join(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("a"))
+          .select("p_partkey", "p_retailprice").orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice > " +
+        "(SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part) " +
+        "ORDER BY p_partkey"))
   )
 }
