@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deterministic sampling for dataset curation (training-data pipelines
+ * subsample constantly; `rand()` breaks reproducibility and oracle
+ * checks).
+ *
+ * The trick: order rows within each stratum by `md5(id)` — a fixed
+ * pseudo-random permutation — and keep the first n. Fully reproducible
+ * across engines and runs, one shuffle (the per-key window), and the
+ * hash order is uncorrelated with any data ordering.
+ */
+object Sampling {
+
+  /** First `n` rows per `keyCol`, in md5(id) order. */
+  def stratifiedSample(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Bernoulli-style deterministic sample: keep a row iff the first 4
+    * hex digits of md5(id) fall below `rate` × 16^4 — reproducible
+    * row-level sampling without a per-key shuffle (pure map). */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    val threshold = (rate * 65536).toLong
+    df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") < threshold)
+  }
+}

@@ -299,6 +299,27 @@ object LlmQueries {
         "WHERE rn = 1), " +
         minhashPairsCte("kept") + ", " + jaccardCte + " " +
         "SELECT doc_id FROM kept WHERE doc_id NOT IN " +
-        "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id"))
+        "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY doc_id")),
+
+    // L16 — deterministic stratified sample: 3 docs per language in
+    // md5(doc_id) order (reproducible curation-time subsampling).
+    "l16_doc_sample" -> QueryDef(
+      (s, d) => graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, d), "lang", "doc_id", 3)
+        .select("lang", "doc_id").orderBy("lang", "doc_id"),
+      Some("SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 3 ORDER BY lang, doc_id")),
+
+    // L17 — exact distinct-user count per event type (the exact
+    // counterpart of the HLL sketch path; see SketchSpec for the
+    // approximate variants, which are not oracle-able across engines).
+    "l17_count_distinct" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY event_type ORDER BY event_type"))
   )
 }

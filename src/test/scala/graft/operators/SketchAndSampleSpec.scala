@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Approximate aggregates (HLL / count-min / percentile sketches — Spark
+  * built-ins, mergeable partial state) validated against their exact
+  * counterparts, plus the deterministic samplers. The sketches are not
+  * oracle-able across engines (different algorithms), so their guarantee
+  * is an error bound vs. the exact answer. */
+class SketchAndSampleSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact; approx_percentile sane") {
+    val e = Tables.events(spark, sf)
+    val (exact, approx) = e.agg(
+      countDistinct(col("user_id")),
+      approx_count_distinct(col("user_id"), rsd = 0.02))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+
+    val Array(p50, p99) = e.select(
+      percentile_approx(col("value"), array(lit(0.5), lit(0.99)), lit(10000)))
+      .head().getSeq[Double](0).toArray
+    assert(p50 > 0 && p50 < p99)
+  }
+
+  test("stratifiedSample keeps exactly n per stratum, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Sampling.stratifiedSample(docs, "lang", "doc_id", 3)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val s2 = Sampling.stratifiedSample(docs, "lang", "doc_id", 3)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(s1 == s2) // reproducible
+    val perLang = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ <= 3))
+  }
+
+  test("hashSample rate is approximately honored and deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val a = Sampling.hashSample(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size.toDouble / n - 0.2) < 0.08, s"kept ${a.size}/$n")
+  }
+
+  test("EventMonoidAggregator sums with max-timestamp propagation (typed path)") {
+    import graft.api.{Event, EventMonoidAggregator}
+    import java.sql.Timestamp
+    val evs = Seq(
+      Event.at(5L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      Event.at(7L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      Event.at(1L, Timestamp.valueOf("2024-01-01 09:00:00")))
+    val out = spark.createDataset(evs).select(EventMonoidAggregator.sumLong).head()
+    assert(out.value == 13L)
+    assert(out.eventTime.contains(Timestamp.valueOf("2024-01-01 11:00:00")))
+    assert(out.processingTime == Timestamp.valueOf("2024-01-01 11:00:00"))
+  }
+}
