@@ -25,11 +25,15 @@ object Bench {
     // the warm run at sf0.001 compiles what the timed run reuses.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                dir: String, name: String): Unit =
+                dir: String, name: String): Unit = {
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
       }
+      // the dedup operators persist() intermediates; drop them so caches
+      // don't accumulate across 40+ queries and GC-churn the tail
+      spark.catalog.clearCache()
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) => runOnce(fn, warmDir, name) }
     val results = ordered.map { case (name, fn) =>
