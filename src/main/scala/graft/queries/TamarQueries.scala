@@ -197,6 +197,33 @@ object TamarQueries {
       Some("SELECT user_id, make_timestamp(st * 1800 * 1000000) AS w_start, COUNT(*) AS n FROM (" +
         "SELECT user_id, UNNEST(range(CAST(floor((epoch(ts) - 3600) / 1800) + 1 AS BIGINT), " +
         "CAST(floor(epoch(ts) / 1800) + 1 AS BIGINT))) AS st FROM events) " +
-        "GROUP BY user_id, st ORDER BY user_id, w_start"))
+        "GROUP BY user_id, st ORDER BY user_id, w_start")),
+
+    // T15 — JSON extraction from the props payload column (semi-structured
+    // data path; codegen'd get_json_object, no UDF).
+    "t15_json_extract" -> QueryDef(
+      (s, d) => ev(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 " +
+        "ORDER BY event_id")),
+
+    // T16 — pivot: per user-bucket event-type counts as columns (explicit
+    // value list so the output schema is deterministic).
+    "t16_pivot" -> QueryDef(
+      (s, d) => ev(s, d)
+        .withColumn("ub", col("user_id") % 10)
+        .groupBy("ub")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("ub"),
+      Some("SELECT user_id % 10 AS ub, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
+        " FROM events GROUP BY user_id % 10 ORDER BY ub"))
   )
 }
