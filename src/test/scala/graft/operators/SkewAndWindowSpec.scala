@@ -40,6 +40,24 @@ class SkewAndWindowSpec extends AnyFunSuite {
     assert(sli(java.sql.Timestamp.valueOf("2024-01-01 10:30:00")) == 2) // 10:55 + 11:05
   }
 
+  test("two-phase sliding count equals the direct window-generator form") {
+    val rnd = new scala.util.Random(99)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(4).toLong, new java.sql.Timestamp(base + rnd.nextInt(36000) * 1000L))
+    }
+    val df = rows.toDF("user_id", "ts")
+    val direct = Windows.sliding(df, "ts", "user_id", "1 hour", "30 minutes",
+        Seq(count(lit(1)).as("n")))
+      .select("user_id", "w_start", "n")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val twoPhase = Windows.slidingCountTwoPhase(df, "ts", "user_id", 3600L, 1800L)
+      .select("user_id", "w_start", "n")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(twoPhase == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("Source/Sink traits round-trip through Env.addSource / addSink") {
     import graft.api._
     val sink = Sink.collecting[Int]
