@@ -188,10 +188,14 @@ object TamarQueries {
         "FROM events GROUP BY user_id, date_trunc('hour', ts) " +
         "ORDER BY user_id, w_start")),
 
-    // T14 — sliding window (extension): 1-hour window every 30 minutes.
+    // T14 — sliding window (extension): 1-hour window every 30 minutes,
+    // via the two-phase form (pre-aggregate per slide bucket → expand):
+    // the shuffle carries one combined row per event instead of
+    // size/slide replicas; equivalence to the direct window-generator
+    // form is proven in SkewAndWindowSpec.
     "t14_sliding" -> QueryDef(
-      (s, d) => graft.operators.Windows.sliding(ev(s, d), "ts", "user_id",
-          "1 hour", "30 minutes", Seq(count(lit(1)).as("n")))
+      (s, d) => graft.operators.Windows.slidingCountTwoPhase(
+          ev(s, d), "ts", "user_id", 3600L, 1800L)
         .select("user_id", "w_start", "n")
         .orderBy("user_id", "w_start"),
       Some("SELECT user_id, make_timestamp(st * 1800 * 1000000) AS w_start, COUNT(*) AS n FROM (" +
