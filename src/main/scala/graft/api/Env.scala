@@ -32,6 +32,15 @@ final class Env(val spark: SparkSession) {
     * (/root/reference/src/lib.rs:927-940). */
   def addSource[T](source: Source[T]): GStream[T] =
     new GStream(source.run(spark))
+
+  /** Name-parity with the reference `Environment::execute`
+    * (/root/reference/src/lib.rs:919-925): run everything to completion.
+    * Batch pipelines execute at their action (`addSink`/`collect*`), so
+    * this only needs to await the session's active streaming queries —
+    * with finite sources + `Trigger.AvailableNow` that terminates, like
+    * the reference's drained-channel cascade. */
+  def execute(): Unit =
+    spark.streams.active.foreach(_.awaitTermination())
 }
 
 object Env {

@@ -176,4 +176,19 @@ class TamarParitySpec extends AnyFunSuite {
     val b = env.fromValues(Seq(3))
     assert(a.union(b).collectValues().sorted == Seq(1, 2, 3))
   }
+
+  // --- contract: windowed operators require event time (the reference
+  // unwrap()s and panics, /root/reference/src/lib.rs:459) ---
+  test("windowed ops reject events without eventTime") {
+    val e = intercept[Exception] {
+      env.fromValues(Seq(1, 2)) // Event.now → eventTime = None
+        .keyBy(_ => "k").window(gap10)
+        .aggregate(identity[Int])(_ + _)
+        .collectEvents()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(causes)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("eventTime"))), e.toString)
+  }
 }
