@@ -171,4 +171,20 @@ final class KeyedGStream[K, T](
   /** As GStream.split, preserving the key selector
     * (/root/reference/src/lib.rs:374-393). */
   def split(): (KeyedGStream[K, T], KeyedGStream[K, T]) = (this, this)
+
+  /** Two-stream keyed combination — the fan-in the reference lacks
+    * entirely (SURVEY.md §2.2: `split` fans out, nothing fans back in);
+    * Flink's coGroup analogue on `KeyValueGroupedDataset.cogroupSorted`.
+    * Both sides arrive time-ordered ((eventTime, processingTime), the
+    * facade's declared order); one co-partitioning shuffle per side. */
+  def coGroup[T2, U](other: KeyedGStream[K, T2])(
+      f: (K, Seq[Event[T]], Seq[Event[T2]]) => IterableOnce[Event[U]])(
+      implicit et2: Encoder[Event[T2]], eu: Encoder[Event[U]]): GStream[U] = {
+    val sortCols = Seq(col("eventTime").asc_nulls_first, col("processingTime").asc_nulls_first)
+    val out = ds.groupByKey(sel)
+      .cogroupSorted(other.ds.groupByKey(other.sel))(sortCols: _*)(sortCols: _*) {
+        (k, left, right) => f(k, left.toSeq, right.toSeq)
+      }
+    new GStream(out)
+  }
 }

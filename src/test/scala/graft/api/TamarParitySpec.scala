@@ -177,6 +177,21 @@ class TamarParitySpec extends AnyFunSuite {
     assert(a.union(b).collectValues().sorted == Seq(1, 2, 3))
   }
 
+  // --- extension: coGroup fan-in (absent from the reference) ---
+  test("coGroup combines two keyed streams per key in time order") {
+    val clicks = env.fromEvents(Seq(ev(10, 12, 0), ev(11, 12, 5), ev(20, 13, 0)))
+      .keyBy(_.value / 10)
+    val buys = env.fromEvents(Seq(ev(100, 12, 30), ev(300, 14, 0)))
+      .keyBy(_.value / 100)
+    val out = clicks.coGroup(buys) { (k, cs, bs) =>
+      Seq(Event.now((k, cs.map(_.value), bs.map(_.value))))
+    }.collectValues().sortBy(_._1)
+    assert(out == Seq(
+      (1, Seq(10, 11), Seq(100)),
+      (2, Seq(20), Seq()),
+      (3, Seq(), Seq(300))))
+  }
+
   // --- contract: windowed operators require event time (the reference
   // unwrap()s and panics, /root/reference/src/lib.rs:459) ---
   test("windowed ops reject events without eventTime") {
