@@ -203,6 +203,18 @@ object RelationalQueries {
       },
       Some("SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice > " +
         "(SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part) " +
-        "ORDER BY p_partkey"))
+        "ORDER BY p_partkey")),
+
+    // R12 — EXCEPT: suppliers not involved in the earliest orders.
+    // (Unfiltered EXCEPT against lineitem is empty in this synthetic
+    // data — every supplier ships something — which would be vacuous.)
+    "r12_except" -> QueryDef(
+      (s, d) => Tables.supplier(s, d).select(col("s_suppkey").as("suppkey"))
+        .except(Tables.lineitem(s, d).filter(col("l_orderkey") < 10)
+          .select(col("l_suppkey").as("suppkey")))
+        .orderBy("suppkey"),
+      Some("SELECT s_suppkey AS suppkey FROM supplier EXCEPT " +
+        "SELECT l_suppkey AS suppkey FROM lineitem WHERE l_orderkey < 10 " +
+        "ORDER BY suppkey"))
   )
 }

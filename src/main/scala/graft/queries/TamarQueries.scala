@@ -228,6 +228,21 @@ object TamarQueries {
       Some("SELECT user_id % 10 AS ub, " +
         Seq("click", "error", "purchase", "signup", "view").map(t =>
           s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
-        " FROM events GROUP BY user_id % 10 ORDER BY ub"))
+        " FROM events GROUP BY user_id % 10 ORDER BY ub")),
+
+    // T17 — analytic lag: seconds since the user's previous event
+    // (lead/lag family; first event per user → -1 sentinel).
+    "t17_lag_gap" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d).select(col("event_id"),
+            coalesce(
+              (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).cast("long"),
+              lit(-1L)).as("gap_s"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, COALESCE(CAST(epoch(date_trunc('second', ts)) - " +
+        "epoch(date_trunc('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) " +
+        "AS BIGINT), -1) AS gap_s FROM events ORDER BY event_id"))
   )
 }
