@@ -25,14 +25,17 @@ object Bench {
     // the warm run at sf0.001 compiles what the timed run reuses.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                dir: String, name: String): Unit = {
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
-      }
+                dir: String, name: String): Boolean = {
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
+          false
+        }
       // the dedup operators persist() intermediates; drop them so caches
       // don't accumulate across 40+ queries and GC-churn the tail
       spark.catalog.clearCache()
+      ok
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) => runOnce(fn, warmDir, name) }
@@ -41,17 +44,32 @@ object Bench {
     // the standard way to report the query's actual cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = ordered.map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        runOnce(fn, sfDir, name)
+        if (!runOnce(fn, sfDir, name)) failed = true
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failed query must not masquerade as a fast one: report -1 so the
+      // driver (and a human) sees the hole instead of a bogus timing
+      (name, if (failed) -1.0 else times.min, failed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, false) => v }.sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // stdout from `sbt runMain` is wrapped in [info]/[success] noise that can
+    // defeat line-oriented extraction; the file copy is the reliable channel
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
