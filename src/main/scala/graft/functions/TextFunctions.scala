@@ -20,9 +20,10 @@ object TextFunctions {
     * single-spaced synthetic corpus. */
   def wsTokens(text: Column): Column = split(text, " ")
 
-  /** Whitespace token count via length arithmetic — engine-portable. */
+  /** Whitespace token count via length arithmetic — engine-portable.
+    * Literal `replace`, not regexp: no regex-engine cost on a hot scan. */
   def wsTokenCount(text: Column): Column =
-    (length(text) - length(regexp_replace(text, " ", "")) + lit(1L)).cast("long")
+    (length(text) - length(replace(text, lit(" "), lit(""))) + lit(1L)).cast("long")
 
   /** Word n-gram shingles (distinct), space-joined; empty array when the
     * document has fewer than n tokens. Backed by the codegen'd
@@ -30,9 +31,11 @@ object TextFunctions {
     * element reference (interpreted, O(tokens × shingles) per doc). */
   def wordShingles(text: Column, n: Int): Column = ShinglesExpr(text, n)
 
-  /** Count of occurrences of a literal marker substring. */
+  /** Count of occurrences of a literal marker substring. Literal
+    * `replace` (no regex engine, no quoting) — same arithmetic as the
+    * DuckDB oracle's `replace`. */
   def occurrences(text: Column, marker: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) /
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
       lit(marker.length)).cast("long")
 
   /** Polynomial rolling-hash document fingerprint:

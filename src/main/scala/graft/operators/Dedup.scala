@@ -86,16 +86,23 @@ object Dedup {
     * band. The band table (bands× short rows per doc — a tiny fraction of
     * the corpus) is persisted before the self-join: without it each join
     * side recomputes the whole shingle→signature pipeline (AQE broadcasts
-    * one side, which defeats shuffle-exchange reuse). */
+    * one side, which defeats shuffle-exchange reuse). The persist is
+    * scoped to this call: the (tiny) pair set is eagerly materialized via
+    * `localCheckpoint`, the band cache dropped before returning — so
+    * library callers never accumulate cached blocks, and the returned
+    * frame is self-contained (its blocks are GC-cleaned with the frame). */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val bandsDf = lshBands(minhashSignatures(docs, textCol, idCol, k, shingleN), idCol, k, bands)
       .persist()
-    val a = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
-    val b = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    try {
+      val a = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
+      val b = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id"))
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .localCheckpoint()
+    } finally bandsDf.unpersist()
   }
 
   /** Exact n-gram Jaccard over candidate pairs: verify stage of the
@@ -107,10 +114,17 @@ object Dedup {
     * shingle equi-join produces. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    // pairs come back eagerly materialized (localCheckpoint) and tiny
     val pairs = minhashCandidatePairs(docs, textCol, idCol, k, bands, shingleN)
-    // persisted: referenced by both join sides (one shingle array per doc)
+    // Referenced by both join sides (one shingle array per doc), but
+    // semi-join-pruned to candidate ids FIRST: the materialized relation
+    // is O(candidates), not O(corpus) — at 100 TB caching every
+    // document's shingle array would itself be a corpus-sized cache.
+    val candidateIds = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct()
     val sets = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .persist()
+      .join(broadcast(candidateIds), Seq("id"), "left_semi")
+      .localCheckpoint()
     pairs
       .join(sets.select(col("id").as("a_id"), col("sh").as("__sha")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("sh").as("__shb")), Seq("b_id"))
@@ -128,13 +142,25 @@ object Dedup {
     * measured 2× slower: HOF lambdas are CodegenFallback). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // repartition rationale as in minhashSignatures
+    // Bit extraction: instead of 32 substring+instr string probes per
+    // token, parse the 32 hex digits once as four 8-digit chunks
+    // (conv base16 — 32 bits each, no sign trouble in a long) and test
+    // each digit's high bit arithmetically. Digit b sits in chunk b/8 as
+    // its (b%8)-th most-significant nibble, so its high bit is bit
+    // 4*(7 - b%8) + 3 of the chunk — identical votes to the string form
+    // (digit ∈ {8..f} ⇔ high bit set), ~2× cheaper per token.
     val tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), explode(wsTokens(col(textCol))).as("t"))
-      .withColumn("h", md5(col("t")))
+      .select(col(idCol), md5(col("t")).as("h"))
+    val chunks = tok.select(
+      col(idCol) +: (0 until 4).map(c =>
+        conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
     val votes = (0 until 32).map { b =>
-      sum(when(instr(lit("89abcdef"), substring(col("h"), b + 1, 1)) > 0, 1L).otherwise(-1L)).as(s"v$b")
+      val shift = 4 * (7 - b % 8) + 3
+      sum(when(shiftright(col(s"c${b / 8}"), shift).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
     }
-    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val agg = chunks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val sig: Column = (0 until 32)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -160,6 +186,66 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("b_id").as(idCol)).distinct()
     exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 random-hyperplane components for [[rhpCandidatePairs]]:
+    * component i of hyperplane (`table`, `plane`) is +1 iff the first hex
+    * digit of md5("rhp|table|plane|i") has its high bit set. Derivable in
+    * any engine with md5 — the DuckDB oracle embeds the same array
+    * literals — and uniform ±1, which is all sign-LSH needs. */
+  def rhpSigns(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      if ("89abcdef".contains(md5Hex(s"rhp|$table|$plane|$i").charAt(0))) 1.0 else -1.0
+    }
+
+  /** Candidate near-duplicate VECTOR pairs (a < b) sharing a
+    * random-hyperplane LSH bucket in at least one of `nTables` tables
+    * (SimHash-for-vectors): bucket bit j of table t = sign of
+    * `dot(vec, rhpSigns(t, j, dim))`. The block key comes from the vectors
+    * themselves — no data column needed — so the pair space is bounded by
+    * bucket collisions (2^nPlanes buckets per table), the 100 TB form of
+    * [[embeddingNearDups]]'s label blocking. Same scoped persist/
+    * checkpoint lifecycle as [[minhashCandidatePairs]]. */
+  def rhpCandidatePairs(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
+                        nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val bkt = (0 until nPlanes).map { j =>
+        when(dot(col(vecCol), lit(rhpSigns(t, j, dim))) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bkt.as("bkt"))
+    }
+    val buckets = embs
+      .select(col(idCol), explode(array(tables: _*)).as("__tb"))
+      .select(col(idCol), col("__tb.tbl").as("tbl"), col("__tb.bkt").as("bkt"))
+      .persist()
+    try {
+      val a = buckets.select(col("tbl"), col("bkt"), col(idCol).as("a_id"))
+      val b = buckets.select(col("tbl"), col("bkt"), col(idCol).as("b_id"))
+      a.join(b, Seq("tbl", "bkt"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .localCheckpoint()
+    } finally buckets.unpersist()
+  }
+
+  /** Embedding near-dup pairs with cosine > threshold over the
+    * random-hyperplane LSH candidates: the verify stage pulls each
+    * candidate's vector via two id-keyed joins (pairs are tiny — that is
+    * LSH's point), computes one dot per pair with hoisted norms. */
+  def embeddingNearDupsRhp(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
+                           threshold: Double, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val pairs = rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables)
+    val a = embs.select(col(idCol).as("a_id"), col(vecCol).as("__va"), l2Norm(col(vecCol)).as("__na"))
+    val b = embs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"), l2Norm(col(vecCol)).as("__nb"))
+    pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") > threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
   }
 
   /** Embedding near-duplicate pairs with cosine > threshold, blocked by

@@ -62,26 +62,33 @@ object Similarity {
    * K-means-lite centroid training for the IVF index: deterministic
    * seeding (the k lowest-id vectors), then `iters` rounds of
    * assign-to-nearest (broadcast centroids — corpus never shuffles) and
-   * per-cell mean (one partial-aggregating groupBy per round). Driver
-   * holds only k×dim doubles per round. Output: (cell, centroid vector)
-   * with `vecCol`'s name, ready for [[ivfTopK]].
+   * per-cell mean. The mean is computed by `posexplode` + one
+   * partial-aggregating groupBy on (cell, pos) + re-assembly — the plan
+   * width is constant in the embedding dimension, so dim-1024+ vectors
+   * never hit Janino generated-code limits (the per-dimension-column form
+   * did). Each round is eagerly materialized (`localCheckpoint`, k rows)
+   * so lineage doesn't grow across rounds and no cache outlives the call.
+   * Output: (cell, centroid vector) with `vecCol`'s name, ready for
+   * [[ivfTopK]].
    */
   def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                      k: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     var cents = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cell"), col(vecCol))
+      .localCheckpoint()
     (0 until iters).foreach { _ =>
       val assigned = assignCells(corpus, cents, vecCol, idCol, "cell")
-      // element-wise mean per cell: sum each dimension, divide by count
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col(vecCol), i + 1)).as(s"__s$i"))
-      val agg = assigned.groupBy(col("cell"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
-      cents = agg.select(col("cell"),
-        array((0 until dim).map(i => col(s"__s$i") / col("__n")): _*).as(vecCol))
-      cents.persist() // cut the lineage growth across rounds
+      // element-wise mean per cell: one narrow (cell, pos, v) explosion,
+      // sum+count partial-agg map-side, re-assemble in pos order (the
+      // struct sort key is __pos, collect_list order is irrelevant)
+      cents = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("cell"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), (col("__s") / col("__n")).as("__m")))),
+          x => x.getField("__m")).as(vecCol))
+        .localCheckpoint()
     }
     cents
   }

@@ -158,6 +158,34 @@ object LlmQueries {
         "SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM s WHERE sim > 0.4 " +
         "ORDER BY a_id, b_id")),
 
+    // L18 — embedding near-dup pairs, random-hyperplane LSH-blocked (the
+    // 100 TB form of L7: the block key comes from the vectors themselves,
+    // not a data column). 8 planes × 4 tables keeps the candidate set at
+    // ~2% of all pairs on this corpus; threshold 0.35 sits where the
+    // synthetic vectors (max cos ≈ 0.47) yield verifiable output.
+    "l18_embed_neardup_lsh" -> QueryDef(
+      (s, d) => Dedup.embeddingNearDupsRhp(Tables.embeddings(s, d),
+          "embedding", "vec_id", 64, 0.35)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "b_id"),
+      Some {
+        def bktSql(t: Int): String = (0 until 8).map { j =>
+          val arr = Dedup.rhpSigns(t, j, 64)
+            .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"(CASE WHEN ${dotSql("v", s"CAST($arr AS DOUBLE[])")} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val bkts = (0 until 4).map(t =>
+          s"SELECT vec_id, ${bktSql(t)} AS bkt, $t AS tbl FROM e").mkString(" UNION ALL ")
+        s"WITH $embCte, bk AS ($bkts), " +
+          "p AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id FROM bk a " +
+          "JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
+          "pv AS (SELECT a_id, b_id, ea.v AS va, eb.v AS vb FROM p " +
+          "JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id), " +
+          s"s AS (SELECT a_id, b_id, ${cosSql("va", "vb")} AS sim FROM pv) " +
+          "SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM s WHERE sim > 0.35 " +
+          "ORDER BY a_id, b_id"
+      }),
+
     // L8 — IVF ANN: centroids = vectors 0..7, queries = vectors 0..4,
     // search restricted to the query's cell (the 1/nCells scale path).
     "l8_ann_ivf" -> QueryDef(
@@ -190,7 +218,7 @@ object LlmQueries {
       (s, d) => {
         val p = concat(lit(" "), lower(col("text")), lit(" "))
         def score(m: String) =
-          (length(p) - length(regexp_replace(p, java.util.regex.Pattern.quote(m), ""))) / lit(m.length)
+          (length(p) - length(replace(p, lit(m), lit("")))) / lit(m.length)
         val Seq(en, de, fr, es) = langMarkers.map { case (_, m) => score(m) }
         val pred = when(en >= de && en >= fr && en >= es, "en")
           .when(de >= fr && de >= es, "de")
@@ -217,14 +245,14 @@ object LlmQueries {
       (s, d) => {
         val t = col("text")
         val n = length(t)
-        val spaces = n - length(regexp_replace(t, " ", ""))
+        val spaces = n - length(replace(t, lit(" "), lit("")))
         val wsRatio = spaces / n
         val punct = (n - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long")
         val p = concat(lit(" "), lower(t), lit(" "))
         def occ(m: String) =
-          (length(p) - length(regexp_replace(p, java.util.regex.Pattern.quote(m), ""))) / lit(m.length)
+          (length(p) - length(replace(p, lit(m), lit("")))) / lit(m.length)
         val stops = occ(" the ") + occ(" a ") + occ(" of ") + occ(" and ")
-        val nTok = n - length(regexp_replace(t, " ", "")) + lit(1)
+        val nTok = spaces + lit(1)
         val quality = when(n.between(100, 1000) && wsRatio > 0.05, "ok").otherwise("low")
         Tables.documents(s, d)
           .select(col("doc_id"), n.cast("long").as("n_chars_c"),

@@ -13,6 +13,7 @@ class OperatorSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
@@ -88,6 +89,42 @@ class OperatorSpec extends AnyFunSuite {
     // one centroid per axis-aligned cluster
     assert(cents.exists(c => c(0) > 0.9 && c(1) == 0.0))
     assert(cents.exists(c => c(1) > 0.9 && c(0) == 0.0))
+  }
+
+  test("Similarity.trainCentroids handles dim-256 vectors (plan width constant in dim)") {
+    // two well-separated clusters in R^256; the posexplode form keeps the
+    // aggregate 3 columns wide regardless of dim (the per-dimension-column
+    // form hit Janino generated-code limits past a few hundred dims)
+    val dim = 256
+    val c0 = (0 until 8).map(i => (i * 2L, Array.tabulate(dim)(d => if (d < 128) 1.0 + i * 0.001 else 0.0)))
+    val c1 = (0 until 8).map(i => (i * 2L + 1, Array.tabulate(dim)(d => if (d >= 128) 1.0 + i * 0.001 else 0.0)))
+    val corpus = (c0 ++ c1).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 2, iters = 2)
+      .select("embedding").as[Array[Double]].collect()
+    assert(cents.length == 2)
+    assert(cents.forall(_.length == dim))
+    assert(cents.exists(c => c(0) > 0.9 && c(200) == 0.0))
+    assert(cents.exists(c => c(200) > 0.9 && c(0) == 0.0))
+  }
+
+  test("Dedup.embeddingNearDupsRhp: exact subset of brute-force pairs; recall reported") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val dim = e.select(size(col("embedding"))).as[Int].head()
+    val thr = 0.35
+    // exact all-pairs ground truth (no blocking)
+    val withId = e.select(col("vec_id"), col("embedding"))
+    val a = withId.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = withId.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .filter(VectorFunctions.cosineSim(col("va"), col("vb")) > thr)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val rhp = Dedup.embeddingNearDupsRhp(e, "embedding", "vec_id", dim, thr)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the verify stage is exact, so RHP output can never contain a false positive
+    assert(rhp.subsetOf(exact), s"false positives: ${rhp -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else rhp.size.toDouble / exact.size
+    info(f"RHP recall vs exact all-pairs at cos>$thr: ${rhp.size}/${exact.size} = $recall%.2f")
+    assert(exact.isEmpty || rhp.nonEmpty, "bucketing found none of the exact pairs")
   }
 
   test("VectorFunctions.cosineSim is exact on known vectors") {
