@@ -107,6 +107,34 @@ object TamarQueries {
       Some("SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 " +
         "AS global_count FROM events ORDER BY event_id")),
 
+    // T18 — global running state, the 100 TB form of T7: same semantics
+    // (global_count = rank in (ts, event_id) order, zero-based) without
+    // the single-partition window. Two-pass: bucket events by hour (the
+    // bucket is monotone in ts, so (bucket, ts, id) order == (ts, id)
+    // order), count per bucket, turn counts into prefix offsets with a
+    // triangular join over the TINY bucket table (broadcast NLJ — no
+    // partition-less WindowExec anywhere), then rank within each bucket
+    // and add the bucket's offset. Heavy data only ever shuffles on the
+    // bucket key.
+    "t18_global_state_scalable" -> QueryDef(
+      (s, d) => {
+        val bucketUs = 3600000000L // 1 hour
+        val e = ev(s, d).select(col("event_id"), col("ts"))
+          .withColumn("__bkt", floor(unix_micros(col("ts")) / lit(bucketUs)).cast("long"))
+        val counts = e.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
+        val offsets = counts.as("a")
+          .join(counts.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+          .groupBy(col("a.__bkt").as("__bkt"))
+          .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+        val wInBkt = Window.partitionBy("__bkt").orderBy("ts", "event_id")
+        e.join(broadcast(offsets), Seq("__bkt"))
+          .select(col("event_id"),
+            (col("__off") + row_number().over(wInBkt) - 1).cast("long").as("global_count"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 " +
+        "AS global_count FROM events ORDER BY event_id")),
+
     // T8 — session windowization (#24,#26,#30): 30-min gap per user.
     "t8_session_window" -> QueryDef(
       (s, d) => Sessionize.sessions(ev(s, d), "ts", "user_id", "30 minutes",

@@ -59,9 +59,37 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("l4: signature aggregation happens before the only wide shuffle") {
-    val p = planOf("l4_minhash_lsh")
-    // partial aggregation of the k mins must appear below the exchange
+    // the declared l4 query returns a localCheckpoint'd frame (scoped cache
+    // lifecycle), whose executed plan is just the checkpoint scan — assert
+    // on the signature pipeline itself, where the k mins must
+    // partial-aggregate below the exchange
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      graft.sources.Tables.documents(spark, sf), "text", "doc_id")
+    sigs.collect()
+    val p = sigs.queryExecution.executedPlan.toString
     assert(p.contains("partial_min"), p.take(3000))
+  }
+
+  test("r9: range join is an equi-join whose keys include the time bucket") {
+    val p = planOf("r9_range_join")
+    // the join must be a hash join keyed on (user_id, __bkt) — the
+    // per-key cross product (user_id-only keys + post-filter) is the
+    // scale-killer this query was rewritten to avoid
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("HashJoin") && l.contains("user_id")).getOrElse("")
+    assert(joinLine.contains("__bkt"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("t18: scalable global numbering has no partition-less window") {
+    val p = planOf("t18_global_state_scalable")
+    // every window function must partition by the bucket; a global Window
+    // (single-task sort of the whole table) is what t18 exists to avoid.
+    // windowspecdefinition(partCols..., sortCols..., frame) — partition-less
+    // specs start straight with the sort spec.
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__bkt")), specs.mkString("\n"))
   }
 
   test("t1/t3: narrow pipelines stay inside whole-stage codegen") {
