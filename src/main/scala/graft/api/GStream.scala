@@ -162,6 +162,27 @@ final class KeyedGStream[K, T](
     new GStream(out)
   }
 
+  /**
+   * Combined per-key AND global state in one call — the reference's full
+   * `process_state` signature, which passes BOTH a shared `GST` and a
+   * per-key `KST` to the user fn (/root/reference/src/lib.rs:323-361).
+   *
+   * Two-stage composition (SURVEY.md §7.5.4): the per-key fold runs
+   * distributed (hash-partitioned by key, `keyFold` threads the per-key
+   * state), and only its OUTPUT events fold sequentially through the
+   * global state — so the single-task stage sees the per-key stage's
+   * (usually much smaller) output, not the raw stream. The price of
+   * determinism on a partitioned engine: the user fn is split into a key
+   * part and a global part instead of one closure mutating both states;
+   * both stages fold in (eventTime, processingTime) order.
+   */
+  def processStateGlobal[S, M, GS, U](init: K => S, globalInit: GS)(
+      keyFold: (K, Event[T], S) => (S, Seq[Event[M]]))(
+      globalFold: (Event[M], GS) => (GS, Seq[Event[U]]))(
+      implicit es: Encoder[S], em: Encoder[Event[M]], egs: Encoder[GS],
+      eu: Encoder[Event[U]], ei: Encoder[Int]): GStream[U] =
+    processState(init)(keyFold).processState(globalInit)(globalFold)
+
   /** Attach a session window (reference `window` +
     * `EventTimeSessionWindowFactory` — the one window type it has,
     * /root/reference/src/lib.rs:363-371,:708-740). */

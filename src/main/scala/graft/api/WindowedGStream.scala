@@ -116,13 +116,16 @@ final class WindowedGStream[K, T](
 
   /** `process` + per-key state threaded across that key's closed sessions
     * in time order (reference windowed `process_state`,
-    * /root/reference/src/lib.rs:771-834). */
+    * /root/reference/src/lib.rs:771-834). On a streaming dataset the state
+    * lives in the checkpointed store and sessions close at the watermark
+    * (graft.streaming.StreamingSessions.processState); sessions of one key
+    * close in start order, so the fold order matches batch. */
   def processState[S, U](init: K => S)(
       f: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[U]]))(
       implicit eu: Encoder[Event[U]]): GStream[U] = {
-    if (ds.isStreaming) throw new UnsupportedOperationException(
-      "windowed processState on a stream: thread state through " +
-        "window(...).process(...) into a downstream keyed processState instead")
+    if (ds.isStreaming)
+      return new GStream(graft.streaming.StreamingSessions.processState(
+        ds, sel, gapMicros, init, f))
     val g = gapMicros
     val out = ds.groupByKey(sel)
       .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {

@@ -100,6 +100,52 @@ object StreamingSessions {
     }
   }
 
+  /** Per-key state for [[processState]]: the user's cross-session state
+    * (None until first touched) plus the open session buffers. */
+  final case class KeyedWindowState[S, T](user: Option[S], open: List[OpenBuf[T]])
+
+  /** Streaming counterpart of WindowedGStream.processState (reference
+    * windowed `process_state`, /root/reference/src/lib.rs:771-834): `f`
+    * sees each CLOSED session's full time-ordered contents plus per-key
+    * state threaded across that key's sessions.
+    *
+    * Sessions of one key close in start order (disjoint intervals ≥ gap
+    * apart close exactly when the watermark passes `last + gap`), so the
+    * state fold order is deterministic across any batch arrival pattern.
+    * Unlike [[process]], the user state outlives every session: state is
+    * kept (not removed) when no session is open, matching the reference's
+    * per-key HashMap that lives for the whole stream. */
+  def processState[K, T, S, U](ds: Dataset[Event[T]], sel: Event[T] => K, gapMicros: Long,
+      init: K => S, f: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[U]]))(
+      implicit kEnc: Encoder[K], eu: Encoder[Event[U]]): Dataset[Event[U]] = {
+    implicit val stateEnc: Encoder[KeyedWindowState[S, T]] = Encoders.kryo[KeyedWindowState[S, T]]
+    ds.groupByKey(sel).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (k: K, events: Iterator[Event[T]], gs: GroupState[KeyedWindowState[S, T]]) =>
+        val prev = if (gs.exists) gs.get else KeyedWindowState[S, T](None, Nil)
+        val fresh = events.map { e =>
+          val t = micros(e.eventTimeOrThrow)
+          OpenBuf(t, t, e :: Nil)
+        }.toList
+        val merged = mergeBuf(prev.open ::: fresh, gapMicros)
+        val wmMicros = gs.getCurrentWatermarkMs() * 1000L
+        val (closed, open) = merged.partition(_.lastMicros + gapMicros <= wmMicros)
+        var s = prev.user.getOrElse(init(k))
+        val out = closed.sortBy(_.startMicros).flatMap { c =>
+          val evs = c.events.sortBy(e => micros(e.eventTimeOrThrow))
+          val (s2, o) = f(k, SessionBounds(tsOf(c.startMicros), tsOf(c.lastMicros)), evs, s)
+          s = s2
+          o
+        }
+        gs.update(KeyedWindowState(Some(s), open))
+        if (open.nonEmpty)
+          gs.setTimeoutTimestamp(math.max(
+            open.map(o => o.lastMicros + gapMicros).min / 1000L,
+            gs.getCurrentWatermarkMs() + 1L))
+        out.iterator
+    }
+  }
+
   /** Streaming counterpart of WindowedGStream.process: emits via `f` per
     * closed session with the full, time-ordered window contents. */
   def process[K, T, U](ds: Dataset[Event[T]], sel: Event[T] => K, gapMicros: Long,

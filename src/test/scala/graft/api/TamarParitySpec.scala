@@ -79,6 +79,22 @@ class TamarParitySpec extends AnyFunSuite {
     assert(out.sorted == Seq((10, 1), (11, 2), (12, 3), (13, 4), (14, 5), (15, 6)))
   }
 
+  // --- keyed process_state with BOTH the global AND per-key state the
+  // reference signature passes (src/lib.rs:323-361; test :1141-1169 emits
+  // (global.count, key_state.count) per event) ---
+  test("processStateGlobal mirrors the reference global + key counters") {
+    // reference source a,b,a,b → sink [(0,0),(1,0),(2,1),(3,1)]
+    val events = Seq(ev(10, 12, 0), ev(20, 12, 1), ev(10, 12, 2), ev(20, 12, 3))
+    val out = env.fromEvents(events)
+      .keyBy(_.value)
+      .processStateGlobal((_: Int) => 0, 0)(
+        (k, e, n) => (n + 1, Seq(e.withValue((k, n)))))(
+        (e, g) => (g + 1, Seq(e.withValue((g, e.value._2)))))
+      .collectEvents()
+    val byTime = out.sortBy(_.eventTime.get.getTime).map(_.value)
+    assert(byTime == Seq((0, 0), (1, 0), (2, 1), (3, 1)))
+  }
+
   // --- session store: creation / extension / merge (src/lib.rs:1188-1255) ---
   test("session windows: create, extend, and merge on a bridging event") {
     // 12:00 and 12:16 are two sessions at gap 10; adding 12:08 bridges both.

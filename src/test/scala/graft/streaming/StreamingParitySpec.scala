@@ -110,6 +110,52 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming windowed processState threads key state across batches") {
+    // The reference windowed_process_state_separate_events timeline
+    // (/root/reference/src/lib.rs:1384-1436): keys 0,0,0,1,1,2 with gap
+    // 10 min; per-key session counter. Delivered over FIVE micro-batches
+    // so key 0's two sessions close in different triggers — the state
+    // must thread across batches through the checkpointed store.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val out = Env(spark).fromDataset(input.toDS())
+      .withWatermark("0 seconds")
+      .keyBy(_.value)
+      .window(Duration.ofMinutes(10))
+      .processState((_: Long) => 0L) { (k, _, evs, n) =>
+        (n + 1, Seq(evs.head.withValue((k, n))))
+      }
+    val query = out.ds
+      .writeStream.format("memory").queryName("s_wps").outputMode("append").start()
+    try {
+      // 12:39 (not the reference's 12:40): our pinned boundary rule is
+      // strict — an event exactly at last+gap starts a NEW session — so
+      // 12:40 would be a third key-0 session rather than extending the
+      // second, unlike the reference's inclusive-touch merge.
+      input.addData(ev(0, "2009-10-11 12:10:00"), ev(0, "2009-10-11 12:30:00"),
+        ev(0, "2009-10-11 12:39:00"))
+      query.processAllAvailable()
+      input.addData(ev(1, "2009-10-11 12:55:00"), ev(1, "2009-10-11 12:56:00"))
+      query.processAllAvailable() // wm 12:39 → key0 session 1 closes: (0, 0)
+      input.addData(ev(2, "2009-10-11 13:20:00"))
+      query.processAllAvailable() // wm 12:56 → key0 session 2 next trigger
+      input.addData(ev(9, "2009-10-11 15:00:00"))
+      query.processAllAvailable() // wm 13:20 → key0 s2 (0,1), key1 (1,0)
+      input.addData(ev(9, "2009-10-11 15:30:00"))
+      query.processAllAvailable() // wm 15:30 → key2 (2,0), key9 s1 (9,0)
+
+      // everything except key 9's still-open 15:30 session has fired
+      val got = spark.table("s_wps").as[Event[(Long, Long)]].collect().toSeq
+        .map(e => (e.eventTime.get, e.value)).toSet
+      assert(got == Set(
+        (Timestamp.valueOf("2009-10-11 12:10:00"), (0L, 0L)),
+        (Timestamp.valueOf("2009-10-11 12:30:00"), (0L, 1L)),
+        (Timestamp.valueOf("2009-10-11 12:55:00"), (1L, 0L)),
+        (Timestamp.valueOf("2009-10-11 13:20:00"), (2L, 0L)),
+        (Timestamp.valueOf("2009-10-11 15:00:00"), (9L, 0L))), s"got $got")
+    } finally query.stop()
+  }
+
   test("streaming full-window process delivers time-ordered contents") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event[Long]]
