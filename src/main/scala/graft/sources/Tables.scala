@@ -41,26 +41,45 @@ object Tables {
     table(spark, dir, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
 
-  /** Events stream table with `ts` restored to TimestampType (µs). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong` set, then
+    * restore the previous value — reading the NANOS-stamped events table
+    * must not silently change how OTHER TIMESTAMP(NANOS) parquet is read
+    * for the rest of the session. Safe to restore immediately after the
+    * frame is built: the parquet relation captures the flag when it is
+    * created (schema inference time), not per action — executing the
+    * returned frame after the restore works (covered by the smoke run
+    * and every events-backed spec). */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
+
+  /** Events stream table with `ts` restored to TimestampType (µs). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      table(spark, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** The same events table as a STREAMING source (`readStream`), with the
     * identical ns→µs conversion — the facade/streaming pipelines run
     * unchanged on top. Streaming reads require an explicit schema; it is
     * taken from a batch probe of the same directory, so it always matches
     * what the files actually contain. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = table(spark, dir, "events").schema
-    // the file-stream source requires a directory; glob-filter down to
-    // the events table within it
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      val schema = table(spark, dir, "events").schema
+      // the file-stream source requires a directory; glob-filter down to
+      // the events table within it
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 }
