@@ -188,6 +188,32 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark-contamination check: for each document, the number of
+    * distinct word n-gram shingles it shares with a benchmark corpus —
+    * the standard train/test leakage scan in LLM data pipelines. The
+    * benchmark shingle set (small by definition) is broadcast, so the
+    * corpus is never shuffled for the probe; only matching (doc, shingle)
+    * rows reach the per-doc count, which partial-aggregates map-side. */
+  def benchmarkContamination(docs: DataFrame, bench: DataFrame, textCol: String,
+                             idCol: String, shingleN: Int = 3): DataFrame = {
+    val docSh = docs.select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__s"))
+    val benchSh = bench.select(explode(wordShingles(col(textCol), shingleN)).as("__s")).distinct()
+    docSh.join(broadcast(benchSh), Seq("__s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Streaming-capable exact dedup: drop rows whose content hash was
+    * already seen, with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming counterpart of
+    * [[exactKept]] for continuous ingestion. The input must carry a
+    * watermark; on a batch frame this degenerates to dropDuplicates. */
+  def exactKeptStream(docs: DataFrame, textCol: String): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(col(textCol)))
+    val out = if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("__h")
+              else hashed.dropDuplicates("__h")
+    out.drop("__h")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

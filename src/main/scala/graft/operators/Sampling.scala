@@ -31,4 +31,23 @@ object Sampling {
     df.filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long") < threshold)
   }
+
+  /** Per-stratum Bernoulli rates — domain mixing/reweighting (downsample
+    * a dominant source, keep the rest): keep a row of stratum s iff its
+    * md5-hash fraction falls below `rates(s)` (or `defaultRate`). A pure
+    * per-row filter: no shuffle at any scale, reproducible across
+    * engines (fixed-width lowercase hex compares lexicographically =
+    * numerically, so the oracle is a plain string comparison). */
+  def rateStratifiedSample(df: DataFrame, keyCol: String, idCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 1.0): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    def keep(rate: Double) =
+      if (rate >= 1.0) lit(true)
+      else h < lit(f"${math.max(math.round(rate * 65536).toInt, 0)}%04x")
+    val cond = rates.foldLeft(keep(defaultRate)) { case (acc, (k, r)) =>
+      when(col(keyCol) === k, keep(r)).otherwise(acc)
+    }
+    df.filter(cond)
+  }
 }

@@ -339,6 +339,57 @@ object LlmQueries {
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 3 ORDER BY lang, doc_id")),
 
+    // L19 — benchmark contamination: documents sharing word-3-gram
+    // shingles with a benchmark set (stand-in: doc_id % 97 == 0) — the
+    // train/test leakage scan. Benchmark shingles broadcast; the corpus
+    // never shuffles for the probe.
+    "l19_contamination" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.benchmarkContamination(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${shinglesCte()}, " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0) " +
+        "SELECT doc_id, COUNT(*) AS n_shared FROM sh JOIN bench USING (s) " +
+        "WHERE doc_id % 97 <> 0 GROUP BY doc_id ORDER BY doc_id")),
+
+    // L20 — domain mixing / reweighting: deterministic per-stratum
+    // Bernoulli rates (downsample the dominant 'en', quarter 'zh', keep
+    // the rest) — a pure per-row hash filter, zero shuffles.
+    "l20_domain_mix" -> QueryDef(
+      (s, d) => graft.operators.Sampling.rateStratifiedSample(
+          Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 0.25))
+        .select("lang", "doc_id").orderBy("lang", "doc_id"),
+      Some("SELECT lang, doc_id FROM documents WHERE CASE lang " +
+        "WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' " +
+        "WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000' " +
+        "ELSE TRUE END ORDER BY lang, doc_id")),
+
+    // L21 — heavy hitters: top-10 tokens per language by frequency
+    // (vocabulary analysis). Two-level aggregation: the (lang, token)
+    // counts partial-aggregate map-side; the ranking window runs on the
+    // tiny aggregated side only.
+    "l21_top_tokens" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("lang"), explode(wsTokens(col("text"))).as("t"))
+          .groupBy("lang", "t").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n").desc, col("t"))
+        counts.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .orderBy("lang", "rnk")
+      },
+      Some("WITH tok AS (SELECT lang, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "c AS (SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY lang, t) " +
+        "SELECT lang, t, n, rnk FROM (SELECT lang, t, n, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, t) AS BIGINT) AS rnk FROM c) " +
+        "WHERE rnk <= 10 ORDER BY lang, rnk")),
+
     // L17 — exact distinct-user count per event type (the exact
     // counterpart of the HLL sketch path; see SketchSpec for the
     // approximate variants, which are not oracle-able across engines).
