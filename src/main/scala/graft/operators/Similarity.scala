@@ -46,17 +46,8 @@ object Similarity {
     * lowest centroid id). Centroids are broadcast — the corpus never
     * shuffles for assignment. Output: corpus columns + `cell`. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
-                  vecCol: String, idCol: String, centroidIdCol: String): DataFrame = {
-    val cents = centroids.select(col(centroidIdCol).as("cell"), col(vecCol).as("__centv"),
-      l2Norm(col(vecCol)).as("__centn"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cell"))
-    corpus.withColumn("__vn", l2Norm(col(vecCol)))
-      .join(broadcast(cents))
-      .withColumn("__csim", dot(col(vecCol), col("__centv")) / (col("__vn") * col("__centn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__csim", "__rn", "__centv", "__centn", "__vn")
-  }
+                  vecCol: String, idCol: String, centroidIdCol: String): DataFrame =
+    probeCells(corpus, centroids, vecCol, idCol, centroidIdCol, 1)
 
   /**
    * K-means-lite centroid training for the IVF index: deterministic
@@ -93,12 +84,16 @@ object Similarity {
     cents
   }
 
-  /** IVF top-k: search only the query's own cell. Output:
-    * query_id, neighbor_id, sim, rank. */
+  /** IVF top-k: search only the query's `nprobe` nearest cells (corpus
+    * vectors live in exactly one cell each). Probed fraction =
+    * nprobe/nCells — recall is bought linearly with probe cost, the
+    * standard IVF knob. Output: query_id, neighbor_id, sim, rank. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              vecCol: String, idCol: String, centroidIdCol: String, k: Int): DataFrame = {
+              vecCol: String, idCol: String, centroidIdCol: String, k: Int,
+              nprobe: Int = 1): DataFrame = {
     val assigned = assignCells(corpus, centroids, vecCol, idCol, centroidIdCol)
-    val q = assigned.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+    val qVecs = corpus.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+    val q = probeCells(qVecs, centroids, vecCol, idCol, centroidIdCol, nprobe)
       .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("__qv"),
         l2Norm(col(vecCol)).as("__qn"))
     val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -110,5 +105,21 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** The `nprobe` nearest cells per row (by cosine, ties to the lowest
+    * cell id) — the query-side generalization of [[assignCells]]. Rows
+    * are duplicated once per probed cell. */
+  def probeCells(vectors: DataFrame, centroids: DataFrame, vecCol: String,
+                 idCol: String, centroidIdCol: String, nprobe: Int): DataFrame = {
+    val cents = centroids.select(col(centroidIdCol).as("cell"), col(vecCol).as("__centv"),
+      l2Norm(col(vecCol)).as("__centn"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cell"))
+    vectors.withColumn("__vn", l2Norm(col(vecCol)))
+      .join(broadcast(cents))
+      .withColumn("__csim", dot(col(vecCol), col("__centv")) / (col("__vn") * col("__centn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .drop("__csim", "__rn", "__centv", "__centn", "__vn")
   }
 }

@@ -107,6 +107,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(cents.exists(c => c(200) > 0.9 && c(0) == 0.0))
   }
 
+  test("Similarity.ivfTopK: nprobe widens the search and recall never drops") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 5)
+    val cents = e.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(queries, e, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(queries, e, cents, "embedding", "vec_id", "vec_id", 5, nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r3 = recall(3)
+    info(f"IVF recall@5: nprobe=1 $r1%.2f, nprobe=3 $r3%.2f")
+    assert(r3 >= r1)
+    assert(r3 > 0.3, s"nprobe=3 recall unexpectedly low: $r3")
+  }
+
   test("Dedup.embeddingNearDupsRhp: exact subset of brute-force pairs; recall reported") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val dim = e.select(size(col("embedding"))).as[Int].head()
