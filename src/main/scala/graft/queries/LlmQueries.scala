@@ -390,6 +390,36 @@ object LlmQueries {
         "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, t) AS BIGINT) AS rnk FROM c) " +
         "WHERE rnk <= 10 ORDER BY lang, rnk")),
 
+    // L22 — repetition filters (Gopher/MassiveText-style quality
+    // signals): the fraction of the document taken by its most frequent
+    // token (two-level partial-agg: (doc, token) counts, then per-doc
+    // max/sum), and the duplicate word-2-gram fraction (pure per-row
+    // arithmetic — total 2-grams vs distinct 2-grams — zero shuffles).
+    "l22_repetition" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val freq = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        val top = freq.groupBy("doc_id")
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_frac"))
+        val n2 = wsTokenCount(col("text")) - 1
+        val d2 = size(wordShingles(col("text"), 2)).cast("long")
+        docs.select(col("doc_id"),
+            round((n2 - d2).cast("double") / n2, 6).as("dup_2gram_frac"))
+          .join(top, Seq("doc_id"))
+          .select("doc_id", "top_token_frac", "dup_2gram_frac")
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "freq AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t), " +
+        "top AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac " +
+        "FROM freq GROUP BY doc_id), " +
+        "g AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "d2 AS (SELECT doc_id, len(t) - 1 AS n2, len(list_distinct(" +
+        "list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) AS dist2 FROM g) " +
+        "SELECT doc_id, top_token_frac, ROUND(CAST(n2 - dist2 AS DOUBLE) / n2, 6) AS dup_2gram_frac " +
+        "FROM top JOIN d2 USING (doc_id) ORDER BY doc_id")),
+
     // L17 — exact distinct-user count per event type (the exact
     // counterpart of the HLL sketch path; see SketchSpec for the
     // approximate variants, which are not oracle-able across engines).
