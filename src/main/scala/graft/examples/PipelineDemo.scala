@@ -9,9 +9,9 @@ import graft.operators.{Dedup, Sampling}
  * End-to-end training-data curation pipeline assembled from the graft
  * operators — the workload this engine is built for at 100 TB:
  *
- *   documents → quality filter → exact+near dedup cascade →
- *   language ID / token stats enrichment → stratified sample →
- *   curated parquet
+ *   documents → quality + repetition filters → exact+near dedup cascade →
+ *   benchmark decontamination → domain reweighting →
+ *   token stats enrichment → stratified sample → curated parquet
  *
  * Every stage is a declarative DataFrame transform, so the whole
  * pipeline is ONE Catalyst plan per output: pushdown reaches the scan,
@@ -33,21 +33,38 @@ object PipelineDemo {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val total = docs.count()
 
-    // 1. quality gate: length band + whitespace sanity
+    // 1. quality gate: length band + whitespace sanity + repetition cap
+    // (duplicate-2-gram fraction — per-row arithmetic, no shuffle)
+    val nTok2 = TextFunctions.wsTokenCount(col("text")) - 1
+    val dup2 = (nTok2 - size(TextFunctions.wordShingles(col("text"), 2)).cast("long"))
+      .cast("double") / nTok2
     val quality = docs.filter(
       length(col("text")).between(50, 5000) &&
-        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))) / length(col("text")) > 0.05)
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) / length(col("text")) > 0.05 &&
+        dup2 < 0.9)
 
     // 2. dedup cascade: exact (min id wins) + MinHash-LSH near-dups
     val deduped = Dedup.dedupCorpus(quality, "text", "doc_id", jaccardThreshold = 0.8)
 
-    // 3. enrichment: token counts + fingerprint (codegen'd expressions)
-    val enriched = deduped
+    // 3. benchmark decontamination: drop docs sharing 3-gram shingles
+    // with the held-out set (stand-in: doc_id % 97 == 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val trainSide = deduped.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = Dedup.benchmarkContamination(trainSide, bench, "text", "doc_id")
+      .select("doc_id")
+    val decontaminated = trainSide.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 4. domain reweighting: deterministic per-language keep rates
+    val mixed = Sampling.rateStratifiedSample(
+      decontaminated, "lang", "doc_id", Map("en" -> 0.7))
+
+    // 5. enrichment: token counts + fingerprint (codegen'd expressions)
+    val enriched = mixed
       .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")))
       .withColumn("n_bpeish", TextFunctions.bpeishTokenCount(col("text")))
       .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
 
-    // 4. deterministic per-language sample for eval/inspection splits
+    // 6. deterministic per-language sample for eval/inspection splits
     val sample = Sampling.stratifiedSample(enriched, "lang", "doc_id", 50)
 
     enriched.write.mode("overwrite").parquet(s"$outDir/curated")
