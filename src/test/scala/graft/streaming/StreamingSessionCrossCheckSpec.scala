@@ -80,4 +80,62 @@ class StreamingSessionCrossCheckSpec extends AnyFunSuite {
         s"streamed=${fired.size} batch-closed=${expectedClosed.size}")
     } finally query.stop()
   }
+
+  test("streaming windowed processState equals batch on random multi-batch input") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(4321)
+    val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val events = (0 until 400).map { i =>
+      val key = rnd.nextInt(6)
+      val t = base + key * 7200000L + rnd.nextInt(240) * 60000L
+      Event(new Timestamp(t), Some(new Timestamp(t)), (key.toLong, 1L))
+    }
+    val closer = {
+      val t = base + 90L * 86400000L
+      Event(new Timestamp(t), Some(new Timestamp(t)), (99L, 0L))
+    }
+    val gap = Duration.ofMinutes(10)
+
+    // per-key session ordinal + session size: the ordinal certifies the
+    // cross-session state thread, the size the window contents
+    def pipeline(ds: org.apache.spark.sql.Dataset[Event[(Long, Long)]]) =
+      Env(spark).fromDataset(ds)
+        .keyBy(_.value._1)
+        .window(gap)
+        .processState((_: Long) => 0L) { (k, b, evs, n) =>
+          (n + 1, Seq(evs.head.withValue((k, n, evs.size.toLong))))
+        }
+
+    val batch = pipeline(spark.createDataset(events :+ closer))
+      .collectEvents()
+      .map(e => (e.eventTime.get, e.value)).sorted
+
+    val input = MemoryStream[Event[(Long, Long)]]
+    val streamed = Env(spark).fromDataset(input.toDS())
+      .withWatermark("30 days")
+      .keyBy(_.value._1)
+      .window(gap)
+      .processState((_: Long) => 0L) { (k, b, evs, n) =>
+        (n + 1, Seq(evs.head.withValue((k, n, evs.size.toLong))))
+      }
+    val query = streamed.ds.writeStream
+      .format("memory").queryName("wps_xcheck").outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(100).foreach { batchEvents =>
+        input.addData(batchEvents: _*)
+        query.processAllAvailable()
+      }
+      input.addData(closer)
+      query.processAllAvailable()
+      input.addData(closer.withValue((98L, 0L)))
+      query.processAllAvailable()
+
+      val fired = spark.table("wps_xcheck").as[Event[(Long, Long, Long)]]
+        .collect().map(e => (e.eventTime.get, e.value)).sorted.toSeq
+      val expectedClosed = batch.filterNot(s =>
+        s._1.getTime >= base + 90L * 86400000L)
+      assert(fired == expectedClosed,
+        s"streamed=${fired.size} batch-closed=${expectedClosed.size}")
+    } finally query.stop()
+  }
 }
