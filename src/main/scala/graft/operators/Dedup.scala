@@ -185,7 +185,11 @@ object Dedup {
     val losers = ngramJaccard(exact, textCol, idCol, k, bands, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("b_id").as(idCol)).distinct()
-    exact.join(losers, Seq(idCol), "left_anti")
+    // shuffle_hash, not broadcast: in a heavily-duplicated corpus the
+    // loser set can be a large fraction of all ids, too big to ship to
+    // every task — a hash anti join keeps it distributed without the
+    // sort a sort-merge anti join would add on both sides
+    exact.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** Benchmark-contamination check: for each document, the number of

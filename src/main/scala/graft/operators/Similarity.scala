@@ -99,7 +99,10 @@ object Similarity {
     val c = assigned.select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, Seq("cell"))
+    // queries << corpus by contract: broadcast the probe rows so the
+    // corpus side is scanned in place (never sorted or re-shuffled for
+    // the cell join) — same shape as bruteForceTopK
+    broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
