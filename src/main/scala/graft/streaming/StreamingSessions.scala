@@ -37,10 +37,10 @@ object StreamingSessions {
   final case class OpenBuf[T](startMicros: Long, lastMicros: Long,
       events: List[Event[T]])
 
-  private def micros(ts: Timestamp): Long =
+  private[streaming] def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
-  private def tsOf(us: Long): Timestamp = {
+  private[streaming] def tsOf(us: Long): Timestamp = {
     val ms = Math.floorDiv(us, 1000L)
     val t = new Timestamp(ms)
     // fractional second = the ms remainder plus the µs remainder
@@ -51,7 +51,7 @@ object StreamingSessions {
   /** Merge-sweep over sessions sorted by start: intervals [start, last+gap)
     * that touch are one session (the reference's add_event bridge-merge,
     * src/lib.rs:520-527, generalized to n-way). */
-  private def mergeAgg[U](sessions: List[OpenAgg[U]], gapMicros: Long,
+  private[streaming] def mergeAgg[U](sessions: List[OpenAgg[U]], gapMicros: Long,
       combine: (U, U) => U): List[OpenAgg[U]] =
     sessions.sortBy(_.startMicros).foldLeft(List.empty[OpenAgg[U]]) { (acc, s) =>
       acc match {

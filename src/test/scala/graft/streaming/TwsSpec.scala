@@ -41,4 +41,38 @@ class TwsSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("transformWithState session aggregate fires on watermark close-out") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event[Long]]
+      val sessions = Tws.sessionAggregate[String, Long, Long](
+        input.toDS().withWatermark("eventTime", "0 seconds"),
+        e => if (e.value < 100) "k" else "other", 10L * 60 * 1000000L, identity, _ + _)
+      val query = sessions.writeStream
+        .format("memory").queryName("tws_sess").outputMode("append").start()
+      try {
+        // one session {12:00, 12:05}: must not fire while wm < 12:15
+        input.addData(ev(1, "2009-10-11 12:00:00"), ev(2, "2009-10-11 12:05:00"))
+        query.processAllAvailable()
+        assert(spark.table("tws_sess").count() == 0)
+        // far-future events advance the watermark; the TIMER (not new
+        // data for key k) must close the session
+        input.addData(ev(100, "2009-10-11 14:00:00"))
+        query.processAllAvailable()
+        input.addData(ev(101, "2009-10-11 15:00:00"))
+        query.processAllAvailable()
+        val fired = spark.table("tws_sess").as[Event[Long]].collect().toSeq
+        assert(fired.map(_.value).contains(3L), s"got $fired")
+        assert(fired.find(_.value == 3L).get.eventTime
+          .contains(Timestamp.valueOf("2009-10-11 12:05:00")))
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
