@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -166,25 +165,14 @@ object RelationalQueries {
         "SELECT purchase_id, click_id FROM j WHERE rn = 1 ORDER BY purchase_id")),
 
     // R9 — range join: event pairs of the same user within a 5-minute
-    // follow window. Time-bucketed: a 5-minute follow window starting in
-    // bucket p (= floor(ts/5min)) can only land in buckets p or p+1, so
-    // side `a` probes both and the join is an equi-join on
-    // (user_id, bucket). Candidate pairs are bounded by events-per-
-    // 5-minutes — a hot user with n events no longer materializes n²
-    // rows before the time predicate prunes. Each b row lives in exactly
-    // one bucket, so no pair is produced twice (no distinct needed).
+    // follow window, via the time-bucketed operator
+    // (graft.operators.RangeJoin — equi-join on (user_id, bucket),
+    // candidates bounded by events-per-5-minutes; cross-checked against
+    // the naive form on random input in RangeJoinPropSpec).
     "r9_range_join" -> QueryDef(
       (s, d) => {
         val e = Tables.events(s, d)
-        val bucketUs = 300000000L // 5 min in µs
-        val bkt = (c: Column) => floor(unix_micros(c) / lit(bucketUs)).cast("long")
-        val a = e.select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
-          .withColumn("__bkt", explode(array(bkt(col("a_ts")), bkt(col("a_ts")) + 1)))
-        val b = e.select(col("user_id"), col("ts").as("b_ts"), col("event_id").as("b_id"),
-          bkt(col("ts")).as("__bkt"))
-        a.join(b, Seq("user_id", "__bkt"))
-          .filter(col("b_ts") > col("a_ts") &&
-            col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        graft.operators.RangeJoin.follows(e, e, "user_id", "ts", "event_id", 300000000L)
           .select("a_id", "b_id").orderBy("a_id", "b_id")
       },
       Some("SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a " +
