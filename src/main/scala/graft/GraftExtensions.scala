@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{RollingHashExpr, ShinglesExpr}
+import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr}
 
 /**
  * Session extension registering graft's custom Catalyst expressions as
@@ -47,7 +47,15 @@ object GraftFunctions {
         "word_shingles(text, n) requires a literal integer n")
     })
 
-  val all: Seq[FunctionDescription] = Seq(rollingHash, wordShingles)
+  val dotProduct: FunctionDescription = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "dot_product(a, b) takes exactly two array arguments")
+      DotProductExpr(args.head, args(1))
+    })
+
+  val all: Seq[FunctionDescription] = Seq(rollingHash, wordShingles, dotProduct)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -35,9 +35,7 @@ object PipelineDemo {
 
     // 1. quality gate: length band + whitespace sanity + repetition cap
     // (duplicate-2-gram fraction — per-row arithmetic, no shuffle)
-    val nTok2 = TextFunctions.wsTokenCount(col("text")) - 1
-    val dup2 = (nTok2 - size(TextFunctions.wordShingles(col("text"), 2)).cast("long"))
-      .cast("double") / nTok2
+    val dup2 = TextFunctions.dupNgramFraction(col("text"), 2)
     val quality = docs.filter(
       length(col("text")).between(50, 5000) &&
         (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) / length(col("text")) > 0.05 &&

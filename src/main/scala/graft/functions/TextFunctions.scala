@@ -38,6 +38,15 @@ object TextFunctions {
     ((length(text) - length(replace(text, lit(marker), lit("")))) /
       lit(marker.length)).cast("long")
 
+  /** Fraction of word n-grams that are repeats (1 − distinct/total) — a
+    * Gopher-style repetition signal. Pure per-row arithmetic over the
+    * codegen'd shingle expression: zero shuffles at any scale. Null for
+    * documents with fewer than n tokens (total = 0). */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val total = wsTokenCount(text) - (n - 1)
+    (total - size(wordShingles(text, n)).cast("long")).cast("double") / total
+  }
+
   /** Polynomial rolling-hash document fingerprint:
     * fold((acc * 31 + codepoint(ch)) mod 1e9+7) over the characters,
     * left-to-right — same fold as DuckDB `list_reduce`. Backed by the

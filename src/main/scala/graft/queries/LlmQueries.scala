@@ -402,10 +402,8 @@ object LlmQueries {
           .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
         val top = freq.groupBy("doc_id")
           .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_frac"))
-        val n2 = wsTokenCount(col("text")) - 1
-        val d2 = size(wordShingles(col("text"), 2)).cast("long")
         docs.select(col("doc_id"),
-            round((n2 - d2).cast("double") / n2, 6).as("dup_2gram_frac"))
+            round(dupNgramFraction(col("text"), 2), 6).as("dup_2gram_frac"))
           .join(top, Seq("doc_id"))
           .select("doc_id", "top_token_frac", "dup_2gram_frac")
           .orderBy("doc_id")

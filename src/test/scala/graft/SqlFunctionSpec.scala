@@ -8,6 +8,14 @@ class SqlFunctionSpec extends AnyFunSuite {
 
   private lazy val spark = { GraftFunctions.register(TestSpark.spark); TestSpark.spark }
 
+  test("dot_product is callable from SQL and exact") {
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(got == 32.0)
+  }
+
   test("rolling_hash is callable from SQL and matches the fold") {
     import spark.implicits._
     val got = spark.sql("SELECT rolling_hash('a b c d') AS fp").as[Long].head()
