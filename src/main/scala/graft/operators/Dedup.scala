@@ -91,13 +91,28 @@ object Dedup {
     * `localCheckpoint`, the band cache dropped before returning — so
     * library callers never accumulate cached blocks, and the returned
     * frame is self-contained (its blocks are GC-cleaned with the frame). */
+  /** `maxBucketSize` guards against degenerate buckets: a band bucket of
+    * b documents yields b(b−1)/2 candidate pairs, so one cluster of 10⁶
+    * near-identical documents is a 10¹²-pair self-join. Buckets larger
+    * than the cap are dropped — at that multiplicity the cluster is
+    * better collapsed by [[exactKept]] first (as [[dedupCorpus]] does).
+    * Default keeps every bucket (exact LSH semantics, as the oracle
+    * computes them). */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
-                            k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+                            k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bandsDf = lshBands(minhashSignatures(docs, textCol, idCol, k, shingleN), idCol, k, bands)
       .persist()
     try {
-      val a = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
-      val b = bandsDf.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id"))
+      val capped =
+        if (maxBucketSize == Int.MaxValue) bandsDf
+        else {
+          val w = Window.partitionBy("band_idx", "band_hash")
+          bandsDf.withColumn("__bsz", count(lit(1)).over(w))
+            .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+        }
+      val a = capped.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
+      val b = capped.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id"))
       a.join(b, Seq("band_idx", "band_hash"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()

@@ -91,6 +91,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(cents.exists(c => c(1) > 0.9 && c(0) == 0.0))
   }
 
+  test("Dedup.minhashCandidatePairs maxBucketSize drops degenerate buckets only") {
+    // 12 near-identical docs (one hot bucket) + 2 distinct near-dups
+    val hot = (0 until 12).map(i => (100L + i,
+      "the quick brown fox jumps over the lazy dog again and again today"))
+    val pair = Seq(
+      (1L, "completely different words shared by exactly these two documents here now"),
+      (2L, "completely different words shared by exactly these two documents here soon"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+    val unlimited = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashCandidatePairs(docs, "text", "doc_id", maxBucketSize = 4)
+      .as[(Long, Long)].collect().toSet
+    // the hot cluster's 66 pairs vanish; smaller buckets are untouched
+    assert(unlimited.count(p => p._1 >= 100) == 66)
+    assert(capped.count(p => p._1 >= 100) == 0)
+    assert(capped.filter(p => p._1 < 100) == unlimited.filter(p => p._1 < 100))
+  }
+
   test("Similarity.trainCentroids handles dim-256 vectors (plan width constant in dim)") {
     // two well-separated clusters in R^256; the posexplode form keeps the
     // aggregate 3 columns wide regardless of dim (the per-dimension-column
