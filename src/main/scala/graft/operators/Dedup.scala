@@ -221,6 +221,19 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** One-pass duplicate-rate estimate: 1 − distinct/total content
+    * hashes, with the distinct count from HyperLogLog (`rsd` relative
+    * error). Use to triage a corpus BEFORE paying for the full cascade —
+    * a single scan with mergeable partial state, no shuffle of rows
+    * (only sketch merge). Returns (estimated duplicate fraction, total). */
+  def dupRateEstimate(docs: DataFrame, textCol: String, rsd: Double = 0.02): (Double, Long) = {
+    val row = docs.agg(
+      approx_count_distinct(md5(col(textCol)), rsd).as("d"),
+      count(lit(1)).as("n")).head()
+    val (d, n) = (row.getLong(0), row.getLong(1))
+    (if (n == 0) 0.0 else math.max(0.0, 1.0 - d.toDouble / n), n)
+  }
+
   /** Streaming-capable exact dedup: drop rows whose content hash was
     * already seen, with state bounded by the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the streaming counterpart of

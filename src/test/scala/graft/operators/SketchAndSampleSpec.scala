@@ -30,6 +30,19 @@ class SketchAndSampleSpec extends AnyFunSuite {
     assert(p50 > 0 && p50 < p99)
   }
 
+  test("dupRateEstimate tracks the exact duplicate rate within sketch error") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // plant exact duplicates: every doc twice plus the originals once
+    val doubled = docs.union(docs)
+    val (rate, n) = Dedup.dupRateEstimate(doubled, "text")
+    assert(n == 2 * docs.count())
+    // exact rate is 0.5 (testdata has no exact dups); HLL rsd 2%
+    assert(math.abs(rate - 0.5) < 0.03, s"estimated $rate")
+    val (cleanRate, _) = Dedup.dupRateEstimate(docs, "text")
+    assert(cleanRate < 0.03, s"estimated $cleanRate on a dup-free corpus")
+  }
+
   test("stratifiedSample keeps exactly n per stratum, deterministically") {
     val docs = Tables.documents(spark, sf)
     val s1 = Sampling.stratifiedSample(docs, "lang", "doc_id", 3)
