@@ -179,6 +179,24 @@ object RelationalQueries {
         "JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts " +
         "AND b.ts <= a.ts + INTERVAL 5 MINUTE ORDER BY a_id, b_id")),
 
+    // R13 — time-range window frame: each event's trailing 1-hour sum of
+    // `value` within its user. RANGE frames are evaluated in one pass
+    // over the per-key sort (no self-join, no explode) — the window
+    // analogue of the r9 range join.
+    "r13_rolling_window" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").cast("long"))
+          .rangeBetween(-3600, 0)
+        Tables.events(s, d)
+          .select(col("event_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("rolling_sum"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (" +
+        "PARTITION BY user_id ORDER BY date_trunc('second', ts) " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum " +
+        "FROM events ORDER BY event_id")),
+
     // R10 — TPC-H Q3-style shipping priority: join + selective filters +
     // agg + deterministic top-10.
     "r10_ship_priority" -> QueryDef(
