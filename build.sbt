@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver extracts Bench's one-line JSON metric from stdout. sbt's
+// default LoggedOutput strategy prefixes every forked-process line with
+// [info]/[error] and appends its own "[success] Total time..." — both of
+// which defeated line-oriented extraction in rounds 1-2 (BENCH_r*.json
+// "parsed": null). StdoutOutput passes the child's stdout/stderr through
+// verbatim, and showSuccess drops the trailing [success] line, so the
+// last stdout line of `sbt "runMain graft.Bench"` is the bare JSON.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Sweep every declared query's POST-AQE physical plan for scale red
   * flags: cartesian products, partition-less window sorts, and
@@ -11,10 +16,39 @@ object PlanAudit {
 
   // t7 is the reference's own single-task global state (SURVEY §7.5.4);
   // l3/r11/l8 broadcast one side of a deliberately key-less join; t18's
-  // triangular prefix-offset join runs over the tiny bucket-count table.
+  // triangular prefix-offset join runs over the tiny bucket-count table;
+  // l25 cross-joins a broadcast 1-row scalar (corpus size N) into the
+  // tf×df table — the same shape as r11's scalar subquery.
   private val allowPartitionlessWindow = Set("t7_global_state")
   private val allowNestedLoop =
-    Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable")
+    Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
+      "l25_tfidf")
+
+  /** All physical nodes of an executed plan, descending through the
+    * dynamic edges a plain `collect` misses: AQE roots re-plan under a
+    * leaf `AdaptiveSparkPlanExec`, cached relations hide their plan
+    * inside `InMemoryTableScanExec`, and subqueries hang off expressions.
+    * (The previous string-regex audit truncated at the first ')' of a
+    * windowspecdefinition, so a global window ordered by an expression
+    * with parens — e.g. `cast(ts as bigint)` — escaped the very check
+    * the tool exists for.) */
+  private[graft] def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val dynamicKids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // materialized AQE stages (Shuffle/Broadcast/ResultQueryStageExec)
+      // are leaves whose real subtree hangs off `plan`
+      case q: QueryStageExec => Seq(q.plan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case other => other.children
+    }
+    p +: (dynamicKids ++ p.subqueries).flatMap(flatten)
+  }
+
+  private[graft] def isPartitionlessWindow(p: SparkPlan): Boolean = p match {
+    case w: WindowExec => w.partitionSpec.isEmpty
+    case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+    case _ => false
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -30,19 +64,16 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
-      val plan = df.queryExecution.executedPlan.toString
+      val nodes = flatten(df.queryExecution.executedPlan)
       val flags = Seq(
-        "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "SortMergeJoin" -> plan.contains("SortMergeJoin"),
+        "CartesianProduct" -> nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        "SortMergeJoin" -> nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
         "BroadcastNestedLoopJoin" ->
-          (plan.contains("BroadcastNestedLoopJoin") && !allowNestedLoop(name)),
-        // a windowspecdefinition whose argument list starts with a sort
-        // order (no partition columns before it) is a single-task window
+          (nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) && !allowNestedLoop(name)),
+        // a window (or its rank-pushdown twin) with an empty partition
+        // spec runs every row through one task
         "partitionless-window" ->
-          ("windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(plan)
-            .exists(m => m.group(1).split(",")(0).contains(" ASC") ||
-              m.group(1).split(",")(0).contains(" DESC"))
-            && !allowPartitionlessWindow(name))
+          (nodes.exists(isPartitionlessWindow) && !allowPartitionlessWindow(name))
       ).collect { case (f, true) => f }
       spark.catalog.clearCache()
       if (flags.nonEmpty) { flagged += 1; println(s"[plan-audit] $name: ${flags.mkString(", ")}") }

@@ -54,6 +54,30 @@ object TextFunctions {
     * was O(n²) per row). */
   def fingerprint(text: Column): Column = RollingHashExpr(text)
 
+  /** Email-address pattern, dialect-neutral (identical semantics in Java
+    * regex and RE2 — no \w, no backrefs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** Phone-like digit runs: 7+ digits allowing separators, with an
+    * optional leading +. */
+  val PhonePattern = "\\+?[0-9]([0-9()\\- ]{5,}[0-9]|[0-9]{5,})"
+
+  /** PII scrubbing for training corpora: replace emails and phone-like
+    * digit runs with typed placeholder tags. Order matters — emails
+    * first, so a phone match can't eat an address's digits. A pure
+    * per-row projection (two regexp passes), zero shuffles at any
+    * scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** How many PII spans [[redactPii]] would redact (audit metric). */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) +
+      regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"), lit(PhonePattern)))
+      .cast("long")
+
   /** BPE-ish token count: runs of lowercase letters, runs of digits, or a
     * single non-alphanumeric non-space byte, over the lowercased text.
     * The pattern is deliberately dialect-neutral (no \s, no classes that

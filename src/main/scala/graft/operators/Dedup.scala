@@ -128,17 +128,22 @@ object Dedup {
     * shuffles, instead of the |pairs|×|shingles| blow-up an exploded
     * shingle equi-join produces. */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+                   k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // pairs come back eagerly materialized (localCheckpoint) and tiny
-    val pairs = minhashCandidatePairs(docs, textCol, idCol, k, bands, shingleN)
+    val pairs = minhashCandidatePairs(docs, textCol, idCol, k, bands, shingleN, maxBucketSize)
     // Referenced by both join sides (one shingle array per doc), but
     // semi-join-pruned to candidate ids FIRST: the materialized relation
     // is O(candidates), not O(corpus) — at 100 TB caching every
     // document's shingle array would itself be a corpus-sized cache.
+    // No broadcast hint: in a heavily duplicated corpus the candidate id
+    // set is O(corpus), and a forced broadcast would hit the 8 GB limit —
+    // AQE broadcasts it exactly when it measures small (verified in
+    // PlanSpec), and falls back to a shuffled semi join when it isn't.
     val candidateIds = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id"))).distinct()
     val sets = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .join(broadcast(candidateIds), Seq("id"), "left_semi")
+      .join(candidateIds, Seq("id"), "left_semi")
       .localCheckpoint()
     pairs
       .join(sets.select(col("id").as("a_id"), col("sh").as("__sha")), Seq("a_id"))
@@ -195,9 +200,10 @@ object Dedup {
    */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
                   jaccardThreshold: Double = 0.8,
-                  k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+                  k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val exact = exactKept(docs, textCol, idCol)
-    val losers = ngramJaccard(exact, textCol, idCol, k, bands, shingleN)
+    val losers = ngramJaccard(exact, textCol, idCol, k, bands, shingleN, maxBucketSize)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("b_id").as(idCol)).distinct()
     // shuffle_hash, not broadcast: in a heavily-duplicated corpus the
@@ -206,6 +212,59 @@ object Dedup {
     // sort a sort-merge anti join would add on both sides
     exact.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
+
+  /** Connected components over an undirected candidate-pair list —
+    * near-dup PAIRS become duplicate CLUSTERS (the standard final stage
+    * of a corpus dedup: keep one representative per cluster, not per
+    * pair, so transitive chains a~b~c collapse together). Returns
+    * (id, cluster) for every id appearing in a pair, cluster = smallest
+    * reachable id.
+    *
+    * Algorithm: iterative min-label propagation (the hash-join form of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round every node adopts the smallest label in its closed
+    * neighborhood, so labels flood a component in O(diameter) rounds —
+    * and near-dup clusters are shallow. Per round: one equi-join of the
+    * edge list against the label table plus one partial-aggregating min
+    * — both hash-partitioned on id, no quadratic stage. `localCheckpoint`
+    * truncates lineage each round, keeping the plan O(1) deep however
+    * many iterations run; the edge table is materialized once and reused
+    * every round. The convergence check is one count per round — the
+    * driver-side loop is the convergence test of an iterative algorithm,
+    * not a data path. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("cluster")).as("__nbmin"))
+      val merged = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), coalesce(col("__nbmin"), col("cluster"))).as("__next"))
+        .localCheckpoint()
+      converged = merged.filter(col("__next") < col("cluster")).isEmpty
+      labels = merged.select(col("id"), col("__next").as("cluster")).localCheckpoint()
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters of a text corpus: MinHash-LSH candidate pairs
+    * (optionally capped buckets), then [[connectedComponents]]. One row
+    * per document that has at least one near-dup candidate. */
+  def duplicateClusters(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame =
+    connectedComponents(
+      minhashCandidatePairs(docs, textCol, idCol, k, bands, shingleN, maxBucketSize))
 
   /** Benchmark-contamination check: for each document, the number of
     * distinct word n-gram shingles it shares with a benchmark corpus —

@@ -42,9 +42,16 @@ object Sampling {
                            rates: Map[String, Double],
                            defaultRate: Double = 1.0): DataFrame = {
     val h = substring(md5(col(idCol).cast("string")), 1, 4)
-    def keep(rate: Double) =
-      if (rate >= 1.0) lit(true)
-      else h < lit(f"${math.max(math.round(rate * 65536).toInt, 0)}%04x")
+    // Compare against the ROUNDED threshold, not the raw rate: for rates
+    // in [~0.9999924, 1.0) round(rate*65536) == 65536, which %04x would
+    // format as the 5-char "10000" — lexicographically below every hash
+    // starting with a letter, silently dropping ~94% of the stratum. Any
+    // threshold at or past the 4-digit ceiling means "keep everything".
+    def keep(rate: Double) = {
+      val v = math.max(math.round(rate * 65536), 0L)
+      if (v >= 65536L) lit(true)
+      else h < lit(f"${v.toInt}%04x")
+    }
     val cond = rates.foldLeft(keep(defaultRate)) { case (acc, (k, r)) =>
       when(col(keyCol) === k, keep(r)).otherwise(acc)
     }

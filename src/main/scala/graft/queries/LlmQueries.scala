@@ -418,6 +418,76 @@ object LlmQueries {
         "SELECT doc_id, top_token_frac, ROUND(CAST(n2 - dist2 AS DOUBLE) / n2, 6) AS dup_2gram_frac " +
         "FROM top JOIN d2 USING (doc_id) ORDER BY doc_id")),
 
+    // L23 — duplicate clusters: LSH candidate pairs closed under
+    // transitivity (a~b~c is ONE cluster even when the (a,c) pair never
+    // collides). Iterative min-label propagation on Spark (O(diameter)
+    // joins); the oracle is DuckDB's recursive transitive closure.
+    "l23_dup_clusters" -> QueryDef(
+      (s, d) => Dedup.duplicateClusters(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id"),
+      Some(s"WITH RECURSIVE ${minhashPairsCte()}, " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "reach(id, lab) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id) " +
+        "SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id " +
+        "ORDER BY doc_id")),
+
+    // L24 — corpus length profile: exact per-language quartiles of
+    // document length. Spark `percentile` and DuckDB `quantile_cont`
+    // share the same linear-interpolation definition; the per-group sort
+    // behind the exact percentile is bounded by group size (see
+    // SketchAndSampleSpec for the approx_percentile sketch that replaces
+    // it when groups outgrow memory).
+    "l24_length_quantiles" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 6).as("p75"))
+        .orderBy("lang"),
+      Some("SELECT lang, COUNT(*) AS n_docs, " +
+        "ROUND(quantile_cont(n_chars, 0.25), 6) AS p25, " +
+        "ROUND(quantile_cont(n_chars, 0.5), 6) AS p50, " +
+        "ROUND(quantile_cont(n_chars, 0.75), 6) AS p75 " +
+        "FROM documents GROUP BY lang ORDER BY lang")),
+
+    // L25 — tf-idf keywords: top-3 tokens per document by
+    // tf × ln(N/df). Two partial-aggregating counts (doc-term, then
+    // term→df) + one broadcast scalar (N); the ranking window runs per
+    // doc over ≤ vocabulary rows. Ties (equal tf and df — exactly equal
+    // scores in both engines) break on the token.
+    "l25_tfidf" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("t").agg(count(lit(1)).as("__df"))
+        val n = docs.agg(count(lit(1)).as("__n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("__score").desc, col("t"))
+        tf.join(df, Seq("t")).crossJoin(broadcast(n))
+          .withColumn("__score",
+            col("tf") * log(col("__n").cast("double") / col("__df")))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("t"), round(col("__score"), 6).as("tfidf"), col("rnk"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t), " +
+        "df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t), " +
+        "n AS (SELECT COUNT(*) AS n FROM documents), " +
+        "s AS (SELECT doc_id, t, tf * ln(CAST(n AS DOUBLE) / df) AS score " +
+        "FROM tf JOIN df USING (t), n), " +
+        "r AS (SELECT doc_id, t, score, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, t) AS BIGINT) AS rnk FROM s) " +
+        "SELECT doc_id, t, ROUND(score, 6) AS tfidf, rnk FROM r WHERE rnk <= 3 " +
+        "ORDER BY doc_id, rnk")),
+
     // L17 — exact distinct-user count per event type (the exact
     // counterpart of the HLL sketch path; see SketchSpec for the
     // approximate variants, which are not oracle-able across engines).

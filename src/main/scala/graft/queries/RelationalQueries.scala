@@ -233,6 +233,25 @@ object RelationalQueries {
         "(SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part) " +
         "ORDER BY p_partkey")),
 
+    // R14 — CUBE: all four grouping sets of (status, priority) in one
+    // pass (Expand + one partial-aggregating shuffle — Spark evaluates
+    // the whole lattice without rescanning the input).
+    "r14_cube" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("sum_price"), col("n"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, " +
+        "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "COUNT(*) AS n FROM orders " +
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus, o_orderpriority")),
+
     // R12 — EXCEPT: suppliers not involved in the earliest orders.
     // (Unfiltered EXCEPT against lineitem is empty in this synthetic
     // data — every supplier ships something — which would be vacuous.)

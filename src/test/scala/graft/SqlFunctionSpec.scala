@@ -34,4 +34,21 @@ class SqlFunctionSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SELECT word_shingles('a b c', length('xx'))").collect())
     assert(e.getMessage.contains("literal"))
   }
+
+  test("redactPii scrubs emails and phone runs, counts them, leaves clean text") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val rows = Seq(
+      "contact me at jane.doe+spam@example.co.uk or on +1 (555) 123-4567 thanks",
+      "call 08001234567 now",
+      "no pii here just words 42 and x@y (not an email)")
+      .toDF("text")
+      .select(TextFunctions.redactPii(col("text")).as("red"),
+        TextFunctions.piiCount(col("text")).as("n"))
+      .as[(String, Long)].collect()
+    assert(rows(0) == ("contact me at <EMAIL> or on <PHONE> thanks", 2L))
+    assert(rows(1) == ("call <PHONE> now", 1L))
+    assert(rows(2) == ("no pii here just words 42 and x@y (not an email)", 0L))
+  }
 }

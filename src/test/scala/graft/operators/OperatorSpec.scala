@@ -55,6 +55,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("Dedup.connectedComponents labels transitive chains with the min id") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 20)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("Dedup.connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonicalize: representative = min id of the component
+      val expected = nodes.groupBy(find).flatMap { case (_, ids) =>
+        val m = ids.min; ids.map(_ -> m)
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
   test("Dedup.ngramJaccard computes exact shingle Jaccard on candidates") {
     val a = "w1 w2 w3 w4 w5" // shingles: {w1 w2 w3, w2 w3 w4, w3 w4 w5}
     val b = "w1 w2 w3 w4 w6" // shingles: {w1 w2 w3, w2 w3 w4, w3 w4 w6} → |∩|=2 |∪|=4

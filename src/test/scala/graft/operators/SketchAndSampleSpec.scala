@@ -63,6 +63,26 @@ class SketchAndSampleSpec extends AnyFunSuite {
     assert(math.abs(a.size.toDouble / n - 0.2) < 0.08, s"kept ${a.size}/$n")
   }
 
+  test("rateStratifiedSample: rates rounding to 16^4 keep the whole stratum") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    // 0.99999 * 65536 rounds to 65536 — the old %04x formatting produced
+    // the 5-char "10000" and the lexicographic compare silently kept only
+    // hashes starting with '0' (~6%). Must behave as rate 1.0.
+    val kept = Sampling.rateStratifiedSample(docs, "lang", "doc_id",
+      rates = Map.empty, defaultRate = 0.99999).count()
+    assert(kept == n, s"kept $kept of $n at rate 0.99999")
+    // and a genuinely fractional rate still samples that stratum only
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val half = Sampling.rateStratifiedSample(docs, "lang", "doc_id",
+      rates = Map(langs.head -> 0.5))
+    val keptHead = half.filter(col("lang") === langs.head).count().toDouble
+    val origHead = docs.filter(col("lang") === langs.head).count().toDouble
+    assert(math.abs(keptHead / origHead - 0.5) < 0.25)
+    assert(half.filter(col("lang") =!= langs.head).count() ==
+      docs.filter(col("lang") =!= langs.head).count())
+  }
+
   test("EventMonoidAggregator sums with max-timestamp propagation (typed path)") {
     import graft.api.{Event, EventMonoidAggregator}
     import java.sql.Timestamp

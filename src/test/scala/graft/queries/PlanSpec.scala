@@ -97,6 +97,24 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("t3_map").contains("*(1) Project"))
   }
 
+  test("PlanAudit flags a global window even when its sort key has parens") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the old string-regex audit truncated windowspecdefinition at the
+    // first ')', so a sort key like cast(id as bigint) escaped the check
+    val global = spark.range(100).toDF("id")
+      .withColumn("rn", row_number().over(Window.orderBy(col("id").cast("bigint").desc)))
+    global.collect()
+    assert(graft.PlanAudit.flatten(global.queryExecution.executedPlan)
+      .exists(graft.PlanAudit.isPartitionlessWindow))
+    val partitioned = spark.range(100).toDF("id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id") % 7).orderBy(col("id").cast("bigint").desc)))
+    partitioned.collect()
+    assert(!graft.PlanAudit.flatten(partitioned.queryExecution.executedPlan)
+      .exists(graft.PlanAudit.isPartitionlessWindow))
+  }
+
   test("r8: as-of join is a single partition-sort pass, not a join blow-up") {
     val p = planOf("r8_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
