@@ -20,9 +20,11 @@ object PlanAudit {
   // l25 cross-joins a broadcast 1-row scalar (corpus size N) into the
   // tf×df table — the same shape as r11's scalar subquery.
   private val allowPartitionlessWindow = Set("t7_global_state")
+  // l26 broadcasts the 1-row quantization scale and the query vectors
+  // against the corpus — the same deliberate key-less shape as l3.
   private val allowNestedLoop =
     Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
-      "l25_tfidf")
+      "l25_tfidf", "l26_ann_int8")
 
   /** All physical nodes of an executed plan, descending through the
     * dynamic edges a plain `collect` misses: AQE roots re-plan under a

@@ -365,6 +365,23 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Cross-document repeated word n-grams — the discovery half of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): any n-gram appearing in ≥
+    * `minDocs` distinct documents marks boilerplate / template / copied
+    * spans worth excising. Shingles are distinct-per-doc
+    * ([[graft.functions.ShinglesExpr]]), so a plain COUNT per shingle IS
+    * the distinct-document count — one explode + one hash-partitioned
+    * aggregation with map-side partial agg, no join. At 100 TB the only
+    * hazard is skew on ultra-common n-grams; partial aggregation absorbs
+    * it (each map task emits one row per shingle regardless of its
+    * in-partition frequency). */
+  def repeatedShingles(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int, minDocs: Int): DataFrame =
+    docs.select(explode(wordShingles(col(textCol), n)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Embedding near-duplicate pairs with cosine > threshold, blocked by
     * `blockCol` to bound the pair space. L2 norms are computed per row
     * BELOW the pair join (per-pair work = one dot product); arithmetic

@@ -29,14 +29,18 @@ object LlmQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** doc_id → distinct word-3-gram shingles (≡ TextFunctions.wordShingles),
+  /** doc_id → distinct word-n-gram shingles (≡ TextFunctions.wordShingles),
     * over an arbitrary source relation. */
-  private def shinglesCte(src: String = "documents") =
+  private def shinglesCteN(n: Int, src: String = "documents") = {
+    val gram = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src), " +
-      "sh AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(t) >= 3 " +
-      "THEN list_transform(generate_series(1, len(t) - 2), " +
-      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
+      s"sh AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(t) >= $n " +
+      s"THEN list_transform(generate_series(1, len(t) - ${n - 1}), " +
+      s"i -> $gram) " +
       "ELSE CAST([] AS VARCHAR[]) END)) AS s FROM toks)"
+  }
+
+  private def shinglesCte(src: String = "documents") = shinglesCteN(3, src)
 
   /** MinHash signatures (k=8) + 4 LSH bands + candidate pairs
     * (≡ Dedup.minhashCandidatePairs defaults). */
@@ -497,6 +501,70 @@ object LlmQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type"),
       Some("SELECT event_type, COUNT(DISTINCT user_id) AS n_users " +
-        "FROM events GROUP BY event_type ORDER BY event_type"))
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // L26 — int8 scalar-quantized ANN with exact re-rank: the
+    // compressed-scan pattern (quantized integer dot → top-30 candidates
+    // → exact cosine top-10). The approx pass is integer-exact in both
+    // engines, so the candidate set — and therefore the final ranking —
+    // is deterministic across Spark and DuckDB.
+    "l26_ann_int8" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.int8TopK(e.filter(col("vec_id") === 0), e,
+            "embedding", "vec_id", 10, 30)
+          .select(col("neighbor_id").as("vec_id"), col("approx").as("qdot"),
+            round(col("sim"), 6).as("sim"), col("rank").as("rnk"))
+          .orderBy("rnk")
+      },
+      Some(s"WITH $embCte, " +
+        "mx AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS m FROM e), " +
+        "qz AS (SELECT vec_id, v, list_transform(v, x -> floor(x * 127.0 / m + 0.5)) AS qv FROM e, mx), " +
+        "qq AS (SELECT v AS q_v, qv AS q_qv FROM qz WHERE vec_id = 0), " +
+        s"ap AS (SELECT z.vec_id, CAST(${dotSql("q_qv", "z.qv")} AS BIGINT) AS qdot, " +
+        s"${cosSql("q_v", "z.v")} AS sim FROM qz z, qq WHERE z.vec_id <> 0), " +
+        "r AS (SELECT vec_id, qdot, sim, ROW_NUMBER() OVER (ORDER BY qdot DESC, vec_id) AS ar FROM ap), " +
+        "c AS (SELECT vec_id, qdot, sim FROM r WHERE ar <= 30), " +
+        "f AS (SELECT vec_id, qdot, sim, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM c) " +
+        "SELECT vec_id, qdot, ROUND(sim, 6) AS sim, rnk FROM f WHERE rnk <= 10 ORDER BY rnk")),
+
+    // L27 — cross-document repeated 5-grams (exact-substring dedup
+    // signal, Lee et al. 2022): boilerplate/template spans shared by ≥ 2
+    // documents. One explode + one aggregation — no join.
+    "l27_repeated_ngrams" -> QueryDef(
+      (s, d) => Dedup.repeatedShingles(Tables.documents(s, d), "text", "doc_id", 5, 2)
+        .orderBy("s"),
+      Some(s"WITH ${shinglesCteN(5)} " +
+        "SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s " +
+        "HAVING COUNT(*) >= 2 ORDER BY s")),
+
+    // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
+    // a training-data run executes): quality gate (length + whitespace
+    // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-
+    // language kept-corpus profile. Every stage reuses an operator with
+    // its own oracle-checked query (l10, l1, l4, l5, l15); nothing here
+    // is quadratic — the cascade is filters, one window, the banded LSH
+    // join, and two aggregations.
+    "l28_clean_pipeline" -> QueryDef(
+      (s, d) => {
+        val t = col("text"); val n = length(t)
+        val spaces = n - length(replace(t, lit(" "), lit("")))
+        val fil = Tables.documents(s, d)
+          .filter(n.between(100, 1000) && (spaces / n) > 0.05)
+        Dedup.dedupCorpus(fil, "text", "doc_id", 0.8)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("WITH fil AS (SELECT * FROM documents WHERE length(text) BETWEEN 100 AND 1000 " +
+        "AND (length(text) - length(replace(text, ' ', ''))) / length(text) > 0.05), " +
+        "kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM fil) " +
+        "WHERE rn = 1), " +
+        minhashPairsCte("kept") + ", " + jaccardCte + ", " +
+        "fin AS (SELECT doc_id FROM kept WHERE doc_id NOT IN " +
+        "(SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM fin JOIN documents USING (doc_id) GROUP BY lang ORDER BY lang"))
   )
 }

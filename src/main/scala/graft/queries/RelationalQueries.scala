@@ -262,6 +262,82 @@ object RelationalQueries {
         .orderBy("suppkey"),
       Some("SELECT s_suppkey AS suppkey FROM supplier EXCEPT " +
         "SELECT l_suppkey AS suppkey FROM lineitem WHERE l_orderkey < 10 " +
-        "ORDER BY suppkey"))
+        "ORDER BY suppkey")),
+
+    // R15 — GROUPING SETS with non-hierarchical sets ((flag), (status)):
+    // a lattice neither ROLLUP (r7) nor CUBE (r14) expresses. One scan,
+    // one Expand, one aggregation — the grouping lattice costs one extra
+    // row per set per input row, never a rescan.
+    "r15_grouping_sets" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, " +
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    // R16 — FULL OUTER join: daily order intake vs daily shipments —
+    // days with orders but no shipments (and vice versa) survive with
+    // zero-filled counts. Both sides pre-aggregate to one row per day
+    // BEFORE the join, so the full-outer is between two tiny relations
+    // regardless of fact-table size.
+    "r16_full_outer" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d).groupBy(col("o_orderdate").as("d"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        val l = Tables.lineitem(s, d).groupBy(col("l_shipdate").as("d"))
+          .agg(count(lit(1)).as("n_ship"))
+        // full-outer can't broadcast; hint the hash variant so the two
+        // tiny aggregated sides don't both pay a sort for a sort-merge
+        o.join(l.hint("shuffle_hash"), Seq("d"), "full_outer")
+          .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("sum_price"), lit(0.0)).as("sum_price"),
+            coalesce(col("n_ship"), lit(0L)).as("n_ship"))
+          .orderBy("d")
+      },
+      Some("WITH o AS (SELECT o_orderdate AS d, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY o_orderdate), " +
+        "l AS (SELECT l_shipdate AS d, COUNT(*) AS n_ship FROM lineitem GROUP BY l_shipdate) " +
+        "SELECT COALESCE(o.d, l.d) AS d, COALESCE(n_orders, 0) AS n_orders, " +
+        "COALESCE(sum_price, 0.0) AS sum_price, COALESCE(n_ship, 0) AS n_ship " +
+        "FROM o FULL JOIN l ON o.d = l.d ORDER BY d")),
+
+    // R17 — distribution windows: customer spend quartiles within market
+    // segment (NTILE + PERCENT_RANK). The window runs on the aggregated
+    // per-customer relation (one row per customer), partitioned by
+    // segment — never a single-partition global sort.
+    "r17_spend_quartiles" -> QueryDef(
+      (s, d) => {
+        val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("spend").desc, col("o_custkey"))
+        spend.select(col("c_mktsegment"), col("o_custkey").as("custkey"), col("spend"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"))
+          .orderBy("c_mktsegment", "custkey")
+      },
+      Some("WITH spend AS (SELECT o_custkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT c_mktsegment, o_custkey AS custkey, spend, " +
+        "NTILE(4) OVER w AS quartile, ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank " +
+        "FROM spend JOIN customer ON o_custkey = c_custkey " +
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey) " +
+        "ORDER BY c_mktsegment, custkey"))
   )
 }

@@ -238,6 +238,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(row._4 == 4)
   }
 
+  test("Dedup.repeatedShingles counts distinct docs per cross-doc n-gram") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a lazy dog saw the quick brown fox land"),
+      (3L, "the quick brown fox jumps") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedShingles(docs, "text", "doc_id", 4, 2)
+      .as[(String, Long)].collect().toMap
+    // "the quick brown fox" is in all 3; "quick brown fox jumps" in 1 and 3
+    assert(out == Map("the quick brown fox" -> 3L, "quick brown fox jumps" -> 2L))
+  }
+
+  test("Similarity.int8TopK matches bruteForceTopK exactly when rerank covers the corpus") {
+    val embs = graft.sources.Tables.embeddings(spark, sf).limit(200)
+    val q = embs.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", 10)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    // rerank >= corpus size → the quantized pre-pass prunes nothing and
+    // the exact re-rank must reproduce the brute-force ranking bit-for-bit
+    val full = Similarity.int8TopK(q, embs, "embedding", "vec_id", 10, 1000)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // with a tight candidate budget the approx pass should still keep
+    // most of the true top-10 (quantization error is ~1/254 per component)
+    val approx = Similarity.int8TopK(q, embs, "embedding", "vec_id", 10, 30)
+      .select("neighbor_id").as[Long].collect().toSet
+    val recall = exact.map(_._1).count(approx.contains).toDouble / 10.0
+    assert(recall >= 0.8, s"recall@10 of the int8 pre-pass was $recall")
+  }
+
   test("Multimodal stub pipeline derives metadata from payload bytes") {
     import graft.operators.Multimodal._
     val files = spark.createDataset(Seq(MediaFile(1L, Array.fill(250)(7.toByte))))

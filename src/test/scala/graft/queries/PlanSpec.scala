@@ -120,4 +120,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
+
+  /** AQE plan dumps repeat every node under "== Initial Plan ==" — node
+    * COUNTS must only see the final plan. */
+  private def finalPlanOf(name: String): String =
+    planOf(name).split("== Initial Plan ==")(0)
+
+  test("r15: grouping sets is one scan through one Expand, not a rescan per set") {
+    val p = finalPlanOf("r15_grouping_sets")
+    assert(p.contains("Expand"), p.take(2000))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p.take(2000))
+  }
+
+  test("r16: full-outer join of the aggregated sides is hash, not sort-merge") {
+    val p = planOf("r16_full_outer")
+    assert(p.contains("ShuffledHashJoin") && p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("l26: quantized pre-pass broadcasts scale+query; corpus never shuffles pre-window") {
+    val p = planOf("l26_ann_int8")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("l27: repeated-shingle count partial-aggregates below its one shuffle") {
+    val p = finalPlanOf("l27_repeated_ngrams")
+    // map-side partial agg (count) must appear below the exchange; the
+    // only exchanges are the agg hash-partition + the final sort
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p.take(2000))
+  }
 }
