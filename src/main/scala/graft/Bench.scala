@@ -35,16 +35,24 @@ object Bench {
       // the dedup operators persist() intermediates; drop them so caches
       // don't accumulate across 40+ queries and GC-churn the tail
       spark.catalog.clearCache()
+      // clearCache() only drops catalog-cached plans; localCheckpoint()ed
+      // RDDs (the dedup/cluster operators' lineage truncation) keep their
+      // blocks until the ContextCleaner GCs them — across 60+ queries that
+      // is enough block-manager pressure to slow unrelated neighbors
+      // (round-3 bench: l1/l20/l21/l22 2.8-3.6x their quiet-box timings).
+      // The run's result frame is discarded here, so dropping its blocks
+      // eagerly is safe.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       ok
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) => runOnce(fn, warmDir, name) }
-    // best-of-N (default 3): single-shot timings on a shared box are
+    // best-of-N (default 5): single-shot timings on a shared box are
     // noisy (observed 3-10x spikes from transient load — round 2's driver
     // run recorded t9 at 6.7 s where 4 quiet reps measure 0.84 s); the
     // minimum is the standard way to report the query's actual cost, and
-    // 3 reps makes it robust to a 2-rep spike streak
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 5 reps makes it robust to a spike streak
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = ordered.map { case (name, fn) =>
       var failed = false
       val times = (1 to reps).map { _ =>
@@ -54,15 +62,21 @@ object Bench {
       }
       // a failed query must not masquerade as a fast one: report -1 so the
       // driver (and a human) sees the hole instead of a bogus timing
-      (name, if (failed) -1.0 else times.min, failed)
+      (name, if (failed) -1.0 else times.min, failed, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    // all rep timings in run order, so the next reader can separate a
+    // transient spike (one bad rep) from a real regression (all reps
+    // high) without re-running the bench
+    val spread = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, false) => v }.sum
+    val total = results.collect { case (_, v, false, _) => v }.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
     // the file copy is the belt-and-braces channel for the driver
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
