@@ -259,12 +259,40 @@ object Dedup {
 
   /** Duplicate clusters of a text corpus: MinHash-LSH candidate pairs
     * (optionally capped buckets), then [[connectedComponents]]. One row
-    * per document that has at least one near-dup candidate. */
+    * per document that has at least one near-dup candidate (exact OR
+    * near), cluster = smallest reachable doc id.
+    *
+    * Exact duplicates are collapsed to one representative (min id per
+    * content hash) BEFORE pair generation: identical texts have identical
+    * MinHash signatures, so a cluster of b exact copies is otherwise one
+    * LSH bucket emitting b(b−1)/2 candidate pairs — the degenerate
+    * quadratic case `maxBucketSize` exists to guard against, produced
+    * here by construction. Labels propagate over representatives only and
+    * map back through the hash groups afterward; a multi-copy group whose
+    * representative has no near-dup neighbor is its own cluster (its
+    * members are exact duplicates of each other). Output is identical to
+    * running LSH on the raw corpus — signatures depend only on the text,
+    * so every member of group A pairs with every member of group B
+    * exactly when their representatives do, and min-id labels agree
+    * because each representative IS its group's min id. */
   def duplicateClusters(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 8, bands: Int = 4, shingleN: Int = 3,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame =
-    connectedComponents(
-      minhashCandidatePairs(docs, textCol, idCol, k, bands, shingleN, maxBucketSize))
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // (id, rep, group size) per doc: one hash-partitioned agg + one join
+    // on the content hash — both tiny next to the signature pipeline
+    val hashed = docs.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__gsz"))
+    val members = hashed.join(groups, Seq("__h"))
+    val repDocs = docs.join(
+      groups.select(col("__rep").as(idCol)).hint("shuffle_hash"), Seq(idCol), "left_semi")
+    val repLabels = connectedComponents(
+        minhashCandidatePairs(repDocs, textCol, idCol, k, bands, shingleN, maxBucketSize))
+      .select(col("id").as("__rep"), col("cluster").as("__c"))
+    members.join(repLabels, Seq("__rep"), "left")
+      .filter(col("__c").isNotNull || col("__gsz") > 1)
+      .select(col("id"), coalesce(col("__c"), col("__rep")).as("cluster"))
+  }
 
   /** Benchmark-contamination check: for each document, the number of
     * distinct word n-gram shingles it shares with a benchmark corpus —

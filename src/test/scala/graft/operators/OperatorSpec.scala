@@ -93,6 +93,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.duplicateClusters collapses exact dups before pair generation") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other1 = "completely different words shared by exactly these two documents here now"
+    val other2 = "completely different words shared by exactly these two documents here soon"
+    val lone = "a singleton document resembling nothing else in this tiny corpus whatsoever"
+    // 10 exact copies of near1 (the degenerate LSH bucket), a near-dup of
+    // it with a SMALLER id, an unrelated near-dup pair, and a singleton
+    val docs = ((100 until 110).map(i => (i.toLong, near1)) ++
+      Seq((1L, near2), (2L, other1), (3L, other2), (4L, lone))).toDF("doc_id", "text")
+    // candidate pairs are generated over exact-dup representatives only:
+    // 2 pairs, not the 45 the raw hot bucket would emit
+    val repPairs = Dedup.minhashCandidatePairs(
+      Dedup.exactKept(docs, "text", "doc_id"), "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(repPairs == Set((1L, 100L), (2L, 3L)))
+    // labels map back through the hash groups: every exact copy joins the
+    // near-dup's cluster (min reachable id = 1); the singleton is absent
+    val clusters = Dedup.duplicateClusters(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val expected = ((100 until 110).map(_.toLong -> 1L) ++
+      Seq(1L -> 1L, 2L -> 2L, 3L -> 2L)).toMap
+    assert(clusters == expected)
+  }
+
+  test("Dedup.duplicateClusters: exact-only group forms its own cluster") {
+    val dup = "three identical documents with no near neighbor anywhere in the corpus"
+    val lone = "a singleton document resembling nothing else in this tiny corpus whatsoever"
+    val docs = Seq((5L, dup), (6L, dup), (7L, dup), (8L, lone)).toDF("doc_id", "text")
+    val clusters = Dedup.duplicateClusters(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("Dedup.ngramJaccard computes exact shingle Jaccard on candidates") {
     val a = "w1 w2 w3 w4 w5" // shingles: {w1 w2 w3, w2 w3 w4, w3 w4 w5}
     val b = "w1 w2 w3 w4 w6" // shingles: {w1 w2 w3, w2 w3 w4, w3 w4 w6} → |∩|=2 |∪|=4
