@@ -64,23 +64,31 @@ object Bench {
       // driver (and a human) sees the hole instead of a bogus timing
       (name, if (failed) -1.0 else times.min, failed, times)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    // explicit-locale formatting: the f-interpolator honors the JVM default
+    // locale, and a comma-decimal locale would emit invalid JSON
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // all rep timings in run order, so the next reader can separate a
     // transient spike (one bad rep) from a real regression (all reps
     // high) without re-running the bench
     val spread = results.map { case (k, _, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false, _) => v }.sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
+    // stdout gets the COMPACT line only: the driver's tail capture truncates
+    // long lines (round 4/5: the ~4.6 KB spread-bearing line broke its JSON
+    // parse two rounds running), so spread lives solely in the file copy
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    val fileLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
     // the file copy is the belt-and-braces channel for the driver
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
@@ -89,6 +97,6 @@ object Bench {
     // process's (and sbt's) final stdout line — exactly what the
     // driver's metric extraction wants.
     try spark.stop() catch { case _: Throwable => () }
-    println(line)
+    println(stdoutLine)
   }
 }

@@ -274,7 +274,12 @@ object Dedup {
     * running LSH on the raw corpus — signatures depend only on the text,
     * so every member of group A pairs with every member of group B
     * exactly when their representatives do, and min-id labels agree
-    * because each representative IS its group's min id. */
+    * because each representative IS its group's min id. (That equivalence
+    * holds at the default unbounded cap; with a finite `maxBucketSize`
+    * the cap intentionally applies to REPRESENTATIVE buckets, so a bucket
+    * a raw-corpus run would have dropped for exact-copy bloat survives
+    * here, and capped-out exact-copy groups still emit via the group-size
+    * branch — the capped behaviors differ by design.) */
   def duplicateClusters(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 8, bands: Int = 4, shingleN: Int = 3,
                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
@@ -289,7 +294,11 @@ object Dedup {
     val repLabels = connectedComponents(
         minhashCandidatePairs(repDocs, textCol, idCol, k, bands, shingleN, maxBucketSize))
       .select(col("id").as("__rep"), col("cluster").as("__c"))
-    members.join(repLabels, Seq("__rep"), "left")
+    // repLabels comes out of connectedComponents' localCheckpoint, which
+    // strips the size stats AQE needs to pick a hash join — unhinted this
+    // map-back is a SortMergeJoin (round-4/5 PlanAudit flag). It is one
+    // row per representative-with-a-candidate: hint it like repDocs above.
+    members.join(repLabels.hint("shuffle_hash"), Seq("__rep"), "left")
       .filter(col("__c").isNotNull || col("__gsz") > 1)
       .select(col("id"), coalesce(col("__c"), col("__rep")).as("cluster"))
   }

@@ -144,6 +144,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("l23: cluster map-back join stays a hash join over checkpointed labels") {
+    // connectedComponents returns a localCheckpoint'd label frame with no
+    // size stats, so AQE can't see the map-back join's small side — unhinted
+    // it regressed to SortMergeJoin for two rounds (PlanAudit flag). The
+    // shuffle_hash hint in duplicateClusters must keep every join hash-based.
+    val p = planOf("l23_dup_clusters")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("l27: repeated-shingle count partial-aggregates below its one shuffle") {
     val p = finalPlanOf("l27_repeated_ngrams")
     // map-side partial agg (count) must appear below the exchange; the
