@@ -96,6 +96,17 @@ final class GStream[T](val ds: Dataset[Event[T]]) {
   def addSink(sink: Sink[T]): Unit = sink.run(ds)
 }
 
+object GStream {
+  /** Whether the dataset's plan declares an engine watermark (i.e.
+    * `withWatermark` appears somewhere upstream) — selects the
+    * watermark-ordered stateful path over the per-batch one. */
+  private[api] def hasWatermark(ds: Dataset[_]): Boolean =
+    ds.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+}
+
 /**
  * Keyed stream (reference `KeyedDataStream`,
  * /root/reference/src/lib.rs:249-393): the selector is carried and
@@ -137,13 +148,24 @@ final class KeyedGStream[K, T](
    * Batch: one shuffle by key, then a secondary-sorted streaming fold per
    * key ((eventTime, processingTime) order — the declared deterministic
    * order, SURVEY.md §2.3.5/§7.5.3) with O(state) memory.
-   * Streaming: `flatMapGroupsWithState`, state in the checkpointed store.
+   * Streaming WITH a watermark (`withWatermark` upstream): events buffer
+   * in the checkpointed store until the watermark passes their event
+   * time, then fold in full (eventTime, processingTime) order — the same
+   * order as batch for any cross-batch arrival pattern
+   * (graft.streaming.StreamingSessions.keyedProcessState), at the cost of
+   * watermark-delay latency. Streaming WITHOUT a watermark:
+   * `flatMapGroupsWithState` folding each micro-batch as it arrives,
+   * time-sorted within the batch only — order across batches is arrival
+   * order (the documented ordered-input contract; give the stream a
+   * watermark when cross-batch event-time order matters).
    */
   def processState[S, U](init: K => S)(f: (K, Event[T], S) => (S, Seq[Event[U]]))(
       implicit es: Encoder[S], eu: Encoder[Event[U]]): GStream[U] = {
     val grouped = ds.groupByKey(sel)
     val out =
-      if (ds.isStreaming)
+      if (ds.isStreaming && GStream.hasWatermark(ds))
+        graft.streaming.StreamingSessions.keyedProcessState(ds, sel, init, f)
+      else if (ds.isStreaming)
         grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (k: K, events: Iterator[Event[T]], gs: GroupState[S]) =>
             var s = if (gs.exists) gs.get else init(k)

@@ -138,6 +138,29 @@ final class WindowedGStream[K, T](
     new GStream(out)
   }
 
+  /**
+   * Windowed `process_state` with BOTH the global AND per-key state the
+   * reference's full windowed signature passes (`GST` + `KST`,
+   * /root/reference/src/lib.rs:771-784; test
+   * `windowed_process_state_joined_events`, src/lib.rs:1438-1486 — a
+   * global counter advances across keys as their sessions close).
+   *
+   * Same two-stage composition as `KeyedGStream.processStateGlobal`
+   * (SURVEY.md §7.5.4): the windowed per-key fold runs distributed, and
+   * only its OUTPUT events fold sequentially through the global state —
+   * in (eventTime, processingTime) order of the key-stage outputs, which
+   * for session outputs is session-close order, matching the reference's
+   * watermark-trigger order. The user fn is split into a key part and a
+   * global part; the single-task global stage sees one event per closed
+   * session, not the raw stream.
+   */
+  def processStateGlobal[S, M, GS, U](init: K => S, globalInit: GS)(
+      keyFold: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[M]]))(
+      globalFold: (Event[M], GS) => (GS, Seq[Event[U]]))(
+      implicit em: Encoder[Event[M]], egs: Encoder[GS],
+      eu: Encoder[Event[U]], ei: Encoder[Int]): GStream[U] =
+    processState(init)(keyFold).processState(globalInit)(globalFold)
+
   /** As GStream.split (reference /root/reference/src/lib.rs:883-905). */
   def split(): (WindowedGStream[K, T], WindowedGStream[K, T]) = (this, this)
 }

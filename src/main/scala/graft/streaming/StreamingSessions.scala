@@ -146,6 +146,54 @@ object StreamingSessions {
     }
   }
 
+  /** Per-key state for [[keyedProcessState]]: the user's fold state (None
+    * until first folded into) plus the not-yet-foldable event buffer. */
+  final case class OrderedKeyState[S, T](user: Option[S], buffered: List[Event[T]])
+
+  /**
+   * Watermark-ordered streaming counterpart of `KeyedGStream.processState`
+   * — the keyed twin of [[processState]]'s session close-out. Events
+   * buffer in the state store until the watermark strictly passes their
+   * event time; only then do they fold, in (eventTime, processingTime)
+   * order. Because the engine admits no further rows at-or-before the
+   * watermark once it has passed, nothing can still arrive that sorts
+   * before a folded event — so the fold order equals the batch path's
+   * full sort (`flatMapSortedGroups`) and the reference's in-order
+   * channel (/root/reference/src/lib.rs:183-193) for ANY micro-batch
+   * arrival pattern, where a within-batch sort alone folds a
+   * later-batch-but-earlier-time event late.
+   *
+   * Requires a watermark on `eventTime` (GStream.withWatermark) and an
+   * event time on every event; output latency is the watermark delay.
+   * State is O(events inside the watermark horizon) per key.
+   */
+  def keyedProcessState[K, T, S, U](ds: Dataset[Event[T]], sel: Event[T] => K,
+      init: K => S, f: (K, Event[T], S) => (S, Seq[Event[U]]))(
+      implicit kEnc: Encoder[K], eu: Encoder[Event[U]]): Dataset[Event[U]] = {
+    implicit val stateEnc: Encoder[OrderedKeyState[S, T]] = Encoders.kryo[OrderedKeyState[S, T]]
+    ds.groupByKey(sel).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (k: K, events: Iterator[Event[T]], gs: GroupState[OrderedKeyState[S, T]]) =>
+        val prev = if (gs.exists) gs.get else OrderedKeyState[S, T](None, Nil)
+        val all = prev.buffered ::: events.toList
+        val wmMicros = gs.getCurrentWatermarkMs() * 1000L
+        // strict <: an event exactly AT the watermark could still gain an
+        // equal-time sibling in a later batch (Spark drops only rows
+        // strictly older than the watermark), so it stays buffered
+        val (ready, pending) = all.partition(e => micros(e.eventTimeOrThrow) < wmMicros)
+        var s = prev.user.getOrElse(init(k))
+        val out = ready
+          .sortBy(e => (micros(e.eventTimeOrThrow), e.processingTime.getTime))
+          .flatMap { e => val (s2, o) = f(k, e, s); s = s2; o }
+        gs.update(OrderedKeyState(Some(s), pending))
+        if (pending.nonEmpty)
+          gs.setTimeoutTimestamp(math.max(
+            pending.map(e => micros(e.eventTimeOrThrow)).min / 1000L,
+            gs.getCurrentWatermarkMs() + 1L))
+        out.iterator
+    }
+  }
+
   /** Streaming counterpart of WindowedGStream.process: emits via `f` per
     * closed session with the full, time-ordered window contents. */
   def process[K, T, U](ds: Dataset[Event[T]], sel: Event[T] => K, gapMicros: Long,

@@ -95,6 +95,36 @@ class TamarParitySpec extends AnyFunSuite {
     assert(byTime == Seq((0, 0), (1, 0), (2, 1), (3, 1)))
   }
 
+  // --- windowed process_state with BOTH the global AND per-key state the
+  // reference's full windowed signature passes (src/lib.rs:771-784; test
+  // windowed_process_state_joined_events, src/lib.rs:1438-1486, emits
+  // (global.count, key_state.count) per closed session) ---
+  test("windowed processStateGlobal mirrors the reference global + key counters") {
+    // reference timeline: key 0 @ 12:10,12:12,12:13; key 1 @ 12:41,12:42;
+    // key 2 @ 12:53; gap 10 min → one session per key, closing in start
+    // order, global counter advancing across keys. The reference sink sees
+    // only [(0,0), (1,0)] because its input ends before key 2's session
+    // can trigger; the batch path closes every session at end-of-input
+    // (established convention — see "windowed processState threads state
+    // across a key's sessions"), so key 2's (2,0) appears here too, with
+    // the reference's output as a prefix.
+    val events = Seq(ev(0, 12, 10), ev(0, 12, 12), ev(0, 12, 13),
+      ev(1, 12, 41), ev(1, 12, 42), ev(2, 12, 53))
+    val out = env.fromEvents(events)
+      .keyBy(_.value)
+      .window(gap10)
+      .processStateGlobal((_: Int) => 0, 0)(
+        (k, _, evs, kn) => (kn + 1, Seq(evs.head.withValue((k, kn)))))(
+        (e, gn) => (gn + 1, Seq(e.withValue((gn, e.value._2)))))
+      .collectEvents()
+    val byTime = out.sortBy(_.eventTime.get.getTime)
+    assert(byTime.map(_.value) == Seq((0, 0), (1, 0), (2, 0)))
+    assert(byTime.map(_.eventTime.get) == Seq(
+      Timestamp.valueOf("2009-10-11 12:10:00"),
+      Timestamp.valueOf("2009-10-11 12:41:00"),
+      Timestamp.valueOf("2009-10-11 12:53:00")))
+  }
+
   // --- session store: creation / extension / merge (src/lib.rs:1188-1255) ---
   test("session windows: create, extend, and merge on a bridging event") {
     // 12:00 and 12:16 are two sessions at gap 10; adding 12:08 bridges both.

@@ -110,6 +110,37 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("watermarked keyed processState folds across batches in event-time order") {
+    // batch 2 delivers an event whose time falls BETWEEN batch 1's two
+    // events: the watermark-buffered path (StreamingSessions
+    // .keyedProcessState) must fold it in full event-time order — the
+    // batch path's order — where a per-batch fold would sequence it last.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val seqd = Env(spark).fromDataset(input.toDS())
+      .withWatermark("30 minutes")
+      .keyBy(_ => "k")
+      .processState((_: String) => 0L) { (_, e, n) =>
+        (n + 1, Seq(e.withValue((e.value, n + 1))))
+      }
+    val query = seqd.ds
+      .writeStream.format("memory").queryName("s_ordered").outputMode("append").start()
+    try {
+      input.addData(ev(1, "2009-10-11 12:10:00"), ev(3, "2009-10-11 12:30:00"))
+      query.processAllAvailable()
+      input.addData(ev(2, "2009-10-11 12:20:00")) // out of order, within the 30 min delay
+      query.processAllAvailable()
+      // watermark is still 12:00 — nothing is foldable yet
+      assert(spark.table("s_ordered").count() == 0)
+      input.addData(ev(4, "2009-10-11 14:00:00")) // watermark → 13:30
+      query.processAllAvailable()
+      val got = spark.table("s_ordered").as[Event[(Long, Long)]]
+        .collect().toSeq.map(_.value)
+      // fold sequence follows event time (1,2,3), not arrival (1,3,2)
+      assert(got.sorted == Seq((1L, 1L), (2L, 2L), (3L, 3L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("streaming windowed processState threads key state across batches") {
     // The reference windowed_process_state_separate_events timeline
     // (/root/reference/src/lib.rs:1384-1436): keys 0,0,0,1,1,2 with gap
