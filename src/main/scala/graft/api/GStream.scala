@@ -105,6 +105,16 @@ object GStream {
       case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
       case _ => false
     }
+
+  /** Opt-in flag (`spark.graft.stateful.tws=true`) routing the facade's
+    * streaming stateful ops through Spark 4's `transformWithState`
+    * (typed state variables, event-time timers, RocksDB-backed state —
+    * the intended configuration at large state scale) instead of
+    * `flatMapGroupsWithState`. Requires
+    * `spark.sql.streaming.stateStore.providerClass` to be the RocksDB
+    * provider; semantics are identical either way (TwsFacadeSpec). */
+  private[api] def useTws(ds: Dataset[_]): Boolean =
+    ds.sparkSession.conf.get("spark.graft.stateful.tws", "false").toBoolean
 }
 
 /**
@@ -163,7 +173,10 @@ final class KeyedGStream[K, T](
       implicit es: Encoder[S], eu: Encoder[Event[U]]): GStream[U] = {
     val grouped = ds.groupByKey(sel)
     val out =
-      if (ds.isStreaming && GStream.hasWatermark(ds))
+      if (ds.isStreaming && GStream.useTws(ds))
+        graft.streaming.Tws.keyedProcessState(ds, sel, init, f,
+          ordered = GStream.hasWatermark(ds))
+      else if (ds.isStreaming && GStream.hasWatermark(ds))
         graft.streaming.StreamingSessions.keyedProcessState(ds, sel, init, f)
       else if (ds.isStreaming)
         grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -81,8 +81,10 @@ final class WindowedGStream[K, T](
   def aggregate[U](acc: T => U)(combine: (U, U) => U)(
       implicit eu: Encoder[Event[U]]): GStream[U] = {
     if (ds.isStreaming)
-      return new GStream(graft.streaming.StreamingSessions.aggregate(
-        ds, sel, gapMicros, acc, combine))
+      return new GStream(
+        if (GStream.useTws(ds))
+          graft.streaming.Tws.sessionAggregate(ds, sel, gapMicros, acc, combine)
+        else graft.streaming.StreamingSessions.aggregate(ds, sel, gapMicros, acc, combine))
     val g = gapMicros
     val out = ds.groupByKey(sel)
       .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {

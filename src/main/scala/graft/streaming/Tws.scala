@@ -102,4 +102,80 @@ object Tws {
     ds.groupByKey(sel).transformWithState(
       new SessionAgg[K, T, U](gapMicros, acc, combine),
       TimeMode.EventTime(), OutputMode.Append())
+
+  /** The generic facade keyed fold (`KeyedGStream.processState`
+    * semantics, per-batch form) as a `StatefulProcessor`: each
+    * micro-batch folds time-sorted through the user state held in a
+    * typed `ValueState`. */
+  final class KeyedFold[K, T, S, U](initS: K => S,
+      f: (K, Event[T], S) => (S, Seq[Event[U]]), sEnc: Encoder[S])
+      extends StatefulProcessor[K, Event[T], Event[U]] {
+    @transient private var st: ValueState[S] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("s", sEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[Event[T]],
+        timerValues: TimerValues): Iterator[Event[U]] = {
+      var s = if (st.exists()) st.get() else initS(key)
+      val out = rows.toSeq
+        .sortBy(e => (e.eventTime.map(_.getTime), e.processingTime.getTime))
+        .flatMap { e => val (s2, o) = f(key, e, s); s = s2; o }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** The watermark-ordered facade keyed fold
+    * (`StreamingSessions.keyedProcessState` semantics) as a
+    * `StatefulProcessor`: events buffer until the watermark strictly
+    * passes their event time, then fold in (eventTime, processingTime)
+    * order; a registered event-time timer drains the buffer when no new
+    * data arrives for the key. */
+  final class OrderedKeyedFold[K, T, S, U](initS: K => S,
+      f: (K, Event[T], S) => (S, Seq[Event[U]]))
+      extends StatefulProcessor[K, Event[T], Event[U]] {
+    import StreamingSessions.{micros, OrderedKeyState}
+
+    @transient private var st: ValueState[OrderedKeyState[S, T]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("s", Encoders.kryo[OrderedKeyState[S, T]], TTLConfig.NONE)
+
+    private def fold(key: K, fresh: List[Event[T]], tv: TimerValues): Iterator[Event[U]] = {
+      val prev = if (st.exists()) st.get() else OrderedKeyState[S, T](None, Nil)
+      val all = prev.buffered ::: fresh
+      val wmMicros = tv.getCurrentWatermarkInMs() * 1000L
+      val (ready, pending) = all.partition(e => micros(e.eventTimeOrThrow) < wmMicros)
+      var s = prev.user.getOrElse(initS(key))
+      val out = ready
+        .sortBy(e => (micros(e.eventTimeOrThrow), e.processingTime.getTime))
+        .flatMap { e => val (s2, o) = f(key, e, s); s = s2; o }
+      st.update(OrderedKeyState(Some(s), pending))
+      if (pending.nonEmpty)
+        getHandle.registerTimer(math.max(
+          pending.map(e => micros(e.eventTimeOrThrow)).min / 1000L,
+          tv.getCurrentWatermarkInMs() + 1L))
+      out.iterator
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[Event[T]],
+        timerValues: TimerValues): Iterator[Event[U]] =
+      fold(key, rows.toList, timerValues)
+
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Event[U]] =
+      fold(key, Nil, timerValues)
+  }
+
+  /** Wire the facade keyed fold onto `transformWithState`; `ordered`
+    * selects the watermark-buffered variant (requires a watermark). */
+  def keyedProcessState[K, T, S, U](ds: Dataset[Event[T]], sel: Event[T] => K,
+      init: K => S, f: (K, Event[T], S) => (S, Seq[Event[U]]), ordered: Boolean)(
+      implicit kEnc: Encoder[K], es: Encoder[S], eu: Encoder[Event[U]]): Dataset[Event[U]] =
+    ds.groupByKey(sel).transformWithState(
+      if (ordered) new OrderedKeyedFold[K, T, S, U](init, f)
+      else new KeyedFold[K, T, S, U](init, f, es),
+      if (ordered) TimeMode.EventTime() else TimeMode.None(),
+      OutputMode.Append())
 }

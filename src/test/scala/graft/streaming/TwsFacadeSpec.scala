@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.TestSpark
+import graft.api.{Env, Event}
+
+/**
+ * The facade's streaming stateful paths with `spark.graft.stateful.tws`
+ * enabled: the SAME pipelines the flatMapGroupsWithState specs pin must
+ * produce the SAME outputs when routed through `transformWithState`
+ * (Tws.KeyedFold / OrderedKeyedFold / SessionAgg) — the flag swaps the
+ * state backend, never the semantics.
+ */
+class TwsFacadeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(value: Long, time: String): Event[Long] =
+    Event.at(value, Timestamp.valueOf(time))
+
+  /** Run `body` with the TWS flag + RocksDB provider set, restoring both. */
+  private def withTws[A](body: => A): A = {
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.graft.stateful.tws", "true")
+    try body
+    finally {
+      spark.conf.unset("spark.graft.stateful.tws")
+      prevProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("flagged keyed processState accumulates across batches via transformWithState") {
+    withTws {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event[Long]]
+      val counts = Env(spark).fromDataset(input.toDS())
+        .keyBy(_.value % 2)
+        .processState((_: Long) => 0L) { (k, e, n) =>
+          (n + 1, Seq(e.withValue((k, n + 1))))
+        }
+      // the flag must actually reroute the plan onto the new API
+      assert(counts.ds.queryExecution.analyzed.toString.contains("TransformWithState"),
+        counts.ds.queryExecution.analyzed.toString.take(500))
+      val query = counts.ds
+        .writeStream.format("memory").queryName("tws_fac_count").outputMode("append").start()
+      try {
+        input.addData(ev(0, "2009-10-11 12:00:00"), ev(1, "2009-10-11 12:01:00"))
+        query.processAllAvailable()
+        input.addData(ev(2, "2009-10-11 12:02:00"), ev(3, "2009-10-11 12:03:00"))
+        query.processAllAvailable()
+        val out = spark.table("tws_fac_count").as[Event[(Long, Long)]]
+          .collect().toSeq.map(_.value).sorted
+        assert(out == Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)))
+      } finally query.stop()
+    }
+  }
+
+  test("flagged watermarked keyed processState folds in event-time order") {
+    withTws {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event[Long]]
+      val seqd = Env(spark).fromDataset(input.toDS())
+        .withWatermark("30 minutes")
+        .keyBy(_ => "k")
+        .processState((_: String) => 0L) { (_, e, n) =>
+          (n + 1, Seq(e.withValue((e.value, n + 1))))
+        }
+      val query = seqd.ds
+        .writeStream.format("memory").queryName("tws_fac_ordered").outputMode("append").start()
+      try {
+        input.addData(ev(1, "2009-10-11 12:10:00"), ev(3, "2009-10-11 12:30:00"))
+        query.processAllAvailable()
+        input.addData(ev(2, "2009-10-11 12:20:00")) // out of order, within the delay
+        query.processAllAvailable()
+        assert(spark.table("tws_fac_ordered").count() == 0)
+        input.addData(ev(4, "2009-10-11 14:00:00")) // watermark → 13:30
+        query.processAllAvailable()
+        val got = spark.table("tws_fac_ordered").as[Event[(Long, Long)]]
+          .collect().toSeq.map(_.value)
+        assert(got.sorted == Seq((1L, 1L), (2L, 2L), (3L, 3L)), s"got $got")
+      } finally query.stop()
+    }
+  }
+
+  test("flagged windowed aggregate fires on watermark close-out") {
+    withTws {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event[Long]]
+      val sessions = Env(spark).fromDataset(input.toDS())
+        .withWatermark("0 seconds")
+        .keyBy(_ => "k")
+        .window(Duration.ofMinutes(10))
+        .aggregate(identity[Long])(_ + _)
+      assert(sessions.ds.queryExecution.analyzed.toString.contains("TransformWithState"),
+        sessions.ds.queryExecution.analyzed.toString.take(500))
+      val query = sessions.ds
+        .writeStream.format("memory").queryName("tws_fac_agg").outputMode("append").start()
+      try {
+        input.addData(ev(1, "2009-10-11 12:00:00"), ev(2, "2009-10-11 12:05:00"))
+        query.processAllAvailable()
+        assert(spark.table("tws_fac_agg").count() == 0)
+        input.addData(ev(100, "2009-10-11 14:00:00"))
+        query.processAllAvailable()
+        input.addData(ev(101, "2009-10-11 15:00:00"))
+        query.processAllAvailable()
+        val fired = spark.table("tws_fac_agg").as[Event[Long]].collect().toSeq
+        assert(fired.map(_.value).contains(3L), s"got $fired")
+        assert(fired.find(_.value == 3L).get.eventTime
+          .contains(Timestamp.valueOf("2009-10-11 12:05:00")))
+      } finally query.stop()
+    }
+  }
+}
