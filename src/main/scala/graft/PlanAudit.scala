@@ -25,6 +25,11 @@ object PlanAudit {
   private val allowNestedLoop =
     Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
       "l25_tfidf", "l26_ann_int8")
+  // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
+  // directly over co-located sorted buckets with NO exchange on either
+  // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,
+  // unlike an SMJ that first shuffles both sides.
+  private val allowSortMergeJoin = Set("r18_bucketed_join")
 
   /** All physical nodes of an executed plan, descending through the
     * dynamic edges a plain `collect` misses: AQE roots re-plan under a
@@ -69,7 +74,8 @@ object PlanAudit {
       val nodes = flatten(df.queryExecution.executedPlan)
       val flags = Seq(
         "CartesianProduct" -> nodes.exists(_.isInstanceOf[CartesianProductExec]),
-        "SortMergeJoin" -> nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        "SortMergeJoin" ->
+          (nodes.exists(_.isInstanceOf[SortMergeJoinExec]) && !allowSortMergeJoin(name)),
         "BroadcastNestedLoopJoin" ->
           (nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) && !allowNestedLoop(name)),
         // a window (or its rank-pushdown twin) with an empty partition

@@ -12,12 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed, sorted managed table. Idempotent across
+    * JVMs: with the in-memory catalog, a previous run's table metadata
+    * dies with its session but the warehouse FILES survive, and CTAS
+    * refuses a non-empty location — so drop any current table and clear
+    * the stale directory before writing. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back. */
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

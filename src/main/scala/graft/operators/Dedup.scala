@@ -419,6 +419,23 @@ object Dedup {
       .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Global top-k most-repeated n-grams — the bounded-output form of
+    * [[repeatedShingles]] for corpora where even the ≥ `minDocs` tail is
+    * itself huge (at 100 TB the full repeated-shingle relation can rival
+    * the corpus). Same explode + map-side-partial count (skew on
+    * ultra-common n-grams is absorbed before the one shuffle), then a
+    * two-level top-k: `orderBy().limit(k)` plans as
+    * TakeOrderedAndProject (PlanSpec-pinned) — every post-agg partition
+    * keeps only its local top k and the driver merges k·partitions rows,
+    * so no global sort runs and no unbounded result materializes.
+    * (n_docs DESC, s ASC) makes the cut deterministic under ties. */
+  def topRepeatedShingles(docs: DataFrame, textCol: String, idCol: String,
+                          n: Int, k: Int): DataFrame =
+    docs.select(explode(wordShingles(col(textCol), n)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("s").asc)
+      .limit(k)
+
   /** Embedding near-duplicate pairs with cosine > threshold, blocked by
     * `blockCol` to bound the pair space. L2 norms are computed per row
     * BELOW the pair join (per-pair work = one dot product); arithmetic

@@ -538,6 +538,16 @@ object LlmQueries {
         "SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s " +
         "HAVING COUNT(*) >= 2 ORDER BY s")),
 
+    // L29 — global top-50 repeated 5-grams: the bounded-output twin of
+    // l27 for the 100 TB regime, where the full ≥ minDocs relation is
+    // itself huge. TakeOrderedAndProject keeps a local top-50 per
+    // partition and merges on the driver — no global sort, k rows out.
+    "l29_top_ngrams" -> QueryDef(
+      (s, d) => Dedup.topRepeatedShingles(Tables.documents(s, d), "text", "doc_id", 5, 50),
+      Some(s"WITH ${shinglesCteN(5)} " +
+        "SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s " +
+        "ORDER BY n_docs DESC, s LIMIT 50")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-

@@ -154,6 +154,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("r18: co-bucketed join plans with no shuffle on either join side") {
+    // with broadcast disabled (so AQE can't hide a missing co-location by
+    // broadcasting the small sf0.001 side), the only non-broadcast
+    // exchange allowed is the groupBy's — the join itself must read the
+    // co-located sorted buckets directly
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the AQE dump appends "== Initial Plan ==" — count the final plan only
+      val p = planOf("r18_bucketed_join").split("== Initial Plan ==")(0)
+      // neither join side may shuffle on its key — co-location comes from
+      // the bucket layout, not an exchange
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
+      // the groupBy hash exchange and the final sort's range exchange are
+      // the only repartitions in the whole query
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(exchanges <= 2, p.take(3000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("l29: top-k shingles runs as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("l29_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // a global Sort would mean the whole shingle relation range-shuffles
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
   test("l27: repeated-shingle count partial-aggregates below its one shuffle") {
     val p = finalPlanOf("l27_repeated_ngrams")
     // map-side partial agg (count) must appear below the exchange; the
