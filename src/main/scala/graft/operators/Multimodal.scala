@@ -46,6 +46,33 @@ object Multimodal {
     files.mapPartitions(_.map(decodeStub))
   }
 
+  /**
+   * REAL image decode for the formats the JDK ships codecs for
+   * (PNG/BMP/GIF/JPEG via `javax.imageio` — no native library needed):
+   * parses the actual pixel dimensions. Payloads ImageIO cannot read
+   * (video containers, raw text bytes) fall back to [[decodeStub]], so
+   * the video path stays a clearly-marked stub while images are genuine.
+   * Static images are one frame; decode failure is data, not an error —
+   * a corrupt payload in a 100 TB corpus must not kill the stage.
+   */
+  def decodeImage(m: MediaFile): MediaMeta = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) decodeStub(m)
+    else MediaMeta(m.doc_id, m.payload.length.toLong,
+      width = img.getWidth.toLong, height = img.getHeight.toLong,
+      n_frames = 1L, n_sampled = 1L)
+  }
+
+  /** [[extractMeta]] with the real image decoder at the same
+    * `mapPartitions` boundary — identical schema, partitioning, and batch
+    * shape, so swapping decoders is invisible to the rest of the plan. */
+  def extractMetaImages(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodeImage))
+  }
+
   /** Demo source: treat document text bytes as the media payload. */
   def filesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._

@@ -55,6 +55,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("Dedup.minhashCandidatePairs k=8/bands=4 recall vs exact Jaccard>=0.8 pairs") {
+    // Quantifies the flagship l4 dedup parameters on the planted-near-dup
+    // corpus (TESTDATA: word-3-gram Jaccard up to 0.99): candidate recall
+    // against the exact all-pairs ground truth. Analytically, 4 bands of
+    // 2 rows catch a Jaccard-s pair with p = 1-(1-s^2)^4 — 0.983 at
+    // s=0.8 — so a 0.9 floor leaves room for signature-sampling variance.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val sets = docs.select(col("doc_id").as("id"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh")).persist()
+    val truth = sets.select(col("id").as("a_id"), col("sh").as("__sha"))
+      .join(sets.select(col("id").as("b_id"), col("sh").as("__shb")),
+        col("a_id") < col("b_id"))
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))).cast("double"))
+      .filter(col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")) >= 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    sets.unpersist()
+    assert(truth.nonEmpty, "testdata should contain planted near-dups at Jaccard >= 0.8")
+    val candidates = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        k = 8, bands = 4, shingleN = 3)
+      .as[(Long, Long)].collect().toSet
+    val hit = (candidates intersect truth).size
+    val recall = hit.toDouble / truth.size
+    info(f"MinHash-LSH (k=8, bands=4) candidate recall at Jaccard>=0.8: $hit/${truth.size} = $recall%.3f")
+    assert(recall >= 0.9, f"candidate recall $recall%.3f below the 0.9 floor")
+  }
+
   test("Dedup.connectedComponents labels transitive chains with the min id") {
     // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 20)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
@@ -284,6 +310,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map("the quick brown fox" -> 3L, "quick brown fox jumps" -> 2L))
   }
 
+  test("Dedup.topRepeatedShingles keeps the k most-shared n-grams, ties by shingle") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a lazy dog saw the quick brown fox land"),
+      (3L, "the quick brown fox jumps") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val top = Dedup.topRepeatedShingles(docs, "text", "doc_id", 4, 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("the quick brown fox", 3L), ("quick brown fox jumps", 2L)))
+    assert(Dedup.topRepeatedShingles(docs, "text", "doc_id", 4, 2)
+      .as[(String, Long)].collect().toSeq == top) // deterministic
+  }
+
   test("Similarity.int8TopK matches bruteForceTopK exactly when rerank covers the corpus") {
     val embs = graft.sources.Tables.embeddings(spark, sf).limit(200)
     val q = embs.filter(col("vec_id") === 0)
@@ -300,6 +339,26 @@ class OperatorSpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].collect().toSet
     val recall = exact.map(_._1).count(approx.contains).toDouble / 10.0
     assert(recall >= 0.8, s"recall@10 of the int8 pre-pass was $recall")
+  }
+
+  test("Multimodal.decodeImage reads true PNG/BMP dimensions; non-images fall back to stub") {
+    import graft.operators.Multimodal._
+    def encoded(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800) // non-trivial pixel so the encoder writes real data
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+      bos.toByteArray
+    }
+    val files = spark.createDataset(Seq(
+      MediaFile(1L, encoded(17, 5, "png")),
+      MediaFile(2L, encoded(3, 29, "bmp")),
+      MediaFile(3L, "just text bytes, not an image".getBytes("UTF-8"))))
+    val metas = extractMetaImages(files).collect().map(m => m.doc_id -> m).toMap
+    assert((metas(1L).width, metas(1L).height, metas(1L).n_frames) == (17L, 5L, 1L))
+    assert((metas(2L).width, metas(2L).height, metas(2L).n_frames) == (3L, 29L, 1L))
+    // undecodable payload → the deterministic stub, not a failure
+    assert(metas(3L) == decodeStub(MediaFile(3L, "just text bytes, not an image".getBytes("UTF-8"))))
   }
 
   test("Multimodal stub pipeline derives metadata from payload bytes") {
