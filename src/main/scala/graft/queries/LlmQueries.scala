@@ -548,6 +548,32 @@ object LlmQueries {
         "SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s " +
         "ORDER BY n_docs DESC, s LIMIT 50")),
 
+    // L30 — training-shard packing: assign documents to contiguous
+    // ~2000-token shards per source, the deterministic distributed form
+    // of greedy sequence packing (documents never split; shard index =
+    // the budget bucket the document's cumulative token offset falls
+    // in). One shuffle: the running sum windows by source — never a
+    // global order — so the plan is a partitioned window over the same
+    // exchange at any corpus size.
+    "l30_pack_shards" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            wsTokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard",
+            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2000.0)).cast("long"))
+          .select("doc_id", "source", "n_tokens", "shard")
+          .orderBy("source", "doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, source, " +
+        "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents) " +
+        "SELECT doc_id, source, n_tokens, " +
+        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) " +
+        "/ 2000.0) AS BIGINT) AS shard " +
+        "FROM t ORDER BY source, doc_id")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-

@@ -272,5 +272,52 @@ object TamarQueries {
       Some("SELECT event_id, COALESCE(CAST(epoch(date_trunc('second', ts)) - " +
         "epoch(date_trunc('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) " +
         "AS BIGINT), -1) AS gap_s FROM events ORDER BY event_id"))
+  ) ++ Map(
+
+    // T19 — session conversion funnel: per (user, 30-min session), how
+    // far did view → click → purchase progress? First view, then first
+    // click at-or-after it, then first purchase at-or-after that —
+    // expressed as three stacked conditional-min windows over the SAME
+    // (user, session) partitioning (sessions assigned by the same
+    // gaps-and-islands rule the session oracle uses), so the whole query
+    // is one shuffle on user_id followed by in-partition window passes —
+    // no state machine, no re-exchange, scalable at any event count.
+    "t19_session_funnel" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = Window.partitionBy(col("user_id"), col("sid"))
+        val gapUs = 30L * 60L * 1000000L
+        ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("__new",
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) < gapUs, 0)
+              .otherwise(1))
+          .withColumn("sid", sum(col("__new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("v", min(when(col("event_type") === "view", col("ts"))).over(sess))
+          .withColumn("c", min(when(col("event_type") === "click" && col("ts") >= col("v"),
+            col("ts"))).over(sess))
+          .withColumn("p", min(when(col("event_type") === "purchase" && col("ts") >= col("c"),
+            col("ts"))).over(sess))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("session_start"),
+            max(when(col("p").isNotNull, 3).when(col("c").isNotNull, 2)
+              .when(col("v").isNotNull, 1).otherwise(0)).cast("long").as("funnel_stage"))
+          .select("user_id", "session_start", "funnel_stage")
+          .orderBy("user_id", "session_start")
+      },
+      Some(sessionOracle("SELECT user_id, ts, event_id, event_type FROM events", 30,
+        ", staged AS (SELECT n.user_id, n.sid, n.ts, s.event_type " +
+          "FROM numbered n JOIN src s USING (user_id, ts, event_id)), " +
+          "s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v " +
+          "FROM staged WINDOW w AS (PARTITION BY user_id, sid)), " +
+          "s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= v THEN ts END) OVER w AS c " +
+          "FROM s1 WINDOW w AS (PARTITION BY user_id, sid)), " +
+          "s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) OVER w AS p " +
+          "FROM s2 WINDOW w AS (PARTITION BY user_id, sid)) " +
+          "SELECT user_id, MIN(ts) AS session_start, " +
+          "CAST(MAX(CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2 " +
+          "WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS funnel_stage " +
+          "FROM s3 GROUP BY user_id, sid ORDER BY user_id, session_start")))
   )
 }
