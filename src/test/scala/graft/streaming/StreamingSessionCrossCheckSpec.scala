@@ -138,4 +138,57 @@ class StreamingSessionCrossCheckSpec extends AnyFunSuite {
         s"streamed=${fired.size} batch-closed=${expectedClosed.size}")
     } finally query.stop()
   }
+
+  test("watermarked keyed processState equals batch fold on random multi-batch input") {
+    // the watermark-buffered keyed fold (StreamingSessions
+    // .keyedProcessState): 400 random events shuffled into 4 micro-batches
+    // must fold per key in the same (eventTime, processingTime) order the
+    // batch path sorts by — per-key running counts attach to the same
+    // events regardless of arrival pattern.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(9876)
+    val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val events = (0 until 400).map { i =>
+      val key = rnd.nextInt(6)
+      val t = base + key * 7200000L + rnd.nextInt(240) * 60000L
+      Event(new Timestamp(t), Some(new Timestamp(t)), (key.toLong, 1L))
+    }
+    val closer = {
+      val t = base + 90L * 86400000L
+      Event(new Timestamp(t), Some(new Timestamp(t)), (99L, 0L))
+    }
+
+    def fold(env: graft.api.KeyedGStream[Long, (Long, Long)]) =
+      env.processState((_: Long) => 0L) { (k, e, n) =>
+        (n + 1, Seq(e.withValue((k, n + 1))))
+      }
+
+    val batch = fold(Env(spark).fromDataset(spark.createDataset(events :+ closer))
+        .keyBy(_.value._1))
+      .collectEvents()
+      .map(e => (e.eventTime.get, e.value)).sorted
+
+    val input = MemoryStream[Event[(Long, Long)]]
+    val streamed = fold(Env(spark).fromDataset(input.toDS())
+      .withWatermark("30 days")
+      .keyBy(_.value._1))
+    val query = streamed.ds.writeStream
+      .format("memory").queryName("okps_xcheck").outputMode("append").start()
+    try {
+      rnd.shuffle(events).grouped(100).foreach { batchEvents =>
+        input.addData(batchEvents: _*)
+        query.processAllAvailable()
+      }
+      input.addData(closer)
+      query.processAllAvailable()
+
+      val fired = spark.table("okps_xcheck").as[Event[(Long, Long)]]
+        .collect().map(e => (e.eventTime.get, e.value)).sorted.toSeq
+      // the closer itself stays buffered (the watermark never passes it)
+      val expectedReady = batch.filterNot(s =>
+        s._1.getTime >= base + 90L * 86400000L)
+      assert(fired == expectedReady,
+        s"streamed=${fired.size} batch-ready=${expectedReady.size}")
+    } finally query.stop()
+  }
 }

@@ -92,6 +92,55 @@ class TwsFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("flagged watermarked keyed fold equals batch on random multi-batch input") {
+    // OrderedKeyedFold cross-check: same shape as the fMGWS-backend test in
+    // StreamingSessionCrossCheckSpec, running through transformWithState.
+    withTws {
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(5432)
+      val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+      val events = (0 until 300).map { i =>
+        val key = rnd.nextInt(5)
+        val t = base + key * 7200000L + rnd.nextInt(240) * 60000L
+        Event(new Timestamp(t), Some(new Timestamp(t)), (key.toLong, 1L))
+      }
+      val closer = {
+        val t = base + 90L * 86400000L
+        Event(new Timestamp(t), Some(new Timestamp(t)), (99L, 0L))
+      }
+
+      def fold(ks: graft.api.KeyedGStream[Long, (Long, Long)]) =
+        ks.processState((_: Long) => 0L) { (k, e, n) =>
+          (n + 1, Seq(e.withValue((k, n + 1))))
+        }
+
+      val batch = fold(Env(spark)
+          .fromDataset(spark.createDataset(events :+ closer)).keyBy(_.value._1))
+        .collectEvents()
+        .map(e => (e.eventTime.get, e.value)).sorted
+
+      val input = MemoryStream[Event[(Long, Long)]]
+      val streamed = fold(Env(spark).fromDataset(input.toDS())
+        .withWatermark("30 days").keyBy(_.value._1))
+      val query = streamed.ds.writeStream
+        .format("memory").queryName("tws_fac_xcheck").outputMode("append").start()
+      try {
+        rnd.shuffle(events).grouped(75).foreach { b =>
+          input.addData(b: _*)
+          query.processAllAvailable()
+        }
+        input.addData(closer)
+        query.processAllAvailable()
+        val fired = spark.table("tws_fac_xcheck").as[Event[(Long, Long)]]
+          .collect().map(e => (e.eventTime.get, e.value)).sorted.toSeq
+        val expectedReady = batch.filterNot(s =>
+          s._1.getTime >= base + 90L * 86400000L)
+        assert(fired == expectedReady,
+          s"streamed=${fired.size} batch-ready=${expectedReady.size}")
+      } finally query.stop()
+    }
+  }
+
   test("flagged windowed aggregate fires on watermark close-out") {
     withTws {
       implicit val sqlCtx = spark.sqlContext
