@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, RegExpCount, Sqrt, StringReplace, Subtract}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr, TextFunctions}
 
 /**
  * Session extension registering graft's custom Catalyst expressions as
@@ -55,7 +55,50 @@ object GraftFunctions {
       DotProductExpr(args.head, args(1))
     })
 
-  val all: Seq[FunctionDescription] = Seq(rollingHash, wordShingles, dotProduct)
+  // The compositions below mirror graft.functions.{VectorFunctions,
+  // TextFunctions} as raw Catalyst trees (a function builder must return
+  // plain expressions — Column-bridged trees keep their UnresolvedFunction
+  // wrappers and never resolve on this path).
+
+  val cosineSim: FunctionDescription = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "cosine_sim"),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "cosine_sim(a, b) takes exactly two array arguments")
+      val (a, b) = (args.head, args(1))
+      new Divide(DotProductExpr(a, b),
+        new Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
+    })
+
+  val l2Norm: FunctionDescription = (
+    FunctionIdentifier("l2_norm"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "l2_norm"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "l2_norm(a) takes exactly one array argument")
+      Sqrt(DotProductExpr(args.head, args.head))
+    })
+
+  val wsTokenCount: FunctionDescription = (
+    FunctionIdentifier("ws_token_count"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "ws_token_count"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "ws_token_count(text) takes exactly one argument")
+      val t = args.head
+      Cast(Add(Subtract(Length(t),
+        Length(StringReplace(t, Literal(" "), Literal("")))), Literal(1)), LongType)
+    })
+
+  val bpeishTokenCount: FunctionDescription = (
+    FunctionIdentifier("bpeish_token_count"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "bpeish_token_count"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "bpeish_token_count(text) takes exactly one argument")
+      Cast(RegExpCount(Lower(args.head), Literal(TextFunctions.BpePattern)), LongType)
+    })
+
+  val all: Seq[FunctionDescription] =
+    Seq(rollingHash, wordShingles, dotProduct,
+      cosineSim, l2Norm, wsTokenCount, bpeishTokenCount)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -16,6 +16,25 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(got == 32.0)
   }
 
+  test("cosine_sim / l2_norm are callable from SQL and exact") {
+    import spark.implicits._
+    val (sim, n) = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS s, " +
+        "l2_norm(array(3.0D, 4.0D)) AS n")
+      .as[(Double, Double)].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+    assert(n == 5.0)
+  }
+
+  test("token counters are callable from SQL") {
+    import spark.implicits._
+    val (ws, bpe) = spark.sql(
+      "SELECT ws_token_count('a b c d') AS w, bpeish_token_count('ab, 12 cd!') AS b")
+      .as[(Long, Long)].head()
+    assert(ws == 4L)
+    assert(bpe == 5L) // "ab", ",", "12", "cd", "!"
+  }
+
   test("rolling_hash is callable from SQL and matches the fold") {
     import spark.implicits._
     val got = spark.sql("SELECT rolling_hash('a b c d') AS fp").as[Long].head()
