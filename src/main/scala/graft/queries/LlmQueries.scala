@@ -574,6 +574,32 @@ object LlmQueries {
         "/ 2000.0) AS BIGINT) AS shard " +
         "FROM t ORDER BY source, doc_id")),
 
+    // L31 — token-window chunking (the inverse of l30's packing):
+    // overlapping 40-token windows at stride 30 per document — the
+    // standard pretraining/RAG preprocessing step. Pure per-row explode
+    // over arithmetic chunk starts (no shuffle at all until the ORDER
+    // BY); tokens split once per document, chunks sliced from the array.
+    "l31_chunk_docs" -> QueryDef(
+      (s, d) => {
+        val win = 40; val stride = 30
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("__t"))
+          .select(col("doc_id"), col("__t"),
+            explode(sequence(lit(0), size(col("__t")) - 1, lit(stride))).as("__start"))
+          .select(col("doc_id"),
+            (col("__start") / stride).cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("__t"), col("__start") + 1, lit(win))).as("chunk_text"),
+            least(lit(win), size(col("__t")) - col("__start")).cast("long").as("n_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(0, len(toks) - 1, 30)) AS start FROM t) " +
+        "SELECT doc_id, CAST(start / 30 AS BIGINT) AS chunk_idx, " +
+        "array_to_string(toks[start + 1 : start + 40], ' ') AS chunk_text, " +
+        "CAST(LEAST(40, len(toks) - start) AS BIGINT) AS n_tokens " +
+        "FROM c ORDER BY doc_id, chunk_idx")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-
