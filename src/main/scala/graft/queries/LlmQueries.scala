@@ -600,6 +600,43 @@ object LlmQueries {
         "CAST(LEAST(40, len(toks) - start) AS BIGINT) AS n_tokens " +
         "FROM c ORDER BY doc_id, chunk_idx")),
 
+    // L32 — winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
+    // MOSS local fingerprinting scheme): hash every POSITIONAL word
+    // 4-gram, slide a window of 5 consecutive hashes, keep each window's
+    // minimum; the per-doc distinct-min set is the fingerprint (value
+    // set; winnowing guarantees any shared run ≥ w+n-1 tokens shares a
+    // fingerprint). Plan shape: narrow explode → per-doc window (one
+    // shuffle on doc_id) → two-level distinct count — scalable at any
+    // corpus size; positional n-grams here, unlike the DISTINCT shingles
+    // the MinHash path uses.
+    "l32_winnow_fp" -> QueryDef(
+      (s, d) => {
+        val n = 4; val w = 5
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("__t"))
+          .filter(size(col("__t")) >= n)
+          .select(col("doc_id"), col("__t"),
+            explode(sequence(lit(0), size(col("__t")) - n)).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            md5(concat_ws(" ", slice(col("__t"), col("pos") + 1, lit(n)))).as("h"))
+          .withColumn("m", min(col("h")).over(win))
+          .filter(col("pos") >= w - 1)
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("m")).as("n_fp"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 4), " +
+        "g AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 4, 1)) AS pos FROM t), " +
+        "h AS (SELECT doc_id, pos, md5(array_to_string(toks[pos + 1 : pos + 4], ' ')) AS h FROM g), " +
+        "m AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m FROM h) " +
+        "SELECT doc_id, CAST(COUNT(DISTINCT m) AS BIGINT) AS n_fp " +
+        "FROM m WHERE pos >= 4 GROUP BY doc_id ORDER BY doc_id")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-
