@@ -163,15 +163,21 @@ final class KeyedGStream[K, T](
    * time, then fold in full (eventTime, processingTime) order — the same
    * order as batch for any cross-batch arrival pattern
    * (graft.streaming.StreamingSessions.keyedProcessState), at the cost of
-   * watermark-delay latency. Streaming WITHOUT a watermark:
-   * `flatMapGroupsWithState` folding each micro-batch as it arrives,
-   * time-sorted within the batch only — order across batches is arrival
-   * order (the documented ordered-input contract; give the stream a
-   * watermark when cross-batch event-time order matters).
+   * watermark-delay latency. As with Spark's own append-mode windowed
+   * aggregates, events the watermark has NOT yet passed stay buffered:
+   * a bounded run (Trigger.AvailableNow / processAllAvailable) emits only
+   * events with eventTime strictly below the final watermark (max event
+   * time − delay); the tail at-or-after it remains in state for the next
+   * run. Declaring a watermark is therefore the explicit opt-in to this
+   * fold-on-close contract — leave it off (per-batch path below) when
+   * every event must emit in its arrival batch. Streaming WITHOUT a
+   * watermark: `flatMapGroupsWithState` folding each micro-batch as it
+   * arrives, time-sorted within the batch only — order across batches is
+   * arrival order (the documented ordered-input contract; give the
+   * stream a watermark when cross-batch event-time order matters).
    */
   def processState[S, U](init: K => S)(f: (K, Event[T], S) => (S, Seq[Event[U]]))(
       implicit es: Encoder[S], eu: Encoder[Event[U]]): GStream[U] = {
-    val grouped = ds.groupByKey(sel)
     val out =
       if (ds.isStreaming && GStream.useTws(ds))
         graft.streaming.Tws.keyedProcessState(ds, sel, init, f,
@@ -179,7 +185,7 @@ final class KeyedGStream[K, T](
       else if (ds.isStreaming && GStream.hasWatermark(ds))
         graft.streaming.StreamingSessions.keyedProcessState(ds, sel, init, f)
       else if (ds.isStreaming)
-        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        ds.groupByKey(sel).flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (k: K, events: Iterator[Event[T]], gs: GroupState[S]) =>
             var s = if (gs.exists) gs.get else init(k)
             val emitted = events.toSeq
@@ -189,7 +195,7 @@ final class KeyedGStream[K, T](
             emitted.iterator
         }
       else
-        grouped.flatMapSortedGroups(col("eventTime").asc_nulls_first,
+        ds.groupByKey(sel).flatMapSortedGroups(col("eventTime").asc_nulls_first,
           col("processingTime").asc_nulls_first) { (k: K, events: Iterator[Event[T]]) =>
           var s = init(k)
           events.flatMap { e => val (s2, o) = f(k, e, s); s = s2; o }

@@ -18,8 +18,15 @@ final case class SessionBounds(start: Timestamp, lastEventTime: Timestamp)
   * task closures capture no Dataset-holding instance. */
 private[api] object SessionScan {
 
-  private def micros(ts: Timestamp): Long =
+  private[api] def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  private[api] def tsOf(us: Long): Timestamp = {
+    val ms = Math.floorDiv(us, 1000L)
+    val t = new Timestamp(ms)
+    t.setNanos((Math.floorMod(ms, 1000L) * 1000000L + Math.floorMod(us, 1000L) * 1000L).toInt)
+    t
+  }
 
   /** Requires eventTime on every event (reference contract — it
     * `unwrap()`s, /root/reference/src/lib.rs:459). An event extends the
@@ -149,19 +156,43 @@ final class WindowedGStream[K, T](
    *
    * Same two-stage composition as `KeyedGStream.processStateGlobal`
    * (SURVEY.md §7.5.4): the windowed per-key fold runs distributed, and
-   * only its OUTPUT events fold sequentially through the global state —
-   * in (eventTime, processingTime) order of the key-stage outputs, which
-   * for session outputs is session-close order, matching the reference's
-   * watermark-trigger order. The user fn is split into a key part and a
-   * global part; the single-task global stage sees one event per closed
-   * session, not the raw stream.
+   * only its OUTPUT events fold sequentially through the global state.
+   * The user fn is split into a key part and a global part; the
+   * single-task global stage sees one event per closed session, not the
+   * raw stream.
+   *
+   * Global-fold ORDER is the reference's watermark-trigger order —
+   * sessions across keys fold by their LAST event time (close order),
+   * not by whatever eventTime `keyFold` happens to emit: each key-stage
+   * output is tagged internally with its session's last event time as
+   * the sort key, so overlapping cross-key sessions (key A open
+   * [12:00, 13:00] while key B's [12:30, 12:35] closes first) fold B
+   * before A, exactly as the reference's watermark loop closes them.
+   * The original output event is rebuilt before `globalFold` sees it.
+   * On a streaming dataset the same tag sorts each micro-batch; since
+   * the watermark is monotonic, a session closing at an earlier time
+   * can never surface in a later batch than one closing later, so the
+   * cross-batch fold order is identical.
    */
   def processStateGlobal[S, M, GS, U](init: K => S, globalInit: GS)(
       keyFold: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[M]]))(
       globalFold: (Event[M], GS) => (GS, Seq[Event[U]]))(
-      implicit em: Encoder[Event[M]], egs: Encoder[GS],
-      eu: Encoder[Event[U]], ei: Encoder[Int]): GStream[U] =
-    processState(init)(keyFold).processState(globalInit)(globalFold)
+      implicit em: Encoder[Event[M]], etag: Encoder[Event[(Long, M)]], egs: Encoder[GS],
+      eu: Encoder[Event[U]], ei: Encoder[Int]): GStream[U] = {
+    val tagged = processState(init) { (k, bounds, evs, s) =>
+      val (s2, out) = keyFold(k, bounds, evs, s)
+      (s2, out.map { m =>
+        val origMicros = m.eventTime.map(SessionScan.micros).getOrElse(Long.MinValue)
+        Event(m.processingTime, Some(bounds.lastEventTime), (origMicros, m.value))
+      })
+    }
+    tagged.processState(globalInit) { (te, gs) =>
+      val (origMicros, mv) = te.value
+      val orig = Event(te.processingTime,
+        if (origMicros == Long.MinValue) None else Some(SessionScan.tsOf(origMicros)), mv)
+      globalFold(orig, gs)
+    }
+  }
 
   /** As GStream.split (reference /root/reference/src/lib.rs:883-905). */
   def split(): (WindowedGStream[K, T], WindowedGStream[K, T]) = (this, this)

@@ -16,12 +16,14 @@ object Bucketing {
     * JVMs: with the in-memory catalog, a previous run's table metadata
     * dies with its session but the warehouse FILES survive, and CTAS
     * refuses a non-empty location — so drop any current table and clear
-    * the stale directory before writing. */
+    * the stale directory before writing. The location comes from the
+    * catalog itself (CatalogBridge.defaultTablePath), so current-database
+    * resolution and identifier normalization match `saveAsTable` exactly. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      org.apache.spark.sql.graft.CatalogBridge.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

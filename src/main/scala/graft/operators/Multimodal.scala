@@ -56,9 +56,12 @@ object Multimodal {
    * a corrupt payload in a 100 TB corpus must not kill the stage.
    */
   def decodeImage(m: MediaFile): MediaMeta = {
+    // NonFatal, not just IOException: the JDK codecs throw runtime
+    // exceptions (ArrayIndexOutOfBounds, NegativeArraySize, …) on
+    // truncated/crafted payloads, and those must also be data here.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) decodeStub(m)
     else MediaMeta(m.doc_id, m.payload.length.toLong,
       width = img.getWidth.toLong, height = img.getHeight.toLong,

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.api.Event
 
 /**
@@ -53,24 +53,55 @@ object Tws {
    * configuration: RocksDB-backed state variables, per-key timers, TTL
    * support.
    */
+  /** One registered timer per key, tracked in `armed` so a superseded
+    * timer is DELETED before its replacement registers. Unlike
+    * `GroupState.setTimeoutTimestamp` (one timeout, overwritten), TWS
+    * `registerTimer` accumulates — without this a key re-arming every
+    * batch leaks a backlog of stale timers that all fire (a full state
+    * read + rewrite each) on every watermark advance. */
+  sealed trait TimerHygiene[K, I, O] extends StatefulProcessor[K, I, O] {
+    @transient protected var armed: ValueState[Long] = _
+
+    protected def initTimerState(): Unit =
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+
+    /** Ensure exactly the timer at `desiredMs` is registered. */
+    protected def rearm(desiredMs: Long): Unit =
+      if (!armed.exists() || armed.get() != desiredMs) {
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
+        getHandle.registerTimer(desiredMs)
+        armed.update(desiredMs)
+      }
+
+    protected def disarm(): Unit =
+      if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+
+    /** The runtime removes a fired timer itself; forget it so `rearm`/
+      * `disarm` don't try to delete it or assume it still covers us. */
+    protected def firedTimer(info: ExpiredTimerInfo): Unit =
+      if (armed.exists() && armed.get() == info.getExpiryTimeInMs()) armed.clear()
+  }
+
   final class SessionAgg[K, T, U](gapMicros: Long, acc: T => U, combine: (U, U) => U)
-      extends StatefulProcessor[K, Event[T], Event[U]] {
+      extends StatefulProcessor[K, Event[T], Event[U]] with TimerHygiene[K, Event[T], Event[U]] {
     import StreamingSessions.{mergeAgg, micros, tsOf, OpenAgg}
 
     @transient private var open: ValueState[List[OpenAgg[U]]] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getValueState("open", Encoders.kryo[List[OpenAgg[U]]], TTLConfig.NONE)
+      initTimerState()
+    }
 
     /** Close every session the watermark has passed; keep the rest and
       * arm a timer for the earliest pending close. */
     private def closeDue(merged: List[OpenAgg[U]], tv: TimerValues): Iterator[Event[U]] = {
       val wmMicros = tv.getCurrentWatermarkInMs() * 1000L
       val (closed, stillOpen) = merged.partition(_.lastMicros + gapMicros <= wmMicros)
-      if (stillOpen.isEmpty) open.clear()
+      if (stillOpen.isEmpty) { open.clear(); disarm() }
       else {
         open.update(stillOpen)
-        getHandle.registerTimer(math.max(
+        rearm(math.max(
           stillOpen.map(s => s.lastMicros + gapMicros).min / 1000L,
           tv.getCurrentWatermarkInMs() + 1L))
       }
@@ -90,6 +121,7 @@ object Tws {
 
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Event[U]] = {
+      firedTimer(expiredTimerInfo)
       if (!open.exists()) Iterator.empty
       else closeDue(open.get(), timerValues)
     }
@@ -131,41 +163,88 @@ object Tws {
     * `StatefulProcessor`: events buffer until the watermark strictly
     * passes their event time, then fold in (eventTime, processingTime)
     * order; a registered event-time timer drains the buffer when no new
-    * data arrives for the key. */
+    * data arrives for the key.
+    *
+    * State layout is what TWS exists for: the buffer is a `ListState`
+    * (new arrivals APPEND — O(arrivals) writes per batch; the whole list
+    * is read and rewritten only when the watermark actually releases
+    * events), the user fold state and the min buffered event time are
+    * small `ValueState`s. A `ValueState[List[...]]` here would pay a
+    * full deserialize+reserialize of the entire horizon every batch. */
   final class OrderedKeyedFold[K, T, S, U](initS: K => S,
-      f: (K, Event[T], S) => (S, Seq[Event[U]]))
-      extends StatefulProcessor[K, Event[T], Event[U]] {
-    import StreamingSessions.{micros, OrderedKeyState}
+      f: (K, Event[T], S) => (S, Seq[Event[U]]), sEnc: Encoder[S])
+      extends StatefulProcessor[K, Event[T], Event[U]] with TimerHygiene[K, Event[T], Event[U]] {
+    import StreamingSessions.micros
 
-    @transient private var st: ValueState[OrderedKeyState[S, T]] = _
+    @transient private var user: ValueState[S] = _
+    @transient private var buf: ListState[Event[T]] = _
+    @transient private var minBuf: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState("s", Encoders.kryo[OrderedKeyState[S, T]], TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      user = getHandle.getValueState("user", sEnc, TTLConfig.NONE)
+      buf = getHandle.getListState("buf", Encoders.kryo[Event[T]], TTLConfig.NONE)
+      minBuf = getHandle.getValueState[Long]("minBuf", Encoders.scalaLong, TTLConfig.NONE)
+      initTimerState()
+    }
 
-    private def fold(key: K, fresh: List[Event[T]], tv: TimerValues): Iterator[Event[U]] = {
-      val prev = if (st.exists()) st.get() else OrderedKeyState[S, T](None, Nil)
-      val all = prev.buffered ::: fresh
-      val wmMicros = tv.getCurrentWatermarkInMs() * 1000L
+    private def toArr(es: List[Event[T]]): Array[Event[T]] =
+      es.toArray(scala.reflect.ClassTag(classOf[Event[_]]).asInstanceOf[scala.reflect.ClassTag[Event[T]]])
+
+    /** Buffer min + the timer that will release it. */
+    private def trackPending(minMicros: Long, tv: TimerValues): Unit = {
+      minBuf.update(minMicros)
+      rearm(math.max(minMicros / 1000L, tv.getCurrentWatermarkInMs() + 1L))
+    }
+
+    /** Read + rewrite the whole buffer: only on batches where the
+      * watermark has actually released something. */
+    private def drain(key: K, fresh: List[Event[T]], wmMicros: Long,
+        tv: TimerValues): Iterator[Event[U]] = {
+      val all = buf.get().foldLeft(List.newBuilder[Event[T]])(_ += _).result() ::: fresh
       val (ready, pending) = all.partition(e => micros(e.eventTimeOrThrow) < wmMicros)
-      var s = prev.user.getOrElse(initS(key))
+      var s = if (user.exists()) user.get() else initS(key)
       val out = ready
         .sortBy(e => (micros(e.eventTimeOrThrow), e.processingTime.getTime))
         .flatMap { e => val (s2, o) = f(key, e, s); s = s2; o }
-      st.update(OrderedKeyState(Some(s), pending))
-      if (pending.nonEmpty)
-        getHandle.registerTimer(math.max(
-          pending.map(e => micros(e.eventTimeOrThrow)).min / 1000L,
-          tv.getCurrentWatermarkInMs() + 1L))
+      user.update(s)
+      buf.clear()
+      if (pending.nonEmpty) {
+        buf.put(toArr(pending))
+        trackPending(pending.map(e => micros(e.eventTimeOrThrow)).min, tv)
+      } else { minBuf.clear(); disarm() }
       out.iterator
     }
 
     override def handleInputRows(key: K, rows: Iterator[Event[T]],
-        timerValues: TimerValues): Iterator[Event[U]] =
-      fold(key, rows.toList, timerValues)
+        timerValues: TimerValues): Iterator[Event[U]] = {
+      val fresh = rows.toList
+      val wmMicros = timerValues.getCurrentWatermarkInMs() * 1000L
+      val bufMin = if (minBuf.exists()) minBuf.get() else Long.MaxValue
+      if (bufMin < wmMicros || fresh.exists(e => micros(e.eventTimeOrThrow) < wmMicros))
+        drain(key, fresh, wmMicros, timerValues)
+      else {
+        // nothing released: append-only, O(arrivals) state I/O
+        if (fresh.nonEmpty) {
+          buf.appendList(toArr(fresh))
+          trackPending(math.min(bufMin, fresh.map(e => micros(e.eventTimeOrThrow)).min),
+            timerValues)
+        }
+        Iterator.empty
+      }
+    }
 
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Event[U]] =
-      fold(key, Nil, timerValues)
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Event[U]] = {
+      firedTimer(expiredTimerInfo)
+      val wmMicros = timerValues.getCurrentWatermarkInMs() * 1000L
+      if (minBuf.exists() && minBuf.get() < wmMicros) drain(key, Nil, wmMicros, timerValues)
+      else {
+        // fired but the watermark still hasn't passed the earliest
+        // buffered event (we armed at wm+1): re-arm for the next advance
+        if (minBuf.exists()) trackPending(minBuf.get(), timerValues)
+        Iterator.empty
+      }
+    }
   }
 
   /** Wire the facade keyed fold onto `transformWithState`; `ordered`
@@ -174,7 +253,7 @@ object Tws {
       init: K => S, f: (K, Event[T], S) => (S, Seq[Event[U]]), ordered: Boolean)(
       implicit kEnc: Encoder[K], es: Encoder[S], eu: Encoder[Event[U]]): Dataset[Event[U]] =
     ds.groupByKey(sel).transformWithState(
-      if (ordered) new OrderedKeyedFold[K, T, S, U](init, f)
+      if (ordered) new OrderedKeyedFold[K, T, S, U](init, f, es)
       else new KeyedFold[K, T, S, U](init, f, es),
       if (ordered) TimeMode.EventTime() else TimeMode.None(),
       OutputMode.Append())

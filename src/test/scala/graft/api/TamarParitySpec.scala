@@ -125,6 +125,30 @@ class TamarParitySpec extends AnyFunSuite {
       Timestamp.valueOf("2009-10-11 12:53:00")))
   }
 
+  test("windowed processStateGlobal folds overlapping cross-key sessions in close order") {
+    // Key 0's session stays open PAST key 1's whole session: key 0 events
+    // every 8 min from 12:00 to 12:40 (gap 10 keeps one session, closes at
+    // last 12:40 + gap); key 1 @ 12:30, 12:31 (closes at 12:31 + gap,
+    // earlier). The reference's watermark loop closes key 1 FIRST, so it
+    // takes global counter 0 even though key 0's session STARTED first —
+    // the global fold must run in session-close (last event time) order,
+    // not in the order of whatever eventTime keyFold emits (the head).
+    val events = Seq(ev(0, 12, 0), ev(0, 12, 8), ev(0, 12, 16), ev(0, 12, 24),
+      ev(0, 12, 32), ev(0, 12, 40), ev(1, 12, 30), ev(1, 12, 31))
+    val out = env.fromEvents(events)
+      .keyBy(_.value)
+      .window(gap10)
+      .processStateGlobal((_: Int) => 0, 0)(
+        (k, _, evs, kn) => (kn + 1, Seq(evs.head.withValue((k, kn)))))(
+        (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, gn)))))
+      .collectEvents()
+    // (key, global counter): key 1 closed first → counter 0; key 0 → 1.
+    assert(out.map(_.value).toSet == Set((1, 0), (0, 1)))
+    // the rebuilt event keeps keyFold's own eventTime (the session head)
+    assert(out.find(_.value._1 == 0).get.eventTime.get ==
+      Timestamp.valueOf("2009-10-11 12:00:00"))
+  }
+
   // --- session store: creation / extension / merge (src/lib.rs:1188-1255) ---
   test("session windows: create, extend, and merge on a bridging event") {
     // 12:00 and 12:16 are two sessions at gap 10; adding 12:08 bridges both.
