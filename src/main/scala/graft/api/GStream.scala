@@ -177,14 +177,27 @@ final class KeyedGStream[K, T](
    * stream a watermark when cross-batch event-time order matters).
    */
   def processState[S, U](init: K => S)(f: (K, Event[T], S) => (S, Seq[Event[U]]))(
+      implicit es: Encoder[S], eu: Encoder[Event[U]]): GStream[U] =
+    if (ds.isStreaming && GStream.useTws(ds))
+      new GStream(graft.streaming.Tws.keyedProcessState(ds, sel, init, f,
+        ordered = GStream.hasWatermark(ds)))
+    else if (ds.isStreaming && GStream.hasWatermark(ds))
+      new GStream(graft.streaming.StreamingSessions.keyedProcessState(ds, sel, init, f))
+    else processStatePerBatch(init)(f)
+
+  /** [[processState]] restricted to the per-batch streaming branch (and
+    * the plain sorted fold in batch). For the global stage of
+    * `processStateGlobal` compositions, whose input is ALREADY released
+    * in watermark order by the upstream stateful stage: a second
+    * event-time-timeout operator there is both unnecessary — the
+    * watermark is monotonic, so cross-batch arrival order IS event-time
+    * order — and un-analyzable (the watermark attribute does not survive
+    * the upstream `flatMapGroupsWithState`). */
+  private[api] def processStatePerBatch[S, U](init: K => S)(
+      f: (K, Event[T], S) => (S, Seq[Event[U]]))(
       implicit es: Encoder[S], eu: Encoder[Event[U]]): GStream[U] = {
     val out =
-      if (ds.isStreaming && GStream.useTws(ds))
-        graft.streaming.Tws.keyedProcessState(ds, sel, init, f,
-          ordered = GStream.hasWatermark(ds))
-      else if (ds.isStreaming && GStream.hasWatermark(ds))
-        graft.streaming.StreamingSessions.keyedProcessState(ds, sel, init, f)
-      else if (ds.isStreaming)
+      if (ds.isStreaming)
         ds.groupByKey(sel).flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (k: K, events: Iterator[Event[T]], gs: GroupState[S]) =>
             var s = if (gs.exists) gs.get else init(k)
@@ -216,13 +229,24 @@ final class KeyedGStream[K, T](
    * determinism on a partitioned engine: the user fn is split into a key
    * part and a global part instead of one closure mutating both states;
    * both stages fold in (eventTime, processingTime) order.
+   *
+   * On a watermarked stream the key stage releases events in watermark
+   * order, so the global stage folds per micro-batch (time-sorted within
+   * each) — cross-batch arrival order is already event-time order.
+   * Streaming requires
+   * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+   * Spark's conservative check flags ANY stateful-after-stateful chain,
+   * but the global stage here never event-time-filters its input, so no
+   * row can be lost as "late".
    */
   def processStateGlobal[S, M, GS, U](init: K => S, globalInit: GS)(
       keyFold: (K, Event[T], S) => (S, Seq[Event[M]]))(
       globalFold: (Event[M], GS) => (GS, Seq[Event[U]]))(
       implicit es: Encoder[S], em: Encoder[Event[M]], egs: Encoder[GS],
       eu: Encoder[Event[U]], ei: Encoder[Int]): GStream[U] =
-    processState(init)(keyFold).processState(globalInit)(globalFold)
+    processState(init)(keyFold)
+      .keyBy((_: Event[M]) => 0)
+      .processStatePerBatch((_: Int) => globalInit)((_, e, g) => globalFold(e, g))
 
   /** Attach a session window (reference `window` +
     * `EventTimeSessionWindowFactory` — the one window type it has,

@@ -172,7 +172,11 @@ final class WindowedGStream[K, T](
    * On a streaming dataset the same tag sorts each micro-batch; since
    * the watermark is monotonic, a session closing at an earlier time
    * can never surface in a later batch than one closing later, so the
-   * cross-batch fold order is identical.
+   * cross-batch fold order is identical. Streaming requires
+   * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+   * (see `KeyedGStream.processStateGlobal` — the per-batch global stage
+   * never event-time-filters, so Spark's conservative late-row check
+   * does not apply).
    */
   def processStateGlobal[S, M, GS, U](init: K => S, globalInit: GS)(
       keyFold: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[M]]))(
@@ -186,11 +190,12 @@ final class WindowedGStream[K, T](
         Event(m.processingTime, Some(bounds.lastEventTime), (origMicros, m.value))
       })
     }
-    tagged.processState(globalInit) { (te, gs) =>
-      val (origMicros, mv) = te.value
-      val orig = Event(te.processingTime,
-        if (origMicros == Long.MinValue) None else Some(SessionScan.tsOf(origMicros)), mv)
-      globalFold(orig, gs)
+    tagged.keyBy((_: Event[(Long, M)]) => 0).processStatePerBatch((_: Int) => globalInit) {
+      (_, te, gs) =>
+        val (origMicros, mv) = te.value
+        val orig = Event(te.processingTime,
+          if (origMicros == Long.MinValue) None else Some(SessionScan.tsOf(origMicros)), mv)
+        globalFold(orig, gs)
     }
   }
 

@@ -141,6 +141,42 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming keyed processStateGlobal interleaves keys in event-time order") {
+    // two keys' events interleave in event time across batches; the
+    // global counter must follow event-time order, not per-key arrival:
+    // 10@12:00 → 0, 20@12:30 → 1, 10@12:35 → 2, 20@12:40 → 3.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val out = Env(spark).fromDataset(input.toDS())
+      .withWatermark("0 seconds")
+      .keyBy(_.value)
+      .processStateGlobal((_: Long) => 0L, 0L)(
+        (k, e, kn) => (kn + 1, Seq(e.withValue((k, kn)))))(
+        (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, e.value._2, gn)))))
+    // same opt-out as the windowed composition: the per-batch global
+    // stage never event-time-filters its input
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val query = out.ds
+      .writeStream.format("memory").queryName("s_kpsg").outputMode("append").start()
+    try {
+      input.addData(ev(10, "2009-10-11 12:00:00"), ev(20, "2009-10-11 12:30:00"))
+      query.processAllAvailable() // wm 12:30 → releases 12:00 only
+      input.addData(ev(10, "2009-10-11 12:35:00"), ev(20, "2009-10-11 12:40:00"))
+      query.processAllAvailable() // wm 12:40 → releases 12:30, 12:35
+      input.addData(ev(99, "2009-10-11 14:00:00"))
+      query.processAllAvailable() // wm 14:00 → releases 12:40
+
+      val got = spark.table("s_kpsg").as[Event[(Long, Long, Long)]]
+        .collect().toSeq.map(_.value).toSet
+      // (key, per-key counter, global counter)
+      assert(got == Set((10L, 0L, 0L), (20L, 0L, 1L), (10L, 1L, 2L), (20L, 1L, 3L)),
+        s"got $got")
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("streaming windowed processState threads key state across batches") {
     // The reference windowed_process_state_separate_events timeline
     // (/root/reference/src/lib.rs:1384-1436): keys 0,0,0,1,1,2 with gap
@@ -185,6 +221,52 @@ class StreamingParitySpec extends AnyFunSuite {
         (Timestamp.valueOf("2009-10-11 13:20:00"), (2L, 0L)),
         (Timestamp.valueOf("2009-10-11 15:00:00"), (9L, 0L))), s"got $got")
     } finally query.stop()
+  }
+
+  test("streaming windowed processStateGlobal assigns global counters in close order") {
+    // Overlapping cross-key sessions delivered so they CLOSE in different
+    // micro-batches: key 0 spans 12:00-12:40 (one session, closes at
+    // 12:50); key 1 is 12:30,12:31 (closes at 12:41, FIRST). The global
+    // counter must follow close order — key 1 gets 0, key 0 gets 1 —
+    // across batches, matching the batch path and the reference's
+    // watermark loop.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    val out = Env(spark).fromDataset(input.toDS())
+      .withWatermark("0 seconds")
+      .keyBy(_.value)
+      .window(Duration.ofMinutes(10))
+      .processStateGlobal((_: Long) => 0L, 0L)(
+        (k, _, evs, kn) => (kn + 1, Seq(evs.head.withValue((k, kn)))))(
+        (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, gn)))))
+    // the documented opt-out for the two-stage streaming composition: the
+    // global stage never event-time-filters, so Spark's conservative
+    // stateful-after-stateful late-row check does not apply to it
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val query = out.ds
+      .writeStream.format("memory").queryName("s_wpsg").outputMode("append").start()
+    try {
+      input.addData(ev(0, "2009-10-11 12:00:00"), ev(0, "2009-10-11 12:08:00"),
+        ev(0, "2009-10-11 12:16:00"), ev(0, "2009-10-11 12:24:00"),
+        ev(0, "2009-10-11 12:32:00"), ev(0, "2009-10-11 12:40:00"),
+        ev(1, "2009-10-11 12:30:00"), ev(1, "2009-10-11 12:31:00"))
+      query.processAllAvailable() // wm 12:40 — nothing closed yet
+      input.addData(ev(7, "2009-10-11 12:45:00"))
+      query.processAllAvailable() // wm 12:45 → key 1 closes: global 0
+      input.addData(ev(7, "2009-10-11 14:00:00"))
+      query.processAllAvailable() // wm 14:00 → key 0 (12:50), key 7 (12:55)
+      input.addData(ev(9, "2009-10-11 15:00:00"))
+      query.processAllAvailable() // wm 15:00 → key 7's second session (14:00)
+
+      val got = spark.table("s_wpsg").as[Event[(Long, Long)]].collect().toSeq
+        .map(_.value).toSet
+      // close order: key1 @12:41 → 0, key0 @12:50 → 1, key7 @12:55 → 2,
+      // key7's second session @14:10 → 3 (key9's 15:00 stays open)
+      assert(got == Set((1L, 0L), (0L, 1L), (7L, 2L), (7L, 3L)), s"got $got")
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
   }
 
   test("streaming full-window process delivers time-ordered contents") {
