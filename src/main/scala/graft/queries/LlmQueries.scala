@@ -637,6 +637,41 @@ object LlmQueries {
         "SELECT doc_id, CAST(COUNT(DISTINCT m) AS BIGINT) AS n_fp " +
         "FROM m WHERE pos >= 4 GROUP BY doc_id ORDER BY doc_id")),
 
+    // L33 — unigram language-model scoring (the order-0 analog of
+    // CCNet's KenLM perplexity filter, Wenzek et al. LREC'20): corpus
+    // token frequencies give p(t) = n_t / N; each document scores the
+    // mean of −ln p(t) over its tokens — low = boilerplate/common text,
+    // high = rare/surprising. Plan shape: one vocabulary aggregation
+    // (map-side partial), a shuffle-hash token→count join (hinted — at
+    // corpus scale the vocabulary is too big to broadcast, and a sort
+    // would be wasted on a hash-joinable key), one per-doc aggregation.
+    // Per-token scores round to 9 decimals and sum as DECIMAL, so the
+    // cross-partition sum is exact and shuffle-order-independent.
+    "l33_unigram_logprob" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+        val tf = tok.groupBy("t").agg(count(lit(1)).as("__n"))
+        val tot = tf.agg(sum(col("__n")).as("__total"))
+        tok.join(tf.hint("shuffle_hash"), Seq("t"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            round(-log(col("__n").cast("double") / col("__total")), 9)
+              .cast("decimal(20,9)").as("__lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "tf AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t), " +
+        "tot AS (SELECT SUM(n) AS total FROM tf), " +
+        "sc AS (SELECT doc_id, CAST(ROUND(-LN(CAST(n AS DOUBLE) / total), 9) AS DECIMAL(20,9)) AS lp " +
+        "FROM tok JOIN tf USING (t), tot) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-
