@@ -672,6 +672,47 @@ object LlmQueries {
         "ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id")),
 
+    // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
+    // ACL'10 — the standard cross-entropy-difference ranking for
+    // domain-targeted pretraining data): score every document by the
+    // mean of ln p_in(t) − ln p_out(t) over its tokens, where p_in is an
+    // add-one-smoothed unigram model of the in-domain slice (lang='en')
+    // and p_out of everything else; high = looks in-domain. Same plan
+    // shape as l33 — the vocabulary aggregates both models in ONE pass
+    // (conditional sums), scalars broadcast, DECIMAL sums keep the
+    // per-doc mean shuffle-order-exact.
+    "l34_moore_lewis" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(wsTokens(col("text"))).as("t"))
+        val vocab = tok.groupBy("t").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__nin"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("__nout"))
+        val tot = vocab.agg(sum(col("__nin")).as("__tin"),
+          sum(col("__nout")).as("__tout"), count(lit(1)).as("__v"))
+        tok.join(vocab.hint("shuffle_hash"), Seq("t"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("lang"),
+            round(log((col("__nin") + 1).cast("double") / (col("__tin") + col("__v")))
+                - log((col("__nout") + 1).cast("double") / (col("__tout") + col("__v"))), 9)
+              .cast("decimal(20,9)").as("__s"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("__s")).cast("double") / count(lit(1)), 6).as("ml_score"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "v AS (SELECT t, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nin, " +
+        "SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nout FROM tok GROUP BY t), " +
+        "tot AS (SELECT SUM(nin) AS tin, SUM(nout) AS tout, COUNT(*) AS vv FROM v), " +
+        "sc AS (SELECT doc_id, lang, CAST(ROUND(LN(CAST(nin + 1 AS DOUBLE) / (tin + vv)) " +
+        "- LN(CAST(nout + 1 AS DOUBLE) / (tout + vv)), 9) AS DECIMAL(20,9)) AS s " +
+        "FROM tok JOIN v USING (t), tot) " +
+        "SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS ml_score " +
+        "FROM sc GROUP BY doc_id, lang ORDER BY doc_id")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-
