@@ -48,4 +48,26 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("writeBucketed is idempotent outside the default database") {
+    // the stale-location cleanup must target <warehouse>/<db>.db/<table>,
+    // not <warehouse>/<table> (which belongs to the DEFAULT database) —
+    // the catalog, via CatalogBridge.defaultTablePath, knows the answer
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+    try {
+      val nations = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      Bucketing.writeBucketed(nations, "graft_tmp.nation_b", "n_nationkey", 2)
+      // second write must survive the leftover warehouse directory
+      Bucketing.writeBucketed(nations, "graft_tmp.nation_b", "n_nationkey", 2)
+      assert(Bucketing.read(spark, "graft_tmp.nation_b").count() == nations.count())
+      // and nothing was written at the default-database-style location
+      val wrongLoc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "nation_b")
+      val fs = wrongLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(wrongLoc))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_tmp.nation_b")
+      spark.sql("DROP DATABASE IF EXISTS graft_tmp CASCADE")
+    }
+  }
 }
