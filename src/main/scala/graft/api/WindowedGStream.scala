@@ -112,8 +112,10 @@ final class WindowedGStream[K, T](
   def process[U](f: (K, SessionBounds, Seq[Event[T]]) => IterableOnce[Event[U]])(
       implicit eu: Encoder[Event[U]]): GStream[U] = {
     if (ds.isStreaming)
-      return new GStream(graft.streaming.StreamingSessions.process(
-        ds, sel, gapMicros, f))
+      return new GStream(
+        if (GStream.useTws(ds))
+          graft.streaming.Tws.sessionProcess(ds, sel, gapMicros, f)
+        else graft.streaming.StreamingSessions.process(ds, sel, gapMicros, f))
     val g = gapMicros
     val out = ds.groupByKey(sel)
       .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {
@@ -133,8 +135,10 @@ final class WindowedGStream[K, T](
       f: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[U]]))(
       implicit eu: Encoder[Event[U]]): GStream[U] = {
     if (ds.isStreaming)
-      return new GStream(graft.streaming.StreamingSessions.processState(
-        ds, sel, gapMicros, init, f))
+      return new GStream(
+        if (GStream.useTws(ds))
+          graft.streaming.Tws.sessionProcessState(ds, sel, gapMicros, init, f)
+        else graft.streaming.StreamingSessions.processState(ds, sel, gapMicros, init, f))
     val g = gapMicros
     val out = ds.groupByKey(sel)
       .flatMapSortedGroups(col("eventTime").asc, col("processingTime").asc) {

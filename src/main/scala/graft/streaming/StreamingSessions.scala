@@ -62,7 +62,7 @@ object StreamingSessions {
       }
     }.reverse
 
-  private def mergeBuf[T](sessions: List[OpenBuf[T]], gapMicros: Long): List[OpenBuf[T]] =
+  private[streaming] def mergeBuf[T](sessions: List[OpenBuf[T]], gapMicros: Long): List[OpenBuf[T]] =
     sessions.sortBy(_.startMicros).foldLeft(List.empty[OpenBuf[T]]) { (acc, s) =>
       acc match {
         case h :: t if s.startMicros < h.lastMicros + gapMicros =>

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
-import graft.api.Event
+import graft.api.{Event, SessionBounds}
 
 /**
  * Keyed running state on Spark 4's `transformWithState` — the successor
@@ -133,6 +133,129 @@ object Tws {
       implicit kEnc: Encoder[K], eu: Encoder[Event[U]]): Dataset[Event[U]] =
     ds.groupByKey(sel).transformWithState(
       new SessionAgg[K, T, U](gapMicros, acc, combine),
+      TimeMode.EventTime(), OutputMode.Append())
+
+  /** Streaming counterpart of `WindowedGStream.process` on TWS — the
+    * `StreamingSessions.process` semantics (buffer each open session's
+    * full contents, close when the watermark passes last+gap) with
+    * timer-driven close-out and state cleared when no session is open. */
+  final class SessionProcess[K, T, U](gapMicros: Long,
+      f: (K, SessionBounds, Seq[Event[T]]) => IterableOnce[Event[U]])
+      extends StatefulProcessor[K, Event[T], Event[U]] with TimerHygiene[K, Event[T], Event[U]] {
+    import StreamingSessions.{mergeBuf, micros, tsOf, OpenBuf}
+
+    @transient private var open: ValueState[List[OpenBuf[T]]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState("open", Encoders.kryo[List[OpenBuf[T]]], TTLConfig.NONE)
+      initTimerState()
+    }
+
+    private def closeDue(key: K, merged: List[OpenBuf[T]], tv: TimerValues): Iterator[Event[U]] = {
+      val wmMicros = tv.getCurrentWatermarkInMs() * 1000L
+      val (closed, stillOpen) = merged.partition(_.lastMicros + gapMicros <= wmMicros)
+      if (stillOpen.isEmpty) { open.clear(); disarm() }
+      else {
+        open.update(stillOpen)
+        rearm(math.max(stillOpen.map(s => s.lastMicros + gapMicros).min / 1000L,
+          tv.getCurrentWatermarkInMs() + 1L))
+      }
+      closed.sortBy(_.startMicros).iterator.flatMap { s =>
+        val evs = s.events.sortBy(e => micros(e.eventTimeOrThrow))
+        f(key, SessionBounds(tsOf(s.startMicros), tsOf(s.lastMicros)), evs)
+      }
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[Event[T]],
+        timerValues: TimerValues): Iterator[Event[U]] = {
+      val fresh = rows.map { e =>
+        val t = micros(e.eventTimeOrThrow)
+        OpenBuf(t, t, e :: Nil)
+      }.toList
+      closeDue(key,
+        mergeBuf((if (open.exists()) open.get() else Nil) ::: fresh, gapMicros),
+        timerValues)
+    }
+
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Event[U]] = {
+      firedTimer(expiredTimerInfo)
+      if (!open.exists()) Iterator.empty
+      else closeDue(key, open.get(), timerValues)
+    }
+  }
+
+  /** Wire [[SessionProcess]] onto a keyed, watermarked event stream. */
+  def sessionProcess[K, T, U](ds: Dataset[Event[T]], sel: Event[T] => K, gapMicros: Long,
+      f: (K, SessionBounds, Seq[Event[T]]) => IterableOnce[Event[U]])(
+      implicit kEnc: Encoder[K], eu: Encoder[Event[U]]): Dataset[Event[U]] =
+    ds.groupByKey(sel).transformWithState(
+      new SessionProcess[K, T, U](gapMicros, f), TimeMode.EventTime(), OutputMode.Append())
+
+  /** Streaming counterpart of `WindowedGStream.processState` on TWS —
+    * `StreamingSessions.processState` semantics: per-key user state
+    * threaded across that key's CLOSED sessions in start order; the user
+    * state outlives every session (kept even when no session is open,
+    * like the reference's per-key HashMap). */
+  final class SessionProcessState[K, T, S, U](gapMicros: Long, initS: K => S,
+      f: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[U]]))
+      extends StatefulProcessor[K, Event[T], Event[U]] with TimerHygiene[K, Event[T], Event[U]] {
+    import StreamingSessions.{mergeBuf, micros, tsOf, KeyedWindowState, OpenBuf}
+
+    @transient private var st: ValueState[KeyedWindowState[S, T]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState("st", Encoders.kryo[KeyedWindowState[S, T]], TTLConfig.NONE)
+      initTimerState()
+    }
+
+    private def closeDue(key: K, prevUser: Option[S], merged: List[OpenBuf[T]],
+        tv: TimerValues): Iterator[Event[U]] = {
+      val wmMicros = tv.getCurrentWatermarkInMs() * 1000L
+      val (closed, stillOpen) = merged.partition(_.lastMicros + gapMicros <= wmMicros)
+      var s = prevUser.getOrElse(initS(key))
+      val out = closed.sortBy(_.startMicros).flatMap { c =>
+        val evs = c.events.sortBy(e => micros(e.eventTimeOrThrow))
+        val (s2, o) = f(key, SessionBounds(tsOf(c.startMicros), tsOf(c.lastMicros)), evs, s)
+        s = s2
+        o
+      }
+      st.update(KeyedWindowState(Some(s), stillOpen))
+      if (stillOpen.nonEmpty)
+        rearm(math.max(stillOpen.map(o => o.lastMicros + gapMicros).min / 1000L,
+          tv.getCurrentWatermarkInMs() + 1L))
+      else disarm()
+      out.iterator
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[Event[T]],
+        timerValues: TimerValues): Iterator[Event[U]] = {
+      val prev = if (st.exists()) st.get() else KeyedWindowState[S, T](None, Nil)
+      val fresh = rows.map { e =>
+        val t = micros(e.eventTimeOrThrow)
+        OpenBuf(t, t, e :: Nil)
+      }.toList
+      closeDue(key, prev.user, mergeBuf(prev.open ::: fresh, gapMicros), timerValues)
+    }
+
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Event[U]] = {
+      firedTimer(expiredTimerInfo)
+      if (!st.exists()) Iterator.empty
+      else {
+        val prev = st.get()
+        closeDue(key, prev.user, prev.open, timerValues)
+      }
+    }
+  }
+
+  /** Wire [[SessionProcessState]] onto a keyed, watermarked event stream. */
+  def sessionProcessState[K, T, S, U](ds: Dataset[Event[T]], sel: Event[T] => K,
+      gapMicros: Long, init: K => S,
+      f: (K, SessionBounds, Seq[Event[T]], S) => (S, Seq[Event[U]]))(
+      implicit kEnc: Encoder[K], eu: Encoder[Event[U]]): Dataset[Event[U]] =
+    ds.groupByKey(sel).transformWithState(
+      new SessionProcessState[K, T, S, U](gapMicros, init, f),
       TimeMode.EventTime(), OutputMode.Append())
 
   /** The generic facade keyed fold (`KeyedGStream.processState`

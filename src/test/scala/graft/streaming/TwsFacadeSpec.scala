@@ -141,6 +141,84 @@ class TwsFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("flagged windowed processState threads key state across batches") {
+    // the StreamingParitySpec scenario, rerouted through Tws.SessionProcessState
+    withTws {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event[Long]]
+      val out = Env(spark).fromDataset(input.toDS())
+        .withWatermark("0 seconds")
+        .keyBy(_.value)
+        .window(Duration.ofMinutes(10))
+        .processState((_: Long) => 0L) { (k, _, evs, n) =>
+          (n + 1, Seq(evs.head.withValue((k, n))))
+        }
+      assert(out.ds.queryExecution.analyzed.toString.contains("TransformWithState"),
+        out.ds.queryExecution.analyzed.toString.take(500))
+      val query = out.ds
+        .writeStream.format("memory").queryName("tws_fac_wps").outputMode("append").start()
+      try {
+        input.addData(ev(0, "2009-10-11 12:10:00"), ev(0, "2009-10-11 12:30:00"),
+          ev(0, "2009-10-11 12:39:00"))
+        query.processAllAvailable()
+        input.addData(ev(1, "2009-10-11 12:55:00"), ev(1, "2009-10-11 12:56:00"))
+        query.processAllAvailable()
+        input.addData(ev(2, "2009-10-11 13:20:00"))
+        query.processAllAvailable()
+        input.addData(ev(9, "2009-10-11 15:00:00"))
+        query.processAllAvailable()
+        input.addData(ev(9, "2009-10-11 15:30:00"))
+        query.processAllAvailable()
+
+        val got = spark.table("tws_fac_wps").as[Event[(Long, Long)]].collect().toSeq
+          .map(e => (e.eventTime.get, e.value)).toSet
+        assert(got == Set(
+          (Timestamp.valueOf("2009-10-11 12:10:00"), (0L, 0L)),
+          (Timestamp.valueOf("2009-10-11 12:30:00"), (0L, 1L)),
+          (Timestamp.valueOf("2009-10-11 12:55:00"), (1L, 0L)),
+          (Timestamp.valueOf("2009-10-11 13:20:00"), (2L, 0L)),
+          (Timestamp.valueOf("2009-10-11 15:00:00"), (9L, 0L))), s"got $got")
+      } finally query.stop()
+    }
+  }
+
+  test("flagged windowed process delivers full time-ordered session contents") {
+    withTws {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event[Long]]
+      val out = Env(spark).fromDataset(input.toDS())
+        .withWatermark("10 minutes") // allow the bridging event to arrive "late"
+        .keyBy(_ => "k")
+        .window(Duration.ofMinutes(10))
+        .process((_, b, evs) => Seq(evs.last.withValue(
+          (b.start, b.lastEventTime, evs.map(_.value)))))
+      assert(out.ds.queryExecution.analyzed.toString.contains("TransformWithState"),
+        out.ds.queryExecution.analyzed.toString.take(500))
+      val query = out.ds
+        .writeStream.format("memory").queryName("tws_fac_wp").outputMode("append").start()
+      try {
+        // delivered out of time order within the session, and a bridging
+        // event in a later batch merges two open sessions
+        input.addData(ev(2, "2009-10-11 12:16:00"), ev(1, "2009-10-11 12:00:00"))
+        query.processAllAvailable()
+        input.addData(ev(3, "2009-10-11 12:08:00")) // bridges 12:00 and 12:16
+        query.processAllAvailable()
+        input.addData(ev(9, "2009-10-11 14:00:00"))
+        query.processAllAvailable()
+        input.addData(ev(9, "2009-10-11 15:00:00"))
+        query.processAllAvailable()
+
+        val got = spark.table("tws_fac_wp")
+          .as[Event[(Timestamp, Timestamp, Seq[Long])]].collect().toSeq.map(_.value)
+        // ONE merged session with time-ordered contents 1,3,2
+        assert(got.map(_._3).contains(Seq(1L, 3L, 2L)), s"got $got")
+        val s = got.find(_._3 == Seq(1L, 3L, 2L)).get
+        assert(s._1 == Timestamp.valueOf("2009-10-11 12:00:00"))
+        assert(s._2 == Timestamp.valueOf("2009-10-11 12:16:00"))
+      } finally query.stop()
+    }
+  }
+
   test("flagged windowed aggregate fires on watermark close-out") {
     withTws {
       implicit val sqlCtx = spark.sqlContext
