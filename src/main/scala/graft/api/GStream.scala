@@ -197,7 +197,10 @@ final class KeyedGStream[K, T](
       f: (K, Event[T], S) => (S, Seq[Event[U]]))(
       implicit es: Encoder[S], eu: Encoder[Event[U]]): GStream[U] = {
     val out =
-      if (ds.isStreaming)
+      if (ds.isStreaming && GStream.useTws(ds))
+        // keep the whole query on ONE state backend under the flag
+        graft.streaming.Tws.keyedProcessState(ds, sel, init, f, ordered = false)
+      else if (ds.isStreaming)
         ds.groupByKey(sel).flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (k: K, events: Iterator[Event[T]], gs: GroupState[S]) =>
             var s = if (gs.exists) gs.get else init(k)

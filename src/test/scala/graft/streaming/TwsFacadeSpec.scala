@@ -219,6 +219,45 @@ class TwsFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("flagged windowed processStateGlobal assigns global counters in close order") {
+    // the StreamingParitySpec overlapping-sessions scenario, with BOTH
+    // stages (windowed key fold + per-batch global fold) on TWS
+    withTws {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event[Long]]
+      val out = Env(spark).fromDataset(input.toDS())
+        .withWatermark("0 seconds")
+        .keyBy(_.value)
+        .window(Duration.ofMinutes(10))
+        .processStateGlobal((_: Long) => 0L, 0L)(
+          (k, _, evs, kn) => (kn + 1, Seq(evs.head.withValue((k, kn)))))(
+          (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, gn)))))
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+      val query = out.ds
+        .writeStream.format("memory").queryName("tws_fac_wpsg").outputMode("append").start()
+      try {
+        input.addData(ev(0, "2009-10-11 12:00:00"), ev(0, "2009-10-11 12:08:00"),
+          ev(0, "2009-10-11 12:16:00"), ev(0, "2009-10-11 12:24:00"),
+          ev(0, "2009-10-11 12:32:00"), ev(0, "2009-10-11 12:40:00"),
+          ev(1, "2009-10-11 12:30:00"), ev(1, "2009-10-11 12:31:00"))
+        query.processAllAvailable()
+        input.addData(ev(7, "2009-10-11 12:45:00"))
+        query.processAllAvailable() // wm 12:45 → key 1 closes: global 0
+        input.addData(ev(7, "2009-10-11 14:00:00"))
+        query.processAllAvailable() // wm 14:00 → key 0 (12:50), key 7 (12:55)
+        input.addData(ev(9, "2009-10-11 15:00:00"))
+        query.processAllAvailable() // wm 15:00 → key 7's second session
+
+        val got = spark.table("tws_fac_wpsg").as[Event[(Long, Long)]].collect().toSeq
+          .map(_.value).toSet
+        assert(got == Set((1L, 0L), (0L, 1L), (7L, 2L), (7L, 3L)), s"got $got")
+      } finally {
+        query.stop()
+        spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+      }
+    }
+  }
+
   test("flagged windowed aggregate fires on watermark close-out") {
     withTws {
       implicit val sqlCtx = spark.sqlContext
