@@ -151,6 +151,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "approx", "sim", "rank")
   }
 
+  /** Approximate kNN GRAPH over the whole corpus — every vector's top-k
+    * cosine neighbors among its random-hyperplane LSH candidates
+    * ([[Dedup.rhpCandidatePairs]]): the all-pairs precursor to
+    * SemDedup-style semantic dedup and graph clustering. The pair space
+    * is bounded by bucket collisions (never all-pairs); candidate pairs
+    * symmetrize (each edge ranks from both endpoints), vectors and norms
+    * attach via two id-keyed joins BELOW the ranking window, one dot per
+    * pair. Nodes whose buckets collide with nothing emit no rows —
+    * approximate by construction, like every LSH method here; raise
+    * nTables for recall. Output: src, nbr, sim, rnk (1 = nearest). */
+  def knnGraphRhp(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
+                  k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val pairs = Dedup.rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables)
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("nbr"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("nbr")))
+    val a = embs.select(col(idCol).as("src"), col(vecCol).as("__va"),
+      l2Norm(col(vecCol)).as("__na"))
+    val b = embs.select(col(idCol).as("nbr"), col(vecCol).as("__vb"),
+      l2Norm(col(vecCol)).as("__nb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+    sym.join(a, Seq("src")).join(b, Seq("nbr"))
+      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("src", "nbr", "sim", "rnk")
+  }
+
   /** The `nprobe` nearest cells per row (by cosine, ties to the lowest
     * cell id) — the query-side generalization of [[assignCells]]. Rows
     * are duplicated once per probed cell. */

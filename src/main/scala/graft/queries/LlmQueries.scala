@@ -190,6 +190,39 @@ object LlmQueries {
           "ORDER BY a_id, b_id"
       }),
 
+    // L35 — approximate kNN graph: every vector's top-3 cosine
+    // neighbors among its random-hyperplane LSH candidates (same 8×4
+    // blocking as l18) — the all-pairs precursor to SemDedup-style
+    // semantic dedup and graph clustering. Candidates symmetrize so each
+    // edge ranks from both endpoints; the rank window runs per node over
+    // its (bucket-bounded) candidates only.
+    "l35_knn_graph" -> QueryDef(
+      (s, d) => Similarity.knnGraphRhp(Tables.embeddings(s, d),
+          "embedding", "vec_id", 64, 3)
+        .select(col("src"), col("nbr"), round(col("sim"), 6).as("sim"), col("rnk"))
+        .orderBy("src", "rnk"),
+      Some {
+        def bktSql(t: Int): String = (0 until 8).map { j =>
+          val arr = Dedup.rhpSigns(t, j, 64)
+            .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"(CASE WHEN ${dotSql("v", s"CAST($arr AS DOUBLE[])")} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val bkts = (0 until 4).map(t =>
+          s"SELECT vec_id, ${bktSql(t)} AS bkt, $t AS tbl FROM e").mkString(" UNION ALL ")
+        s"WITH $embCte, bk AS ($bkts), " +
+          "p AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id FROM bk a " +
+          "JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
+          "sym AS (SELECT a_id AS src, b_id AS nbr FROM p " +
+          "UNION ALL SELECT b_id, a_id FROM p), " +
+          "pv AS (SELECT src, nbr, ea.v AS va, eb.v AS vb FROM sym " +
+          "JOIN e ea ON ea.vec_id = src JOIN e eb ON eb.vec_id = nbr), " +
+          s"sc AS (SELECT src, nbr, ${cosSql("va", "vb")} AS sim FROM pv), " +
+          "r AS (SELECT src, nbr, sim, CAST(ROW_NUMBER() OVER " +
+          "(PARTITION BY src ORDER BY sim DESC, nbr) AS BIGINT) AS rnk FROM sc) " +
+          "SELECT src, nbr, ROUND(sim, 6) AS sim, rnk FROM r WHERE rnk <= 3 " +
+          "ORDER BY src, rnk"
+      }),
+
     // L8 — IVF ANN: centroids = vectors 0..7, queries = vectors 0..4,
     // search restricted to the query's cell (the 1/nCells scale path).
     "l8_ann_ivf" -> QueryDef(
