@@ -191,23 +191,28 @@ object LlmQueries {
       }),
 
     // L35 — approximate kNN graph: every vector's top-3 cosine
-    // neighbors among its random-hyperplane LSH candidates (same 8×4
-    // blocking as l18) — the all-pairs precursor to SemDedup-style
-    // semantic dedup and graph clustering. Candidates symmetrize so each
-    // edge ranks from both endpoints; the rank window runs per node over
-    // its (bucket-bounded) candidates only.
+    // neighbors among its random-hyperplane LSH candidates — the
+    // all-pairs precursor to SemDedup-style semantic dedup and graph
+    // clustering. Candidates symmetrize so each edge ranks from both
+    // endpoints; the rank window runs per node over its (bucket-bounded)
+    // candidates only. 4 planes × 16 tables, NOT l18's 8×4: a kNN graph
+    // needs moderately-similar neighbors, not just near-duplicates, and
+    // this corpus is isotropic (max cos ≈ 0.47) — sign-LSH's worst case.
+    // Measured on it: 8×4 = 0.07 recall @ 1.8% of pairs; 4×16 = 0.91
+    // recall @ 1/16-ish of pairs (OperatorSpec pins the floor). Clustered
+    // real-world embeddings sit far above this floor at the same cost.
     "l35_knn_graph" -> QueryDef(
       (s, d) => Similarity.knnGraphRhp(Tables.embeddings(s, d),
-          "embedding", "vec_id", 64, 3)
+          "embedding", "vec_id", 64, 3, nPlanes = 4, nTables = 16)
         .select(col("src"), col("nbr"), round(col("sim"), 6).as("sim"), col("rnk"))
         .orderBy("src", "rnk"),
       Some {
-        def bktSql(t: Int): String = (0 until 8).map { j =>
+        def bktSql(t: Int): String = (0 until 4).map { j =>
           val arr = Dedup.rhpSigns(t, j, 64)
             .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
           s"(CASE WHEN ${dotSql("v", s"CAST($arr AS DOUBLE[])")} >= 0 THEN ${1L << j} ELSE 0 END)"
         }.mkString(" + ")
-        val bkts = (0 until 4).map(t =>
+        val bkts = (0 until 16).map(t =>
           s"SELECT vec_id, ${bktSql(t)} AS bkt, $t AS tbl FROM e").mkString(" UNION ALL ")
         s"WITH $embCte, bk AS ($bkts), " +
           "p AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id FROM bk a " +

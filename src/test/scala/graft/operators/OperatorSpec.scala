@@ -240,6 +240,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(r3 > 0.3, s"nprobe=3 recall unexpectedly low: $r3")
   }
 
+  test("Similarity.knnGraphRhp 4x16 edge recall vs exact top-3 neighbors") {
+    // the corpus is isotropic (max cos ~0.47) — sign-LSH's worst case, so
+    // this floor is conservative for clustered real-world embeddings;
+    // l18's near-dup 8x4 blocking measures 0.07 here, hence the wider
+    // 4-plane x 16-table parameters for the GRAPH use case
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val truth = Similarity.bruteForceTopK(e, e, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.knnGraphRhp(e, "embedding", "vec_id", 64, 3,
+        nPlanes = 4, nTables = 16)
+      .select("src", "nbr").as[(Long, Long)].collect().toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    info(f"kNN-graph (4 planes x 16 tables) edge recall@3: $recall%.3f")
+    assert(recall >= 0.85, f"edge recall $recall%.3f below the 0.85 floor")
+  }
+
   test("Dedup.embeddingNearDupsRhp: exact subset of brute-force pairs; recall reported") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val dim = e.select(size(col("embedding"))).as[Int].head()
