@@ -178,6 +178,34 @@ object Similarity {
       .select("src", "nbr", "sim", "rnk")
   }
 
+  /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * removal over embeddings. Edges = [[knnGraphRhp]] neighbor relations
+    * above `threshold` (undirected — either endpoint ranking the other
+    * suffices), groups = connected components over those edges, keep the
+    * min-id representative per group. One row per vector: its cluster
+    * label (itself when it has no above-threshold neighbor) and whether
+    * it survives the dedup. Every stage is an audited operator: the
+    * bucket-bounded graph, the O(diameter) label propagation, and one
+    * hinted map-back join (the component labels come out of a
+    * localCheckpoint, which strips the stats AQE needs — same reason
+    * Dedup.duplicateClusters hints its map-back). */
+  def semanticDedup(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
+                    threshold: Double, k: Int = 3, nPlanes: Int = 4,
+                    nTables: Int = 16): DataFrame = {
+    val edges = knnGraphRhp(embs, vecCol, idCol, dim, k, nPlanes, nTables)
+      .filter(col("sim") > threshold)
+      .select(least(col("src"), col("nbr")).as("a_id"),
+        greatest(col("src"), col("nbr")).as("b_id"))
+      .distinct()
+    val labels = Dedup.connectedComponents(edges)
+      .select(col("id").as(idCol), col("cluster"))
+    embs.select(col(idCol))
+      .join(labels.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+      .withColumn("kept", col(idCol) === col("cluster"))
+  }
+
   /** The `nprobe` nearest cells per row (by cosine, ties to the lowest
     * cell id) — the query-side generalization of [[assignCells]]. Rows
     * are duplicated once per probed cell. */

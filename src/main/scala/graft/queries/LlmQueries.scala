@@ -228,6 +228,45 @@ object LlmQueries {
           "ORDER BY src, rnk"
       }),
 
+    // L36 — SemDedup (Abbas et al. 2023): semantic near-dup removal —
+    // kNN-graph edges above cosine 0.35 (l35's blocking), connected
+    // components (l23's machinery), keep the min-id representative per
+    // component. The oracle reuses l35's CTE chain and l23's recursive
+    // transitive closure.
+    "l36_semantic_dedup" -> QueryDef(
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+          "embedding", "vec_id", 64, 0.35)
+        .orderBy("vec_id"),
+      Some {
+        def bktSql(t: Int): String = (0 until 4).map { j =>
+          val arr = Dedup.rhpSigns(t, j, 64)
+            .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"(CASE WHEN ${dotSql("v", s"CAST($arr AS DOUBLE[])")} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val bkts = (0 until 16).map(t =>
+          s"SELECT vec_id, ${bktSql(t)} AS bkt, $t AS tbl FROM e").mkString(" UNION ALL ")
+        s"WITH RECURSIVE $embCte, bk AS ($bkts), " +
+          "p AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id FROM bk a " +
+          "JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
+          "sym AS (SELECT a_id AS src, b_id AS nbr FROM p " +
+          "UNION ALL SELECT b_id, a_id FROM p), " +
+          "pv AS (SELECT src, nbr, ea.v AS va, eb.v AS vb FROM sym " +
+          "JOIN e ea ON ea.vec_id = src JOIN e eb ON eb.vec_id = nbr), " +
+          s"sc AS (SELECT src, nbr, ${cosSql("va", "vb")} AS sim FROM pv), " +
+          "r AS (SELECT src, nbr, sim, ROW_NUMBER() OVER " +
+          "(PARTITION BY src ORDER BY sim DESC, nbr) AS rnk FROM sc), " +
+          "ed AS (SELECT DISTINCT LEAST(src, nbr) AS ea2, GREATEST(src, nbr) AS eb2 " +
+          "FROM r WHERE rnk <= 3 AND sim > 0.35), " +
+          "edges AS (SELECT ea2 AS src, eb2 AS dst FROM ed UNION ALL SELECT eb2, ea2 FROM ed), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+          "reach(id, lab) AS (SELECT id, id FROM nodes " +
+          "UNION SELECT g.dst, rc.lab FROM reach rc JOIN edges g ON g.src = rc.id), " +
+          "cl AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id) " +
+          "SELECT v.vec_id, COALESCE(cl.cluster, v.vec_id) AS cluster, " +
+          "(v.vec_id = COALESCE(cl.cluster, v.vec_id)) AS kept " +
+          "FROM e v LEFT JOIN cl ON cl.id = v.vec_id ORDER BY v.vec_id"
+      }),
+
     // L8 — IVF ANN: centroids = vectors 0..7, queries = vectors 0..4,
     // search restricted to the query's cell (the 1/nCells scale path).
     "l8_ann_ivf" -> QueryDef(
