@@ -452,4 +452,94 @@ object Dedup {
       .filter(col("sim") > threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
   }
+
+  /** Benchmark contamination via a Bloom-filter prefilter — the scale
+    * form of [[benchmarkContamination]] for when the benchmark shingle
+    * SET no longer fits a broadcast join hash table but its Bloom filter
+    * (a few bits per element) still ships to every task.
+    *
+    * Results are EXACTLY [[benchmarkContamination]]'s: the bloom probe
+    * only prefilters (map-side, codegen'd, before any shuffle of the
+    * corpus), and a shuffle-hash semi-join against the real shingle set
+    * then removes the false positives — but that join's input is the
+    * ~fpp-sized survivor stream, not the corpus.
+    *
+    * Spark-native plumbing: the filter is built DISTRIBUTED with
+    * Catalyst's own `BloomFilterAggregate` over `xxhash64` (mergeable
+    * sketch state, one tiny result row) and probed with its paired
+    * `BloomFilterMightContain` — the exact expression pair Spark's
+    * runtime row-level filtering injects, so the probe participates in
+    * whole-stage codegen. The serialized filter rides the plan as a
+    * binary literal, precisely how `InjectRuntimeFilter` inlines the
+    * subquery result at 100 TB. */
+  def bloomContamination(docs: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, shingleN: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val benchSh = bench
+      .select(explode(wordShingles(col(textCol), shingleN)).as("__s")).distinct()
+    // Two tiny jobs on the bench side only (the corpus is untouched):
+    // size the filter, then build it with mergeable partial aggregation.
+    val nItems = math.max(benchSh.count(), 1L)
+    val nBits = math.max(BloomFilter.optimalNumOfBits(nItems, fpp), 64L)
+    val hash = new XxHash64(Seq(ColumnBridge.expression(col("__s"))))
+    val bfBytes = benchSh
+      .agg(ColumnBridge.column(
+        new BloomFilterAggregate(hash, Literal(nItems), Literal(nBits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val docSh = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__s"))
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      new XxHash64(Seq(ColumnBridge.expression(col("__s"))))))
+    docSh.filter(mightContain)
+      // exact verify on the survivors: shuffle-hash (NOT broadcast — the
+      // premise is the set outgrew the broadcast threshold) semi-join
+      // removes bloom false positives, so output ≡ the exact operator.
+      .join(benchSh.hint("shuffle_hash"), Seq("__s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Passage-level exact deduplication (the paragraph-dedup stage of
+    * Dolma/RefinedWeb-style pipelines, adapted to unstructured text):
+    * split each document into fixed-width non-overlapping word passages,
+    * keep a passage only in the FIRST document (min id) that contains
+    * it, and reassemble each document from its surviving passages in
+    * order. Exact-duplicate documents collapse to the first copy;
+    * near-duplicates keep only their novel passages; cross-document
+    * boilerplate is excised everywhere but its first occurrence.
+    *
+    * Plan shape: explode to passages (narrow) → ONE shuffle on the
+    * passage value for the per-passage `min(doc id)` window (no
+    * groupBy+join-back: that would shuffle the corpus twice, and
+    * passages are mostly unique so partial aggregation buys nothing) →
+    * one shuffle on doc id to reassemble. Nothing is quadratic and no
+    * side is collected or broadcast, so the shape survives any corpus
+    * size. Documents whose every passage first appeared elsewhere
+    * disappear entirely (fully-boilerplate docs). */
+  def passageDedup(docs: DataFrame, textCol: String, idCol: String,
+                   passageWords: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("__t")) - 1, lit(passageWords))).as("__start"),
+        col("__t"))
+      .select(col(idCol),
+        (col("__start") / passageWords).cast("long").as("__idx"),
+        concat_ws(" ", slice(col("__t"), col("__start") + 1, lit(passageWords))).as("__p"))
+    val firstDoc = toks.withColumn("__fd",
+      min(col(idCol)).over(Window.partitionBy(col("__p"))))
+    firstDoc.filter(col(idCol) === col("__fd"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__idx"), col("__p")))),
+          x => x.getField("__p"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -437,6 +437,43 @@ object LlmQueries {
         "SELECT doc_id, COUNT(*) AS n_shared FROM sh JOIN bench USING (s) " +
         "WHERE doc_id % 97 <> 0 GROUP BY doc_id ORDER BY doc_id")),
 
+    // L37 — bloom-filter contamination: same leakage scan when the
+    // benchmark shingle set outgrows a broadcast hash table — Catalyst's
+    // own BloomFilterAggregate/BloomFilterMightContain pair prefilters
+    // the corpus map-side, a shuffle-hash semi-join removes the false
+    // positives, so the result (and the oracle) is EXACTLY the exact
+    // operator's. Different split (mod 89) and width (4-grams) than l19
+    // so the two queries don't alias.
+    "l37_bloom_contamination" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.bloomContamination(
+            docs.filter(col("doc_id") % 89 =!= 0),
+            docs.filter(col("doc_id") % 89 === 0), "text", "doc_id", shingleN = 4)
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${shinglesCteN(4)}, " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0) " +
+        "SELECT doc_id, COUNT(*) AS n_shared FROM sh JOIN bench USING (s) " +
+        "WHERE doc_id % 89 <> 0 GROUP BY doc_id ORDER BY doc_id")),
+
+    // L38 — passage-level exact dedup (Dolma/RefinedWeb paragraph
+    // dedup, adapted): 20-word passages, each kept only in its
+    // min-doc_id first occurrence, documents reassembled from surviving
+    // passages. Exact-dup docs collapse to the first copy; planted
+    // near-dups keep only their novel passages. Two shuffles total
+    // (passage window + per-doc reassembly), nothing broadcast.
+    "l38_passage_dedup" -> QueryDef(
+      (s, d) => Dedup.passageDedup(Tables.documents(s, d), "text", "doc_id", 20)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 1, 20)) AS start, toks FROM t), " +
+        "p AS (SELECT doc_id, CAST(start / 20 AS BIGINT) AS idx, " +
+        "array_to_string(toks[start + 1 : start + 20], ' ') AS passage FROM c), " +
+        "f AS (SELECT doc_id, idx, passage, MIN(doc_id) OVER (PARTITION BY passage) AS fd FROM p) " +
+        "SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS text_clean, " +
+        "COUNT(*) AS n_kept FROM f WHERE doc_id = fd GROUP BY doc_id ORDER BY doc_id")),
+
     // L20 — domain mixing / reweighting: deterministic per-stratum
     // Bernoulli rates (downsample the dominant 'en', quarter 'zh', keep
     // the rest) — a pure per-row hash filter, zero shuffles.

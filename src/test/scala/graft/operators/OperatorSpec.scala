@@ -339,6 +339,42 @@ class OperatorSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq == top) // deterministic
   }
 
+  test("Dedup.bloomContamination equals the exact broadcast operator") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val exact = Dedup.benchmarkContamination(corpus, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomContamination(corpus, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "contamination fixture found no overlap — fixture broken")
+    assert(bloom == exact) // FPs removed by the exact-verify semi-join
+  }
+
+  test("Dedup.passageDedup keeps first occurrence, excises cross-doc boilerplate") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // passages (w=3): "a b c", "d e f"
+      (2L, "a b c d e f"),      // exact dup of 1 → fully removed
+      (3L, "a b c x y z"),      // shares "a b c" with doc 1 → keeps only "x y z"
+      (4L, "p q r")             // unique → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "text", "doc_id", 3)
+      .select("doc_id", "text_clean", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "a b c d e f", 2L),
+      (3L, "x y z", 1L),
+      (4L, "p q r", 1L)))
+  }
+
+  test("Dedup.passageDedup reassembles passages in document order") {
+    // 7 words, w=2 → passages "w0 w1","w2 w3","w4 w5","w6"; none shared
+    val docs = Seq((1L, "w0 w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "text", "doc_id", 2)
+      .select("text_clean", "n_kept").as[(String, Long)].head()
+    assert(out == (("w0 w1 w2 w3 w4 w5 w6", 4L)))
+  }
+
   test("Similarity.int8TopK matches bruteForceTopK exactly when rerank covers the corpus") {
     val embs = graft.sources.Tables.embeddings(spark, sf).limit(200)
     val q = embs.filter(col("vec_id") === 0)
