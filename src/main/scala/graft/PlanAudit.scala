@@ -22,10 +22,11 @@ object PlanAudit {
   private val allowPartitionlessWindow = Set("t7_global_state")
   // l26 broadcasts the 1-row quantization scale and the query vectors
   // against the corpus — the same deliberate key-less shape as l3.
-  // l33/l34 cross-join broadcast 1-row model scalars, as l25's N.
+  // l33/l34/l39 cross-join broadcast 1-row model scalars, as l25's N.
   private val allowNestedLoop =
     Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
-      "l25_tfidf", "l26_ann_int8", "l33_unigram_logprob", "l34_moore_lewis")
+      "l25_tfidf", "l26_ann_int8", "l33_unigram_logprob", "l34_moore_lewis",
+      "l39_ppl_buckets")
   // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
   // directly over co-located sorted buckets with NO exchange on either
   // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,

@@ -506,6 +506,41 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** SimHash near-duplicate pairs: documents whose 32-bit [[simhash]]
+    * signatures differ in at most `maxHamming` bits. Banding by the four
+    * signature bytes gives the standard pigeonhole guarantee: two
+    * signatures within Hamming distance 3 agree on at least one of the
+    * 4 bytes, so the candidate equi-join on (band, byte) is COMPLETE for
+    * `maxHamming` ≤ 3; the `bit_count(xor)` verify then runs only on
+    * bucket collisions, never all pairs.
+    *
+    * Plan shape: signature agg (one shuffle) → 4-way posexplode (narrow)
+    * → equi-join on the band key (hash shuffle join, co-partitioned) →
+    * distinct → per-pair bit arithmetic. The 32-bit/8-bit-band geometry
+    * is what the md5-`conv` oracle portability allows; at 100 TB widen
+    * to a 64-bit signature with 16-bit bands (65k buckets per band) —
+    * the plan is identical, only the literals change. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-byte banding is only complete for maxHamming <= 3")
+    val sig = simhash(docs, textCol, idCol)
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)))
+      .toDF(idCol, "__sig", "__band", "__bv")
+    val a = banded.select(col(idCol).as("a_id"), col("__sig").as("__sa"),
+      col("__band"), col("__bv"))
+    val b = banded.select(col(idCol).as("b_id"), col("__sig").as("__sb"),
+      col("__band"), col("__bv"))
+    a.join(b, Seq("__band", "__bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "__sa", "__sb").distinct()
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Passage-level exact deduplication (the paragraph-dedup stage of
     * Dolma/RefinedWeb-style pipelines, adapted to unstructured text):
     * split each document into fixed-width non-overlapping word passages,

@@ -42,6 +42,22 @@ object LlmQueries {
 
   private def shinglesCte(src: String = "documents") = shinglesCteN(3, src)
 
+  /** 32-bit SimHash signatures per doc (≡ Dedup.simhash and l6's
+    * oracle): md5 token hashes vote per hex digit's high bit; produces
+    * CTE `sg(doc_id, sig)`. */
+  private def simhashSqlCte(src: String = "documents") = {
+    val votes = (0 until 32).map(b =>
+      s"SUM(CASE WHEN instr('89abcdef', substr(h, ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val bits = (0 until 32).map(b =>
+      s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM $src), " +
+      "hs AS (SELECT doc_id, md5(t) AS h FROM tok), " +
+      s"v AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id), " +
+      s"sg AS (SELECT doc_id, $bits AS sig FROM v)"
+  }
+
   /** MinHash signatures (k=8) + 4 LSH bands + candidate pairs
     * (≡ Dedup.minhashCandidatePairs defaults). */
   private def minhashPairsCte(src: String = "documents") = {
@@ -473,6 +489,68 @@ object LlmQueries {
         "f AS (SELECT doc_id, idx, passage, MIN(doc_id) OVER (PARTITION BY passage) AS fd FROM p) " +
         "SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS text_clean, " +
         "COUNT(*) AS n_kept FROM f WHERE doc_id = fd GROUP BY doc_id ORDER BY doc_id")),
+
+    // L39 — CCNet-style perplexity bucketing (Wenzek et al.): l33's
+    // unigram score, then per-lang head/middle/tail tertiles. The
+    // cutoffs come from an exact per-lang percentile AGGREGATE (broadcast
+    // back, per-row CASE) — not an NTILE over a per-lang global sort,
+    // which is the shape that dies at 100 TB; swap `percentile` for
+    // `approx_percentile` there and nothing else changes. Cutoffs are
+    // rounded to 9dp on both engines so interpolation ulps can't flip a
+    // boundary document's bucket.
+    "l39_ppl_buckets" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(wsTokens(col("text"))).as("t"))
+        val tf = tok.groupBy("t").agg(count(lit(1)).as("__n"))
+        val tot = tf.agg(sum(col("__n")).as("__total"))
+        val sc = tok.join(tf.hint("shuffle_hash"), Seq("t"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("lang"),
+            round(-log(col("__n").cast("double") / col("__total")), 9)
+              .cast("decimal(20,9)").as("__lp"))
+          .groupBy("doc_id", "lang")
+          .agg(round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+        val cuts = sc.groupBy("lang").agg(
+          round(expr("percentile(avg_neg_logprob, 0.3333333333333333)"), 9).as("__q1"),
+          round(expr("percentile(avg_neg_logprob, 0.6666666666666666)"), 9).as("__q2"))
+        sc.join(broadcast(cuts), Seq("lang"))
+          .withColumn("bucket",
+            when(col("avg_neg_logprob") <= col("__q1"), lit("head"))
+              .when(col("avg_neg_logprob") <= col("__q2"), lit("middle"))
+              .otherwise(lit("tail")))
+          .select("doc_id", "lang", "avg_neg_logprob", "bucket")
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "tf AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t), " +
+        "tot AS (SELECT SUM(n) AS total FROM tf), " +
+        "scr AS (SELECT doc_id, lang, CAST(ROUND(-LN(CAST(n AS DOUBLE) / total), 9) AS DECIMAL(20,9)) AS lp " +
+        "FROM tok JOIN tf USING (t), tot), " +
+        "sc AS (SELECT doc_id, lang, ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
+        "FROM scr GROUP BY doc_id, lang), " +
+        "cut AS (SELECT lang, ROUND(quantile_cont(avg_neg_logprob, 0.3333333333333333), 9) AS q1, " +
+        "ROUND(quantile_cont(avg_neg_logprob, 0.6666666666666666), 9) AS q2 FROM sc GROUP BY lang) " +
+        "SELECT doc_id, lang, avg_neg_logprob, " +
+        "CASE WHEN avg_neg_logprob <= q1 THEN 'head' WHEN avg_neg_logprob <= q2 THEN 'middle' " +
+        "ELSE 'tail' END AS bucket FROM sc JOIN cut USING (lang) ORDER BY doc_id")),
+
+    // L40 — SimHash near-dup pairs: Hamming ≤ 3 over l6's 32-bit
+    // signatures, byte-banded (pigeonhole-complete for ≤ 3), xor
+    // bit-count verify only on bucket collisions.
+    "l40_simhash_neardup" -> QueryDef(
+      (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), "text", "doc_id", 3)
+        .orderBy("a_id", "b_id"),
+      Some {
+        s"WITH ${simhashSqlCte()}, " +
+          "bd AS (SELECT doc_id, sig, bi, (sig >> (8 * bi)) & 255 AS bv " +
+          "FROM sg CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS bi) bands), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb " +
+          "FROM bd a JOIN bd b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+          "SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+          "FROM pr WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a_id, b_id"
+      }),
 
     // L20 — domain mixing / reweighting: deterministic per-stratum
     // Bernoulli rates (downsample the dominant 'en', quarter 'zh', keep

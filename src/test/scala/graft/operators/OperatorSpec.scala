@@ -351,6 +351,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(bloom == exact) // FPs removed by the exact-verify semi-join
   }
 
+  test("Dedup.simhashNearDups equals brute-force Hamming<=3 pairs (banding complete)") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(200)
+    val sig = Dedup.simhash(docs, "text", "doc_id")
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDups(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture has no Hamming<=3 pairs — exact dups should produce hamming 0")
+    assert(banded == brute)
+  }
+
   test("Dedup.passageDedup keeps first occurrence, excises cross-doc boilerplate") {
     val docs = Seq(
       (1L, "a b c d e f"),      // passages (w=3): "a b c", "d e f"
