@@ -352,6 +352,31 @@ object RelationalQueries {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_custkey ORDER BY custkey")),
 
+    // R19 — salted skew join: lineitem⋈part through SkewJoin's manual
+    // 8-way salt (hot keys widen into 8 shuffle partitions, the small
+    // side replicates 8×). Salting never changes row multiplicity, so
+    // the oracle is the PLAIN join — that equivalence is the point of
+    // declaring it. DECIMAL sums keep the aggregate shuffle-order-exact.
+    "r19_salted_join" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("partkey"),
+            col("l_quantity").cast("decimal(18,2)").as("__qty"))
+        val pt = Tables.part(s, d)
+          .select(col("p_partkey").as("partkey"), col("p_brand"))
+        graft.operators.SkewJoin.saltedInnerJoin(li, pt, "partkey", 8)
+          .groupBy(col("p_brand"))
+          .agg(sum(col("__qty")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .select(col("p_brand").as("brand"), col("sum_qty"), col("n_items"))
+          .orderBy("brand")
+      },
+      Some("SELECT p_brand AS brand, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY brand")),
+
     "r17_spend_quartiles" -> QueryDef(
       (s, d) => {
         val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
