@@ -164,15 +164,21 @@ object Similarity {
   def knnGraphRhp(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
                   k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
     val pairs = Dedup.rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables)
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("nbr"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("nbr")))
-    val a = embs.select(col(idCol).as("src"), col(vecCol).as("__va"),
+    // Score each UNDIRECTED pair once, symmetrize the scored edges after:
+    // half the vector joins and dot products of the symmetrize-first
+    // form, bit-identical sim (element products commute, fold order is
+    // the same), so each edge still ranks from both endpoints.
+    val a = embs.select(col(idCol).as("a_id"), col(vecCol).as("__va"),
       l2Norm(col(vecCol)).as("__na"))
-    val b = embs.select(col(idCol).as("nbr"), col(vecCol).as("__vb"),
+    val b = embs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"),
       l2Norm(col(vecCol)).as("__nb"))
-    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
-    sym.join(a, Seq("src")).join(b, Seq("nbr"))
+    val scored = pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
       .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .select(col("a_id"), col("b_id"), col("sim"))
+    val sym = scored.select(col("a_id").as("src"), col("b_id").as("nbr"), col("sim"))
+      .unionByName(scored.select(col("b_id").as("src"), col("a_id").as("nbr"), col("sim")))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+    sym
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("src", "nbr", "sim", "rnk")
