@@ -190,4 +190,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(2000))
     assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p.take(2000))
   }
+
+  test("l37: bloom probe filters the corpus; exact verify stays a hash semi-join") {
+    // the premise of the bloom path is that the bench set outgrew
+    // broadcast: the codegen'd might_contain must prefilter the corpus
+    // scan side, and the false-positive-removing semi-join must be the
+    // hinted ShuffledHashJoin, never a sort-merge (and if AQE broadcasts
+    // a tiny test-scale side, that's still hash, still fine)
+    val p = planOf("l37_bloom_contamination")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("r19: salted join replicates the small side, no sort-merge, no cartesian") {
+    val p = planOf("r19_salted_join")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the salt explode must sit on the small (replicated) side
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
+  test("l40: simhash banding joins on the band key, verify is post-join arithmetic") {
+    val p = planOf("l40_simhash_neardup")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // candidate generation must be an equi-join keyed by (band, byte)
+    assert(p.contains("__band"), p.take(3000))
+  }
 }
