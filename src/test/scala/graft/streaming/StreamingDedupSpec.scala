@@ -40,4 +40,27 @@ class StreamingDedupSpec extends AnyFunSuite {
     val df = Seq("a", "a", "b").toDF("text")
     assert(Dedup.exactKeptStream(df, "text").count() == 2)
   }
+
+  test("bloomContamination probes a STREAMING corpus against a static benchmark") {
+    // the bloom build and exact shingle set live on the static bench
+    // side; the corpus side is a stream — probe filter + stream-static
+    // LeftSemi join + running per-doc counts in complete mode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val bench = Seq((1000L, "quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = Dedup.bloomContamination(docs, bench, "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("s_bloom")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, "the quick brown fox jumps high today"),
+        (2L, "nothing shared at all here"))
+      q.processAllAvailable()
+      input.addData((3L, "quick brown fox jumps"))
+      q.processAllAvailable()
+      val rows = spark.table("s_bloom").as[(Long, Long)].collect().toMap
+      // doc 1 shares 3 of the bench's 3-grams, doc 3 shares 2, doc 2 none
+      assert(rows == Map(1L -> 3L, 3L -> 2L))
+    } finally q.stop()
+  }
 }
