@@ -512,6 +512,9 @@ object LlmQueries {
               .cast("decimal(20,9)").as("__lp"))
           .groupBy("doc_id", "lang")
           .agg(round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+          // one row per doc — materialize so the cutoff aggregate and the
+          // bucket join don't each recompute the token-join subtree
+          .localCheckpoint()
         val cuts = sc.groupBy("lang").agg(
           round(expr("percentile(avg_neg_logprob, 0.3333333333333333)"), 9).as("__q1"),
           round(expr("percentile(avg_neg_logprob, 0.6666666666666666)"), 9).as("__q2"))
