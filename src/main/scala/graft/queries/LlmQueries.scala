@@ -555,6 +555,41 @@ object LlmQueries {
           "FROM pr WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a_id, b_id"
       }),
 
+    // L41 — training-mix materialization: per-source EPOCH upsampling
+    // (high-value sources repeat 3×/2×, the Dolma/Pile recipe) plus a
+    // deterministic pseudo-shuffle: each (epoch, doc) gets an md5 order
+    // key, a shard from the key's first hex digit, and a POSITION WITHIN
+    // ITS SHARD — shard-local row_number windows, never a global sort;
+    // readers stream shards in id order and get a reproducible training
+    // order at any corpus size.
+    "l41_mix_epochs" -> QueryDef(
+      (s, d) => {
+        val e = Tables.documents(s, d)
+          .select(col("doc_id"),
+            greatest(lit(1),
+              lit(3) - floor(substring(col("source"), 4, 10).cast("int") / lit(5)).cast("int"))
+              .as("__ep"))
+          .select(col("doc_id"), explode(sequence(lit(1), col("__ep"))).as("__e"))
+          .select(col("doc_id"), col("__e").cast("long").as("epoch"))
+          .withColumn("__key", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+          .withColumn("shard",
+            (expr("instr('0123456789abcdef', substring(__key, 1, 1))") - 1).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__key"), col("doc_id"), col("epoch"))
+        e.withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "epoch", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some("WITH e AS (SELECT doc_id, GREATEST(1, 3 - CAST(FLOOR(CAST(substr(source, 4) AS INT) / 5) AS INT)) AS ep " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, UNNEST(generate_series(1, ep)) AS e FROM e), " +
+        "k AS (SELECT doc_id, CAST(e AS BIGINT) AS epoch, " +
+        "md5(CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS key FROM x), " +
+        "sh2 AS (SELECT doc_id, epoch, CAST(instr('0123456789abcdef', substr(key, 1, 1)) - 1 AS BIGINT) AS shard, key FROM k) " +
+        "SELECT doc_id, epoch, shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id, epoch) AS BIGINT) AS pos " +
+        "FROM sh2 ORDER BY shard, pos")),
+
     // L20 — domain mixing / reweighting: deterministic per-stratum
     // Bernoulli rates (downsample the dominant 'en', quarter 'zh', keep
     // the rest) — a pure per-row hash filter, zero shuffles.
