@@ -383,6 +383,34 @@ class OperatorSpec extends AnyFunSuite {
       (4L, "p q r", 1L)))
   }
 
+  test("Dedup.passageDedup matches a driver-side reference on random collision-heavy docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c") // tiny vocab forces cross-doc passage collisions
+    for (round <- 1 to 3) {
+      val w = 2
+      val docs = (1L to 40L).map { id =>
+        val len = 1 + rnd.nextInt(8)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: first (min doc id) occurrence of each passage survives,
+      // docs reassemble from surviving passages in order
+      val passages = docs.flatMap { case (id, text) =>
+        text.split(" ").grouped(w).zipWithIndex.map { case (p, i) => (id, i, p.mkString(" ")) }
+      }
+      val firstDoc = passages.groupBy(_._3).map { case (p, rows) => p -> rows.map(_._1).min }
+      val expected = passages
+        .filter { case (id, _, p) => firstDoc(p) == id }
+        .groupBy(_._1)
+        .map { case (id, rows) =>
+          (id, rows.sortBy(_._2).map(_._3).mkString(" "), rows.size.toLong)
+        }.toSet
+      val got = Dedup.passageDedup(docs.toDF("doc_id", "text"), "text", "doc_id", w)
+        .select("doc_id", "text_clean", "n_kept")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("Dedup.passageDedup reassembles passages in document order") {
     // 7 words, w=2 → passages "w0 w1","w2 w3","w4 w5","w6"; none shared
     val docs = Seq((1L, "w0 w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
