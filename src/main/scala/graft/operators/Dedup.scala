@@ -521,13 +521,26 @@ object Dedup {
     * to a 64-bit signature with 16-bit bands (65k buckets per band) —
     * the plan is identical, only the literals change. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-byte banding is only complete for maxHamming <= 3")
     val sig = simhash(docs, textCol, idCol)
-    val banded = sig.select(col(idCol), col("simhash"),
+    val exploded = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)))
       .toDF(idCol, "__sig", "__band", "__bv")
+    // same degenerate-bucket guard as minhashCandidatePairs: a (band,
+    // byte) bucket holding a giant near-identical cluster is quadratic
+    // by definition; a finite cap trades those buckets' recall for a
+    // bounded pair space (completeness then holds for pairs whose
+    // agreeing byte sits in an uncapped bucket)
+    val banded =
+      if (maxBucketSize == Int.MaxValue) exploded
+      else {
+        val w = Window.partitionBy("__band", "__bv")
+        exploded.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      }
     val a = banded.select(col(idCol).as("a_id"), col("__sig").as("__sa"),
       col("__band"), col("__bv"))
     val b = banded.select(col(idCol).as("b_id"), col("__sig").as("__sb"),

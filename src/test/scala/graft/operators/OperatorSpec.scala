@@ -367,6 +367,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("Dedup.simhashNearDups maxBucketSize drops degenerate buckets only") {
+    // 10 exact copies → identical signatures → every band bucket holds
+    // all 10; one distinct doc far away in Hamming space
+    val docs = ((1L to 10L).map(i => (i, "same text for every single copy here")) :+
+      ((99L, "completely different words nothing shared at all anywhere"))).toDF("doc_id", "text")
+    val unbounded = Dedup.simhashNearDups(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(unbounded.size == 45) // 10 choose 2, all hamming 0
+    val capped = Dedup.simhashNearDups(docs, "text", "doc_id", 3, maxBucketSize = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.isEmpty) // the only colliding buckets were degenerate
+  }
+
   test("Dedup.passageDedup keeps first occurrence, excises cross-doc boilerplate") {
     val docs = Seq(
       (1L, "a b c d e f"),      // passages (w=3): "a b c", "d e f"
