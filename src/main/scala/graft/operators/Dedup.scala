@@ -570,7 +570,11 @@ object Dedup {
     * one shuffle on doc id to reassemble. Nothing is quadratic and no
     * side is collected or broadcast, so the shape survives any corpus
     * size. Documents whose every passage first appeared elsewhere
-    * disappear entirely (fully-boilerplate docs). */
+    * disappear entirely (fully-boilerplate docs). Scope note: the unit
+    * of dedup is CROSS-document first occurrence — a passage repeated
+    * twice inside its first document keeps both copies (both rows carry
+    * the minimum doc id); intra-document repetition is l22's
+    * repetition-filter signal, not this operator's. */
   def passageDedup(docs: DataFrame, textCol: String, idCol: String,
                    passageWords: Int = 20): DataFrame = {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("__t"))
