@@ -31,6 +31,55 @@ object Windows {
       .drop("window")
 
   /**
+   * Scalable per-group running SUM — the t18 two-pass prefix-offset
+   * pattern (TamarQueries.scala t18_global_state_scalable) generalized.
+   *
+   * A plain `sum(v).over(Window.partitionBy(group).orderBy(order))`
+   * caps parallelism at the number of groups: with O(10) sources each
+   * task sequentially scans its source's whole corpus (~5 TB/task at
+   * 100 TB). Here the heavy data instead shuffles on (group, bucket):
+   *
+   *   1. per-(group, bucket) value sums — one partial-aggregated shuffle
+   *      over a TINY relation (one row per bucket);
+   *   2. prefix offsets per group via a triangular join over that tiny
+   *      relation (broadcast NLJ — never touches the heavy side);
+   *   3. running sum WITHIN each (group, bucket) plus the bucket's
+   *      offset — parallelism = #groups × #buckets.
+   *
+   * Output is bit-identical to the single-window form PROVIDED
+   * `bucketExpr` is monotone non-decreasing in the intra-group
+   * `orderCols` ordering (then (group, bucket, order) order ==
+   * (group, order) order). Rows with equal full ordering keys must land
+   * in the same bucket — guaranteed when the bucket is a function of a
+   * prefix of the ordering key (floor(id/W), a leading substring, …).
+   *
+   * With `valueCol = lit(1L)` this is a scalable per-group
+   * ROW_NUMBER/rank (ties impossible only if orderCols are unique —
+   * same caveat as row_number itself).
+   *
+   * Returns `df` plus `out` = inclusive running sum; subtract the row's
+   * own value at the call site for the exclusive form.
+   */
+  def runningSumScalable(df: DataFrame, groupCols: Seq[String],
+                         bucketExpr: Column, orderCols: Seq[Column],
+                         valueCol: Column, out: String): DataFrame = {
+    val d = df.withColumn("__bkt", bucketExpr).withColumn("__v", valueCol)
+    val gb = groupCols.map(col) :+ col("__bkt")
+    val sums = d.groupBy(gb: _*).agg(sum(col("__v")).as("__c"))
+    val tri = groupCols.map(g => col(s"a.$g") === col(s"b.$g"))
+      .foldLeft(col("b.__bkt") < col("a.__bkt"))(_ && _)
+    val offsets = sums.as("a")
+      .join(sums.as("b"), tri, "left")
+      .groupBy(groupCols.map(g => col(s"a.$g").as(g)) :+ col("a.__bkt").as("__bkt"): _*)
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gb: _*).orderBy(orderCols: _*)
+    d.join(broadcast(offsets), groupCols :+ "__bkt")
+      .withColumn(out, col("__off") + sum(col("__v")).over(w))
+      .select(df.columns.map(col) :+ col(out): _*) // input schema + out, bit-compatible with the window form
+  }
+
+  /**
    * Two-phase sliding COUNT/SUM: first aggregate per slide-grain tumbling
    * bucket (shuffle carries ONE row per event, already combined
    * map-side), then expand each bucket into the size/slide windows that

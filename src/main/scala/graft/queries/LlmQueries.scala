@@ -559,9 +559,13 @@ object LlmQueries {
     // (high-value sources repeat 3×/2×, the Dolma/Pile recipe) plus a
     // deterministic pseudo-shuffle: each (epoch, doc) gets an md5 order
     // key, a shard from the key's first hex digit, and a POSITION WITHIN
-    // ITS SHARD — shard-local row_number windows, never a global sort;
-    // readers stream shards in id order and get a reproducible training
-    // order at any corpus size.
+    // ITS SHARD. The position is a rank in (__key, doc_id, epoch) order;
+    // a plain per-shard row_number window caps parallelism at the 16
+    // shards (~6 TB/task at 100 TB), so it runs as the t18 two-pass
+    // form: sub-bucket on the key's NEXT two hex digits (a prefix of the
+    // ordering key → monotone within the shard), count per sub-bucket,
+    // broadcast prefix offsets, rank within (shard, sub-bucket) — 16×256
+    // tasks, bit-identical positions.
     "l41_mix_epochs" -> QueryDef(
       (s, d) => {
         val e = Tables.documents(s, d)
@@ -574,9 +578,9 @@ object LlmQueries {
           .withColumn("__key", md5(concat_ws(":", col("epoch"), col("doc_id"))))
           .withColumn("shard",
             (expr("instr('0123456789abcdef', substring(__key, 1, 1))") - 1).cast("long"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
-          .orderBy(col("__key"), col("doc_id"), col("epoch"))
-        e.withColumn("pos", row_number().over(w).cast("long"))
+        graft.operators.Windows.runningSumScalable(
+            e, Seq("shard"), substring(col("__key"), 2, 2),
+            Seq(col("__key"), col("doc_id"), col("epoch")), lit(1L), "pos")
           .select("doc_id", "epoch", "shard", "pos")
           .orderBy("shard", "pos")
       },
@@ -782,21 +786,20 @@ object LlmQueries {
     // ~2000-token shards per source, the deterministic distributed form
     // of greedy sequence packing (documents never split; shard index =
     // the budget bucket the document's cumulative token offset falls
-    // in). One shuffle: the running sum windows by source — never a
-    // global order — so the plan is a partitioned window over the same
-    // exchange at any corpus size.
+    // in). The running sum is the t18 two-pass prefix-offset form
+    // (ShardWriter.assignShards → Windows.runningSumScalable): doc_id
+    // range buckets + broadcast per-bucket offsets, so parallelism is
+    // #sources × #buckets — a per-source window would cap it at the
+    // source count (~5 TB/task at 100 TB). The 64-id test width keeps
+    // multiple buckets live at sf0.01; at corpus scale the width is a
+    // recipe parameter (default 2^20).
     "l30_pack_shards" -> QueryDef(
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            wsTokenCount(col("text")).as("n_tokens"))
-          .withColumn("shard",
-            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2000.0)).cast("long"))
-          .select("doc_id", "source", "n_tokens", "shard")
-          .orderBy("source", "doc_id")
-      },
+      (s, d) => graft.sources.ShardWriter.assignShards(
+          Tables.documents(s, d).select("doc_id", "source", "text"),
+          "text", "doc_id", "source", 2000L, idBucketWidth = 64L)
+        .withColumn("n_tokens", wsTokenCount(col("text")))
+        .select("doc_id", "source", "n_tokens", "shard")
+        .orderBy("source", "doc_id"),
       Some("WITH t AS (SELECT doc_id, source, " +
         "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents) " +
         "SELECT doc_id, source, n_tokens, " +

@@ -12,8 +12,9 @@ import graft.functions.TextFunctions._
  * assignment order inside each file.
  *
  * Scale posture:
- *  - shard assignment is the l30 running-sum window — partitioned by
- *    `source`, never a global sort, one shuffle;
+ *  - shard assignment is the l30 running-sum in its two-pass
+ *    prefix-offset form (Windows.runningSumScalable): parallelism is
+ *    #sources × #id-range buckets, never capped at the source count;
  *  - `repartition(source, shard)` puts each shard's rows in exactly one
  *    task, so `partitionBy` emits one file per shard directory instead
  *    of (tasks × shards) fragments — at 100 TB the file count is the
@@ -29,17 +30,28 @@ import graft.functions.TextFunctions._
 object ShardWriter {
 
   /** Assign shard ids (the l30 rule: shard = bucket of the cumulative
-    * token offset BEFORE this document, so documents never split). */
+    * token offset BEFORE this document, so documents never split).
+    *
+    * The cumulative sum runs in the t18 two-pass prefix-offset form:
+    * `idCol` (numeric) is range-bucketed by `idBucketWidth`, per-bucket
+    * token totals become broadcast prefix offsets, and the window only
+    * ever sorts one (source, bucket) range — a per-source window would
+    * cap parallelism at the source count (~5 TB/task at 100 TB with
+    * O(10) sources). `idBucketWidth` is a recipe parameter: pick it so a
+    * bucket's documents fit one task comfortably (default 2^20 ids ≈
+    * one bucket per million-id range). Output is bit-identical to the
+    * single-window form at any width. */
   def assignShards(docs: DataFrame, textCol: String, idCol: String,
-                   sourceCol: String, tokenBudget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(col(idCol))
-    docs
-      .withColumn("__n_tokens", wsTokenCount(col(textCol)))
+                   sourceCol: String, tokenBudget: Long,
+                   idBucketWidth: Long = 1L << 20): DataFrame = {
+    val withN = docs.withColumn("__n_tokens", wsTokenCount(col(textCol)))
+    graft.operators.Windows.runningSumScalable(
+        withN, Seq(sourceCol),
+        floor(col(idCol) / lit(idBucketWidth)).cast("long"),
+        Seq(col(idCol)), col("__n_tokens"), "__cum")
       .withColumn("shard",
-        floor((sum(col("__n_tokens")).over(w) - col("__n_tokens")) /
-          lit(tokenBudget.toDouble)).cast("long"))
-      .drop("__n_tokens")
+        floor((col("__cum") - col("__n_tokens")) / lit(tokenBudget.toDouble)).cast("long"))
+      .select(docs.columns.map(col) :+ col("shard"): _*)
   }
 
   /** Write `docs` under `outDir` as hive-partitioned

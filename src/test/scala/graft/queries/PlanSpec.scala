@@ -92,6 +92,19 @@ class PlanSpec extends AnyFunSuite {
     assert(specs.nonEmpty && specs.forall(_.contains("__bkt")), specs.mkString("\n"))
   }
 
+  test("l30/l41: shard packing and mix positions have no small-constant-partition window") {
+    // round-6 verdict: both queries windowed by source (≤20 partitions) /
+    // shard (16 partitions) — ~5 TB per task at 100 TB. The t18 rewrite
+    // must leave every window partitioned by the range bucket.
+    for (name <- Seq("l30_pack_shards", "l41_mix_epochs")) {
+      val p = planOf(name)
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty && specs.forall(_.contains("__bkt")),
+        name + ":\n" + specs.mkString("\n"))
+    }
+  }
+
   test("t1/t3: narrow pipelines stay inside whole-stage codegen") {
     // codegen'd stages print as `*(n)` in the final plan
     assert(planOf("t3_map").contains("*(1) Project"))
