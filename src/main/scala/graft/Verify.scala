@@ -20,6 +20,19 @@ object Verify {
     // driver's contract.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      // LOUD: a filtered dump overwrites oracle_sql.json with the subset —
+      // mixing filtered and full runs in one outDir makes a later
+      // check_oracle validate a stale/partial catalog without noticing
+      System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY is set — " +
+        s"dumping ONLY ${names.toSeq.sorted.mkString(",")} and OVERWRITING " +
+        s"$outDir/oracle_sql.json with that subset; do not mix filtered and " +
+        "full runs in one outDir")
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY names match " +
+          s"no declared query (typo?): ${unknown.toSeq.sorted.mkString(",")}")
+    }
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter { case (n, _) => selected(n) }.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -45,6 +58,13 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // r18 materializes bucketed managed tables as a side effect; drop
+    // them (table + warehouse files) so a correctness pass leaves no
+    // graft_*_b… litter behind
+    try graft.queries.RelationalQueries.dropBucketedTables(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] bucketed-table cleanup failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,25 @@ object GStream {
     * provider; semantics are identical either way (TwsFacadeSpec). */
   private[api] def useTws(ds: Dataset[_]): Boolean =
     ds.sparkSession.conf.get("spark.graft.stateful.tws", "false").toBoolean
+
+  /** Fail-fast guard for the `processStateGlobal` compositions: they
+    * chain two stateful streaming operators, which Spark's correctness
+    * check rejects wholesale at `start()` with a generic message. Throw
+    * at COMPOSITION time instead, with the graft-specific explanation —
+    * and spell out the blast radius of the required relaxation (the
+    * setting is session-wide: it also silences the check for every other
+    * streaming query on the session, including genuinely unsafe chains). */
+  private[api] def requireCheckCorrectnessDisabled(ds: Dataset[_]): Unit = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    if (ds.isStreaming && ds.sparkSession.conf.get(key, "true") != "false")
+      throw new IllegalStateException(
+        s"streaming processStateGlobal chains two stateful operators, which Spark's " +
+        s"correctness check rejects wholesale; set $key=false BEFORE composing to run it. " +
+        "CAUTION: the setting is session-wide — it also disables the check for every " +
+        "other streaming query on this session, so scope it to the session running " +
+        "this composition. Safe for processStateGlobal itself because the global " +
+        "stage never event-time-filters its input (see Scaladoc).")
+  }
 }
 
 /**
@@ -240,16 +259,24 @@ final class KeyedGStream[K, T](
    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
    * Spark's conservative check flags ANY stateful-after-stateful chain,
    * but the global stage here never event-time-filters its input, so no
-   * row can be lost as "late".
+   * row can be lost as "late". The relaxation is SESSION-WIDE — it also
+   * silences the check for every other streaming query on the session,
+   * including ones where a stateful-after-stateful chain genuinely drops
+   * late rows — so this method fails fast (below) instead of letting
+   * Spark's analyzer surface the generic error at start(), and callers
+   * should scope the setting to the narrowest session/lifetime that runs
+   * this composition.
    */
   def processStateGlobal[S, M, GS, U](init: K => S, globalInit: GS)(
       keyFold: (K, Event[T], S) => (S, Seq[Event[M]]))(
       globalFold: (Event[M], GS) => (GS, Seq[Event[U]]))(
       implicit es: Encoder[S], em: Encoder[Event[M]], egs: Encoder[GS],
-      eu: Encoder[Event[U]], ei: Encoder[Int]): GStream[U] =
+      eu: Encoder[Event[U]], ei: Encoder[Int]): GStream[U] = {
+    GStream.requireCheckCorrectnessDisabled(ds)
     processState(init)(keyFold)
       .keyBy((_: Event[M]) => 0)
       .processStatePerBatch((_: Int) => globalInit)((_, e, g) => globalFold(e, g))
+  }
 
   /** Attach a session window (reference `window` +
     * `EventTimeSessionWindowFactory` — the one window type it has,

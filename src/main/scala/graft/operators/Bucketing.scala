@@ -34,4 +34,16 @@ object Bucketing {
 
   /** Read a bucketed table back. */
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Drop a managed table AND its warehouse files — the catalog-level
+    * DROP alone leaves the directory behind with the in-memory catalog
+    * (see writeBucketed), which both litters `spark-warehouse` and trips
+    * the next session's CTAS. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graft.CatalogBridge.defaultTablePath(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 }

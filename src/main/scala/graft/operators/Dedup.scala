@@ -577,6 +577,11 @@ object Dedup {
     * repetition-filter signal, not this operator's. */
   def passageDedup(docs: DataFrame, textCol: String, idCol: String,
                    passageWords: Int = 20): DataFrame = {
+    // NULL-text docs vanish from the output entirely: split(NULL) is
+    // NULL and the explode drops the row — the same thing the oracle's
+    // UNNEST does, but indistinguishable from a fully-boilerplate doc
+    // (n_kept would be 0). coalesce(text, '') upstream if NULL docs must
+    // survive as empty rows.
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("__t"))
       .select(col(idCol),
         explode(sequence(lit(0), size(col("__t")) - 1, lit(passageWords))).as("__start"),

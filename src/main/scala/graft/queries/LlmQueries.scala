@@ -513,7 +513,12 @@ object LlmQueries {
           .groupBy("doc_id", "lang")
           .agg(round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
           // one row per doc — materialize so the cutoff aggregate and the
-          // bucket join don't each recompute the token-join subtree
+          // bucket join don't each recompute the token-join subtree.
+          // Tradeoffs, deliberate at this scale: localCheckpoint is EAGER
+          // (constructing the query runs the token join — EXPLAIN pays it
+          // too) and executor-local (an executor loss makes the job
+          // unrecoverable); at 100 TB swap for persist(DISK_ONLY) + a
+          // reliable checkpoint dir, and nothing downstream changes
           .localCheckpoint()
         val cuts = sc.groupBy("lang").agg(
           round(expr("percentile(avg_neg_logprob, 0.3333333333333333)"), 9).as("__q1"),
@@ -538,6 +543,56 @@ object LlmQueries {
         "SELECT doc_id, lang, avg_neg_logprob, " +
         "CASE WHEN avg_neg_logprob <= q1 THEN 'head' WHEN avg_neg_logprob <= q2 THEN 'middle' " +
         "ELSE 'tail' END AS bucket FROM sc JOIN cut USING (lang) ORDER BY doc_id")),
+
+    // L42 — trained-centroid IVF, end-to-end: quantize embeddings to
+    // exact integers (floor(x·10⁶ + 0.5), the int8TopK pattern — per-cell
+    // component SUMS are then exact in a double regardless of shuffle
+    // order, so k-means means are bit-identical across engines), train 4
+    // centroids for 2 rounds from the deterministic lowest-id seeds
+    // (Similarity.trainCentroids), then IVF top-5 for queries 0-4
+    // (nprobe=1). This certifies the REAL index-build path — l8 probes
+    // fixed vectors 0..7 as centroids and never runs training. The
+    // oracle unrolls both training rounds as CTEs; every dot product is
+    // the same left-to-right fold on both engines.
+    "l42_ivf_trained" -> QueryDef(
+      (s, d) => {
+        val qe = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x * lit(1000000.0) + lit(0.5)).cast("double")).as("embedding"))
+        val cents = Similarity.trainCentroids(qe, "embedding", "vec_id", 4, 2)
+        Similarity.ivfTopK(qe.filter(col("vec_id") < 5), qe, cents,
+            "embedding", "vec_id", "cell", 5)
+          .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
+            col("rank").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        // one assign+mean round: cents `cIn`(cell, cv) → `cOut`
+        def kmeansRound(i: Int, cIn: String, cOut: String): String =
+          s"s$i AS (SELECT e0.vec_id, cell, ${cosSql("qv", "cv")} AS csim FROM e0, $cIn), " +
+          s"a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+          s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM s$i) WHERE rn = 1), " +
+          s"x$i AS (SELECT cell, qv, UNNEST(generate_series(1, len(qv))) AS pos " +
+          s"FROM a$i JOIN e0 USING (vec_id)), " +
+          s"m$i AS (SELECT cell, pos, SUM(qv[pos]) / COUNT(*) AS m FROM x$i GROUP BY cell, pos), " +
+          s"$cOut AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m$i GROUP BY cell)"
+        s"WITH $embCte, " +
+          "e0 AS (SELECT vec_id, list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS qv FROM e), " +
+          "c0 AS (SELECT vec_id AS cell, qv AS cv FROM e0 WHERE vec_id < 4), " +
+          kmeansRound(1, "c0", "c1") + ", " + kmeansRound(2, "c1", "c2") + ", " +
+          s"s3 AS (SELECT e0.vec_id, cell, ${cosSql("qv", "cv")} AS csim FROM e0, c2), " +
+          "a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+          "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM s3) WHERE rn = 1), " +
+          "qa AS (SELECT a3.vec_id AS query_id, a3.cell, e0.qv AS qv2 FROM a3 " +
+          "JOIN e0 USING (vec_id) WHERE a3.vec_id < 5), " +
+          "ca AS (SELECT a3.vec_id AS neighbor_id, a3.cell, e0.qv AS cv2 FROM a3 JOIN e0 USING (vec_id)), " +
+          s"sf AS (SELECT query_id, neighbor_id, ${cosSql("qv2", "cv2")} AS sim " +
+          "FROM qa JOIN ca USING (cell) WHERE query_id <> neighbor_id) " +
+          "SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rnk FROM " +
+          "(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM sf) " +
+          "WHERE rnk <= 5 ORDER BY query_id, rnk"
+      }),
 
     // L40 — SimHash near-dup pairs: Hamming ≤ 3 over l6's 32-bit
     // signatures, byte-banded (pigeonhole-complete for ≤ 3), xor

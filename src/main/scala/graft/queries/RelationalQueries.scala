@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -25,6 +26,36 @@ object RelationalQueries {
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** The r18 managed-table names for one sf dir. */
+  def bucketedTableNames(d: String): (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
+    (s"graft_lineitem_b$tag", s"graft_orders_b$tag")
+  }
+
+  /** One-time bucketed-table prep for r18 (CTAS of lineitem/orders,
+    * bucketed+sorted on the join key). Idempotent per (session, dir).
+    * Bench calls this during warmup so the CTAS never lands inside a
+    * timed rep; the r18 query body calls it too so the query stays
+    * self-contained. */
+  def ensureBucketedTables(s: SparkSession, d: String): Unit = {
+    val (li, ord) = bucketedTableNames(d)
+    if (!s.catalog.tableExists(li))
+      Bucketing.writeBucketed(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity"), li, "l_orderkey", 8)
+    if (!s.catalog.tableExists(ord))
+      Bucketing.writeBucketed(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey"), ord, "o_orderkey", 8)
+  }
+
+  /** Drop r18's managed tables and their warehouse files — Verify runs
+    * this after its dump so a correctness pass leaves no `graft_*_b…`
+    * litter in `spark-warehouse`. */
+  def dropBucketedTables(s: SparkSession, d: String): Unit = {
+    val (li, ord) = bucketedTableNames(d)
+    Bucketing.dropTable(s, li)
+    Bucketing.dropTable(s, ord)
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -330,15 +361,11 @@ object RelationalQueries {
     // the plain join.
     "r18_bucketed_join" -> QueryDef(
       (s, d) => {
-        val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
-        val li = s"graft_lineitem_b$tag"
-        val ord = s"graft_orders_b$tag"
-        if (!s.catalog.tableExists(li))
-          Bucketing.writeBucketed(Tables.lineitem(s, d)
-            .select("l_orderkey", "l_quantity"), li, "l_orderkey", 8)
-        if (!s.catalog.tableExists(ord))
-          Bucketing.writeBucketed(Tables.orders(s, d)
-            .select("o_orderkey", "o_custkey"), ord, "o_orderkey", 8)
+        // idempotent guard only — Bench pre-creates the tables in its
+        // warmup phase so no timed rep ever pays the two CTAS writes,
+        // and Verify drops them afterwards (dropBucketedTables)
+        ensureBucketedTables(s, d)
+        val (li, ord) = bucketedTableNames(d)
         s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),

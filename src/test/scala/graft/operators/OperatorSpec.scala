@@ -189,6 +189,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(cents.exists(c => c(1) > 0.9 && c(0) == 0.0))
   }
 
+  test("Similarity.ivfTopK over trainCentroids centroids reaches 0.9 recall on clustered data") {
+    // the l42 path end-to-end: deterministic training (lowest-id seeds,
+    // 2 rounds) then nprobe=1 search. Three well-separated clusters —
+    // the regime IVF is for; queries and their true neighbors share a
+    // cell, so recall vs brute force must be ≈ 1 (floor 0.9).
+    val vecs = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val base = Array.fill(8)(0.0)
+      base(c * 2) = 10.0
+      base(c * 2 + 1) = 5.0
+      // deterministic per-vector jitter, far smaller than the separation
+      (c * 20L + i, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.01 })
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 1L, 20L, 21L, 40L))
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 3, iters = 2)
+    val ivf = Similarity.ivfTopK(queries, corpus, cents, "embedding", "vec_id", "cell", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, corpus, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall (ivf ${ivf.size}, brute ${brute.size})")
+  }
+
   test("Dedup.minhashCandidatePairs maxBucketSize drops degenerate buckets only") {
     // 12 near-identical docs (one hot bucket) + 2 distinct near-dups
     val hot = (0 until 12).map(i => (100L + i,

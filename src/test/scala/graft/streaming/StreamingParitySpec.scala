@@ -141,21 +141,49 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming processStateGlobal fails fast when checkCorrectness is not disabled") {
+    // without the documented session-wide opt-out, composition must throw
+    // the graft-specific message (not Spark's generic analyzer error at
+    // start()), and the message must name the blast radius
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event[Long]]
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    val keyed = Env(spark).fromDataset(input.toDS())
+      .withWatermark("0 seconds")
+      .keyBy(_.value)
+    val e = intercept[IllegalStateException] {
+      keyed.processStateGlobal((_: Long) => 0L, 0L)(
+        (k, ev, kn) => (kn + 1, Seq(ev.withValue((k, kn)))))(
+        (ev, gn) => (gn + 1, Seq(ev.withValue((ev.value._1, ev.value._2, gn)))))
+    }
+    assert(e.getMessage.contains("checkCorrectness.enabled=false"), e.getMessage)
+    assert(e.getMessage.contains("session-wide"), e.getMessage)
+    // the windowed composition carries the same guard
+    val ew = intercept[IllegalStateException] {
+      keyed.window(Duration.ofMinutes(10))
+        .processStateGlobal((_: Long) => 0L, 0L)(
+          (k, _, evs, kn) => (kn + 1, Seq(evs.head.withValue((k, kn)))))(
+          (ev, gn) => (gn + 1, Seq(ev.withValue((ev.value._1, gn)))))
+    }
+    assert(ew.getMessage.contains("session-wide"), ew.getMessage)
+  }
+
   test("streaming keyed processStateGlobal interleaves keys in event-time order") {
     // two keys' events interleave in event time across batches; the
     // global counter must follow event-time order, not per-key arrival:
     // 10@12:00 → 0, 20@12:30 → 1, 10@12:35 → 2, 20@12:40 → 3.
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event[Long]]
+    // same opt-out as the windowed composition: the per-batch global
+    // stage never event-time-filters its input. Must be set BEFORE
+    // composing — processStateGlobal fails fast at composition time.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val out = Env(spark).fromDataset(input.toDS())
       .withWatermark("0 seconds")
       .keyBy(_.value)
       .processStateGlobal((_: Long) => 0L, 0L)(
         (k, e, kn) => (kn + 1, Seq(e.withValue((k, kn)))))(
         (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, e.value._2, gn)))))
-    // same opt-out as the windowed composition: the per-batch global
-    // stage never event-time-filters its input
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val query = out.ds
       .writeStream.format("memory").queryName("s_kpsg").outputMode("append").start()
     try {
@@ -232,6 +260,11 @@ class StreamingParitySpec extends AnyFunSuite {
     // watermark loop.
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event[Long]]
+    // the documented opt-out for the two-stage streaming composition: the
+    // global stage never event-time-filters, so Spark's conservative
+    // stateful-after-stateful late-row check does not apply to it. Must
+    // be set BEFORE composing — the guard fails fast at composition time.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val out = Env(spark).fromDataset(input.toDS())
       .withWatermark("0 seconds")
       .keyBy(_.value)
@@ -239,10 +272,6 @@ class StreamingParitySpec extends AnyFunSuite {
       .processStateGlobal((_: Long) => 0L, 0L)(
         (k, _, evs, kn) => (kn + 1, Seq(evs.head.withValue((k, kn)))))(
         (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, gn)))))
-    // the documented opt-out for the two-stage streaming composition: the
-    // global stage never event-time-filters, so Spark's conservative
-    // stateful-after-stateful late-row check does not apply to it
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val query = out.ds
       .writeStream.format("memory").queryName("s_wpsg").outputMode("append").start()
     try {

@@ -225,6 +225,8 @@ class TwsFacadeSpec extends AnyFunSuite {
     withTws {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[Event[Long]]
+      // must be set BEFORE composing — the guard fails fast at composition
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
       val out = Env(spark).fromDataset(input.toDS())
         .withWatermark("0 seconds")
         .keyBy(_.value)
@@ -232,7 +234,6 @@ class TwsFacadeSpec extends AnyFunSuite {
         .processStateGlobal((_: Long) => 0L, 0L)(
           (k, _, evs, kn) => (kn + 1, Seq(evs.head.withValue((k, kn)))))(
           (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, gn)))))
-      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
       val query = out.ds
         .writeStream.format("memory").queryName("tws_fac_wpsg").outputMode("append").start()
       try {
