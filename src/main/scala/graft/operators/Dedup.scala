@@ -342,6 +342,66 @@ object Dedup {
     out.drop("__h")
   }
 
+  /** Per-row MinHash LSH band hashes — the same values
+    * `lshBands(minhashSignatures(…))` produces (proven in
+    * StreamingDedupSpec), but computed NARROWLY with array expressions
+    * (no groupBy), so they evaluate row-by-row on an unbounded stream:
+    * sig_j = min over the doc's shingles of md5("j|"+shingle), band b =
+    * md5(sig_{b·r} ‖ … ‖ sig_{b·r+r−1}). Adds `__band0…__band{bands−1}`
+    * (null when the doc has fewer than `shingleN` tokens — such docs
+    * have no signature in the batch pipeline either). */
+  def withBandColumns(docs: DataFrame, textCol: String,
+                      k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val r = k / bands
+    val sh = wordShingles(col(textCol), shingleN)
+    val sigs = (0 until k).map(j =>
+      array_min(transform(sh, s => md5(concat(lit(s"$j|"), s)))))
+    (0 until bands).foldLeft(docs) { (d, b) =>
+      d.withColumn(s"__band$b", md5(concat((0 until r).map(i => sigs(b * r + i)): _*)))
+    }
+  }
+
+  /**
+   * Streaming near-duplicate dedup — the continuous-ingestion twin of
+   * the l4/l15 MinHash-LSH path: drop arriving documents that share at
+   * least one LSH band with the SEEN CORPUS (`seenBands`, a
+   * [[lshBands]]-shaped static table `(band_idx, band_hash)` built from
+   * the accumulated corpus and refreshed on whatever cadence the
+   * pipeline re-snapshots it), and drop in-stream documents whose FULL
+   * signature (all bands) matches an earlier arrival within the
+   * watermark horizon.
+   *
+   * Plan shape, per micro-batch: band hashes are per-row array
+   * expressions (zero shuffles), then one stream-static ANTI join per
+   * band — each a hash join on its band key, the static side shared
+   * across batches — and one `dropDuplicatesWithinWatermark` whose
+   * state is one short row per surviving doc. Nothing is quadratic and
+   * no state grows with the corpus (the corpus lives in `seenBands`).
+   *
+   * Honest scope: in-stream NEAR-dups (shared band, different full
+   * signature) inside one watermark horizon are NOT caught — that
+   * would need stateful per-band joins of the stream against itself;
+   * the batch cascade (l15) catches them at the next corpus snapshot.
+   */
+  def nearDupKeptStream(docs: DataFrame, textCol: String, seenBands: DataFrame,
+                        k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val banded = withBandColumns(docs, textCol, k, bands, shingleN)
+    val pruned = (0 until bands).foldLeft(banded) { (d, b) =>
+      d.join(seenBands.filter(col("band_idx") === b)
+          .select(col("band_hash").as(s"__seen$b")),
+        col(s"__band$b") === col(s"__seen$b"), "left_anti")
+    }
+    // docs too short to shingle have null bands; they fall back to EXACT
+    // text dedup rather than all colliding on a null signature
+    val withFull = pruned.withColumn("__sigfull",
+      coalesce(concat((0 until bands).map(b => col(s"__band$b")): _*),
+        concat(lit("raw:"), md5(coalesce(col(textCol), lit(""))))))
+    val kept =
+      if (docs.isStreaming) withFull.dropDuplicatesWithinWatermark("__sigfull")
+      else withFull.dropDuplicates("__sigfull")
+    kept.drop("__sigfull" +: (0 until bands).map(b => s"__band$b"): _*)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
