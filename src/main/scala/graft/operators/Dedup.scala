@@ -659,4 +659,58 @@ object Dedup {
           x => x.getField("__p"))).as("text_clean"),
         count(lit(1)).as("n_kept"))
   }
+
+  /**
+   * Arbitrary-length exact-substring dedup — the full form of Lee et
+   * al. 2022's repeated-substring removal that [[passageDedup]]
+   * approximates with fixed cuts: excise from every document each token
+   * run of length ≥ `minRun` that already appeared in an EARLIER
+   * document, wherever the run starts. A repeated 50-token span
+   * straddling a 20-word passage boundary — invisible to
+   * [[passageDedup]] — is excised here, because repetition is detected
+   * with POSITIONAL `minRun`-gram shingles (l32's machinery): a shared
+   * run of length L ≥ minRun produces L − minRun + 1 consecutive shared
+   * shingles, and a token is removed iff SOME shingle window covering
+   * it is a repeat (max-flag over the trailing minRun-1 positions — the
+   * winnowing-style per-doc window).
+   *
+   * Exactness: a token survives iff it is not inside any ≥ minRun-token
+   * run shared with an earlier document — no boundary effects, no
+   * approximation (modulo md5 collisions, as everywhere else here).
+   * Cross-document scope as in [[passageDedup]]: the earliest doc keeps
+   * its copy, intra-document repetition is untouched; NULL-text docs
+   * vanish (same contract).
+   *
+   * Plan shape: one explode to token rows (narrow), one hash join of
+   * token rows against the per-shingle `min(doc id)` aggregate (both
+   * shuffle on the shingle hash; the aggregate partial-aggregates
+   * map-side), one shuffle on doc id for the coverage window +
+   * reassembly. Three token-level shuffles, nothing quadratic, nothing
+   * broadcast or collected — survives any corpus size.
+   */
+  def substringDedup(docs: DataFrame, textCol: String, idCol: String,
+                     minRun: Int = 20): DataFrame = {
+    val n = minRun
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - 1)).as("__pos"))
+      .select(col(idCol), col("__pos"),
+        col("__t")(col("__pos")).as("__tok"),
+        when(col("__pos") <= size(col("__t")) - n,
+          md5(concat_ws(" ", slice(col("__t"), col("__pos") + 1, lit(n))))).as("__h"))
+    val first = toks.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__fd"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    toks.join(first, Seq("__h"), "left")
+      .withColumn("__dup", when(col("__fd") < col(idCol), 1).otherwise(0))
+      .withColumn("__cov", max(col("__dup")).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(struct(col("__pos"), col("__cov"), col("__tok")))),
+            s => s.getField("__cov") === 0),
+          s => s.getField("__tok"))).as("text_clean"),
+        sum(when(col("__cov") === 0, 1L).otherwise(0L)).as("n_kept"))
+  }
 }

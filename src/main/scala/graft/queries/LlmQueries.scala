@@ -490,6 +490,30 @@ object LlmQueries {
         "SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS text_clean, " +
         "COUNT(*) AS n_kept FROM f WHERE doc_id = fd GROUP BY doc_id ORDER BY doc_id")),
 
+    // L43 — arbitrary-length exact-substring dedup (Lee et al. 2022,
+    // full form): excise every ≥ 20-token run already seen in an earlier
+    // document, WHEREVER it starts — the straddling spans l38's fixed
+    // 20-word cuts miss. Positional 20-gram shingles → per-shingle
+    // min(doc_id) → trailing-window coverage flag per token →
+    // reassembly. Three token-level shuffles, nothing quadratic
+    // (Dedup.substringDedup).
+    "l43_substring_dedup" -> QueryDef(
+      (s, d) => Dedup.substringDedup(Tables.documents(s, d), "text", "doc_id", 20)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "p AS (SELECT doc_id, tk, UNNEST(generate_series(0, len(tk) - 1)) AS pos FROM t), " +
+        "r AS (SELECT doc_id, pos, tk[pos + 1] AS tok, " +
+        "CASE WHEN pos <= len(tk) - 20 THEN md5(array_to_string(tk[pos + 1 : pos + 20], ' ')) END AS h FROM p), " +
+        "f AS (SELECT h, MIN(doc_id) AS fd FROM r WHERE h IS NOT NULL GROUP BY h), " +
+        "d AS (SELECT r.doc_id, r.pos, r.tok, " +
+        "CASE WHEN f.fd < r.doc_id THEN 1 ELSE 0 END AS dup FROM r LEFT JOIN f ON r.h = f.h), " +
+        "c AS (SELECT doc_id, pos, tok, MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cov FROM d) " +
+        "SELECT doc_id, " +
+        "COALESCE(array_to_string(list(tok ORDER BY pos) FILTER (WHERE cov = 0), ' '), '') AS text_clean, " +
+        "CAST(COUNT(*) FILTER (WHERE cov = 0) AS BIGINT) AS n_kept " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id")),
+
     // L39 — CCNet-style perplexity bucketing (Wenzek et al.): l33's
     // unigram score, then per-lang head/middle/tail tertiles. The
     // cutoffs come from an exact per-lang percentile AGGREGATE (broadcast

@@ -189,6 +189,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(cents.exists(c => c(1) > 0.9 && c(0) == 0.0))
   }
 
+  test("Dedup.substringDedup excises a repeated run that straddles passage boundaries") {
+    // a 24-token run sits at offset 10 in doc 1 and offset 3 in doc 2 —
+    // no fixed 20-word cut of doc 2 equals any cut of doc 1, so
+    // passageDedup misses it; substringDedup must excise exactly the run
+    // from doc 2 (later doc) and leave doc 1 intact.
+    val run = (0 until 24).map(i => s"run$i")
+    val d1 = (0 until 10).map(i => s"a$i") ++ run ++ (0 until 10).map(i => s"b$i")
+    val d2 = (0 until 3).map(i => s"c$i") ++ run ++ (0 until 7).map(i => s"d$i")
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" "))).toDF("doc_id", "text")
+
+    val out = Dedup.substringDedup(docs, "text", "doc_id", 20)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, n) => id -> (t, n) }.toMap
+    assert(out(1L) == (d1.mkString(" "), 44L), out(1L))
+    val expected2 = ((0 until 3).map(i => s"c$i") ++ (0 until 7).map(i => s"d$i")).mkString(" ")
+    assert(out(2L) == (expected2, 10L), out(2L))
+
+    // contrast: the fixed-cut approximation keeps doc 2 whole — this
+    // straddling span is exactly the gap substringDedup closes
+    val passage = Dedup.passageDedup(docs, "text", "doc_id", 20)
+      .filter(col("doc_id") === 2L).select("n_kept").as[Long].head()
+    assert(passage == 2L) // both of doc 2's passages survive the cut-level check
+  }
+
   test("Similarity.ivfTopK over trainCentroids centroids reaches 0.9 recall on clustered data") {
     // the l42 path end-to-end: deterministic training (lowest-id seeds,
     // 2 rounds) then nprobe=1 search. Three well-separated clusters —
