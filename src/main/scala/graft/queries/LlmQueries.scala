@@ -514,6 +514,45 @@ object LlmQueries {
         "CAST(COUNT(*) FILTER (WHERE cov = 0) AS BIGINT) AS n_kept " +
         "FROM c GROUP BY doc_id ORDER BY doc_id")),
 
+    // L44 — the pure-SQL surface: one spark.sql() query exercising five
+    // GraftFunctions-registered custom functions (rolling_hash,
+    // word_shingles, ws_token_count, bpeish_token_count, cosine_sim) —
+    // the same Catalyst expressions the DataFrame queries use, reached
+    // through the SQL function registry instead. The oracle mirrors each
+    // function with the same DuckDB fragments l11/l12/l3 use.
+    "l44_sql_functions" -> QueryDef(
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("graft_sqlq_docs")
+        Tables.embeddings(s, d).createOrReplaceTempView("graft_sqlq_embs")
+        s.sql("""
+          SELECT d.doc_id,
+                 rolling_hash(d.text) AS fp,
+                 CAST(size(word_shingles(d.text, 3)) AS BIGINT) AS n_shingles,
+                 ws_token_count(d.text) AS n_tokens,
+                 bpeish_token_count(d.text) AS n_bpeish,
+                 ROUND(cosine_sim(e.embedding, q.embedding), 6) AS sim_q0
+          FROM graft_sqlq_docs d
+          JOIN graft_sqlq_embs e ON e.vec_id = d.doc_id
+          CROSS JOIN (SELECT embedding FROM graft_sqlq_embs WHERE vec_id = 0) q
+          ORDER BY d.doc_id""")
+      },
+      Some("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
+        "SELECT t.doc_id, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, length(text)), " +
+        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007) AS fp, " +
+        "CAST(CASE WHEN len(tk) >= 3 THEN len(list_distinct(list_transform(" +
+        "generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) " +
+        "ELSE 0 END AS BIGINT) AS n_shingles, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens, " +
+        s"CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS BIGINT) AS n_bpeish, " +
+        s"ROUND(${cosSql("v", "qv")}, 6) AS sim_q0 " +
+        "FROM t JOIN e ON e.vec_id = t.doc_id CROSS JOIN q ORDER BY t.doc_id")),
+
     // L39 — CCNet-style perplexity bucketing (Wenzek et al.): l33's
     // unigram score, then per-lang head/middle/tail tertiles. The
     // cutoffs come from an exact per-lang percentile AGGREGATE (broadcast
