@@ -110,6 +110,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // drop the r18 prep tables (and their warehouse files) so a bench
+    // run leaves no graft_*_b… litter behind
+    try {
+      graft.queries.RelationalQueries.dropBucketedTables(spark, warmDir)
+      graft.queries.RelationalQueries.dropBucketedTables(spark, sfDir)
+    } catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: shutdown logs go to stderr, and with
     // build.sbt's StdoutOutput + showSuccess:=false this print is the
     // process's (and sbt's) final stdout line — exactly what the

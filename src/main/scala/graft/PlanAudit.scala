@@ -23,10 +23,13 @@ object PlanAudit {
   // l26 broadcasts the 1-row quantization scale and the query vectors
   // against the corpus — the same deliberate key-less shape as l3.
   // l33/l34/l39 cross-join broadcast 1-row model scalars, as l25's N.
+  // l42 broadcasts the k trained centroids against the corpus for
+  // assignment (the IVF contract: corpus never shuffles); l44 cross-joins
+  // the broadcast 1-row query embedding, as l3 does.
   private val allowNestedLoop =
     Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
       "l25_tfidf", "l26_ann_int8", "l33_unigram_logprob", "l34_moore_lewis",
-      "l39_ppl_buckets")
+      "l39_ppl_buckets", "l42_ivf_trained", "l44_sql_functions")
   // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
   // directly over co-located sorted buckets with NO exchange on either
   // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,
@@ -89,6 +92,9 @@ object PlanAudit {
       if (flags.nonEmpty) { flagged += 1; println(s"[plan-audit] $name: ${flags.mkString(", ")}") }
     }
     println(s"[plan-audit] done: $flagged flagged of ${SparkEntry.queries.size}")
+    // r18's audit run materializes its bucketed tables — leave no litter
+    try graft.queries.RelationalQueries.dropBucketedTables(spark, sfDir)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
