@@ -58,6 +58,48 @@ class SkewAndWindowSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("runningSumScalable equals the plain partitioned window on random input") {
+    import org.apache.spark.sql.expressions.Window
+    // random (group, ord, value) rows, unique ord per group; several
+    // bucket widths including degenerate ones (1 = a bucket per id,
+    // 1000 = one bucket per group → exactly the plain-window plan)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      (s"g${rnd.nextInt(5)}", i.toLong, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("g", "ord", "v")
+    val w = Window.partitionBy("g").orderBy("ord")
+    val plain = df.withColumn("cum", sum(col("v")).over(w))
+      .select("g", "ord", "cum").as[(String, Long, Long)].collect().toSet
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val scalable = Windows.runningSumScalable(df, Seq("g"),
+          floor(col("ord") / width).cast("long"), Seq(col("ord")), col("v"), "cum")
+        .select("g", "ord", "cum").as[(String, Long, Long)].collect().toSet
+      assert(scalable == plain, s"width $width diverges")
+    }
+    // rank form: value = 1 reproduces row_number
+    val rankPlain = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select("g", "ord", "rk").as[(String, Long, Long)].collect().toSet
+    val rankScalable = Windows.runningSumScalable(df, Seq("g"),
+        floor(col("ord") / 7).cast("long"), Seq(col("ord")), lit(1L), "rk")
+      .select("g", "ord", "rk").as[(String, Long, Long)].collect().toSet
+    assert(rankScalable == rankPlain)
+  }
+
+  test("assignShards with a small bucket width matches the single-window rule") {
+    // the two-pass path with MANY live buckets must reproduce the
+    // window-form shard assignment bit-for-bit (the l30 contract)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val wide = graft.sources.ShardWriter
+      .assignShards(docs, "text", "doc_id", "source", 2000L) // default 2^20: one bucket
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val narrow = graft.sources.ShardWriter
+      .assignShards(docs, "text", "doc_id", "source", 2000L, idBucketWidth = 8L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(narrow == wide)
+  }
+
   test("Source/Sink traits round-trip through Env.addSource / addSink") {
     import graft.api._
     val sink = Sink.collecting[Int]
