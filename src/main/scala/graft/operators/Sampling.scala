@@ -16,12 +16,22 @@ import org.apache.spark.sql.expressions.Window
  */
 object Sampling {
 
-  /** First `n` rows per `keyCol`, in md5(id) order. */
-  def stratifiedSample(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
-  }
+  /** First `n` rows per `keyCol`, in md5(id) order.
+    *
+    * The rank runs in the t18 two-pass prefix-offset form
+    * ([[Windows.runningSumScalable]], bucketed by the hash's leading hex
+    * byte — a prefix of the sort key, so monotone within each stratum):
+    * a plain per-stratum `row_number` window would cap parallelism at
+    * the number of strata (a handful of languages over 100 TB = multi-TB
+    * single tasks — the same hazard the l30/l41 rewrites removed).
+    * Output is bit-identical to the window form. */
+  def stratifiedSample(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame =
+    Windows.runningSumScalable(
+        df.withColumn("__h", md5(col(idCol).cast("string"))),
+        Seq(keyCol), substring(col("__h"), 1, 2),
+        Seq(col("__h"), col(idCol)), lit(1L), "__rn")
+      .filter(col("__rn") <= n)
+      .drop("__h", "__rn")
 
   /** Bernoulli-style deterministic sample: keep a row iff the first 4
     * hex digits of md5(id) fall below `rate` × 16^4 — reproducible
