@@ -404,17 +404,39 @@ object RelationalQueries {
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand ORDER BY brand")),
 
+    // NTILE and PERCENT_RANK partitioned by segment would single-task
+    // each segment's full customer set (5 segments over 100 TB =
+    // multi-100M-row sorts). Both are CLOSED FORMS of (rank, partition
+    // count) when the ordering is tie-free (custkey breaks ties, so
+    // RANK = ROW_NUMBER): percent_rank = (rk−1)/(c−1); ntile(4) puts the
+    // first c%4 buckets at ⌊c/4⌋+1 rows. So: two-pass rank
+    // (runningSumScalable, bucketed by -spend/1000 — monotone along
+    // spend DESC), tiny per-segment counts broadcast back, arithmetic
+    // per row. Bit-identical to the window form (integer-exact; the
+    // double divisions are of exact small ints — see SCALE.md).
     "r17_spend_quartiles" -> QueryDef(
       (s, d) => {
         val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
           .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
             col("o_custkey") === col("c_custkey"))
-        val w = Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("spend").desc, col("o_custkey"))
-        spend.select(col("c_mktsegment"), col("o_custkey").as("custkey"), col("spend"),
-            ntile(4).over(w).cast("long").as("quartile"),
-            round(percent_rank().over(w), 6).as("pct_rank"))
+        val ranked = graft.operators.Windows.runningSumScalable(
+          spend, Seq("c_mktsegment"),
+          floor(-col("spend") / lit(1000.0)).cast("long"),
+          Seq(col("spend").desc, col("o_custkey")), lit(1L), "__rk")
+        val counts = spend.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("__c"))
+        val base = floor(col("__c") / 4).cast("long")
+        val rem = col("__c") % 4
+        val quartile = when(col("__rk") <= rem * (base + 1),
+            floor((col("__rk") - 1) / (base + 1)).cast("long") + 1)
+          .otherwise(rem + floor((col("__rk") - rem * (base + 1) - 1) /
+            greatest(base, lit(1L))).cast("long") + 1)
+        ranked.join(broadcast(counts), Seq("c_mktsegment"))
+          .select(col("c_mktsegment"), col("o_custkey").as("custkey"), col("spend"),
+            quartile.cast("long").as("quartile"),
+            round(when(col("__c") > 1,
+                (col("__rk") - 1).cast("double") / (col("__c") - 1).cast("double"))
+              .otherwise(lit(0.0)), 6).as("pct_rank"))
           .orderBy("c_mktsegment", "custkey")
       },
       Some("WITH spend AS (SELECT o_custkey, " +

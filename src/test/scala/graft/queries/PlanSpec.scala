@@ -96,7 +96,8 @@ class PlanSpec extends AnyFunSuite {
     // round-6 verdict: both queries windowed by source (≤20 partitions) /
     // shard (16 partitions) — ~5 TB per task at 100 TB. The t18 rewrite
     // must leave every window partitioned by the range bucket.
-    for (name <- Seq("l30_pack_shards", "l41_mix_epochs", "l16_doc_sample")) {
+    for (name <- Seq("l30_pack_shards", "l41_mix_epochs", "l16_doc_sample",
+                     "r17_spend_quartiles")) {
       val p = planOf(name)
       val specs = "windowspecdefinition\\(([^)]*)\\)".r
         .findAllMatchIn(p).map(_.group(1)).toSeq
