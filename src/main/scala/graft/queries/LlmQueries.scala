@@ -1023,6 +1023,54 @@ object LlmQueries {
         "ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id")),
 
+    // L45 — bigram LM scoring, the order-1 extension of l33: mean
+    // −ln p(w_i | w_{i−1}) per document under an add-one-smoothed bigram
+    // model of the corpus, p(b|a) = (C(a,b)+1)/(C(a·)+V). Catches
+    // word-salad documents whose unigrams look fine. Plan shape: bigrams
+    // are per-row array arithmetic (no positional shuffle); C(a,b)
+    // aggregates once, the context counts C(a·) derive from the (much
+    // smaller) bigram-count table, V is one broadcast scalar; both count
+    // joins are shuffle-hash (vocab² is far too big to broadcast at
+    // scale). DECIMAL(20,9) partial sums keep the per-doc mean
+    // shuffle-order-exact, as in l33/l39.
+    "l45_bigram_logprob" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val big = docs
+          .select(col("doc_id"), split(col("text"), " ").as("__t"))
+          .filter(size(col("__t")) >= 2)
+          .select(col("doc_id"), col("__t"),
+            explode(sequence(lit(0), size(col("__t")) - 2)).as("__i"))
+          .select(col("doc_id"),
+            col("__t")(col("__i")).as("a"), col("__t")(col("__i") + 1).as("b"))
+        val bc = big.groupBy("a", "b").agg(count(lit(1)).as("__nab"))
+        val cx = bc.groupBy("a").agg(sum(col("__nab")).as("__na"))
+        val v = docs.select(explode(wsTokens(col("text"))).as("t"))
+          .agg(countDistinct(col("t")).as("__vsz"))
+        big.join(bc.hint("shuffle_hash"), Seq("a", "b"))
+          .join(cx.hint("shuffle_hash"), Seq("a"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            round(-log((col("__nab") + lit(1.0)) / (col("__na") + col("__vsz"))), 9)
+              .cast("decimal(20,9)").as("__lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "bg AS (SELECT doc_id, tk[i + 1] AS a, tk[i + 2] AS b FROM " +
+        "(SELECT doc_id, tk, UNNEST(generate_series(0, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 2)), " +
+        "bc AS (SELECT a, b, COUNT(*) AS nab FROM bg GROUP BY a, b), " +
+        "cx AS (SELECT a, SUM(nab) AS na FROM bc GROUP BY a), " +
+        "v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM " +
+        "(SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)), " +
+        "sc AS (SELECT doc_id, CAST(ROUND(-LN((nab + 1.0) / (na + vsz)), 9) AS DECIMAL(20,9)) AS lp " +
+        "FROM bg JOIN bc USING (a, b) JOIN cx USING (a), v) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+
     // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
     // ACL'10 — the standard cross-entropy-difference ranking for
     // domain-targeted pretraining data): score every document by the
