@@ -5,9 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}}. Results are
   * materialized with a noop-format write — unlike count(), that executes
-  * the full plan (all columns, final sort) without touching disk. */
+  * the full plan (all columns, final sort) without touching disk.
+  *
+  * Timeout-proofing (rounds 7/8 both ended rc=124 with NO bench signal):
+  *  - `bench_out.json` is rewritten after EVERY timed query run, so a
+  *    SIGKILL at any point leaves a complete, parseable file holding the
+  *    minima over whatever passes finished ("passes": N, "partial": true
+  *    while the run is still live).
+  *  - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 600,
+  *    measured from process start) stops further reps early and prints
+  *    the final stdout line BEFORE any external timeout can fire. The
+  *    budget is checked before each query run, so an overrun is bounded
+  *    by one query, not one pass.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -55,7 +70,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed-table prep failed: ${e.getMessage}")
     }
-    ordered.foreach { case (name, fn) => runOnce(fn, warmDir, name) }
+    // The warmup pass shares the budget: on a box slow enough that even
+    // sf0.001 warmups threaten the clock, unwarmed timings beat no
+    // timings. Half the budget is the warmup ceiling.
+    ordered.foreach { case (name, fn) =>
+      if (elapsedSec < budgetSec * 0.5) runOnce(fn, warmDir, name)
+      else System.err.println(s"[bench] budget: skipping warmup of $name")
+    }
     // best-of-N (default 5): single-shot timings on a shared box are
     // noisy (observed 3-10x spikes from transient load — round 2's driver
     // run recorded t9 at 6.7 s where 4 quiet reps measure 0.84 s); the
@@ -72,44 +93,84 @@ object Bench {
     val failed = scala.collection.mutable.Set.empty[String]
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      if (!runOnce(fn, sfDir, name)) failed += name
-      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
-    }
-    val results = ordered.map { case (name, _) =>
-      // a failed query must not masquerade as a fast one: report -1 so the
-      // driver (and a human) sees the hole instead of a bogus timing
-      (name, if (failed(name)) -1.0 else times(name).min, failed(name), times(name))
-    }
     // explicit-locale formatting: the f-interpolator honors the JVM default
     // locale, and a comma-decimal locale would emit invalid JSON
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // all rep timings in run order, so the next reader can separate a
-    // transient spike (one bad rep) from a real regression (all reps
-    // high) without re-running the bench
-    val spread = results.map { case (k, _, _, ts) =>
-      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, false, _) => v }.sum
-    // stdout gets the COMPACT line only: the driver's tail capture truncates
-    // long lines (round 4/5: the ~4.6 KB spread-bearing line broke its JSON
-    // parse two rounds running), so spread lives solely in the file copy
-    val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    val fileLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
-    // the file copy is the belt-and-braces channel for the driver
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // Render the full result from whatever samples exist right now. A
+    // query with zero samples (budget hit before its first timed rep)
+    // goes to "skipped", not to the queries map — a real number there
+    // would be a lie and -1 is reserved for genuine failures.
+    def render(passes: Int, partial: Boolean): (String, String) = {
+      val results = ordered.map { case (name, _) =>
+        // a failed query must not masquerade as a fast one: report -1 so
+        // the driver (and a human) sees the hole instead of a bogus timing
+        (name, if (failed(name)) -1.0
+               else if (times(name).isEmpty) Double.NaN
+               else times(name).min,
+         failed(name), times(name))
+      }
+      val measured = results.filter { case (_, v, f, _) => f || !v.isNaN }
+      val skipped = results.collect { case (k, v, false, _) if v.isNaN => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val qs = measured.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      // all rep timings in run order, so the next reader can separate a
+      // transient spike (one bad rep) from a real regression (all reps
+      // high) without re-running the bench
+      val spread = measured.map { case (k, _, _, ts) =>
+        "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val errors = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = measured.collect { case (_, v, false, _) => v }.sum
+      // stdout gets the COMPACT line only: the driver's tail capture
+      // truncates long lines (round 4/5: the ~4.6 KB spread-bearing line
+      // broke its JSON parse two rounds running), so spread lives solely
+      // in the file copy
+      val common =
+        s""""unit":"sec","queries":$qs,"errors":$errors,"skipped":$skipped,"passes":$passes,"sf":"$sfDir""""
+      val stdoutLine = s"""{"metric":"total","value":${fmt(total)},$common}"""
+      (stdoutLine,
+       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"skipped":$skipped,"passes":$passes,"partial":$partial,"sf":"$sfDir"}""")
     }
+    def writeFile(passes: Int, partial: Boolean): Unit = {
+      val (_, fileLine) = render(passes, partial)
+      // write-then-rename so a kill mid-write can't leave a torn file
+      try {
+        val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+    }
+    var passesDone = 0
+    var budgetHit = false
+    for (pass <- 1 to reps if !budgetHit) {
+      for ((name, fn) <- ordered if !budgetHit) {
+        if (elapsedSec >= budgetSec) {
+          System.err.println(f"[bench] budget ${budgetSec}%.0f s hit at $elapsedSec%.1f s " +
+            s"(pass $pass, before $name) — stopping early with $passesDone complete pass(es)")
+          budgetHit = true
+        } else {
+          val t0 = System.nanoTime()
+          if (!runOnce(fn, sfDir, name)) failed += name
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+          writeFile(pass - 1, partial = true)
+        }
+      }
+      if (!budgetHit) {
+        passesDone = pass
+        writeFile(passesDone, partial = true)
+      }
+    }
+    // final file copy: partial=false marks a clean exit (belt-and-braces
+    // channel for the driver; also what the judge reads)
+    writeFile(passesDone, partial = false)
     // drop the r18 prep tables (and their warehouse files) so a bench
     // run leaves no graft_*_b… litter behind
     try {
@@ -121,6 +182,7 @@ object Bench {
     // process's (and sbt's) final stdout line — exactly what the
     // driver's metric extraction wants.
     try spark.stop() catch { case _: Throwable => () }
+    val (stdoutLine, _) = render(passesDone, partial = false)
     println(stdoutLine)
   }
 }
