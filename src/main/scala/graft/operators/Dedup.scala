@@ -385,21 +385,170 @@ object Dedup {
    */
   def nearDupKeptStream(docs: DataFrame, textCol: String, seenBands: DataFrame,
                         k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val withFull = bandedAgainstSeen(docs, textCol, seenBands, k, bands, shingleN)
+    val kept =
+      if (docs.isStreaming) withFull.dropDuplicatesWithinWatermark("__sigfull")
+      else withFull.dropDuplicates("__sigfull")
+    kept.drop("__sigfull" +: (0 until bands).map(b => s"__band$b"): _*)
+  }
+
+  /** Shared front half of the streaming near-dup paths: per-row band
+    * columns, one anti join per band against the seen corpus, and the
+    * full-signature column. Docs too short to shingle have null bands;
+    * they fall back to EXACT text dedup rather than all colliding on a
+    * null signature. */
+  private def bandedAgainstSeen(docs: DataFrame, textCol: String, seenBands: DataFrame,
+                                k: Int, bands: Int, shingleN: Int): DataFrame = {
     val banded = withBandColumns(docs, textCol, k, bands, shingleN)
     val pruned = (0 until bands).foldLeft(banded) { (d, b) =>
       d.join(seenBands.filter(col("band_idx") === b)
           .select(col("band_hash").as(s"__seen$b")),
         col(s"__band$b") === col(s"__seen$b"), "left_anti")
     }
-    // docs too short to shingle have null bands; they fall back to EXACT
-    // text dedup rather than all colliding on a null signature
-    val withFull = pruned.withColumn("__sigfull",
+    pruned.withColumn("__sigfull",
       coalesce(concat((0 until bands).map(b => col(s"__band$b")): _*),
         concat(lit("raw:"), md5(coalesce(col(textCol), lit(""))))))
-    val kept =
-      if (docs.isStreaming) withFull.dropDuplicatesWithinWatermark("__sigfull")
-      else withFull.dropDuplicates("__sigfull")
-    kept.drop("__sigfull" +: (0 until bands).map(b => s"__band$b"): _*)
+  }
+
+  /**
+   * [[nearDupKeptStream]] plus IN-HORIZON near-dup resolution — closes
+   * that operator's documented scope gap: two near-duplicates arriving
+   * within one horizon (same micro-batch included) now resolve to
+   * first-arrival-wins instead of both surviving until the next corpus
+   * snapshot. After the same per-band anti joins against `seenBands`,
+   * survivors pass through two keyed stateful stages
+   * (graft.streaming.NearDupState): claim each LSH band
+   * first-arrival-wins with horizon-bounded state, then admit a doc only
+   * if it won ALL its bands and its full signature is new — which
+   * subsumes the exact-dup `dropDuplicatesWithinWatermark` too.
+   *
+   * `tsCol` orders arrivals within a batch (event time; full-signature
+   * tiebreak) and anchors the horizon: ownership of a band lasts
+   * `horizonMs` of EVENT time after the owner's own event time. State
+   * backend follows `spark.graft.stateful.tws` like the facade's
+   * stateful ops; both backends are spec-proven equivalent
+   * (StreamingDedupSpec). Chaining stateful operators requires
+   * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+   * on the session (fail-fast checked here, same contract as
+   * `processStateGlobal`) — safe for this shape because no stage
+   * event-time-filters its input.
+   */
+  def nearDupKeptStreamStateful(docs: DataFrame, textCol: String, tsCol: String,
+                                seenBands: DataFrame, horizonMs: Long = 3600L * 1000,
+                                k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(docs.isStreaming,
+      "nearDupKeptStreamStateful is the continuous-ingestion path; on a batch " +
+      "corpus use the dedup cascade (dedupCorpusKept), which also resolves " +
+      "in-corpus near-dups")
+    val spark = docs.sparkSession
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    if (spark.conf.get(checkKey, "true") != "false")
+      throw new IllegalStateException(
+        s"nearDupKeptStreamStateful chains three stateful operators, which Spark's " +
+        s"correctness check rejects wholesale; set $checkKey=false BEFORE composing. " +
+        "CAUTION: the setting is session-wide — scope it to the session running this " +
+        "composition. Safe for this shape: no stateful stage event-time-filters " +
+        "its input (see NearDupState Scaladoc).")
+    // exact in-horizon dups go first, on Spark's own watermark-evicted
+    // store: this is what entitles the resolve stage to hold zero state
+    // (at most one doc per full signature in-horizon reaches it)
+    val withFull = bandedAgainstSeen(docs, textCol, seenBands, k, bands, shingleN)
+      .dropDuplicatesWithinWatermark("__sigfull")
+      .withColumn("__ord", unix_micros(col(tsCol).cast("timestamp")))
+    val useTws = spark.conf.get("spark.graft.stateful.tws", "false").toBoolean
+    graft.streaming.NearDupState(withFull, docs.columns.toSeq, tsCol, bands, horizonMs, useTws)
+  }
+
+  /**
+   * Incremental `seenBands` maintenance — closes the "refresh cadence is
+   * the caller's problem" gap of [[nearDupKeptStream]]: a
+   * `foreachBatch` body that keeps the seen-corpus band table CURRENT by
+   * appending each batch's admitted documents' bands to it, so a doc
+   * admitted in batch N blocks its near-dups from batch N+1 on with no
+   * manual snapshot.
+   *
+   * No streaming stateful operator is involved: the bands table at
+   * `bandsPath` IS the state. Per micro-batch (all batch-mode plans):
+   *  1. re-read `bandsPath` (a fresh read each batch sees appends — a
+   *     static frame captured OUTSIDE foreachBatch would pin its file
+   *     listing at plan time and never see them),
+   *  2. anti join the batch against it per band — plus one extra anti
+   *     join on the `band_idx = -1` rows, which carry raw-content
+   *     signatures so docs too short to shingle still dedup exactly,
+   *  3. resolve IN-BATCH near-dups relationally: the minimum
+   *     (event-time, signature) claims each band key; a doc survives iff
+   *     it claims ALL its bands — the batch twin of
+   *     [[nearDupKeptStreamStateful]]'s claim/resolve stages (losers
+   *     still claim their unshared bands, keeping the transitive
+   *     cluster-collapse semantics),
+   *  4. append the survivors' bands (and raw signatures) to `bandsPath`,
+   *  5. hand the surviving docs to `onAdmitted`.
+   *
+   * Scale: per batch this is the same banded equi-join shape as the
+   * batch cascade — nothing quadratic, shuffles keyed on band hashes and
+   * signatures. The append is idempotent-in-effect under foreachBatch's
+   * at-least-once replays: duplicate band rows cannot change an anti
+   * join's semantics, only its input size (compact the table offline on
+   * whatever cadence suits).
+   *
+   * Wire it as `docs.writeStream.foreachBatch(
+   *   Dedup.nearDupAdmitAndAppend("text", "ts", path, onAdmitted)).start()`.
+   */
+  def nearDupAdmitAndAppend(textCol: String, tsCol: String, bandsPath: String,
+                            onAdmitted: (DataFrame, Long) => Unit,
+                            k: Int = 8, bands: Int = 4, shingleN: Int = 3)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    val seen =
+      try spark.read.parquet(bandsPath)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // first batch: nothing admitted yet
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band_idx",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_hash",
+              org.apache.spark.sql.types.StringType))))
+      }
+    val withFull = bandedAgainstSeen(batch, textCol, seen, k, bands, shingleN)
+      .join(seen.filter(col("band_idx") === -1)
+          .select(col("band_hash").as("__seenraw")),
+        col("__sigfull") === concat(lit("raw:"), col("__seenraw")), "left_anti")
+      .withColumn("__ord", unix_micros(col(tsCol).cast("timestamp")))
+    // exact in-batch dedup, event-time-first (the batch twin of
+    // dropDuplicatesWithinWatermark's role in the stateful path)
+    val exactW = Window.partitionBy(col("__sigfull"))
+      .orderBy(col("__ord"), col(tsCol))
+    val deduped = withFull.withColumn("__rn", row_number().over(exactW))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint() // two consumers below; also truncates for the append
+    // in-batch claim/resolve: min (ord, sigfull) owns each band key; a
+    // doc survives iff it owns every one of its band keys
+    val bandKeys = (0 until bands).map(b =>
+      when(col(s"__band$b").isNotNull, concat(lit(s"$b|"), col(s"__band$b"))))
+    val keysArr = array_compact(array(bandKeys: _*))
+    val bandRows = deduped.select(
+      explode(when(size(keysArr) > 0, keysArr)
+        .otherwise(array(concat(lit("raw|"), col("__sigfull"))))).as("__bkey"),
+      col("__sigfull"), col("__ord"))
+    val losers = bandRows
+      .withColumn("__owner",
+        min(struct(col("__ord"), col("__sigfull"))).over(Window.partitionBy(col("__bkey"))))
+      .filter(col("__owner.__sigfull") =!= col("__sigfull"))
+      .select("__sigfull").distinct()
+    val kept = deduped.join(losers, Seq("__sigfull"), "left_anti")
+      .localCheckpoint() // consumed twice: the band append and onAdmitted
+    // admit-and-append: survivors' bands (plus raw signatures for docs
+    // too short to shingle) become part of the seen corpus NOW
+    val newBands = (0 until bands).map(b =>
+      kept.filter(col(s"__band$b").isNotNull)
+        .select(lit(b).as("band_idx"), col(s"__band$b").as("band_hash")))
+      .reduce(_ unionAll _)
+      .unionAll(kept.filter((0 until bands).map(b => col(s"__band$b").isNull).reduce(_ && _))
+        .select(lit(-1).as("band_idx"),
+          regexp_replace(col("__sigfull"), "^raw:", "").as("band_hash")))
+    newBands.write.mode("append").parquet(bandsPath)
+    onAdmitted(kept.select(batch.columns.map(col): _*), batchId)
   }
 
   private def md5Hex(s: String): String =

@@ -97,6 +97,153 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** In-horizon scenario shared by both state backends: two near-dups of
+    * each other in the SAME batch (only the event-time-first survives), a
+    * third near-dup in a LATER batch (band state persists), an exact
+    * repeat (subsumed dedup), genuinely new docs (kept), and a near-dup
+    * arriving past the event-time horizon (kept — ownership expired). */
+  private def inHorizonScenario(useTws: Boolean): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val x = "winnowing fingerprints select the minimum hash inside each sliding window position"
+    val x2 = "winnowing fingerprints select the minimum hash inside each sliding window frame"
+    val x3 = "winnowing fingerprints select the minimum hash inside each sliding window offset"
+    val x4 = "winnowing fingerprints select the minimum hash inside each sliding window region"
+    val fresh = "spark structured streaming keeps per key state in a rocksdb backed store"
+    val fresh2 = "another new document mentioning broadcast joins and shuffle partitions today"
+    val pusher = "completely separate pusher document advancing the watermark beyond the horizon boundary"
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog and then runs away home tonight"),
+      (101L, "a totally unrelated second corpus document about parquet column pruning rules"))
+      .toDF("doc_id", "text")
+    // sanity: the batch pipeline calls (x, x2/x3/x4) candidate pairs, and
+    // nothing planted is a candidate of the corpus or the fillers — the
+    // planted dups exercise ONLY the in-horizon stateful stage
+    val cand = Dedup.minhashCandidatePairs(
+        corpus.union(Seq((1L, x), (2L, x2), (3L, x3), (4L, x4),
+          (10L, fresh), (12L, fresh2), (20L, pusher)).toDF("doc_id", "text")),
+        "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (1L, 4L)).subsetOf(cand), s"not candidates: $cand")
+    assert(cand.forall { case (a, b) => a <= 4 && b <= 4 }, s"unplanned collision: $cand")
+
+    val seen = Dedup.lshBands(Dedup.minhashSignatures(corpus, "text", "doc_id"), "doc_id")
+      .select("band_idx", "band_hash").localCheckpoint()
+    val prevCheck = spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    if (useTws) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.graft.stateful.tws", "true")
+    }
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val qn = if (useTws) "s_inh_tws" else "s_inh_fmgws"
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // inside the try: a start()-time failure must still restore the conf
+      val stream = input.toDS().toDF("ts", "doc_id", "text").withWatermark("ts", "1 hour")
+      val out = Dedup.nearDupKeptStreamStateful(stream, "text", "ts", seen)
+      q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      // batch 1: x and its near-dup x2 TOGETHER — first-arrival (x) wins
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, x),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, x2),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), 10L, fresh))
+      q.processAllAvailable()
+      // batch 2: x3 (near-dup of x, cross-batch, in-horizon), exact
+      // repeat of fresh, and a genuinely new doc
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 3L, x3),
+        (Timestamp.valueOf("2024-01-01 10:06:00"), 11L, fresh),
+        (Timestamp.valueOf("2024-01-01 10:07:00"), 12L, fresh2))
+      q.processAllAvailable()
+      // batch 3: push the watermark past x's ownership horizon (10:00 +
+      // 1 h); batch 4: x4 is a near-dup of x but arrives PAST the
+      // horizon — ownership expired, so it is admitted
+      input.addData((Timestamp.valueOf("2024-01-01 12:30:00"), 20L, pusher))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 12:31:00"), 4L, x4))
+      q.processAllAvailable()
+      val kept = spark.table(qn).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L, 10L, 12L, 20L), s"kept $kept")
+    } finally {
+      if (q != null) q.stop()
+      if (useTws) spark.conf.unset("spark.graft.stateful.tws")
+      prevCheck match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      }
+    }
+  }
+
+  test("nearDupKeptStreamStateful resolves same-batch near-dups first-arrival-wins (fmgws)") {
+    inHorizonScenario(useTws = false)
+  }
+
+  test("nearDupKeptStreamStateful resolves same-batch near-dups first-arrival-wins (tws)") {
+    inHorizonScenario(useTws = true)
+  }
+
+  test("nearDupKeptStreamStateful fails fast when the chain check is still enabled") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDS().toDF("ts", "text").withWatermark("ts", "1 hour")
+    val seen = Seq((0, "x")).toDF("band_idx", "band_hash")
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDupKeptStreamStateful(stream, "text", "ts", seen)
+    }
+    assert(e.getMessage.contains("checkCorrectness"))
+  }
+
+  test("nearDupAdmitAndAppend blocks a batch-N admit's near-dup in batch N+2, no manual snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val y = "column pruning pushes the projection down into the parquet reader footer metadata"
+    val y2 = "column pruning pushes the projection down into the parquet reader footer statistics"
+    val y3 = "column pruning pushes the projection down into the parquet reader footer checksum"
+    val filler = "broadcast hash joins ship the small side to every executor core once"
+    val filler2 = "adaptive query execution replans shuffle partitions from runtime row counts"
+    // sanity: (y, y2) and (y, y3) are candidate pairs; the fillers are not
+    val cand = Dedup.minhashCandidatePairs(
+        Seq((1L, y), (2L, y2), (3L, y3), (11L, filler), (12L, filler2))
+          .toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L)).subsetOf(cand) && cand.forall(_._2 <= 3), s"cand: $cand")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString + "/bands"
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = input.toDS().toDF("ts", "doc_id", "text").writeStream
+      .foreachBatch(Dedup.nearDupAdmitAndAppend("text", "ts", dir,
+        (df, _) => admitted.synchronized {
+          admitted ++= df.select("doc_id").as[Long].collect()
+        }))
+      .start()
+    try {
+      // batch 1: y admitted, its same-batch near-dup y2 dropped in-batch,
+      // a short (unshingleable) doc admitted via its raw signature
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, y),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, y2),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), 20L, "tiny doc"))
+      q.processAllAvailable()
+      // batch 2 (N+1): unrelated — its only job is to sit between admit
+      // and probe so the probe genuinely tests PERSISTED bands
+      input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 11L, filler))
+      q.processAllAvailable()
+      // batch 3 (N+2): near-dup of y blocked by batch 1's appended bands;
+      // exact repeat of the short doc blocked by its appended raw
+      // signature; a different short doc and a new doc admitted
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 3L, y3),
+        (Timestamp.valueOf("2024-01-01 10:11:00"), 21L, "tiny doc"),
+        (Timestamp.valueOf("2024-01-01 10:12:00"), 22L, "ok then"),
+        (Timestamp.valueOf("2024-01-01 10:13:00"), 12L, filler2))
+      q.processAllAvailable()
+      assert(admitted.toSet == Set(1L, 20L, 11L, 22L, 12L), s"admitted $admitted")
+    } finally q.stop()
+  }
+
   test("exactKeptStream on a batch frame degenerates to exact dedup") {
     val df = Seq("a", "a", "b").toDF("text")
     assert(Dedup.exactKeptStream(df, "text").count() == 2)
