@@ -76,6 +76,127 @@ object Multimodal {
     files.mapPartitions(_.map(decodeImage))
   }
 
+  /** Video metadata — real values for MP4 payloads, stub-derived for
+    * everything else. Kept a separate case class from [[MediaMeta]] so
+    * the declared metadata query's schema (and its oracle) is untouched. */
+  final case class VideoMeta(doc_id: Long, byte_len: Long, width: Long,
+                             height: Long, n_frames: Long, duration_ms: Long,
+                             container: String)
+
+  /** Big-endian readers over the payload, bounds-unchecked (callers
+    * bound-check before reading). */
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+    ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** All child boxes of `[start, end)` with type `typ`, as payload
+    * (start, end) offsets. ISO BMFF box = [size:4][type:4][payload];
+    * size 1 = 64-bit largesize follows, size 0 = to end of enclosure.
+    * Malformed sizes terminate the walk instead of throwing — a crafted
+    * payload in a 100 TB corpus must not kill the stage. */
+  private def childBoxes(b: Array[Byte], start: Int, end: Int, typ: String): List[(Int, Int)] = {
+    var off = start
+    val out = List.newBuilder[(Int, Int)]
+    while (off + 8 <= end) {
+      val size32 = be32(b, off)
+      val (payloadStart, boxEnd) =
+        if (size32 == 1L && off + 16 <= end) {
+          val ls = be64(b, off + 8)
+          (off + 16, if (ls < 16 || ls > end - off) end + 1 else off + ls.toInt)
+        }
+        else if (size32 == 0L) (off + 8, end)
+        else (off + 8, if (size32 < 8 || size32 > end - off) end + 1 else off + size32.toInt)
+      if (boxEnd > end) off = end // malformed: stop
+      else {
+        if (boxType(b, off) == typ) out += ((payloadStart, boxEnd))
+        off = boxEnd
+      }
+    }
+    out.result()
+  }
+  private def firstBox(b: Array[Byte], start: Int, end: Int, path: String*): Option[(Int, Int)] =
+    path.foldLeft(Option((start, end))) { (acc, typ) =>
+      acc.flatMap { case (s, e) => childBoxes(b, s, e, typ).headOption }
+    }
+
+  /**
+   * REAL MP4 (ISO BMFF) container metadata — no codec needed, the
+   * header boxes carry it: duration from `moov/mvhd`
+   * (duration ÷ timescale), display dimensions from the video track's
+   * `tkhd` (16.16 fixed point; the video track is the one with nonzero
+   * dimensions), frame count from that track's
+   * `mdia/minf/stbl/stsz` sample count. Returns None for payloads that
+   * are not ISO BMFF or carry no video track — [[decodeVideo]] then
+   * falls back to the stub, exactly as [[decodeImage]] does for
+   * non-image bytes. (Scope deliberately narrowed to MP4/MOV-family
+   * containers: AVI/MKV payloads take the stub fallback, tagged by the
+   * `container` column.)
+   */
+  def parseMp4Meta(m: MediaFile): Option[VideoMeta] = {
+    val b = m.payload
+    try {
+      firstBox(b, 0, b.length, "moov").flatMap { case (ms, me) =>
+        val durationMs = firstBox(b, ms, me, "mvhd").flatMap { case (ps, pe) =>
+          val v = if (pe > ps) b(ps).toInt else -1
+          // v0: ver/flags 4, created 4, modified 4, timescale 4, duration 4
+          // v1: ver/flags 4, created 8, modified 8, timescale 4, duration 8
+          if (v == 0 && ps + 20 <= pe) {
+            val ts = be32(b, ps + 12)
+            if (ts > 0) Some(be32(b, ps + 16) * 1000L / ts) else None
+          } else if (v == 1 && ps + 32 <= pe) {
+            val ts = be32(b, ps + 20)
+            if (ts > 0) Some(be64(b, ps + 24) * 1000L / ts) else None
+          } else None
+        }
+        val video = childBoxes(b, ms, me, "trak").flatMap { case (ts, te) =>
+          firstBox(b, ts, te, "tkhd").flatMap { case (ps, pe) =>
+            val v = if (pe > ps) b(ps).toInt else -1
+            // width/height close the box: 36-byte matrix precedes them;
+            // v1's three 64-bit times shift everything by 12
+            val wOff = if (v == 1) ps + 88 else ps + 76
+            if (v >= 0 && wOff + 8 <= pe) {
+              val w = be32(b, wOff) >> 16 // 16.16 fixed point
+              val h = be32(b, wOff + 4) >> 16
+              if (w > 0 && h > 0) {
+                val frames = firstBox(b, ts, te, "mdia", "minf", "stbl", "stsz")
+                  .collect { case (ss, se) if ss + 12 <= se => be32(b, ss + 8) }
+                Some((w, h, frames.getOrElse(0L)))
+              } else None
+            } else None
+          }
+        }.headOption
+        video.map { case (w, h, frames) =>
+          VideoMeta(m.doc_id, b.length.toLong, w, h,
+            n_frames = math.max(frames, 1L),
+            duration_ms = durationMs.getOrElse(0L), container = "mp4")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Video decode with the same fallback contract as [[decodeImage]]:
+    * real MP4 header parse when the payload is ISO BMFF with a video
+    * track, deterministic stub otherwise (tagged `container = "stub"`;
+    * stub duration assumes the stub's 25 fps make-believe). */
+  def decodeVideo(m: MediaFile): VideoMeta =
+    parseMp4Meta(m).getOrElse {
+      val s = decodeStub(m)
+      VideoMeta(s.doc_id, s.byte_len, s.width, s.height, s.n_frames,
+        duration_ms = s.n_frames * 40L, container = "stub")
+    }
+
+  /** [[extractMeta]]'s video twin at the same `mapPartitions` boundary:
+    * identical partitioning and batch shape, binary never touches the
+    * driver. */
+  def extractMetaVideo(files: Dataset[MediaFile]): Dataset[VideoMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodeVideo))
+  }
+
   /** Demo source: treat document text bytes as the media payload. */
   def filesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._

@@ -189,6 +189,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(cents.exists(c => c(1) > 0.9 && c(0) == 0.0))
   }
 
+  test("Similarity.trainCentroids reseeds an engineered empty cell and stays k-wide") {
+    // seeds 1 and 2 are IDENTICAL vectors: every assignment tie goes to
+    // the lowest cell id, so cell 2 gets zero members — without repair
+    // the index silently shrinks to k-1 cells
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 1.0)),
+      (4L, Array(0.9, 0.1)), (5L, Array(0.1, 0.9)), (6L, Array(0.8, 0.2)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 3, iters = 2)
+    val cells = cents.select("cell").as[Long].collect().sorted
+    assert(cells.length == 3 && cells.distinct.length == 3, s"cells $cells")
+    assert(cells.contains(2L), s"empty cell 2 was not reseeded: $cells")
+    // deterministic: the same call twice is value-identical
+    val again = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 3, iters = 2)
+    val a = cents.orderBy("cell").as[(Long, Array[Double])].collect().map(r => (r._1, r._2.toSeq))
+    val b = again.orderBy("cell").as[(Long, Array[Double])].collect().map(r => (r._1, r._2.toSeq))
+    assert(a.sameElements(b), s"nondeterministic: $a vs $b")
+  }
+
+  test("Similarity.trainCentroids converged rounds are no-ops (early stop is value-identical)") {
+    // two tight clusters converge after one mean round; 2 vs 10 iters
+    // must produce the same centroids — the convergence stop just skips
+    // the no-op rounds
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (3L, Array(1.0, 0.02)), (4L, Array(0.02, 1.0)))
+      .toDF("vec_id", "embedding")
+    val short = Similarity.trainCentroids(corpus, "embedding", "vec_id", 2, 2)
+      .orderBy("cell").as[(Long, Array[Double])].collect().map(r => (r._1, r._2.toSeq))
+    val long = Similarity.trainCentroids(corpus, "embedding", "vec_id", 2, 10)
+      .orderBy("cell").as[(Long, Array[Double])].collect().map(r => (r._1, r._2.toSeq))
+    assert(short.sameElements(long), s"$short vs $long")
+  }
+
   test("Dedup.substringDedup excises a repeated run that straddles passage boundaries") {
     // a 24-token run sits at offset 10 in doc 1 and offset 3 in doc 2 —
     // no fixed 20-word cut of doc 2 equals any cut of doc 1, so
@@ -414,6 +448,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("Dedup.simhashNearDups64 equals brute-force Hamming<=3 at 64-bit/16-bit bands") {
+    // real docs plus PLANTED near-identical variants: random text pairs
+    // almost never land within Hamming 3 of each other in 64 bits, so
+    // without the plants the brute set would be near-dups-free and the
+    // completeness claim untested
+    val base = graft.sources.Tables.documents(spark, sf).limit(120)
+      .select("doc_id", "text")
+    val planted = base.limit(6)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val docs = base.unionByName(planted)
+    val sig = Dedup.simhash64(docs, "text", "doc_id")
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash64").as("sa"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash64").as("sb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDups64(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "no Hamming<=3 pairs — planted variants should be near-identical")
+    assert(banded == brute)
+    // the widened signature really uses the upper 32 bits (incl. the
+    // long's sign bit): some signature must be negative
+    assert(sig.filter(col("simhash64") < 0).count() > 0, "bit 63 never set across 126 docs")
+  }
+
   test("Dedup.simhashNearDups maxBucketSize drops degenerate buckets only") {
     // 10 exact copies → identical signatures → every band bucket holds
     // all 10; one distinct doc far away in Hamming space
@@ -515,6 +577,44 @@ class OperatorSpec extends AnyFunSuite {
     assert((metas(2L).width, metas(2L).height, metas(2L).n_frames) == (3L, 29L, 1L))
     // undecodable payload → the deterministic stub, not a failure
     assert(metas(3L) == decodeStub(MediaFile(3L, "just text bytes, not an image".getBytes("UTF-8"))))
+  }
+
+  test("Multimodal.decodeVideo reads true MP4 dimensions/duration/frames; non-MP4 falls back to stub") {
+    import graft.operators.Multimodal._
+    // hand-assembled but fully valid ISO BMFF box tree — the same byte
+    // layout ffmpeg writes, minus the codec payload the parser never reads
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+    }
+    val mvhd = box("mvhd", // version 0: timescale 1000, duration 2500 → 2500 ms
+      be32(0), be32(0), be32(0), be32(1000), be32(2500),
+      Array.fill(80)(0.toByte))
+    val tkhd = box("tkhd", // v0: width 320, height 180 as 16.16 fixed point
+      be32(0), be32(0), be32(0), be32(1), be32(0), be32(2500),
+      Array.fill(8 + 2 + 2 + 2 + 2 + 36)(0.toByte),
+      be32(320L << 16), be32(180L << 16))
+    val stsz = box("stsz", be32(0), be32(0), be32(50)) // 50 samples (frames)
+    val trak = box("trak", tkhd, box("mdia", box("minf", box("stbl", stsz))))
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(512)) ++
+      box("moov", mvhd, trak)
+    val notMp4 = "just text bytes, not a container".getBytes("UTF-8")
+    val files = spark.createDataset(Seq(MediaFile(1L, mp4), MediaFile(2L, notMp4)))
+    val metas = extractMetaVideo(files).collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L) == VideoMeta(1L, mp4.length.toLong, 320L, 180L, 50L, 2500L, "mp4"))
+    // undecodable payload → the deterministic stub, tagged as such
+    val s = decodeStub(MediaFile(2L, notMp4))
+    assert(metas(2L) == VideoMeta(2L, s.byte_len, s.width, s.height,
+      s.n_frames, s.n_frames * 40L, "stub"))
+    // an AUDIO-only MP4 (zero tkhd dimensions) is not a video: stub path
+    val audioTrak = box("trak", box("tkhd",
+      be32(0), be32(0), be32(0), be32(2), be32(0), be32(2500),
+      Array.fill(8 + 2 + 2 + 2 + 2 + 36)(0.toByte), be32(0), be32(0)))
+    val audioMp4 = box("moov", mvhd, audioTrak)
+    assert(decodeVideo(MediaFile(3L, audioMp4)).container == "stub")
   }
 
   test("Multimodal stub pipeline derives metadata from payload bytes") {
