@@ -51,7 +51,7 @@ object Similarity {
 
   /**
    * K-means-lite centroid training for the IVF index: deterministic
-   * seeding (the k lowest-id vectors), then `iters` rounds of
+   * seeding (the k lowest-id vectors), then up to `iters` rounds of
    * assign-to-nearest (broadcast centroids — corpus never shuffles) and
    * per-cell mean. The mean is computed by `posexplode` + one
    * partial-aggregating groupBy on (cell, pos) + re-assembly — the plan
@@ -59,20 +59,40 @@ object Similarity {
    * never hit Janino generated-code limits (the per-dimension-column form
    * did). Each round is eagerly materialized (`localCheckpoint`, k rows)
    * so lineage doesn't grow across rounds and no cache outlives the call.
+   *
+   * Robustness (both deterministic, so the fixed-iteration oracle stays
+   * exact):
+   *  - EMPTY CELLS are reseeded each round from the lowest-id corpus
+   *    vectors (one per empty cell, in cell-id order) — a centroid that
+   *    loses a tie for every vector (e.g. a duplicate seed, where ties
+   *    go to the lowest cell id) comes back as a live cell instead of
+   *    silently shrinking the index.
+   *  - CONVERGENCE stop: a round whose centroids are all EXACTLY
+   *    unchanged ends training early. Exact equality (not a tolerance)
+   *    keeps early-stopped output bit-identical to running all `iters`
+   *    rounds — a converged round is a no-op — so declared queries need
+   *    no oracle change.
+   * Both checks act on the k-row centroid frame only (a k-row driver
+   * collect / count — deliberate, same class as the 1-row Bloom build;
+   * the corpus-sized work per round is unchanged).
+   *
    * Output: (cell, centroid vector) with `vecCol`'s name, ready for
    * [[ivfTopK]].
    */
   def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
     var cents = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cell"), col(vecCol))
       .localCheckpoint()
-    (0 until iters).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val assigned = assignCells(corpus, cents, vecCol, idCol, "cell")
       // element-wise mean per cell: one narrow (cell, pos, v) explosion,
       // sum+count partial-agg map-side, re-assemble in pos order (the
       // struct sort key is __pos, collect_list order is irrelevant)
-      cents = assigned
+      var next = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy(col("cell"), col("__pos"))
         .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
@@ -80,6 +100,23 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("__pos"), (col("__s") / col("__n")).as("__m")))),
           x => x.getField("__m")).as(vecCol))
         .localCheckpoint()
+      val empty = cents.select(col("cell")).exceptAll(next.select(col("cell")))
+        .orderBy(col("cell")).collect()
+      if (empty.nonEmpty) {
+        val reseeds = corpus.orderBy(col(idCol)).limit(empty.length)
+          .select(col(vecCol)).collect()
+        val rows = empty.zip(reseeds).map { case (c, v) =>
+          org.apache.spark.sql.Row(c.get(0), v.get(0)) }
+        next = next.unionByName(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), next.schema))
+          .localCheckpoint()
+      }
+      // exact-equality convergence on the two k-row frames (null-safe so
+      // a missing cell — impossible after reseeding — would count as moved)
+      converged = cents.as("a").join(next.as("b"), Seq("cell"), "full_outer")
+        .filter(!(col(s"a.$vecCol") <=> col(s"b.$vecCol"))).isEmpty
+      cents = next
+      it += 1
     }
     cents
   }
