@@ -732,17 +732,70 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming <= 3, "4-byte banding is only complete for maxHamming <= 3")
-    val sig = simhash(docs, textCol, idCol)
-    val exploded = sig.select(col(idCol), col("simhash"),
+    require(maxHamming <= 3, "4-band banding is only complete for maxHamming <= 3")
+    hammingPairs(simhash(docs, textCol, idCol), idCol, "simhash",
+      bandBits = 8, maxHamming, maxBucketSize)
+  }
+
+  /** 64-bit SimHash over whitespace tokens — the 100 TB widening
+    * [[simhashNearDups]]'s Scaladoc promises: bit b is the b-th actual
+    * bit (MSB-first) of the md5's first 16 hex digits, voted sum(+1/−1)
+    * per token exactly like [[simhash]]. 64 bits drop the random-
+    * collision rate of a byte band (2⁻⁸ per band at 32-bit) to 2⁻¹⁶ per
+    * 16-bit band — at billions of documents that is the difference
+    * between bounded buckets and a quadratic verify stage. Not
+    * oracle-portable (the declared query stays 32-bit); spec-certified
+    * by brute force instead (OperatorSpec). Output: (idCol, simhash64). */
+  def simhash64(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // repartition + chunked-conv rationale as in [[simhash]]; two 8-digit
+    // chunks cover the first 64 md5 bits, MSB-first within each chunk
+    val tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("t"))
+      .select(col(idCol), md5(col("t")).as("h"))
+    val chunks = tok.select(
+      col(idCol) +: (0 until 2).map(c =>
+        conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
+    val votes = (0 until 64).map { b =>
+      val shift = 31 - b % 32
+      sum(when(shiftright(col(s"c${b / 32}"), shift).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val agg = chunks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    // distinct powers of two: + has no carries, so bit 63 (the long's
+    // sign bit) composes fine
+    val sig: Column = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash64"))
+  }
+
+  /** [[simhashNearDups]] at 64-bit/16-bit-band geometry: same pigeonhole
+    * completeness (Hamming ≤ 3 spans at most 3 of the 4 bands), 65k
+    * buckets per band. */
+  def simhashNearDups64(docs: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 3, "4-band banding is only complete for maxHamming <= 3")
+    hammingPairs(simhash64(docs, textCol, idCol), idCol, "simhash64",
+      bandBits = 16, maxHamming, maxBucketSize)
+  }
+
+  /** Shared banded Hamming-pair join: split the signature into four
+    * `bandBits`-wide bands, equi-join on (band, value), verify with
+    * `bit_count(xor)`. Only colliding buckets produce pairs. */
+  private def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+                           bandBits: Int, maxHamming: Int,
+                           maxBucketSize: Int): DataFrame = {
+    val mask = lit((1L << bandBits) - 1)
+    val exploded = sig.select(col(idCol), col(sigCol),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)))
+        shiftright(col(sigCol), bandBits * b).bitwiseAND(mask)): _*)))
       .toDF(idCol, "__sig", "__band", "__bv")
     // same degenerate-bucket guard as minhashCandidatePairs: a (band,
-    // byte) bucket holding a giant near-identical cluster is quadratic
+    // value) bucket holding a giant near-identical cluster is quadratic
     // by definition; a finite cap trades those buckets' recall for a
     // bounded pair space (completeness then holds for pairs whose
-    // agreeing byte sits in an uncapped bucket)
+    // agreeing band sits in an uncapped bucket)
     val banded =
       if (maxBucketSize == Int.MaxValue) exploded
       else {
