@@ -45,4 +45,33 @@ final class Env(val spark: SparkSession) {
 
 object Env {
   def apply(spark: SparkSession): Env = new Env(spark)
+
+  /**
+   * Run `body` against a CLONE of `spark` with the stateful-chain
+   * correctness check disabled THERE — the scoped form of
+   * `processStateGlobal`'s required relaxation, shrinking the blast
+   * radius its guard message warns about: the outer session keeps
+   * Spark's check for every other streaming query, while the clone
+   * (sharing the SparkContext, catalog, and cached data) runs the
+   * multi-stateful composition.
+   *
+   * `newSession()` starts from the session's INITIAL conf, so the
+   * parent's runtime conf (state-store provider, the `spark.graft.*`
+   * flags, shuffle partitions, …) is copied over first — the clone
+   * behaves identically except for the one relaxation. Build the
+   * pipeline's sources FROM the clone (`body`'s argument): a streaming
+   * query runs under the conf of the session that built its frames.
+   */
+  def withGlobalStateSession[A](spark: SparkSession)(body: SparkSession => A): A = {
+    val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      // static/non-runtime keys refuse to be set on a live session; the
+      // clone already inherited them through the shared context
+      try scoped.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    scoped.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    body(scoped)
+  }
 }

@@ -196,6 +196,51 @@ abstract class StreamingParityBehaviors(tws: Boolean) extends AnyFunSuite {
     assert(ew.getMessage.contains("session-wide"), ew.getMessage)
   }
 
+  test("withGlobalStateSession scopes the chain-check relaxation to the clone") {
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    // the outer session is EXPLICITLY strict; the composition must still
+    // run inside the scoped clone and the outer flag must stay untouched
+    spark.conf.set(checkKey, "true")
+    try {
+      val result = Env.withGlobalStateSession(spark) { scoped =>
+        assert(scoped.conf.get(checkKey) == "false")
+        // the runtime conf (incl. this suite's state-backend flags) must
+        // have crossed into the clone
+        assert(scoped.conf.get("spark.graft.stateful.tws", "false") == tws.toString)
+        implicit val sqlCtx = scoped.sqlContext
+        val input = MemoryStream[Event[Long]]
+        val out = Env(scoped).fromDataset(input.toDS())
+          .withWatermark("0 seconds")
+          .keyBy(_.value)
+          .processStateGlobal((_: Long) => 0L, 0L)(
+            (k, e, kn) => (kn + 1, Seq(e.withValue((k, kn)))))(
+            (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, e.value._2, gn)))))
+        val query = out.ds.writeStream.format("memory")
+          .queryName(qn("s_scoped")).outputMode("append").start()
+        try {
+          input.addData(ev(10, "2009-10-11 12:00:00"), ev(20, "2009-10-11 12:30:00"))
+          query.processAllAvailable()
+          input.addData(ev(99, "2009-10-11 14:00:00"))
+          query.processAllAvailable() // wm 14:00 → releases 12:00 and 12:30
+          scoped.table(qn("s_scoped")).as[Event[(Long, Long, Long)]]
+            .collect().toSeq.map(_.value).toSet
+        } finally query.stop()
+      }
+      assert(result == Set((10L, 0L, 0L), (20L, 0L, 1L)), s"got $result")
+      assert(spark.conf.get(checkKey) == "true", "outer session flag was mutated")
+      // and the outer session still fails fast, proving the check is live there
+      implicit val sqlCtx = spark.sqlContext
+      val outerInput = MemoryStream[Event[Long]]
+      intercept[IllegalStateException] {
+        Env(spark).fromDataset(outerInput.toDS())
+          .withWatermark("0 seconds").keyBy(_.value)
+          .processStateGlobal((_: Long) => 0L, 0L)(
+            (k, e, kn) => (kn + 1, Seq(e.withValue((k, kn)))))(
+            (e, gn) => (gn + 1, Seq(e.withValue((e.value._1, e.value._2, gn)))))
+      }
+    } finally spark.conf.unset(checkKey)
+  }
+
   test("streaming keyed processStateGlobal interleaves keys in event-time order") {
     // two keys' events interleave in event time across batches; the
     // global counter must follow event-time order, not per-key arrival:
