@@ -17,6 +17,23 @@ import graft.operators.{Dedup, Multimodal, Similarity}
  */
 object LlmQueries {
 
+  /** Percentile aggregate with a FLAGGED approximate twin: the exact
+    * `percentile` (linear interpolation, oracle-portable) by default;
+    * `spark.graft.percentile.approx=true` swaps in `approx_percentile`
+    * (GK sketch, mergeable partial state, accuracy knob
+    * `spark.graft.percentile.accuracy`, default 10000) — the 100 TB path
+    * SCALE.md promises for l24/l39, where the exact form's per-group
+    * sort outgrows memory. Not oracle-able across engines (different
+    * algorithms), so its guarantee is the SketchAndSampleSpec error
+    * bound vs the exact form; the declared queries run with the flag
+    * OFF. */
+  private def pctExpr(s: org.apache.spark.sql.SparkSession, valueCol: String,
+                      p: Double, digits: Int): org.apache.spark.sql.Column =
+    if (s.conf.get("spark.graft.percentile.approx", "false").toBoolean) {
+      val acc = s.conf.get("spark.graft.percentile.accuracy", "10000").toLong
+      round(expr(s"approx_percentile($valueCol, $p, $acc)").cast("double"), digits)
+    } else round(expr(s"percentile($valueCol, $p)"), digits)
+
   // ---- DuckDB SQL fragments mirroring the Scala operators ----
 
   /** Left-to-right fold sum over a DOUBLE[] expression (≡ Spark aggregate). */
@@ -584,8 +601,8 @@ object LlmQueries {
           // reliable checkpoint dir, and nothing downstream changes
           .localCheckpoint()
         val cuts = sc.groupBy("lang").agg(
-          round(expr("percentile(avg_neg_logprob, 0.3333333333333333)"), 9).as("__q1"),
-          round(expr("percentile(avg_neg_logprob, 0.6666666666666666)"), 9).as("__q2"))
+          pctExpr(s, "avg_neg_logprob", 0.3333333333333333, 9).as("__q1"),
+          pctExpr(s, "avg_neg_logprob", 0.6666666666666666, 9).as("__q2"))
         sc.join(broadcast(cuts), Seq("lang"))
           .withColumn("bucket",
             when(col("avg_neg_logprob") <= col("__q1"), lit("head"))
@@ -801,9 +818,9 @@ object LlmQueries {
       (s, d) => Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
-          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
-          round(expr("percentile(n_chars, 0.75)"), 6).as("p75"))
+          pctExpr(s, "n_chars", 0.25, 6).as("p25"),
+          pctExpr(s, "n_chars", 0.5, 6).as("p50"),
+          pctExpr(s, "n_chars", 0.75, 6).as("p75"))
         .orderBy("lang"),
       Some("SELECT lang, COUNT(*) AS n_docs, " +
         "ROUND(quantile_cont(n_chars, 0.25), 6) AS p25, " +

@@ -30,6 +30,37 @@ class SketchAndSampleSpec extends AnyFunSuite {
     assert(p50 > 0 && p50 < p99)
   }
 
+  test("flagged approx_percentile twin tracks exact l24/l39 within bound at sf0.01") {
+    // the 100 TB swap SCALE.md promises: spark.graft.percentile.approx
+    // reroutes l24/l39's percentile aggregates onto the GK sketch. Not
+    // oracle-able across engines, so the guarantee pinned here is an
+    // error bound vs the exact declared-query output.
+    val sf01 = "/root/testdata/sf0.01"
+    val key = "spark.graft.percentile.approx"
+    def l24() = graft.SparkEntry.queries("l24_length_quantiles")(spark, sf01)
+      .select("lang", "p25", "p50", "p75").as[(String, Double, Double, Double)]
+      .collect().map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    def l39Buckets() = graft.SparkEntry.queries("l39_ppl_buckets")(spark, sf01)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val exact24 = l24()
+    val exact39 = l39Buckets()
+    spark.conf.set(key, "true")
+    try {
+      val approx24 = l24()
+      assert(approx24.keySet == exact24.keySet)
+      for (lang <- exact24.keySet; (e, a) <- exact24(lang).zip(approx24(lang)))
+        assert(math.abs(a - e) / e <= 0.02,
+          s"$lang: approx $a vs exact $e exceeds 2% relative error")
+      val approx39 = l39Buckets()
+      assert(approx39.keySet == exact39.keySet)
+      // bucket flips happen only for docs at the cutoffs; the sketch at
+      // accuracy 10000 must agree on at least 98% of documents
+      val agree = exact39.count { case (id, b) => approx39(id) == b }
+      assert(agree.toDouble / exact39.size >= 0.98,
+        s"bucket agreement ${agree.toDouble / exact39.size}")
+    } finally spark.conf.unset(key)
+  }
+
   test("dupRateEstimate tracks the exact duplicate rate within sketch error") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
