@@ -515,28 +515,8 @@ object Dedup {
           .select(col("band_hash").as("__seenraw")),
         col("__sigfull") === concat(lit("raw:"), col("__seenraw")), "left_anti")
       .withColumn("__ord", unix_micros(col(tsCol).cast("timestamp")))
-    // exact in-batch dedup, event-time-first (the batch twin of
-    // dropDuplicatesWithinWatermark's role in the stateful path)
-    val exactW = Window.partitionBy(col("__sigfull"))
-      .orderBy(col("__ord"), col(tsCol))
-    val deduped = withFull.withColumn("__rn", row_number().over(exactW))
-      .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint() // two consumers below; also truncates for the append
-    // in-batch claim/resolve: min (ord, sigfull) owns each band key; a
-    // doc survives iff it owns every one of its band keys
-    val bandKeys = (0 until bands).map(b =>
-      when(col(s"__band$b").isNotNull, concat(lit(s"$b|"), col(s"__band$b"))))
-    val keysArr = array_compact(array(bandKeys: _*))
-    val bandRows = deduped.select(
-      explode(when(size(keysArr) > 0, keysArr)
-        .otherwise(array(concat(lit("raw|"), col("__sigfull"))))).as("__bkey"),
-      col("__sigfull"), col("__ord"))
-    val losers = bandRows
-      .withColumn("__owner",
-        min(struct(col("__ord"), col("__sigfull"))).over(Window.partitionBy(col("__bkey"))))
-      .filter(col("__owner.__sigfull") =!= col("__sigfull"))
-      .select("__sigfull").distinct()
-    val kept = deduped.join(losers, Seq("__sigfull"), "left_anti")
+    val kept = claimResolveBatch(withFull, bands,
+        Seq(col("__ord")), materialize = true)
       .localCheckpoint() // consumed twice: the band append and onAdmitted
     // admit-and-append: survivors' bands (plus raw signatures for docs
     // too short to shingle) become part of the seen corpus NOW
@@ -549,6 +529,62 @@ object Dedup {
           regexp_replace(col("__sigfull"), "^raw:", "").as("band_hash")))
     newBands.write.mode("append").parquet(bandsPath)
     onAdmitted(kept.select(batch.columns.map(col): _*), batchId)
+  }
+
+  /** Shared in-batch claim/resolve core of [[nearDupAdmitAndAppend]] and
+    * [[bandClaimKept]]: exact dedup on the full signature (first by
+    * `ordCols` wins), then the minimum (`ordCols`, signature) claims each
+    * band key and a doc survives iff it owns EVERY one of its band keys
+    * (short docs own their raw-signature pseudo-band, so they dedup
+    * exactly among themselves). Losers still claim their unshared bands —
+    * the transitive cluster-collapse semantics of the streaming claim
+    * stage. `materialize` eagerly checkpoints the deduped frame when the
+    * caller runs inside foreachBatch (two consumers); the declared-query
+    * path stays lazy and lets AQE's exchange reuse carry the diamond. */
+  private def claimResolveBatch(withFull: DataFrame, bands: Int,
+                                ordCols: Seq[Column], materialize: Boolean): DataFrame = {
+    val exactW = Window.partitionBy(col("__sigfull")).orderBy(ordCols: _*)
+    val deduped0 = withFull.withColumn("__rn", row_number().over(exactW))
+      .filter(col("__rn") === 1).drop("__rn")
+    val deduped = if (materialize) deduped0.localCheckpoint() else deduped0
+    val bandKeys = (0 until bands).map(b =>
+      when(col(s"__band$b").isNotNull, concat(lit(s"$b|"), col(s"__band$b"))))
+    val keysArr = array_compact(array(bandKeys: _*))
+    val bandRows = deduped.select(
+      explode(when(size(keysArr) > 0, keysArr)
+        .otherwise(array(concat(lit("raw|"), col("__sigfull"))))).as("__bkey"),
+      col("__sigfull"), struct(ordCols :+ col("__sigfull"): _*).as("__cand"))
+    val losers = bandRows
+      .withColumn("__owner", min(col("__cand")).over(Window.partitionBy(col("__bkey"))))
+      .filter(col("__owner.__sigfull") =!= col("__sigfull"))
+      .select("__sigfull").distinct()
+    deduped.join(losers, Seq("__sigfull"), "left_anti")
+  }
+
+  /**
+   * Batch band-claim dedup — the oracle-certifiable core of the
+   * streaming claim/resolve stages ([[nearDupKeptStreamStateful]],
+   * [[nearDupAdmitAndAppend]]): exact dedup on the full MinHash-band
+   * signature (min `idCol` wins), then the minimum-id document claims
+   * each LSH band and a document survives iff it claims all of its
+   * bands. Pure-LSH transitive first-wins — no Jaccard verification, by
+   * design: this is exactly what the streaming paths enforce, so its
+   * DuckDB oracle (l46) certifies their shared relational semantics on
+   * an engine-independent ground truth. (For the verified batch cascade
+   * use [[dedupCorpus]].)
+   *
+   * Plan shape: one per-signature window + one per-band-key window over
+   * the narrow (bkey, sig) rows + one anti join — all hash-partitioned
+   * on their keys, nothing quadratic, nothing broadcast.
+   */
+  def bandClaimKept(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val banded = withBandColumns(docs, textCol, k, bands, shingleN)
+      .withColumn("__sigfull",
+        coalesce(concat((0 until bands).map(b => col(s"__band$b")): _*),
+          concat(lit("raw:"), md5(coalesce(col(textCol), lit(""))))))
+    claimResolveBatch(banded, bands, Seq(col(idCol)), materialize = false)
+      .select(docs.columns.map(col): _*)
   }
 
   private def md5Hex(s: String): String =

@@ -75,20 +75,25 @@ object LlmQueries {
       s"sg AS (SELECT doc_id, $bits AS sig FROM v)"
   }
 
-  /** MinHash signatures (k=8) + 4 LSH bands + candidate pairs
-    * (≡ Dedup.minhashCandidatePairs defaults). */
-  private def minhashPairsCte(src: String = "documents") = {
+  /** MinHash signatures (k=8) + 4 LSH bands
+    * (≡ Dedup.minhashSignatures + lshBands defaults); CTEs `sig`, `bands`. */
+  private def minhashBandsCte(src: String = "documents") = {
     val sigs = (0 until 8).map(j => s"min(md5('$j|' || s)) AS sig$j").mkString(", ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sig")
       .mkString(" UNION ALL ")
     shinglesCte(src) +
       s", sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id)" +
-      s", bands AS ($bandRows)" +
+      s", bands AS ($bandRows)"
+  }
+
+  /** [[minhashBandsCte]] + candidate pairs
+    * (≡ Dedup.minhashCandidatePairs defaults). */
+  private def minhashPairsCte(src: String = "documents") =
+    minhashBandsCte(src) +
       ", pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
       "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash " +
       "AND a.doc_id < b.doc_id)"
-  }
 
   /** Exact shingle Jaccard over the candidate pairs (≡ Dedup.ngramJaccard). */
   private val jaccardCte =
@@ -530,6 +535,36 @@ object LlmQueries {
         "COALESCE(array_to_string(list(tok ORDER BY pos) FILTER (WHERE cov = 0), ' '), '') AS text_clean, " +
         "CAST(COUNT(*) FILTER (WHERE cov = 0) AS BIGINT) AS n_kept " +
         "FROM c GROUP BY doc_id ORDER BY doc_id")),
+
+    // L46 — batch band-claim dedup (Dedup.bandClaimKept): the
+    // oracle-certified relational core of the round-9 STREAMING dedup
+    // stages. Exact dedup on the concatenated-band full signature (min
+    // doc_id wins; unshingleable docs fall back to a raw content hash),
+    // then the minimum-id doc claims each LSH band and a doc survives
+    // iff it claims ALL its bands — pure-LSH transitive first-wins, no
+    // Jaccard verify, exactly the streaming claim/resolve semantics.
+    "l46_band_claim" -> QueryDef(
+      (s, d) => Dedup.bandClaimKept(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some(s"WITH ${minhashBandsCte()}, " +
+        "sigcat AS (SELECT doc_id, md5(sig0 || sig1) || md5(sig2 || sig3) || " +
+        "md5(sig4 || sig5) || md5(sig6 || sig7) AS bsig FROM sig), " +
+        "sigf AS (SELECT d.doc_id, d.lang, COALESCE(s.bsig, 'raw:' || md5(COALESCE(d.text, ''))) " +
+        "AS sigfull FROM documents d LEFT JOIN sigcat s USING (doc_id)), " +
+        "ded AS (SELECT doc_id, lang, sigfull FROM (SELECT doc_id, lang, sigfull, " +
+        "ROW_NUMBER() OVER (PARTITION BY sigfull ORDER BY doc_id) AS rn FROM sigf) WHERE rn = 1), " +
+        "brow AS (SELECT de.doc_id, de.sigfull, " +
+        "CAST(b.band_idx AS VARCHAR) || '|' || b.band_hash AS bkey " +
+        "FROM ded de JOIN bands b USING (doc_id) " +
+        "UNION ALL SELECT doc_id, sigfull, 'raw|' || sigfull FROM ded WHERE sigfull LIKE 'raw:%'), " +
+        "own AS (SELECT bkey, MIN(doc_id) AS oid FROM brow GROUP BY bkey), " +
+        "osig AS (SELECT o.bkey, w.sigfull AS owner_sig FROM own o " +
+        "JOIN brow w ON w.bkey = o.bkey AND w.doc_id = o.oid), " +
+        "losers AS (SELECT DISTINCT r.sigfull FROM brow r JOIN osig o USING (bkey) " +
+        "WHERE o.owner_sig <> r.sigfull) " +
+        "SELECT doc_id, lang FROM ded WHERE sigfull NOT IN (SELECT sigfull FROM losers) " +
+        "ORDER BY doc_id")),
 
     // L44 — the pure-SQL surface: one spark.sql() query exercising five
     // GraftFunctions-registered custom functions (rolling_hash,
