@@ -573,18 +573,36 @@ object Dedup {
    * an engine-independent ground truth. (For the verified batch cascade
    * use [[dedupCorpus]].)
    *
-   * Plan shape: one per-signature window + one per-band-key window over
-   * the narrow (bkey, sig) rows + one anti join — all hash-partitioned
-   * on their keys, nothing quadratic, nothing broadcast.
+   * Plan shape: the claim runs entirely on a NARROW (id, bands,
+   * signature) projection — one per-signature window + one per-band-key
+   * window + one anti join, all hash-partitioned on their keys — and
+   * both consumers of the deduped frame read the IDENTICAL narrow
+   * subtree, so Spark's exchange reuse computes the shingle/MinHash
+   * work once; the surviving ids then semi-join back to the original
+   * rows. Nothing quadratic, nothing broadcast, the wide document rows
+   * never enter the claim shuffles.
    */
   def bandClaimKept(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val banded = withBandColumns(docs, textCol, k, bands, shingleN)
+    val r = k / bands
+    // batch path: the explode+agg signature form (whole-stage codegen;
+    // measured ~4× the HOF form `withBandColumns` must use on streams —
+    // see minhashSignatures' Scaladoc), then an id-co-partitioned left
+    // join to pick up unshingleable docs' raw-hash fallback
+    val sigs = minhashSignatures(docs.select(col(idCol), col(textCol)),
+      textCol, idCol, k, shingleN)
+    val bandsWide = sigs.select(
+      col(idCol) +: (0 until bands).map(b =>
+        md5(concat((0 until r).map(i => col(s"sig${b * r + i}")): _*)).as(s"__band$b")): _*)
+    val banded = docs
+      .select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("__rawh"))
+      .join(bandsWide, Seq(idCol), "left_outer")
       .withColumn("__sigfull",
         coalesce(concat((0 until bands).map(b => col(s"__band$b")): _*),
-          concat(lit("raw:"), md5(coalesce(col(textCol), lit(""))))))
-    claimResolveBatch(banded, bands, Seq(col(idCol)), materialize = false)
-      .select(docs.columns.map(col): _*)
+          concat(lit("raw:"), col("__rawh"))))
+    val keptIds = claimResolveBatch(banded, bands, Seq(col(idCol)), materialize = false)
+      .select(col(idCol))
+    docs.join(keptIds, Seq(idCol), "left_semi")
   }
 
   private def md5Hex(s: String): String =
