@@ -527,8 +527,15 @@ object Dedup {
       .unionAll(kept.filter((0 until bands).map(b => col(s"__band$b").isNull).reduce(_ && _))
         .select(lit(-1).as("band_idx"),
           regexp_replace(col("__sigfull"), "^raw:", "").as("band_hash")))
-    newBands.write.mode("append").parquet(bandsPath)
+    // Deliver BEFORE appending: with the append first, a crash between
+    // the two would make the replayed batch collide with its OWN bands
+    // and the sink silently lose those documents. Sink-first gives
+    // standard at-least-once (a crash between sink and append re-delivers
+    // the batch on replay — dedupe by batchId downstream if exactly-once
+    // matters); duplicate band rows from a replayed append only grow the
+    // anti-join input, never change its semantics.
     onAdmitted(kept.select(batch.columns.map(col): _*), batchId)
+    newBands.write.mode("append").parquet(bandsPath)
   }
 
   /** Shared in-batch claim/resolve core of [[nearDupAdmitAndAppend]] and

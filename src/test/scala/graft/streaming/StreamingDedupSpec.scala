@@ -244,6 +244,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupAdmitAndAppend replay after a sink failure re-delivers, never loses") {
+    // foreachBatch is at-least-once: if the sink throws, the batch is
+    // replayed. The body must deliver BEFORE appending bands — with the
+    // append first, the replayed batch would collide with its OWN bands
+    // and the sink would silently lose every document of the batch.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_rp").toString + "/bands"
+    var attempts = 0
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val body = Dedup.nearDupAdmitAndAppend("text", "ts", dir, (df, _) => {
+      attempts += 1
+      val ids = df.select("doc_id").as[Long].collect().toSet
+      if (attempts == 1) throw new RuntimeException("sink down")
+      delivered += ids
+    })
+    val batch = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "delivery ordering matters when the bands table doubles as replay state"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L,
+        "a second unrelated document about checkpoint commit protocols downstream"))
+      .toDF("ts", "doc_id", "text")
+    intercept[RuntimeException] { body(batch, 0L) }
+    body(batch, 0L) // replay of the same batch
+    assert(delivered.toSeq == Seq(Set(1L, 2L)), s"replay lost documents: $delivered")
+  }
+
   test("exactKeptStream on a batch frame degenerates to exact dedup") {
     val df = Seq("a", "a", "b").toDF("text")
     assert(Dedup.exactKeptStream(df, "text").count() == 2)
