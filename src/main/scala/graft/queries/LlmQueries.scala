@@ -627,14 +627,15 @@ object LlmQueries {
               .cast("decimal(20,9)").as("__lp"))
           .groupBy("doc_id", "lang")
           .agg(round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
-          // one row per doc — materialize so the cutoff aggregate and the
+          // one row per doc — cache it so the cutoff aggregate and the
           // bucket join don't each recompute the token-join subtree.
-          // Tradeoffs, deliberate at this scale: localCheckpoint is EAGER
-          // (constructing the query runs the token join — EXPLAIN pays it
-          // too) and executor-local (an executor loss makes the job
-          // unrecoverable); at 100 TB swap for persist(DISK_ONLY) + a
-          // reliable checkpoint dir, and nothing downstream changes
-          .localCheckpoint()
+          // LAZY persist (not localCheckpoint): constructing the query —
+          // or EXPLAINing it — no longer executes anything; the broadcast
+          // (cuts) side materializes the cache and the probe side reads
+          // it within the one action. DISK_ONLY so the per-doc rows can
+          // never evict executor memory at scale; blocks are freed by
+          // clearCache()/ContextCleaner after the action.
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val cuts = sc.groupBy("lang").agg(
           pctExpr(s, "avg_neg_logprob", 0.3333333333333333, 9).as("__q1"),
           pctExpr(s, "avg_neg_logprob", 0.6666666666666666, 9).as("__q2"))
