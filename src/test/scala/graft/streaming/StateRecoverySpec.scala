@@ -62,8 +62,92 @@ class StateRecoverySpec extends AnyFunSuite {
     assert(all == Set((0L, 1L), (1L, 1L), (0L, 2L), (1L, 2L)), s"after restart: $all")
   }
 
+  /** The in-horizon near-dup claim state must also survive a restart: a
+    * near-dup of a run-1 document arriving in run 2 (same checkpoint,
+    * still in-horizon) must be dropped by the RECOVERED band ownership —
+    * if the claim state reset, it would claim its bands freely and
+    * wrongly survive. */
+  private def nearDupRecoveryScenario(tag: String): Unit = {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory(s"graft_ndrec_$tag")
+      .toFile.getAbsolutePath
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    val x = "winnowing fingerprints select the minimum hash inside each sliding recovery span"
+    val x2 = "winnowing fingerprints select the minimum hash inside each sliding recovery region"
+    val fresh = "spark structured streaming keeps per key state in a rocksdb backed store"
+    val fresh2 = "another new document mentioning broadcast joins and shuffle partitions today"
+    // sanity: (x, x2) is a candidate pair, nothing else collides
+    val cand = Dedup.minhashCandidatePairs(
+        Seq((1L, x), (2L, x2), (10L, fresh), (12L, fresh2)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)), s"cand: $cand")
+    val emptyBands = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band_idx",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_hash",
+          org.apache.spark.sql.types.StringType))))
+    val docSchema = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 0L, ""))
+      .toDF("ts", "doc_id", "text").schema
+    def writeBatch(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts", "doc_id", "text").write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docSchema).parquet(src)
+        .withWatermark("ts", "1 hour")
+      val kept = Dedup.nearDupKeptStreamStateful(stream, "text", "ts", emptyBands)
+      val q = kept.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val prevCheck = spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      writeBatch(Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, x),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), 10L, fresh)))
+      runOnce()
+      val first = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(first == Set(1L, 10L), s"first run kept: $first")
+      // run 2, same checkpoint: x2 is an in-horizon near-dup of run 1's x
+      writeBatch(Seq((Timestamp.valueOf("2024-01-01 10:05:00"), 2L, x2),
+        (Timestamp.valueOf("2024-01-01 10:06:00"), 12L, fresh2)))
+      runOnce()
+      val all = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(all == Set(1L, 10L, 12L), s"after restart kept: $all")
+    } finally {
+      prevCheck match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      }
+    }
+  }
+
   test("keyed state survives a restart from the checkpoint (flatMapGroupsWithState)") {
     recoveryScenario("fmgws")
+  }
+
+  test("near-dup claim state survives a restart from the checkpoint (flatMapGroupsWithState)") {
+    nearDupRecoveryScenario("fmgws")
+  }
+
+  test("near-dup claim state survives a restart from the checkpoint (transformWithState + RocksDB)") {
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.graft.stateful.tws", "true")
+    try nearDupRecoveryScenario("tws")
+    finally {
+      spark.conf.unset("spark.graft.stateful.tws")
+      prevProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("keyed state survives a restart from the checkpoint (transformWithState + RocksDB)") {
