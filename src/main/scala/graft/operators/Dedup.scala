@@ -378,10 +378,12 @@ object Dedup {
    * state is one short row per surviving doc. Nothing is quadratic and
    * no state grows with the corpus (the corpus lives in `seenBands`).
    *
-   * Honest scope: in-stream NEAR-dups (shared band, different full
-   * signature) inside one watermark horizon are NOT caught — that
-   * would need stateful per-band joins of the stream against itself;
-   * the batch cascade (l15) catches them at the next corpus snapshot.
+   * Scope: in-stream NEAR-dups (shared band, different full signature)
+   * inside one watermark horizon are NOT caught here — use
+   * [[nearDupKeptStreamStateful]] (per-band claim state) when that
+   * matters; this stateless-per-band form stays for pipelines that
+   * cannot disable the stateful-chain check, where the batch cascade
+   * (l15) catches in-horizon pairs at the next corpus snapshot.
    */
   def nearDupKeptStream(docs: DataFrame, textCol: String, seenBands: DataFrame,
                         k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
