@@ -49,7 +49,12 @@ import org.apache.spark.sql.types._
  * pair per distinct in-horizon band hash (timer-evicted), RESOLVE
  * nothing. At 100 TB ingest rates state scales with the horizon's
  * distinct-band cardinality, not the corpus — the corpus lives in the
- * static `seenBands` side.
+ * static `seenBands` side. Per-invocation memory is bounded by one
+ * key's rows within one micro-batch (exact duplicates already collapsed
+ * upstream); a pathological near-identical flood concentrating on one
+ * band key is bounded by micro-batch sizing (`maxFilesPerTrigger` /
+ * `maxOffsetsPerTrigger`), the standard knob for every keyed stateful
+ * operator.
  */
 object NearDupState {
 
