@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, concat, lit}
 import graft.TestSpark
 import graft.operators.Dedup
 
@@ -242,6 +243,71 @@ class StreamingDedupSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(admitted.toSet == Set(1L, 20L, 11L, 22L, 12L), s"admitted $admitted")
     } finally q.stop()
+  }
+
+  /** The streaming stateful path over ONE micro-batch (empty seen
+    * corpus, event-time order aligned with doc-id order) must keep
+    * exactly the documents the oracle-certified batch operator keeps —
+    * the cross-check that ties the streaming claim/resolve semantics to
+    * l46's engine-independent ground truth. */
+  private def streamVsBatchParity(useTws: Boolean): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(80)
+    // planted near-dups of real docs (distinct full signatures, so the
+    // arbitrary-copy choice of exact dedup can't make the sets diverge)
+    val planted = base.limit(8)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" trailer")).as("text"))
+    val docs = base.unionByName(planted).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchKept = Dedup.bandClaimKept(
+        docs.toSeq.toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+
+    val emptyBands = Seq.empty[(Int, String)].toDF("band_idx", "band_hash")
+    val prevCheck = spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    if (useTws) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.graft.stateful.tws", "true")
+    }
+    val qn = if (useTws) "s_parity_tws" else "s_parity_fmgws"
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val stream = input.toDS().toDF("ts", "doc_id", "text").withWatermark("ts", "1 hour")
+      val out = Dedup.nearDupKeptStreamStateful(stream, "text", "ts", emptyBands)
+      q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      // event time strictly increasing with doc_id → first-arrival order
+      // equals the batch operator's min-id order
+      input.addData(docs.sortBy(_._1).map { case (id, t) =>
+        (new Timestamp(1704100000000L + id), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table(qn).select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        s"stream-only ${streamKept -- batchKept}, batch-only ${batchKept -- streamKept}")
+      assert(batchKept.size < docs.length, "fixture planted no drops — parity vacuous")
+    } finally {
+      if (q != null) q.stop()
+      if (useTws) spark.conf.unset("spark.graft.stateful.tws")
+      prevCheck match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      }
+    }
+  }
+
+  test("single-batch stateful stream keeps exactly what bandClaimKept keeps (fmgws)") {
+    streamVsBatchParity(useTws = false)
+  }
+
+  test("single-batch stateful stream keeps exactly what bandClaimKept keeps (tws)") {
+    streamVsBatchParity(useTws = true)
   }
 
   test("nearDupAdmitAndAppend replay after a sink failure re-delivers, never loses") {
