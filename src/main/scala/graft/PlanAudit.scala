@@ -30,7 +30,8 @@ object PlanAudit {
     Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
       "l25_tfidf", "l26_ann_int8", "l33_unigram_logprob", "l34_moore_lewis",
       "l39_ppl_buckets", "l42_ivf_trained", "l44_sql_functions",
-      "l45_bigram_logprob") // V scalar cross-broadcast, as l33's total
+      "l45_bigram_logprob", // V scalar cross-broadcast, as l33's total
+      "l47_temperature_mix") // 1-row (Σw, N) total against the per-key weights
   // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
   // directly over co-located sorted buckets with NO exchange on either
   // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,

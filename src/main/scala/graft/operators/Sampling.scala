@@ -67,4 +67,45 @@ object Sampling {
     }
     df.filter(cond)
   }
+
+  /**
+   * Temperature-based source rebalancing (the standard multilingual /
+   * multi-source mixing stage, temperature α = 0.5): per-stratum
+   * sampling rate ∝ n^(α−1), so small sources are up-weighted relative
+   * to their share and large ones down-weighted, scaled to keep
+   * `targetNum/targetDen` of the corpus overall. Rates are DERIVED FROM
+   * THE DATA (one tiny per-key count aggregate, broadcast back), unlike
+   * [[rateStratifiedSample]]'s caller-supplied map.
+   *
+   * Determinism across engines (the l47 oracle): weights are
+   * `round(sqrt(n)·1000)` — sqrt is correctly rounded per IEEE-754, so
+   * both engines get the identical integer — and the per-key keep
+   * threshold is pure BIGINT arithmetic
+   * (`65536·targetNum·N·w DIV (targetDen·n·Σw)`), floor-divided
+   * identically everywhere; rows keep when the first 4 hex digits of
+   * md5(id) sort below the threshold, exactly [[rateStratifiedSample]]'s
+   * hash semantics (thresholds ≥ 0x10000 keep the whole stratum). The
+   * BIGINT product bounds corpus size at ~10¹⁰ rows with the 1000×
+   * weight scale; at 100 TB row counts swap the expression to
+   * DECIMAL(38,0) unchanged.
+   *
+   * Plan shape: one partial-agg count shuffle over the keys, a
+   * broadcast join of the per-key thresholds, and a per-row hash filter
+   * — no per-row state, nothing quadratic.
+   */
+  def temperatureMix(df: DataFrame, keyCol: String, idCol: String,
+                     targetNum: Long = 3, targetDen: Long = 10): DataFrame = {
+    val w = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(sqrt(col("__n")) * 1000).cast("long"))
+    val tot = w.agg(sum(col("__w")).as("__sw"), sum(col("__n")).as("__nn"))
+    val thr = w.crossJoin(tot)
+      .withColumn("__thr",
+        least(lit(65536L),
+          expr(s"(65536L * ${targetNum}L * __nn * __w) DIV (${targetDen}L * __n * __sw)")))
+      .select(col(keyCol), col("__thr"))
+    df.join(broadcast(thr), Seq(keyCol))
+      .filter(col("__thr") >= 65536L ||
+        substring(md5(col(idCol).cast("string")), 1, 4) < format_string("%04x", col("__thr")))
+      .drop("__thr")
+  }
 }

@@ -778,6 +778,26 @@ object LlmQueries {
         "WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000' " +
         "ELSE TRUE END ORDER BY lang, doc_id")),
 
+    // L47 — temperature-based source rebalancing (α = 0.5): sampling
+    // rate ∝ n^(α−1) per source, scaled to keep 3/10 of the corpus —
+    // the standard multilingual/multi-source mixing stage, with rates
+    // DERIVED FROM THE DATA (unlike l20's fixed map). Thresholds are
+    // pure BIGINT arithmetic on round(sqrt(n)·1000) weights (sqrt is
+    // IEEE-correctly-rounded → identical integers in both engines), so
+    // the hash filter is bit-portable.
+    "l47_temperature_mix" -> QueryDef(
+      (s, d) => graft.operators.Sampling.temperatureMix(
+          Tables.documents(s, d), "lang", "doc_id")
+        .select("lang", "doc_id").orderBy("lang", "doc_id"),
+      Some("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n, CAST(round(sqrt(n) * 1000) AS BIGINT) AS w FROM c), " +
+        "t AS (SELECT CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(n) AS BIGINT) AS nn FROM w), " +
+        "r AS (SELECT lang, CAST(LEAST(CAST(65536 AS BIGINT), " +
+        "(65536 * 3 * nn * w) // (10 * n * sw)) AS BIGINT) AS thr FROM w, t) " +
+        "SELECT d.lang, d.doc_id FROM documents d JOIN r USING (lang) " +
+        "WHERE thr >= 65536 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr) " +
+        "ORDER BY lang, doc_id")),
+
     // L21 — heavy hitters: top-10 tokens per language by frequency
     // (vocabulary analysis). Two-level aggregation: the (lang, token)
     // counts partial-aggregate map-side; the ranking window runs on the

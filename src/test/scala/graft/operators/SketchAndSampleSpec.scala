@@ -85,6 +85,29 @@ class SketchAndSampleSpec extends AnyFunSuite {
     assert(perLang.values.forall(_ <= 3))
   }
 
+  test("temperatureMix up-weights small strata and honors the overall target") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val kept = Sampling.temperatureMix(docs, "lang", "doc_id")
+    val total = docs.count().toDouble
+    val keptN = kept.count().toDouble
+    // overall target 3/10, hash-sampling tolerance on ~500 docs
+    assert(math.abs(keptN / total - 0.3) < 0.06, s"kept ${keptN / total}")
+    // the temperature property: the smallest stratum keeps a strictly
+    // larger FRACTION of itself than the largest (rate ∝ n^-0.5)
+    val bySize = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._2)
+    val (small, large) = (bySize.head._1, bySize.last._1)
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fSmall = keptBy(small).toDouble / bySize.head._2
+    val fLarge = keptBy(large).toDouble / bySize.last._2
+    assert(fSmall > fLarge, s"$small kept $fSmall <= $large kept $fLarge")
+    // deterministic: same call, same rows
+    assert(Sampling.temperatureMix(docs, "lang", "doc_id")
+      .select("doc_id").as[Long].collect().toSet ==
+      kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("hashSample rate is approximately honored and deterministic") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
