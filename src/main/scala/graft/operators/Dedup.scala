@@ -429,7 +429,10 @@ object Dedup {
    * `horizonMs` of EVENT time after the owner's own event time. State
    * backend follows `spark.graft.stateful.tws` like the facade's
    * stateful ops; both backends are spec-proven equivalent
-   * (StreamingDedupSpec). Chaining stateful operators requires
+   * (StreamingDedupSpec). `seenBands` is still a static snapshot here —
+   * when the corpus side must stay current automatically, use
+   * [[nearDupAdmitAndAppend]], whose bands table doubles as permanent
+   * (not horizon-bounded) claim state. Chaining stateful operators requires
    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
    * on the session (fail-fast checked here, same contract as
    * `processStateGlobal`) — safe for this shape because no stage

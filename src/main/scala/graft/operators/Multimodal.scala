@@ -132,9 +132,9 @@ object Multimodal {
    * `mdia/minf/stbl/stsz` sample count. Returns None for payloads that
    * are not ISO BMFF or carry no video track — [[decodeVideo]] then
    * falls back to the stub, exactly as [[decodeImage]] does for
-   * non-image bytes. (Scope deliberately narrowed to MP4/MOV-family
-   * containers: AVI/MKV payloads take the stub fallback, tagged by the
-   * `container` column.)
+   * non-image bytes. (AVI has its own parser, [[parseAviMeta]]; MKV/EBML
+   * payloads take the stub fallback, tagged by the `container` column —
+   * the deliberately narrowed claim.)
    */
   def parseMp4Meta(m: MediaFile): Option[VideoMeta] = {
     val b = m.payload
@@ -178,12 +178,68 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Little-endian readers for RIFF containers. */
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+    ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /**
+   * REAL AVI (RIFF) container metadata: the `avih` main header carries
+   * everything — µs/frame (offset 0), total frames (16), width (32),
+   * height (36). The chunk walk mirrors [[parseMp4Meta]]'s box walk
+   * (RIFF chunk = [fourcc][size:4 LE][payload], LIST chunks nest with a
+   * 4-byte list type first); malformed sizes end the walk. Returns None
+   * for non-AVI payloads.
+   */
+  def parseAviMeta(m: MediaFile): Option[VideoMeta] = {
+    val b = m.payload
+    try {
+      if (b.length < 12 ||
+          new String(b, 0, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "RIFF" ||
+          new String(b, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "AVI ")
+        return None
+      // find the avih chunk: walk top-level chunks from offset 12,
+      // descending into LIST chunks (list type occupies payload[0..4))
+      def findAvih(start: Int, end: Int, depth: Int): Option[Int] = {
+        var off = start
+        while (off + 8 <= end && depth < 8) {
+          val fourcc = new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val size = le32(b, off + 4)
+          if (size < 0 || size > end - off - 8) return None // malformed: stop
+          val payloadStart = off + 8
+          if (fourcc == "avih") return Some(payloadStart)
+          if (fourcc == "LIST") {
+            val hit = findAvih(payloadStart + 4, payloadStart + size.toInt, depth + 1)
+            if (hit.isDefined) return hit
+          }
+          off = payloadStart + size.toInt + (size.toInt & 1) // chunks pad to even
+        }
+        None
+      }
+      findAvih(12, b.length, 0).flatMap { ps =>
+        if (ps + 40 > b.length) None
+        else {
+          val usPerFrame = le32(b, ps)
+          val frames = le32(b, ps + 16)
+          val w = le32(b, ps + 32)
+          val h = le32(b, ps + 36)
+          if (w > 0 && h > 0)
+            Some(VideoMeta(m.doc_id, b.length.toLong, w, h,
+              n_frames = math.max(frames, 1L),
+              duration_ms = frames * usPerFrame / 1000L, container = "avi"))
+          else None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Video decode with the same fallback contract as [[decodeImage]]:
-    * real MP4 header parse when the payload is ISO BMFF with a video
-    * track, deterministic stub otherwise (tagged `container = "stub"`;
-    * stub duration assumes the stub's 25 fps make-believe). */
+    * real MP4 (ISO BMFF) or AVI (RIFF) header parse, deterministic stub
+    * otherwise (tagged `container = "stub"`; stub duration assumes the
+    * stub's 25 fps make-believe). MKV/EBML stays on the stub — the
+    * deliberately narrowed claim. */
   def decodeVideo(m: MediaFile): VideoMeta =
-    parseMp4Meta(m).getOrElse {
+    parseMp4Meta(m).orElse(parseAviMeta(m)).getOrElse {
       val s = decodeStub(m)
       VideoMeta(s.doc_id, s.byte_len, s.width, s.height, s.n_frames,
         duration_ms = s.n_frames * 40L, container = "stub")

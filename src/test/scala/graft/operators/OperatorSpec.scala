@@ -615,6 +615,25 @@ class OperatorSpec extends AnyFunSuite {
       Array.fill(8 + 2 + 2 + 2 + 2 + 36)(0.toByte), be32(0), be32(0)))
     val audioMp4 = box("moov", mvhd, audioTrak)
     assert(decodeVideo(MediaFile(3L, audioMp4)).container == "stub")
+
+    // AVI: RIFF/'AVI ' with the avih main header nested in LIST hdrl —
+    // 40 ms/frame × 100 frames, 640×360
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(fourcc: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      fourcc.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    }
+    val avih = chunk("avih", le32(40000), le32(0), le32(0), le32(0),
+      le32(100), le32(0), le32(0), le32(0), le32(640), le32(360),
+      Array.fill(16)(0.toByte))
+    val hdrl = chunk("LIST", "hdrl".getBytes("ISO-8859-1"), avih)
+    val aviBody = "AVI ".getBytes("ISO-8859-1") ++ hdrl
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(aviBody.length.toLong) ++ aviBody
+    assert(decodeVideo(MediaFile(4L, avi)) ==
+      VideoMeta(4L, avi.length.toLong, 640L, 360L, 100L, 4000L, "avi"))
   }
 
   test("Multimodal stub pipeline derives metadata from payload bytes") {
