@@ -172,11 +172,14 @@ object NearDupState {
               else {
                 val before = if (gs.exists) gs.get else null
                 val (out, after) = claim(it.toSeq, before, horizon, claimSchema)
-                if (!(after eq before)) {
-                  gs.update(after)
-                  gs.setTimeoutTimestamp(math.max(after._2 / 1000L + horizon,
+                if (!(after eq before)) gs.update(after)
+                // re-arm on EVERY invocation, not just on a claim: Spark
+                // clears a group's timeout whenever the function fires for
+                // it, so a loser row arriving for this band would silently
+                // cancel the owner's eviction and leak the state
+                if (gs.exists)
+                  gs.setTimeoutTimestamp(math.max(gs.get._2 / 1000L + horizon,
                     gs.getCurrentWatermarkMs() + 1))
-                }
                 out.iterator
               }
           }(ownEnc, claimEnc)
