@@ -476,6 +476,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(sig.filter(col("simhash64") < 0).count() > 0, "bit 63 never set across 126 docs")
   }
 
+  test("Dedup.bandClaimKept equals an independent simulation on random corpora") {
+    // plain-Scala re-derivation of the claim semantics (split(" ", -1)
+    // tokens, 3-gram distinct shingles, 8 min-hashes, 4 bands, raw-hash
+    // fallback, min-id exact dedup + min-id band claim) — random corpora
+    // hit the edges curated fixtures miss: empty strings, sub-shingle
+    // docs, exact copies, near-copies, singleton corpora
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def simulate(docs: Seq[(Long, String)]): Set[Long] = {
+      case class D(id: Long, sig: String, keys: Seq[String])
+      val ds = docs.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val sh =
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          else Seq.empty
+        if (sh.nonEmpty) {
+          val sigs = (0 until 8).map(j => sh.map(s => md5hex(s"$j|$s")).min)
+          val bands = (0 until 4).map(b => md5hex(sigs(2 * b) + sigs(2 * b + 1)))
+          D(id, bands.mkString, bands.zipWithIndex.map { case (h, b) => s"$b|$h" })
+        } else {
+          val sf = "raw:" + md5hex(text)
+          D(id, sf, Seq("raw|" + sf))
+        }
+      }
+      val deduped = ds.groupBy(_.sig).map(_._2.minBy(_.id)).toSeq
+      val ownerSig = deduped.flatMap(d => d.keys.map(_ -> d)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).minBy(_.id).sig }
+      deduped.filter(d => d.keys.forall(k => ownerSig(k) == d.sig)).map(_.id).toSet
+    }
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 12).foreach { trial =>
+      val n = 1 + rnd.nextInt(24)
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until n).foreach { _ =>
+        val roll = rnd.nextDouble()
+        texts += (
+          if (roll < 0.15 && texts.nonEmpty) texts(rnd.nextInt(texts.length)) // exact copy
+          else if (roll < 0.3 && texts.nonEmpty) { // near copy: swap last token
+            val base = texts(rnd.nextInt(texts.length)).split(" ", -1)
+            (base.dropRight(1) :+ vocab(rnd.nextInt(vocab.length))).mkString(" ")
+          }
+          else Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+      val expected = simulate(docs)
+      val got = Dedup.bandClaimKept(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected,
+        s"trial $trial: spark-only ${got -- expected}, sim-only ${expected -- got}\ndocs: $docs")
+    }
+  }
+
   test("Dedup.simhashNearDups maxBucketSize drops degenerate buckets only") {
     // 10 exact copies → identical signatures → every band bucket holds
     // all 10; one distinct doc far away in Hamming space
