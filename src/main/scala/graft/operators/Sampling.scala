@@ -91,7 +91,9 @@ object Sampling {
    *
    * Plan shape: one partial-agg count shuffle over the keys, a
    * broadcast join of the per-key thresholds, and a per-row hash filter
-   * — no per-row state, nothing quadratic.
+   * — no per-row state, nothing quadratic. Rows with a NULL key are
+   * dropped (the inner equi-join never matches null): assign a sentinel
+   * stratum upstream if unlabeled rows should participate.
    */
   def temperatureMix(df: DataFrame, keyCol: String, idCol: String,
                      targetNum: Long = 3, targetDen: Long = 10): DataFrame = {
