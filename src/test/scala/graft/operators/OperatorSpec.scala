@@ -692,6 +692,34 @@ class OperatorSpec extends AnyFunSuite {
       VideoMeta(4L, avi.length.toLong, 640L, 360L, 100L, 4000L, "avi"))
   }
 
+  test("Multimodal container parsers never throw on mutated/truncated payloads") {
+    import graft.operators.Multimodal._
+    // the 100 TB contract: a corrupt payload is DATA (stub fallback),
+    // never a stage failure. Mutate and truncate valid containers and
+    // pure noise; every decode must return a row.
+    val rnd = new scala.util.Random(42)
+    def mp4ish(): Array[Byte] = {
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      be32(rnd.nextInt(64).toLong) ++ "moov".getBytes("ISO-8859-1") ++
+        Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+    }
+    def aviish(): Array[Byte] =
+      "RIFF".getBytes("ISO-8859-1") ++ Array.fill(4)(rnd.nextInt().toByte) ++
+        "AVI ".getBytes("ISO-8859-1") ++ Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+    (1 to 300).foreach { i =>
+      val payload = rnd.nextInt(3) match {
+        case 0 => mp4ish()
+        case 1 => aviish()
+        case _ => Array.fill(rnd.nextInt(128))(rnd.nextInt().toByte)
+      }
+      // truncate at a random point too
+      val cut = if (payload.isEmpty) payload else payload.take(1 + rnd.nextInt(payload.length))
+      val meta = decodeVideo(MediaFile(i.toLong, cut)) // must not throw
+      assert(meta.doc_id == i.toLong && meta.byte_len == cut.length.toLong)
+    }
+  }
+
   test("Multimodal stub pipeline derives metadata from payload bytes") {
     import graft.operators.Multimodal._
     val files = spark.createDataset(Seq(MediaFile(1L, Array.fill(250)(7.toByte))))
