@@ -132,9 +132,9 @@ object Multimodal {
    * `mdia/minf/stbl/stsz` sample count. Returns None for payloads that
    * are not ISO BMFF or carry no video track — [[decodeVideo]] then
    * falls back to the stub, exactly as [[decodeImage]] does for
-   * non-image bytes. (AVI has its own parser, [[parseAviMeta]]; MKV/EBML
-   * payloads take the stub fallback, tagged by the `container` column —
-   * the deliberately narrowed claim.)
+   * non-image bytes. (AVI and MKV/WebM have their own parsers,
+   * [[parseAviMeta]] and [[parseMkvMeta]]; anything else takes the stub
+   * fallback, tagged by the `container` column.)
    */
   def parseMp4Meta(m: MediaFile): Option[VideoMeta] = {
     val b = m.payload
@@ -233,13 +233,106 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** EBML varint at `off`: length from the first byte's leading zeros
+    * (1–8 bytes). Returns (value, lengthInBytes); `keepMarker` keeps the
+    * marker bit (element IDs conventionally include it, sizes strip it).
+    * Returns None on truncation or a zero first byte (invalid). */
+  private def ebmlVint(b: Array[Byte], off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+    if (off >= b.length) return None
+    val b0 = b(off) & 0xff
+    if (b0 == 0) return None
+    val len = Integer.numberOfLeadingZeros(b0) - 23 // 1 for 0x80, 8 for 0x01
+    if (off + len > b.length) return None
+    var v = (if (keepMarker) b0 else b0 & (0xff >> len)).toLong
+    (1 until len).foreach(i => v = (v << 8) | (b(off + i) & 0xffL))
+    Some((v, len))
+  }
+
+  /** All child EBML elements of `[start, end)` with the given id, as
+    * payload (start, end) offsets. An all-ones size means "to end of
+    * enclosure" (EBML unknown-size, as MP4's size 0); malformed sizes
+    * end the walk. */
+  private def ebmlChildren(b: Array[Byte], start: Int, end: Int, id: Long): List[(Int, Int)] = {
+    var off = start
+    val out = List.newBuilder[(Int, Int)]
+    var ok = true
+    while (ok && off < end) {
+      (for {
+        (elId, idLen) <- ebmlVint(b, off, keepMarker = true)
+        (size, szLen) <- ebmlVint(b, off + idLen, keepMarker = false)
+      } yield (elId, idLen, size, szLen)) match {
+        case Some((elId, idLen, size, szLen)) =>
+          val ps = off + idLen + szLen
+          val unknown = size == (1L << (7 * szLen)) - 1
+          val pe = if (unknown) end else ps + size.toInt
+          if (!unknown && (size < 0 || size > end - ps)) ok = false
+          else {
+            if (elId == id) out += ((ps, pe))
+            off = pe
+          }
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  private def ebmlUint(b: Array[Byte], ps: Int, pe: Int): Long =
+    (ps until math.min(pe, ps + 8)).foldLeft(0L)((v, i) => (v << 8) | (b(i) & 0xffL))
+
+  private def ebmlFloat(b: Array[Byte], ps: Int, pe: Int): Double = (pe - ps) match {
+    case 4 => java.lang.Float.intBitsToFloat(ebmlUint(b, ps, pe).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(ebmlUint(b, ps, pe))
+    case _ => 0.0
+  }
+
+  /**
+   * REAL MKV/WebM (EBML) container metadata: duration from
+   * `Segment/Info` (Duration ticks × TimestampScale ns, default scale
+   * 1 ms/tick), dimensions from the first video `TrackEntry`'s
+   * `Video/PixelWidth+PixelHeight`. The EBML walk mirrors the MP4 box
+   * walk (unknown-size elements run to the enclosure end, malformed
+   * sizes end the walk). Matroska headers carry NO frame count —
+   * `n_frames` is reported as 1, honestly unknown without a full
+   * cluster scan. Returns None for non-EBML payloads or ones without a
+   * video track.
+   */
+  def parseMkvMeta(m: MediaFile): Option[VideoMeta] = {
+    val b = m.payload
+    try {
+      if (ebmlChildren(b, 0, b.length, 0x1A45DFA3L).isEmpty) return None
+      ebmlChildren(b, 0, b.length, 0x18538067L).headOption.flatMap { case (ss, se) =>
+        val durationMs = ebmlChildren(b, ss, se, 0x1549A966L).headOption.map { case (is, ie) =>
+          val scaleNs = ebmlChildren(b, is, ie, 0x2AD7B1L).headOption
+            .map { case (ps, pe) => ebmlUint(b, ps, pe) }.getOrElse(1000000L)
+          val ticks = ebmlChildren(b, is, ie, 0x4489L).headOption
+            .map { case (ps, pe) => ebmlFloat(b, ps, pe) }.getOrElse(0.0)
+          (ticks * scaleNs / 1e6).toLong
+        }.getOrElse(0L)
+        val video = ebmlChildren(b, ss, se, 0x1654AE6BL).flatMap { case (ts, te) =>
+          ebmlChildren(b, ts, te, 0xAEL).flatMap { case (es, ee) =>
+            ebmlChildren(b, es, ee, 0xE0L).map { case (vs, ve) =>
+              val w = ebmlChildren(b, vs, ve, 0xB0L).headOption
+                .map { case (ps, pe) => ebmlUint(b, ps, pe) }.getOrElse(0L)
+              val h = ebmlChildren(b, vs, ve, 0xBAL).headOption
+                .map { case (ps, pe) => ebmlUint(b, ps, pe) }.getOrElse(0L)
+              (w, h)
+            }
+          }
+        }.find { case (w, h) => w > 0 && h > 0 }
+        video.map { case (w, h) =>
+          VideoMeta(m.doc_id, b.length.toLong, w, h, n_frames = 1L,
+            duration_ms = durationMs, container = "mkv")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Video decode with the same fallback contract as [[decodeImage]]:
-    * real MP4 (ISO BMFF) or AVI (RIFF) header parse, deterministic stub
-    * otherwise (tagged `container = "stub"`; stub duration assumes the
-    * stub's 25 fps make-believe). MKV/EBML stays on the stub — the
-    * deliberately narrowed claim. */
+    * real MP4 (ISO BMFF), AVI (RIFF), or MKV/WebM (EBML) header parse,
+    * deterministic stub otherwise (tagged `container = "stub"`; stub
+    * duration assumes the stub's 25 fps make-believe). */
   def decodeVideo(m: MediaFile): VideoMeta =
-    parseMp4Meta(m).orElse(parseAviMeta(m)).getOrElse {
+    parseMp4Meta(m).orElse(parseAviMeta(m)).orElse(parseMkvMeta(m)).getOrElse {
       val s = decodeStub(m)
       VideoMeta(s.doc_id, s.byte_len, s.width, s.height, s.n_frames,
         duration_ms = s.n_frames * 40L, container = "stub")

@@ -692,6 +692,38 @@ class OperatorSpec extends AnyFunSuite {
       VideoMeta(4L, avi.length.toLong, 640L, 360L, 100L, 4000L, "avi"))
   }
 
+  test("Multimodal.decodeVideo reads true MKV dimensions/duration; audio-only falls back") {
+    import graft.operators.Multimodal._
+    // hand-assembled valid EBML: header + Segment(Info(TimestampScale,
+    // Duration), Tracks(TrackEntry(TrackType, Video(PixelWidth, PixelHeight))))
+    def eid(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    def esize(n: Int): Array[Byte] =
+      if (n < 127) Array((0x80 | n).toByte)
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+    def el(id: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      id ++ esize(body.length) ++ body
+    }
+    def be(v: Long, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val info = el(eid(0x15, 0x49, 0xA9, 0x66),
+      el(eid(0x2A, 0xD7, 0xB1), be(1000000L, 3)), // 1 ms/tick
+      el(eid(0x44, 0x89), be(java.lang.Double.doubleToLongBits(2500.0), 8)))
+    val video = el(eid(0xE0),
+      el(eid(0xB0), be(1280L, 2)), el(eid(0xBA), be(720L, 2)))
+    val track = el(eid(0xAE), el(eid(0x83), be(1L, 1)), video)
+    val tracks = el(eid(0x16, 0x54, 0xAE, 0x6B), track)
+    val mkv = el(eid(0x1A, 0x45, 0xDF, 0xA3)) ++
+      el(eid(0x18, 0x53, 0x80, 0x67), info, tracks)
+    assert(decodeVideo(MediaFile(1L, mkv)) ==
+      VideoMeta(1L, mkv.length.toLong, 1280L, 720L, 1L, 2500L, "mkv"))
+    // audio-only (TrackEntry without a Video element) → stub path
+    val audioMkv = el(eid(0x1A, 0x45, 0xDF, 0xA3)) ++
+      el(eid(0x18, 0x53, 0x80, 0x67), info,
+        el(eid(0x16, 0x54, 0xAE, 0x6B), el(eid(0xAE), el(eid(0x83), be(2L, 1)))))
+    assert(decodeVideo(MediaFile(2L, audioMkv)).container == "stub")
+  }
+
   test("Multimodal container parsers never throw on mutated/truncated payloads") {
     import graft.operators.Multimodal._
     // the 100 TB contract: a corrupt payload is DATA (stub fallback),
@@ -707,10 +739,14 @@ class OperatorSpec extends AnyFunSuite {
     def aviish(): Array[Byte] =
       "RIFF".getBytes("ISO-8859-1") ++ Array.fill(4)(rnd.nextInt().toByte) ++
         "AVI ".getBytes("ISO-8859-1") ++ Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
-    (1 to 300).foreach { i =>
-      val payload = rnd.nextInt(3) match {
+    def mkvish(): Array[Byte] =
+      Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+        Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+    (1 to 400).foreach { i =>
+      val payload = rnd.nextInt(4) match {
         case 0 => mp4ish()
         case 1 => aviish()
+        case 2 => mkvish()
         case _ => Array.fill(rnd.nextInt(128))(rnd.nextInt().toByte)
       }
       // truncate at a random point too
