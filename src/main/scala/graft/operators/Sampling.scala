@@ -80,14 +80,19 @@ object Sampling {
    * Determinism across engines (the l47 oracle): weights are
    * `round(sqrt(n)·1000)` — sqrt is correctly rounded per IEEE-754, so
    * both engines get the identical integer — and the per-key keep
-   * threshold is pure BIGINT arithmetic
-   * (`65536·targetNum·N·w DIV (targetDen·n·Σw)`), floor-divided
-   * identically everywhere; rows keep when the first 4 hex digits of
-   * md5(id) sort below the threshold, exactly [[rateStratifiedSample]]'s
-   * hash semantics (thresholds ≥ 0x10000 keep the whole stratum). The
-   * BIGINT product bounds corpus size at ~10¹⁰ rows with the 1000×
-   * weight scale; at 100 TB row counts swap the expression to
-   * DECIMAL(38,0) unchanged.
+   * threshold is exact integer arithmetic
+   * (`65536·targetNum·N·w DIV (targetDen·n·Σw)`) carried in
+   * DECIMAL(38,0) (the DuckDB oracle mirrors it in HUGEINT — both are
+   * 128-bit-class exact integers, so floor division agrees bit-for-bit);
+   * rows keep when the first 4 hex digits of md5(id) sort below the
+   * threshold, exactly [[rateStratifiedSample]]'s hash semantics
+   * (thresholds ≥ 0x10000 keep the whole stratum). The numerator's worst
+   * case — N at the BIGINT count ceiling 9.2·10¹⁸, w ≈ 3·10¹² — is ~37
+   * digits, inside DECIMAL(38,0): there is no overflow cliff below the
+   * point where `count(*)` itself can no longer be represented. (The
+   * earlier BIGINT form wrapped silently past ~10¹⁰ rows; the DECIMAL
+   * cast is free — it runs on the #strata-row threshold table, never
+   * per-row.)
    *
    * Plan shape: one partial-agg count shuffle over the keys, a
    * broadcast join of the per-key thresholds, and a per-row hash filter
@@ -97,17 +102,35 @@ object Sampling {
    */
   def temperatureMix(df: DataFrame, keyCol: String, idCol: String,
                      targetNum: Long = 3, targetDen: Long = 10): DataFrame = {
-    val w = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__w", round(sqrt(col("__n")) * 1000).cast("long"))
-    val tot = w.agg(sum(col("__w")).as("__sw"), sum(col("__n")).as("__nn"))
-    val thr = w.crossJoin(tot)
-      .withColumn("__thr",
-        least(lit(65536L),
-          expr(s"(65536L * ${targetNum}L * __nn * __w) DIV (${targetDen}L * __n * __sw)")))
-      .select(col(keyCol), col("__thr"))
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val thr = temperatureThresholds(counts, keyCol, targetNum, targetDen)
     df.join(broadcast(thr), Seq(keyCol))
       .filter(col("__thr") >= 65536L ||
         substring(md5(col(idCol).cast("string")), 1, 4) < format_string("%04x", col("__thr")))
       .drop("__thr")
+  }
+
+  /** [[temperatureMix]]'s per-stratum threshold table, split out so the
+    * arithmetic is testable with synthetic counts far beyond any corpus a
+    * test can materialize. `counts` is (keyCol, __n BIGINT); the output is
+    * (keyCol, __thr BIGINT), __thr ∈ [0, 65536].
+    *
+    * The product `65536·targetNum·Σn·w` is computed in DECIMAL(38,0) —
+    * BIGINT wraps silently (ANSI off) once it passes 2⁶³ at roughly 10¹⁰
+    * corpus rows, silently corrupting every threshold, while the DuckDB
+    * oracle's BIGINT would error instead: the engines would diverge
+    * exactly when it matters. Spark's `div` on decimals is integral
+    * division returning BIGINT, so downstream stays a plain long column. */
+  private[graft] def temperatureThresholds(counts: DataFrame, keyCol: String,
+                                           targetNum: Long, targetDen: Long): DataFrame = {
+    val w = counts
+      .withColumn("__w", round(sqrt(col("__n")) * 1000).cast("long"))
+    val tot = w.agg(sum(col("__w")).as("__sw"), sum(col("__n")).as("__nn"))
+    w.crossJoin(tot)
+      .withColumn("__thr",
+        least(lit(65536L),
+          expr(s"(CAST(65536 AS DECIMAL(38,0)) * ${targetNum}L * __nn * __w)" +
+            s" DIV (CAST(${targetDen} AS DECIMAL(38,0)) * __n * __sw)")))
+      .select(col(keyCol), col("__thr"))
   }
 }

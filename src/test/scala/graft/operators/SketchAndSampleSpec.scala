@@ -108,6 +108,28 @@ class SketchAndSampleSpec extends AnyFunSuite {
       kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureThresholds stays exact past the BIGINT product cliff (DECIMAL(38,0))") {
+    // synthetic counts far beyond any corpus a test can materialize —
+    // exact squares, so round(sqrt(n)·1000) is one unambiguous integer
+    val counts = Seq(("big", 4000000000000000000L), ("mid", 9000000000000L),
+      ("small", 1000000L))
+    val got = Sampling.temperatureThresholds(counts.toDF("lang", "__n"), "lang", 3L, 10L)
+      .as[(String, Long)].collect().toMap
+    // independent reference: the same arithmetic in BigInt
+    val w = counts.map { case (k, n) => k -> BigDecimal(math.sqrt(n.toDouble) * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt }.toMap
+    val nn = counts.map(c => BigInt(c._2)).sum
+    val sw = w.values.sum
+    val expected = counts.map { case (k, n) =>
+      k -> (BigInt(65536) * 3 * nn * w(k) / (BigInt(10) * n * sw)).min(BigInt(65536)).toLong
+    }.toMap
+    assert(got == expected)
+    assert(expected("small") == 65536L && expected("big") < 65536L)
+    // the big stratum's numerator alone exceeds Long.MaxValue — the old
+    // BIGINT form wrapped negative exactly here
+    assert(BigInt(65536) * 3 * nn * w("big") > BigInt(Long.MaxValue))
+  }
+
   test("hashSample rate is approximately honored and deterministic") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
