@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, VideoFixtures}
 
 /**
  * L-series declared queries: the LLM-training-data-pipeline surface
@@ -782,9 +782,12 @@ object LlmQueries {
     // rate ∝ n^(α−1) per source, scaled to keep 3/10 of the corpus —
     // the standard multilingual/multi-source mixing stage, with rates
     // DERIVED FROM THE DATA (unlike l20's fixed map). Thresholds are
-    // pure BIGINT arithmetic on round(sqrt(n)·1000) weights (sqrt is
-    // IEEE-correctly-rounded → identical integers in both engines), so
-    // the hash filter is bit-portable.
+    // exact integer arithmetic on round(sqrt(n)·1000) weights (sqrt is
+    // IEEE-correctly-rounded → identical integers in both engines),
+    // carried in DECIMAL(38,0) on the Spark side and HUGEINT here —
+    // both 128-bit-class exact integers, so the floor divisions agree
+    // bit-for-bit and the hash filter is bit-portable at any corpus
+    // size a BIGINT count can represent.
     "l47_temperature_mix" -> QueryDef(
       (s, d) => graft.operators.Sampling.temperatureMix(
           Tables.documents(s, d), "lang", "doc_id")
@@ -792,11 +795,25 @@ object LlmQueries {
       Some("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), " +
         "w AS (SELECT lang, n, CAST(round(sqrt(n) * 1000) AS BIGINT) AS w FROM c), " +
         "t AS (SELECT CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(n) AS BIGINT) AS nn FROM w), " +
-        "r AS (SELECT lang, CAST(LEAST(CAST(65536 AS BIGINT), " +
-        "(65536 * 3 * nn * w) // (10 * n * sw)) AS BIGINT) AS thr FROM w, t) " +
+        "r AS (SELECT lang, CAST(LEAST(CAST(65536 AS HUGEINT), " +
+        "(CAST(65536 AS HUGEINT) * 3 * nn * w) // (CAST(10 AS HUGEINT) * n * sw)) AS BIGINT) AS thr FROM w, t) " +
         "SELECT d.lang, d.doc_id FROM documents d JOIN r USING (lang) " +
         "WHERE thr >= 65536 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr) " +
         "ORDER BY lang, doc_id")),
+
+    // L48 — REAL video-container metadata, oracle-certified: the
+    // MP4/AVI/MKV header walks (plus both stub-fallback paths) over
+    // deterministic fixture payloads built byte-exactly from known
+    // construction parameters (graft.operators.VideoFixtures — the
+    // testdata parquet has no container bytes to use instead). The
+    // DuckDB oracle is a VALUES relation of the SAME construction
+    // parameters, so a match proves the parsers read back exactly what
+    // the construction wrote — l13/l14 continue to certify the stub
+    // decode plumbing over the documents table.
+    "l48_video_meta" -> QueryDef(
+      (s, _) => Multimodal.extractMetaVideo(VideoFixtures.dataset(s))
+        .toDF().orderBy("doc_id"),
+      Some(VideoFixtures.oracleSql)),
 
     // L21 — heavy hitters: top-10 tokens per language by frequency
     // (vocabulary analysis). Two-level aggregation: the (lang, token)
