@@ -168,9 +168,11 @@ object Bench {
         writeFile(passesDone, partial = true)
       }
     }
-    // final file copy: partial=false marks a clean exit (belt-and-braces
-    // channel for the driver; also what the judge reads)
-    writeFile(passesDone, partial = false)
+    // final file copy: partial=true iff the wall-clock budget truncated
+    // the run — "exited cleanly" and "all reps completed" are different
+    // facts, and a reader must not mistake a budget-cut result for a
+    // full run without cross-checking passes/skipped
+    writeFile(passesDone, partial = budgetHit)
     // drop the r18 prep tables (and their warehouse files) so a bench
     // run leaves no graft_*_b… litter behind
     try {

@@ -63,10 +63,14 @@ object Similarity {
    * Robustness (both deterministic, so the fixed-iteration oracle stays
    * exact):
    *  - EMPTY CELLS are reseeded each round from the lowest-id corpus
-   *    vectors (one per empty cell, in cell-id order) — a centroid that
-   *    loses a tie for every vector (e.g. a duplicate seed, where ties
-   *    go to the lowest cell id) comes back as a live cell instead of
-   *    silently shrinking the index.
+   *    vectors NOT already serving as a live centroid vector (one per
+   *    empty cell, in cell-id order) — a centroid that loses a tie for
+   *    every vector (e.g. a duplicate seed, where ties go to the lowest
+   *    cell id) comes back as a genuinely distinct live cell, not the
+   *    same duplicate that emptied it. Only when the corpus holds fewer
+   *    distinct vectors than k does the fallback reuse lowest-id
+   *    vectors verbatim: k output rows are always guaranteed, k USEFUL
+   *    cells only when the corpus can supply them.
    *  - CONVERGENCE stop: a round whose centroids are all EXACTLY
    *    unchanged ends training early. Exact equality (not a tolerance)
    *    keeps early-stopped output bit-identical to running all `iters`
@@ -103,8 +107,21 @@ object Similarity {
       val empty = cents.select(col("cell")).exceptAll(next.select(col("cell")))
         .orderBy(col("cell")).collect()
       if (empty.nonEmpty) {
-        val reseeds = corpus.orderBy(col(idCol)).limit(empty.length)
+        // reseed from vectors DISTINCT from every live centroid (broadcast
+        // k-row anti join on vector equality): reseeding with a vector
+        // that is already a centroid would recreate the dead cell —
+        // exactly the duplicate-seed case that emptied it
+        val fresh = corpus
+          .join(broadcast(next.select(col(vecCol).as("__cv"))),
+            col(vecCol) === col("__cv"), "left_anti")
+          .orderBy(col(idCol)).limit(empty.length)
           .select(col(vecCol)).collect()
+        // corpus with < k distinct vectors: top up with lowest-id vectors
+        // verbatim — k output rows guaranteed, dead duplicates unavoidable
+        val reseeds =
+          if (fresh.length >= empty.length) fresh
+          else fresh ++ corpus.orderBy(col(idCol))
+            .limit(empty.length - fresh.length).select(col(vecCol)).collect()
         val rows = empty.zip(reseeds).map { case (c, v) =>
           org.apache.spark.sql.Row(c.get(0), v.get(0)) }
         next = next.unionByName(spark.createDataFrame(

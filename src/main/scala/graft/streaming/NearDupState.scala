@@ -86,15 +86,21 @@ object NearDupState {
   /** First-arrival-wins per band key (transformWithState backend).
     * Input rows: (bkey, sigfull, ord, payload); emits
     * (sigfull, ord, winner, payload). Event-time timer evicts the
-    * ownership record once the watermark passes its horizon. */
+    * ownership record once the watermark passes its horizon. State is
+    * (owner sig, owner ord µs, REGISTERED timer ms): the registered
+    * expiry may have been clamped to watermark+1 at registration time,
+    * so a later deleteTimer must delete the STORED value — recomputing
+    * it against the then-current watermark would miss the clamped timer
+    * and leak it (harmless semantically thanks to the expiry guard, but
+    * an orphan per re-claimed band adds up at ingest rates). */
   private final class ClaimTws(payload: StructType, horizonMs: Long)
       extends StatefulProcessor[String, Row, Row] {
-    @transient private var owner: ValueState[(String, Long)] = _
+    @transient private var owner: ValueState[(String, Long, Long)] = _
     private val outSchema = claimOutSchema(payload)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      owner = getHandle.getValueState[(String, Long)]("owner",
-        Encoders.tuple(Encoders.STRING, Encoders.scalaLong),
+      owner = getHandle.getValueState[(String, Long, Long)]("owner",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     private def expiryMs(ordMicros: Long, tv: TimerValues): Long =
@@ -102,22 +108,25 @@ object NearDupState {
 
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
-      val before = if (owner.exists()) owner.get() else null
+      val stored = if (owner.exists()) owner.get() else null
+      val before = if (stored == null) null else (stored._1, stored._2)
       val (out, after) = claim(rows.toSeq, before, horizonMs, outSchema)
       if (!(after eq before)) {
-        if (before != null) getHandle.deleteTimer(expiryMs(before._2, timerValues))
-        owner.update(after)
-        getHandle.registerTimer(expiryMs(after._2, timerValues))
+        if (stored != null) getHandle.deleteTimer(stored._3)
+        val exp = expiryMs(after._2, timerValues)
+        owner.update((after._1, after._2, exp))
+        getHandle.registerTimer(exp)
       }
       out.iterator
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
-      // guard against a stale timer outliving a lazy re-claim: only the
-      // CURRENT owner's timer may evict
-      if (owner.exists() &&
-          expiredTimerInfo.getExpiryTimeInMs() >= owner.get()._2 / 1000L + horizonMs)
+      // only the timer registered for the CURRENT owner may evict — an
+      // exact match on the stored registration, so a stale timer from a
+      // superseded owner (already deleted above, but belt-and-braces)
+      // can never clear a fresher claim
+      if (owner.exists() && expiredTimerInfo.getExpiryTimeInMs() == owner.get()._3)
         owner.clear()
       Iterator.empty
     }

@@ -208,6 +208,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.sameElements(b), s"nondeterministic: $a vs $b")
   }
 
+  test("Similarity.trainCentroids reseeds with a vector distinct from every live centroid") {
+    // ids 1,2 are IDENTICAL: cell 2 empties after round 1, and the
+    // round-1 means leave (1,0) as cell 1's exact centroid — a reseed
+    // from "lowest id" would re-pick that duplicate and the cell would
+    // stay functionally dead. The repaired reseed must pick the lowest-id
+    // vector NOT already serving as a live centroid.
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 3, iters = 3)
+      .orderBy("cell").as[(Long, Array[Double])].collect()
+    assert(cents.map(_._1).toSeq == Seq(1L, 2L, 3L), s"cells ${cents.map(_._1).toSeq}")
+    val vecs = cents.map(_._2.toSeq)
+    assert(vecs.distinct.length == 3, s"dead duplicate centroid among $vecs")
+  }
+
   test("Similarity.trainCentroids converged rounds are no-ops (early stop is value-identical)") {
     // two tight clusters converge after one mean round; 2 vs 10 iters
     // must produce the same centroids — the convergence stop just skips
@@ -690,6 +707,17 @@ class OperatorSpec extends AnyFunSuite {
     val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(aviBody.length.toLong) ++ aviBody
     assert(decodeVideo(MediaFile(4L, avi)) ==
       VideoMeta(4L, avi.length.toLong, 640L, 360L, 100L, 4000L, "avi"))
+
+    // resize routes through the REAL container dimensions: the 320×180
+    // MP4 scales true-aspect to 64×36 (not the stub's byte-length-derived
+    // box), and the container tag travels with every frame so a consumer
+    // can tell which path produced it
+    val frames = spark.createDataset(Seq(FrameRef(1L, 0L), FrameRef(2L, 0L)))
+    val resized = resizeFrames(files, frames, 64, 64).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert((resized(1L).width, resized(1L).height, resized(1L).container) ==
+      (64L, 36L, "mp4"), s"got ${resized(1L)}")
+    assert(resized(2L).container == "stub")
   }
 
   test("Multimodal.decodeVideo reads true MKV dimensions/duration; audio-only falls back") {
@@ -715,6 +743,7 @@ class OperatorSpec extends AnyFunSuite {
     val tracks = el(eid(0x16, 0x54, 0xAE, 0x6B), track)
     val mkv = el(eid(0x1A, 0x45, 0xDF, 0xA3)) ++
       el(eid(0x18, 0x53, 0x80, 0x67), info, tracks)
+    // header-only payload (no Clusters): frame count honestly unknown → 1
     assert(decodeVideo(MediaFile(1L, mkv)) ==
       VideoMeta(1L, mkv.length.toLong, 1280L, 720L, 1L, 2500L, "mkv"))
     // audio-only (TrackEntry without a Video element) → stub path
@@ -722,6 +751,40 @@ class OperatorSpec extends AnyFunSuite {
       el(eid(0x18, 0x53, 0x80, 0x67), info,
         el(eid(0x16, 0x54, 0xAE, 0x6B), el(eid(0xAE), el(eid(0x83), be(2L, 1)))))
     assert(decodeVideo(MediaFile(2L, audioMkv)).container == "stub")
+
+    // Clusters present: the bounded header scan counts blocks — two
+    // SimpleBlocks in one Cluster plus a BlockGroup in a second = 3
+    // frames, with zero payload bytes decoded
+    val blockBytes = Array(0x81, 0x00, 0x00, 0x80, 1, 2, 3).map(_.toByte)
+    val cluster1 = el(eid(0x1F, 0x43, 0xB6, 0x75),
+      el(eid(0xE7), be(0L, 1)), // Timestamp — walked over, not counted
+      el(eid(0xA3), blockBytes), el(eid(0xA3), blockBytes))
+    val cluster2 = el(eid(0x1F, 0x43, 0xB6, 0x75),
+      el(eid(0xA0), el(eid(0xA1), blockBytes)))
+    val mkvClustered = el(eid(0x1A, 0x45, 0xDF, 0xA3)) ++
+      el(eid(0x18, 0x53, 0x80, 0x67), info, tracks, cluster1, cluster2)
+    assert(decodeVideo(MediaFile(3L, mkvClustered)) ==
+      VideoMeta(3L, mkvClustered.length.toLong, 1280L, 720L, 3L, 2500L, "mkv"))
+
+    // a Cluster bigger than the scan budget (8 MiB): honest fallback to
+    // n_frames = 1, never an undercount from a truncated walk
+    def elBig(id: Array[Byte], n: Int): Array[Byte] = {
+      // 8-byte EBML size so the 9 MiB payload length encodes cleanly
+      val size = Array(0x01, 0, 0, 0, 0, (n >> 16) & 0xff, (n >> 8) & 0xff, n & 0xff)
+        .map(_.toByte)
+      id ++ size ++ Array.fill(n)(0.toByte)
+    }
+    val hugeCluster = elBig(eid(0x1F, 0x43, 0xB6, 0x75), 9 << 20)
+    val segBody = info ++ tracks ++ hugeCluster
+    val segSize = {
+      val n = segBody.length
+      Array(0x01, 0, 0, 0, 0, (n >> 16) & 0xff, (n >> 8) & 0xff, n & 0xff).map(_.toByte)
+    }
+    val mkvOverBudget = el(eid(0x1A, 0x45, 0xDF, 0xA3)) ++
+      eid(0x18, 0x53, 0x80, 0x67) ++ segSize ++ segBody
+    val meta = decodeVideo(MediaFile(4L, mkvOverBudget))
+    assert(meta.container == "mkv" && meta.n_frames == 1L,
+      s"budget-hit scan must report unknown (1), got $meta")
   }
 
   test("Multimodal container parsers never throw on mutated/truncated payloads") {
