@@ -276,6 +276,50 @@ object Multimodal {
     out.result()
   }
 
+  /** Bounded Cluster scan for the MKV frame count: Matroska carries no
+    * frame count in its headers, but each frame is one SimpleBlock (or a
+    * BlockGroup wrapping a Block) inside a Cluster — counting those
+    * element HEADERS (the size fields let the walk skip every payload
+    * byte) recovers it without decoding anything. `budget` caps the
+    * total Cluster payload bytes the walk may traverse; a file whose
+    * clusters exceed it returns None and the caller reports the honest
+    * "unknown" (n_frames = 1) rather than an undercount. Lacing (several
+    * frames packed in one block) is not unpacked — this counts blocks,
+    * the same figure `mkvinfo` reports per cluster. */
+  private def mkvFrameCount(b: Array[Byte], segStart: Int, segEnd: Int,
+                            budget: Int): Option[Long] = {
+    var walked = 0L
+    var count = 0L
+    val clusters = ebmlChildren(b, segStart, segEnd, 0x1F43B675L)
+    val it = clusters.iterator
+    while (it.hasNext) {
+      val (cs, ce) = it.next()
+      walked += (ce - cs).toLong
+      if (walked > budget) return None
+      // one level down: count SimpleBlock (0xA3) / BlockGroup (0xA0)
+      var off = cs
+      var ok = true
+      while (ok && off < ce) {
+        (for {
+          (elId, idLen) <- ebmlVint(b, off, keepMarker = true)
+          (size, szLen) <- ebmlVint(b, off + idLen, keepMarker = false)
+        } yield (elId, idLen, size, szLen)) match {
+          case Some((elId, idLen, size, szLen)) =>
+            val ps = off + idLen + szLen
+            val unknown = size == (1L << (7 * szLen)) - 1
+            val pe = if (unknown) ce else ps + size.toInt
+            if (!unknown && (size < 0 || size > ce - ps)) ok = false
+            else {
+              if (elId == 0xA3L || elId == 0xA0L) count += 1
+              off = pe
+            }
+          case None => ok = false
+        }
+      }
+    }
+    Some(count)
+  }
+
   private def ebmlUint(b: Array[Byte], ps: Int, pe: Int): Long =
     (ps until math.min(pe, ps + 8)).foldLeft(0L)((v, i) => (v << 8) | (b(i) & 0xffL))
 
@@ -291,9 +335,12 @@ object Multimodal {
    * 1 ms/tick), dimensions from the first video `TrackEntry`'s
    * `Video/PixelWidth+PixelHeight`. The EBML walk mirrors the MP4 box
    * walk (unknown-size elements run to the enclosure end, malformed
-   * sizes end the walk). Matroska headers carry NO frame count —
-   * `n_frames` is reported as 1, honestly unknown without a full
-   * cluster scan. Returns None for non-EBML payloads or ones without a
+   * sizes end the walk). Matroska headers carry NO frame count — it is
+   * recovered by [[mkvFrameCount]]'s bounded Cluster scan (block
+   * headers only, never payload bytes); when the scan's byte budget is
+   * exceeded, or the file carries no Clusters at all (header-only
+   * payloads), `n_frames` falls back to 1: honestly unknown beats an
+   * undercount. Returns None for non-EBML payloads or ones without a
    * video track.
    */
   def parseMkvMeta(m: MediaFile): Option[VideoMeta] = {
@@ -320,7 +367,9 @@ object Multimodal {
           }
         }.find { case (w, h) => w > 0 && h > 0 }
         video.map { case (w, h) =>
-          VideoMeta(m.doc_id, b.length.toLong, w, h, n_frames = 1L,
+          val frames = mkvFrameCount(b, ss, se, budget = 8 << 20).getOrElse(0L)
+          VideoMeta(m.doc_id, b.length.toLong, w, h,
+            n_frames = math.max(frames, 1L),
             duration_ms = durationMs, container = "mkv")
         }
       }
@@ -356,10 +405,14 @@ object Multimodal {
   /** One sampled frame reference (media id, frame index). */
   final case class FrameRef(doc_id: Long, frame_idx: Long)
 
-  /** A decoded-and-resized frame: stub payload carries (w, h) only; a
-    * real decoder would emit the pixel buffer in `payload`. */
+  /** A decoded-and-resized frame. `container` carries [[decodeVideo]]'s
+    * provenance tag ("mp4"/"avi"/"mkv"/"stub") so a consumer can tell a
+    * true-aspect resize from a stub-derived one; the PIXEL payload is the
+    * one remaining stub (first 16 bytes stand in for the buffer a real
+    * codec would emit — this container ships no video codec). */
   final case class ResizedFrame(doc_id: Long, frame_idx: Long,
-                                width: Long, height: Long, payload: Array[Byte])
+                                width: Long, height: Long, container: String,
+                                payload: Array[Byte])
 
   /**
    * Frame sampling: every `every`-th frame per media item, 1→N via the
@@ -376,22 +429,28 @@ object Multimodal {
   }
 
   /**
-   * STUB resize: joins the sampled frames back to the payloads and "runs
-   * the codec" per partition (deterministic fake: payload = first 16
-   * bytes; dimensions = the target box preserving the stub aspect). The
-   * join is the real plumbing: frame refs shuffle to the payload's
-   * partitioning; a native decoder drops into `mapPartitions` unchanged.
+   * Frame resize: joins the sampled frames back to the payloads and
+   * derives output dimensions per partition. Dimensions come from the
+   * REAL container parse ([[decodeVideo]] — MP4/AVI/MKV header walk)
+   * whenever the payload parses, so a frame sampled from a real MP4 is
+   * scaled to its true aspect; unparseable payloads use the stub's
+   * pseudo-dimensions, and the `container` tag on every output row says
+   * which happened. Only the PIXEL step is still a stub (payload = first
+   * 16 bytes — no codec in this container); the join is the real
+   * plumbing: frame refs shuffle to the payload's partitioning, and a
+   * native decoder drops into `mapPartitions` unchanged.
    */
   def resizeFrames(files: Dataset[MediaFile], frames: Dataset[FrameRef],
                    maxW: Long, maxH: Long): Dataset[ResizedFrame] = {
     import files.sparkSession.implicits._
     files.joinWith(frames, files("doc_id") === frames("doc_id"))
       .mapPartitions(_.map { case (f, fr) =>
-        val meta = decodeStub(f)
+        val meta = decodeVideo(f)
         val scale = math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height)
         ResizedFrame(f.doc_id, fr.frame_idx,
           math.max(1, (meta.width * scale).toLong),
           math.max(1, (meta.height * scale).toLong),
+          meta.container,
           f.payload.take(16))
       })
   }
