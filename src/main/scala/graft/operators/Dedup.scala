@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
@@ -422,11 +422,23 @@ object Dedup {
    * (graft.streaming.NearDupState): claim each LSH band
    * first-arrival-wins with horizon-bounded state, then admit a doc only
    * if it won ALL its bands and its full signature is new — which
-   * subsumes the exact-dup `dropDuplicatesWithinWatermark` too.
+   * subsumes the exact-dup `dropDuplicatesWithinWatermark` too. One
+   * scoped caveat inherited from that operator: among docs whose FULL
+   * signatures are identical (all bands equal) arriving in the SAME
+   * micro-batch, the survivor is an arbitrary one of them, not
+   * necessarily the earliest — any is equally representative, but exact
+   * `tsCol` order there is not guaranteed (across batches it is; and
+   * docs differing in at least one band are always ordered by the claim
+   * stage).
    *
    * `tsCol` orders arrivals within a batch (event time; full-signature
    * tiebreak) and anchors the horizon: ownership of a band lasts
-   * `horizonMs` of EVENT time after the owner's own event time. State
+   * `horizonMs` of EVENT time after the owner's own event time. Rows
+   * whose `tsCol` is null (or fails the timestamp cast) are DROPPED up
+   * front — the same fate Spark's watermarked aggregations give
+   * null-event-time rows; route unstamped rows through
+   * [[nearDupKeptStream]] or stamp them upstream if they must survive.
+   * State
    * backend follows `spark.graft.stateful.tws` like the facade's
    * stateful ops; both backends are spec-proven equivalent
    * (StreamingDedupSpec). `seenBands` is still a static snapshot here —
@@ -454,10 +466,15 @@ object Dedup {
         "CAUTION: the setting is session-wide — scope it to the session running this " +
         "composition. Safe for this shape: no stateful stage event-time-filters " +
         "its input (see NearDupState Scaladoc).")
+    // a row with no event time cannot participate in event-time ordering
+    // or horizon arithmetic — drop it up front (same fate Spark's own
+    // watermarked aggregations give null-event-time rows) instead of
+    // letting a null __ord NPE inside the claim stage and kill the query
+    val timed = docs.filter(col(tsCol).cast("timestamp").isNotNull)
     // exact in-horizon dups go first, on Spark's own watermark-evicted
     // store: this is what entitles the resolve stage to hold zero state
     // (at most one doc per full signature in-horizon reaches it)
-    val withFull = bandedAgainstSeen(docs, textCol, seenBands, k, bands, shingleN)
+    val withFull = bandedAgainstSeen(timed, textCol, seenBands, k, bands, shingleN)
       .dropDuplicatesWithinWatermark("__sigfull")
       .withColumn("__ord", unix_micros(col(tsCol).cast("timestamp")))
     val useTws = spark.conf.get("spark.graft.stateful.tws", "false").toBoolean
@@ -486,15 +503,29 @@ object Dedup {
    *     [[nearDupKeptStreamStateful]]'s claim/resolve stages (losers
    *     still claim their unshared bands, keeping the transitive
    *     cluster-collapse semantics),
-   *  4. append the survivors' bands (and raw signatures) to `bandsPath`,
-   *  5. hand the surviving docs to `onAdmitted`.
+   *  4. hand the surviving docs to `onAdmitted`,
+   *  5. append the survivors' bands (and raw signatures) to `bandsPath`,
+   *  6. write a commit marker `_committed/batch-<id>` inside `bandsPath`
+   *     (underscore-prefixed → invisible to parquet file listing).
+   *
+   * DELIVERY SEMANTICS: exactly-once for any replay of a batch whose
+   * previous attempt completed (the marker check no-ops the whole body —
+   * the standard foreachBatch batchId-idempotence upgrade), at-least-once
+   * across mid-batch crash windows: a crash between sink and append
+   * re-delivers on replay (no marker yet), and a crash between append
+   * and marker re-runs a batch that now collides with its OWN bands —
+   * benign, because delivery already happened and the self-collided
+   * replay admits (and re-appends) nothing. This is why the sink runs
+   * BEFORE the append: with the order flipped, that same self-collision
+   * would hit a batch that had NOT yet been delivered and silently lose
+   * every document in it.
    *
    * Scale: per batch this is the same banded equi-join shape as the
    * batch cascade — nothing quadratic, shuffles keyed on band hashes and
-   * signatures. The append is idempotent-in-effect under foreachBatch's
-   * at-least-once replays: duplicate band rows cannot change an anti
-   * join's semantics, only its input size (compact the table offline on
-   * whatever cadence suits).
+   * signatures. The append stays idempotent-in-effect even where the
+   * marker can't help: duplicate band rows cannot change an anti join's
+   * semantics, only its input size ([[compactBands]] rewrites the table
+   * distinct on whatever cadence suits).
    *
    * Wire it as `docs.writeStream.foreachBatch(
    *   Dedup.nearDupAdmitAndAppend("text", "ts", path, onAdmitted)).start()`.
@@ -504,43 +535,138 @@ object Dedup {
                             k: Int = 8, bands: Int = 4, shingleN: Int = 3)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
-    val seen =
-      try spark.read.parquet(bandsPath)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        // first batch: nothing admitted yet
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("band_idx",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("band_hash",
-              org.apache.spark.sql.types.StringType))))
-      }
-    val withFull = bandedAgainstSeen(batch, textCol, seen, k, bands, shingleN)
-      .join(seen.filter(col("band_idx") === -1)
-          .select(col("band_hash").as("__seenraw")),
-        col("__sigfull") === concat(lit("raw:"), col("__seenraw")), "left_anti")
-      .withColumn("__ord", unix_micros(col(tsCol).cast("timestamp")))
-    val kept = claimResolveBatch(withFull, bands,
-        Seq(col("__ord")), materialize = true)
-      .localCheckpoint() // consumed twice: the band append and onAdmitted
-    // admit-and-append: survivors' bands (plus raw signatures for docs
-    // too short to shingle) become part of the seen corpus NOW
-    val newBands = (0 until bands).map(b =>
-      kept.filter(col(s"__band$b").isNotNull)
-        .select(lit(b).as("band_idx"), col(s"__band$b").as("band_hash")))
-      .reduce(_ unionAll _)
-      .unionAll(kept.filter((0 until bands).map(b => col(s"__band$b").isNull).reduce(_ && _))
-        .select(lit(-1).as("band_idx"),
-          regexp_replace(col("__sigfull"), "^raw:", "").as("band_hash")))
-    // Deliver BEFORE appending: with the append first, a crash between
-    // the two would make the replayed batch collide with its OWN bands
-    // and the sink silently lose those documents. Sink-first gives
-    // standard at-least-once (a crash between sink and append re-delivers
-    // the batch on replay — dedupe by batchId downstream if exactly-once
-    // matters); duplicate band rows from a replayed append only grow the
-    // anti-join input, never change its semantics.
-    onAdmitted(kept.select(batch.columns.map(col): _*), batchId)
-    newBands.write.mode("append").parquet(bandsPath)
+    // batchId idempotence: a marker per fully-committed batch lives inside
+    // the bands table (underscore prefix = hidden from parquet listings,
+    // same FileSystem as the table so it works on any Hadoop FS). Replays
+    // of a committed batch no-op — single delivery; see Scaladoc for the
+    // crash-window semantics.
+    val marker = new org.apache.hadoop.fs.Path(s"$bandsPath/_committed/batch-$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val seen = readBandsOrEmpty(spark, bandsPath)
+      val withFull = bandedAgainstSeen(batch, textCol, seen, k, bands, shingleN)
+        .join(seen.filter(col("band_idx") === -1)
+            .select(col("band_hash").as("__seenraw")),
+          col("__sigfull") === concat(lit("raw:"), col("__seenraw")), "left_anti")
+        .withColumn("__ord", unix_micros(col(tsCol).cast("timestamp")))
+      val kept = claimResolveBatch(withFull, bands,
+          Seq(col("__ord")), materialize = true)
+        .localCheckpoint() // consumed twice: the band append and onAdmitted
+      // admit-and-append: survivors' bands (plus raw signatures for docs
+      // too short to shingle) become part of the seen corpus NOW
+      val newBands = (0 until bands).map(b =>
+        kept.filter(col(s"__band$b").isNotNull)
+          .select(lit(b).as("band_idx"), col(s"__band$b").as("band_hash")))
+        .reduce(_ unionAll _)
+        .unionAll(kept.filter((0 until bands).map(b => col(s"__band$b").isNull).reduce(_ && _))
+          .select(lit(-1).as("band_idx"),
+            regexp_replace(col("__sigfull"), "^raw:", "").as("band_hash")))
+      // Deliver BEFORE appending: with the append first, a crash between
+      // the two would make the replayed batch collide with its OWN bands
+      // and the sink silently lose those documents (see Scaladoc).
+      onAdmitted(kept.select(batch.columns.map(col): _*), batchId)
+      newBands.write.mode("append").parquet(bandsPath)
+      // marker LAST: it asserts "sink and append both completed", so any
+      // replay of this batchId can safely skip the whole body
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** The bands table at `bandsPath`, or its empty (band_idx, band_hash)
+    * frame before the first batch has admitted anything. */
+  def readBandsOrEmpty(spark: SparkSession, bandsPath: String): DataFrame =
+    try spark.read.parquet(bandsPath)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band_idx",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("band_hash",
+            org.apache.spark.sql.types.StringType))))
+    }
+
+  /**
+   * The COMPLETE streaming near-dup pipeline, wired end-to-end:
+   *
+   * {{{ ingest → nearDupKeptStreamStateful → foreachBatch(
+   *     nearDupAdmitAndAppend) → onAdmitted sink }}}
+   *
+   * The two state layers complement each other and this helper composes
+   * them the intended way so callers don't have to re-derive the wiring:
+   *
+   *  - the CLAIM state (horizon-bounded, checkpoint-recovered) resolves
+   *    in-horizon near-dups — including same-micro-batch pairs — at
+   *    first-arrival-wins;
+   *  - the BANDS TABLE at `bandsPath` (corpus-scale, append-maintained,
+   *    replay-idempotent via the `_committed` markers) blocks near-dups
+   *    of everything admitted before this query even started; its
+   *    snapshot is re-read HERE, at query (re)start, so each restart
+   *    picks up everything prior runs admitted.
+   *
+   * Across a restart the layers agree on who survives: a near-dup of a
+   * pre-restart admit is dropped by the recovered claim state while
+   * still in-horizon and by the bands snapshot from then on (the
+   * foreachBatch body re-checks the LIVE table per batch as belt and
+   * braces). Proven in StreamingDedupE2eSpec, including a checkpoint
+   * restart mid-sequence and batch-semantics parity ([[bandClaimKept]]
+   * over the whole ingest equals the streamed admissions).
+   *
+   * Requires the session relaxation documented on
+   * [[nearDupKeptStreamStateful]] (fail-fast checked there). Returns the
+   * started query; `onAdmitted` receives each batch's admitted rows
+   * exactly once per committed batch.
+   */
+  def nearDupPipeline(docs: DataFrame, textCol: String, tsCol: String,
+                      bandsPath: String, checkpoint: String,
+                      onAdmitted: (DataFrame, Long) => Unit,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                      horizonMs: Long = 3600L * 1000,
+                      k: Int = 8, bands: Int = 4, shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val seen = readBandsOrEmpty(spark, bandsPath)
+    nearDupKeptStreamStateful(docs, textCol, tsCol, seen, horizonMs, k, bands, shingleN)
+      .writeStream
+      .foreachBatch(nearDupAdmitAndAppend(textCol, tsCol, bandsPath, onAdmitted,
+        k, bands, shingleN))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+
+  /**
+   * Offline maintenance for [[nearDupAdmitAndAppend]]'s bands table: the
+   * append-only table accumulates duplicate rows from crash-window
+   * replays (harmless to the anti joins, but they grow every batch's
+   * scan input); this rewrites it DISTINCT via write-temp-then-swap.
+   * One call replaces the Scaladoc's former "compact offline" homework.
+   *
+   * The `_committed` batch markers are carried over into the rewritten
+   * table, so replay idempotence survives compaction. The swap is
+   * rename-based (two renames, the old table parked at
+   * `<path>_precompact` until the new one is in place) — crash-safe in
+   * the sense that a half-finished swap leaves either the old or the new
+   * complete table findable, never a merge of both; run it while the
+   * stream is stopped (or between batches), as read-distinct-swap is not
+   * atomic against a concurrent append.
+   */
+  def compactBands(spark: SparkSession, bandsPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(bandsPath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(bandsPath + "_compacting")
+    val old = new Path(bandsPath + "_precompact")
+    fs.delete(tmp, true); fs.delete(old, true) // debris from a prior crash
+    spark.read.parquet(bandsPath).distinct()
+      .write.mode("overwrite").parquet(tmp.toString)
+    val markers = new Path(table, "_committed")
+    if (fs.exists(markers)) fs.rename(markers, new Path(tmp, "_committed"))
+    if (!fs.rename(table, old) || !fs.rename(tmp, table))
+      throw new java.io.IOException(s"compactBands swap failed for $bandsPath " +
+        s"(table intact at ${if (fs.exists(table)) table else old})")
+    fs.delete(old, true)
   }
 
   /** Shared in-batch claim/resolve core of [[nearDupAdmitAndAppend]] and

@@ -335,6 +335,73 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(delivered.toSeq == Seq(Set(1L, 2L)), s"replay lost documents: $delivered")
   }
 
+  test("nearDupAdmitAndAppend replay of a COMMITTED batch is a no-op (single delivery)") {
+    // restart-before-checkpoint-commit: foreachBatch re-runs a batch whose
+    // previous attempt fully completed. The _committed marker must no-op
+    // the replay — the sink sees the batch exactly once — while a NEW
+    // batchId still processes normally.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_eo").toString + "/bands"
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val body = Dedup.nearDupAdmitAndAppend("text", "ts", dir, (df, bid) =>
+      delivered += ((bid, df.select("doc_id").as[Long].collect().toSet)))
+    val batch0 = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "exactly once delivery needs a committed batch marker beside the bands"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L,
+        "a second unrelated document about replay windows in the commit protocol"))
+      .toDF("ts", "doc_id", "text")
+    body(batch0, 0L)
+    body(batch0, 0L) // replay of the committed batch: must not re-deliver
+    assert(delivered.toSeq == Seq((0L, Set(1L, 2L))),
+      s"committed replay re-delivered: $delivered")
+    val batch1 = Seq((Timestamp.valueOf("2024-01-01 10:05:00"), 3L,
+      "a fresh batch id after the replay still flows through to the sink"))
+      .toDF("ts", "doc_id", "text")
+    body(batch1, 1L)
+    assert(delivered.toSeq == Seq((0L, Set(1L, 2L)), (1L, Set(3L))),
+      s"fresh batch blocked: $delivered")
+  }
+
+  test("compactBands rewrites the table distinct without changing anti-join results") {
+    // simulate crash-window replays: append the same admitted bands twice,
+    // then compact — row count collapses to the distinct set, every
+    // downstream anti join keeps the identical documents, and the
+    // _committed markers survive the swap
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_cp").toString + "/bands"
+    val admitted = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "the compaction rewrite must be invisible to every anti join downstream"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L,
+        "a second admitted document with entirely different shingle content"))
+      .toDF("ts", "doc_id", "text")
+    Dedup.nearDupAdmitAndAppend("text", "ts", dir, (_, _) => ())(admitted, 0L)
+    // a replayed append (no marker check in a raw re-append): duplicates
+    val n0 = spark.read.parquet(dir).count()
+    spark.read.parquet(dir).localCheckpoint().write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == n0 * 2)
+    // read-only probe: the same per-band anti joins the maintenance loop
+    // runs, with no append side effect, so before/after see one table
+    val probe = Seq(
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 10L,
+        "the compaction rewrite must be invisible to every anti join downstream"),
+      (Timestamp.valueOf("2024-01-01 10:11:00"), 11L, "a genuinely novel document"))
+      .toDF("ts", "doc_id", "text")
+    def keptIds(): Set[Long] =
+      Dedup.nearDupKeptStream(probe, "text", spark.read.parquet(dir))
+        .select("doc_id").as[Long].collect().toSet
+    val before = keptIds()
+    Dedup.compactBands(spark, dir)
+    assert(spark.read.parquet(dir).count() == n0,
+      "compaction did not collapse the duplicated table to the distinct set")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_committed/batch-0")),
+      "commit markers lost in compaction")
+    val after = keptIds()
+    assert(before == after && before == Set(11L),
+      s"anti-join results changed: before=$before after=$after")
+  }
+
   test("exactKeptStream on a batch frame degenerates to exact dedup") {
     val df = Seq("a", "a", "b").toDF("text")
     assert(Dedup.exactKeptStream(df, "text").count() == 2)
