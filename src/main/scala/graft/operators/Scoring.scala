@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/**
+ * Model-based quality filtering, inference side (north-star extension):
+ * the fastText-style linear classifier over HASHED token features that
+ * every large-scale curation pipeline runs (CCNet's quality model,
+ * LLaMA's Wikipedia-reference classifier, GPT-3's WebText filter). The
+ * model is trained offline; what the 100 TB engine needs is the
+ * INFERENCE shape, and the feature-hashing trick makes that shape
+ * trivial to distribute:
+ *
+ *  - token → bucket via md5 (the repo-wide engine-portable hash): NO
+ *    vocabulary table, NO join — unlike the l33/l45 LM scorers, whose
+ *    vocab-count joins are their entire shuffle cost;
+ *  - the weight vector rides along as a LITERAL array (the broadcast
+ *    degenerates to codegen constants), so scoring is a pure map plus
+ *    one per-doc partial aggregation — for a corpus of any size, the
+ *    only shuffle is the per-doc agg, and map-side combine takes it.
+ *
+ * Determinism (the l49 oracle): weights are quantized to
+ * DECIMAL(18,8) at literal-build time, so the per-doc sum is EXACT
+ * decimal arithmetic — shuffle-order-independent, bit-equal across
+ * engines — the same discipline as l33's DECIMAL LM sums.
+ */
+object Scoring {
+
+  /**
+   * Per-document linear score over hashed token features: bucket =
+   * 16-bit md5 value of the token mod `weights.length`, document score =
+   * mean bucket weight. Output: idCol, `n_tokens`, `w_sum`
+   * (DECIMAL(38,8), exact), `score` (= w_sum / n_tokens, 6dp), `keep`
+   * (score > 0 — the classifier's accept side).
+   */
+  def hashedLinearScore(docs: DataFrame, textCol: String, idCol: String,
+                        weights: Array[Double]): DataFrame = {
+    require(weights.nonEmpty, "hashedLinearScore needs a non-empty weight vector")
+    val b = weights.length
+    // exact decimal literals: quantization happens ONCE here, not per row
+    val wArr = array(weights.map(w =>
+      lit(BigDecimal(w).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .underlying()).cast("decimal(18,8)")): _*)
+    val bucket = (conv(substring(md5(col("__t")), 1, 4), 16, 10)
+      .cast("long") % b).cast("int")
+    docs.select(col(idCol), explode(wsTokens(col(textCol))).as("__t"))
+      .select(col(idCol), element_at(wArr, bucket + 1).as("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__w")).cast("decimal(38,8)").as("w_sum"))
+      // Divide at scale 20, not w_sum's native 8: Spark's decimal
+      // division yields a quotient at the dividend's scale, and a
+      // scale-8 quotient double-rounds `round(.., 6)` whenever the exact
+      // ratio falls within 5e-9 of a 6dp tie (observed in spec). At
+      // scale 20 the exact ratio (denominator n·10⁸) is never within
+      // 1e-20 of a tie for any n < 10¹², so the rounding is single.
+      .withColumn("score",
+        round(col("w_sum").cast("decimal(38,20)") / col("n_tokens"), 6))
+      .withColumn("keep", col("w_sum") > 0)
+  }
+
+  /** The l49 weight vector: 256 buckets, w_b = (b − 128)/256 — a fixed
+    * deterministic stand-in for trained weights whose arithmetic a DuckDB
+    * oracle can reproduce exactly (each weight is an exact multiple of
+    * 2⁻⁸, so decimal quantization is lossless and the per-doc sum is an
+    * integer multiple of 2⁻⁸). Real deployments pass their trained
+    * vector instead; OperatorSpec pins a random-weight run against a
+    * driver-side reference. */
+  val oracleWeights: Array[Double] = Array.tabulate(256)(b => (b - 128) / 256.0)
+}

@@ -815,6 +815,45 @@ object LlmQueries {
         .toDF().orderBy("doc_id"),
       Some(VideoFixtures.oracleSql)),
 
+    // L49 — model-based quality filtering, inference side: a fastText-
+    // style linear classifier over HASHED token features (no vocabulary,
+    // no join — the hashing trick makes inference a pure map + one
+    // per-doc partial agg; see graft.operators.Scoring). The declared
+    // weight vector is the deterministic (b−128)/256 stand-in so the
+    // oracle can reproduce the arithmetic exactly; the output emits the
+    // EXACT sufficient statistic w_sum·256 (an integer — the per-doc sum
+    // of (bucket−128)) rather than a rounded ratio, so no cross-engine
+    // rounding boundary exists at all.
+    "l49_classifier_score" -> QueryDef(
+      (s, d) => graft.operators.Scoring.hashedLinearScore(
+          Tables.documents(s, d), "text", "doc_id",
+          graft.operators.Scoring.oracleWeights)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("w_sum") * 256).cast("long").as("w_sum_x256"), col("keep"))
+        .orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "h AS (SELECT doc_id, (strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096 + " +
+        "(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256 + " +
+        "(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16 + " +
+        "(strpos('0123456789abcdef', substr(md5(t),4,1))-1) AS v FROM tok), " +
+        "s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM((v % 256) - 128) AS BIGINT) AS w_sum_x256 FROM h GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, w_sum_x256, w_sum_x256 > 0 AS keep FROM s ORDER BY doc_id")),
+
+    // L50 — WARC ingestion (ISO 28500, the Common Crawl container):
+    // `Warc.records` walks deterministic fixture files covering the
+    // three ingest paths — plain WARC, gzip multi-member (.warc.gz),
+    // and a truncated file exercising prefix semantics. Following the
+    // l48 pattern, the DuckDB oracle is a VALUES relation of the
+    // construction parameters (graft.sources.WarcFixtures), so a match
+    // proves the streaming record walk reads back exactly what the
+    // construction wrote. The operator itself is one narrow flatMap —
+    // no shuffle; the orderBy here exists only for oracle determinism.
+    "l50_warc_records" -> QueryDef(
+      (s, _) => graft.sources.Warc.records(graft.sources.WarcFixtures.dataset(s))
+        .toDF().orderBy("file_id", "rec_idx"),
+      Some(graft.sources.WarcFixtures.oracleSql)),
+
     // L21 — heavy hitters: top-10 tokens per language by frequency
     // (vocabulary analysis). Two-level aggregation: the (lang, token)
     // counts partial-aggregate map-side; the ranking window runs on the

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream}
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+
+/** One WARC file as ingested bytes (the `binaryFile` reader's shape:
+  * at 100 TB the payloads arrive via `spark.read.format("binaryFile")`
+  * over a Common Crawl-style bucket, one row per ~1 GB .warc.gz). */
+case class WarcFile(file_id: Long, payload: Array[Byte])
+
+/** One parsed WARC record. `http_status`/`body_len`/`body_head` describe
+  * the HTTP payload when the record carries one (response records),
+  * otherwise the raw record payload; `http_status` is 0 for non-HTTP.
+  * Strings default to "" rather than null so the columns stay
+  * non-nullable BIGINT/VARCHAR across engines. */
+case class WarcRecord(file_id: Long, rec_idx: Long, warc_type: String,
+                      target_uri: String, content_length: Long,
+                      http_status: Long, body_len: Long, body_head: String)
+
+/**
+ * WARC (ISO 28500) ingestion — the Common Crawl container every
+ * web-scale training pipeline reads first. Mirrors the reference's
+ * source-decode posture (SURVEY §2: sources decode at the edge,
+ * malformed input is data, not error; cf. `Multimodal`'s container
+ * walks): a header-level record walk that never materializes a record
+ * body, plus gzip transparency for the standard `.warc.gz` layout
+ * (per-record gzip members, which `GZIPInputStream` concatenates
+ * natively).
+ *
+ * Scale contract:
+ *  - STREAMING: the walk reads the (possibly gzip) stream forward once;
+ *    bodies are skipped in chunks with only the first [[Warc.HeadBytes]]
+ *    bytes retained, so memory per file is O(header), not O(payload).
+ *  - BOMB-BOUNDED: decompressed bytes are capped ([[Warc.MaxBytes]]);
+ *    a gzip bomb truncates the walk at the cap and yields the records
+ *    parsed so far — a data-shaped outcome, never an executor OOM.
+ *  - MALFORMED = PREFIX: a corrupt record (bad version line, missing
+ *    Content-Length, body truncated mid-stream) ends the walk; every
+ *    record before it is emitted. Fuzz-proven never to throw
+ *    (WarcSpec, mutated/truncated/garbage payloads).
+ */
+object Warc {
+
+  /** Bytes of body retained per record (provenance/debug head). */
+  val HeadBytes = 48
+  /** Decompression cap per file — the gzip-bomb guard. */
+  val MaxBytes: Long = 1L << 30
+  private val MaxLineBytes = 8192
+  private val MaxHttpPrefix = 8192
+
+  private object Malformed extends Exception { override def fillInStackTrace(): Throwable = this }
+
+  /** Forward-only counted stream enforcing [[MaxBytes]]. */
+  private final class BoundedIn(in: InputStream) {
+    private var count = 0L
+    def read(): Int = {
+      val c = in.read()
+      if (c >= 0) { count += 1; if (count > MaxBytes) throw Malformed }
+      c
+    }
+    /** Read up to n bytes into buf (best effort); returns bytes read. */
+    def readN(buf: Array[Byte], n: Int): Int = {
+      var off = 0
+      var c = 0
+      while (off < n && c >= 0) {
+        c = in.read(buf, off, n - off)
+        if (c > 0) { off += c; count += c; if (count > MaxBytes) throw Malformed }
+      }
+      off
+    }
+    def skipN(n: Long): Long = {
+      var left = n
+      val buf = new Array[Byte](8192)
+      var c = 0
+      while (left > 0 && c >= 0) {
+        c = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (c > 0) { left -= c; count += c; if (count > MaxBytes) throw Malformed }
+      }
+      n - left
+    }
+  }
+
+  /** One CRLF/LF-terminated line; None at clean EOF; Malformed past
+    * [[MaxLineBytes]] (a header line that long is not a WARC header). */
+  private def readLine(in: BoundedIn): Option[String] = {
+    val buf = new ArrayBuffer[Byte]()
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') {
+      buf += c.toByte
+      if (buf.length > MaxLineBytes) throw Malformed
+      c = in.read()
+    }
+    val n = if (buf.nonEmpty && buf.last == '\r') buf.length - 1 else buf.length
+    Some(new String(buf.take(n).toArray, "UTF-8"))
+  }
+
+  /** Pure single-file walk (unit-testable without Spark). */
+  def parseFile(fileId: Long, payload: Array[Byte]): Seq[WarcRecord] = {
+    val raw: InputStream = new ByteArrayInputStream(payload)
+    val in0: InputStream =
+      if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
+        try new GZIPInputStream(new BufferedInputStream(raw))
+        catch { case _: java.io.IOException => return Seq.empty }
+      else raw
+    val in = new BoundedIn(in0)
+    val out = ArrayBuffer.empty[WarcRecord]
+    try {
+      var idx = 0L
+      var done = false
+      while (!done) {
+        // tolerate blank inter-record lines (the \r\n\r\n record suffix)
+        var line = readLine(in)
+        while (line.contains("")) line = readLine(in)
+        line match {
+          case None => done = true // clean EOF
+          case Some(v) if !v.startsWith("WARC/") => throw Malformed
+          case Some(_) =>
+            // named header fields, case-insensitive, until the blank line
+            var warcType = ""; var uri = ""; var cl = -1L
+            var h = readLine(in).getOrElse(throw Malformed)
+            while (h.nonEmpty) {
+              val i = h.indexOf(':')
+              if (i > 0) {
+                val k = h.substring(0, i).trim.toLowerCase
+                val v = h.substring(i + 1).trim
+                k match {
+                  case "warc-type" => warcType = v
+                  case "warc-target-uri" => uri = v
+                  case "content-length" =>
+                    cl = try v.toLong catch { case _: NumberFormatException => throw Malformed }
+                  case _ => ()
+                }
+              }
+              h = readLine(in).getOrElse(throw Malformed)
+            }
+            if (cl < 0) throw Malformed
+            // record payload: retain a bounded prefix, skip the rest
+            val prefixLen = math.min(cl, MaxHttpPrefix.toLong).toInt
+            val prefix = new Array[Byte](prefixLen)
+            if (in.readN(prefix, prefixLen) < prefixLen) throw Malformed
+            if (in.skipN(cl - prefixLen) < cl - prefixLen) throw Malformed
+            out += httpSplit(fileId, idx, warcType, uri, cl, prefix)
+            idx += 1
+        }
+      }
+    } catch {
+      // prefix semantics: keep what parsed. IOException covers corrupt
+      // or truncated gzip streams (ZipException/EOFException) — a bad
+      // member ends the walk the same way a bad record does.
+      case Malformed => ()
+      case _: java.io.IOException => ()
+    }
+    out.toSeq
+  }
+
+  /** Split an HTTP message payload into (status, body) when the record
+    * carries one; non-HTTP payloads pass through whole. A header block
+    * longer than [[MaxHttpPrefix]] is treated as non-HTTP (bounded-read
+    * contract) — at that size it is not a sane HTTP header block. */
+  private def httpSplit(fileId: Long, idx: Long, warcType: String, uri: String,
+                        cl: Long, prefix: Array[Byte]): WarcRecord = {
+    def ascii(b: Array[Byte], from: Int, until: Int) =
+      new String(b, from, until - from, "UTF-8")
+    val isHttp = prefix.length >= 5 && ascii(prefix, 0, 5) == "HTTP/"
+    // locate \r\n\r\n inside the retained prefix
+    var sep = -1
+    if (isHttp) {
+      var i = 0
+      while (sep < 0 && i + 3 < prefix.length) {
+        if (prefix(i) == '\r' && prefix(i + 1) == '\n' &&
+            prefix(i + 2) == '\r' && prefix(i + 3) == '\n') sep = i
+        i += 1
+      }
+    }
+    if (!isHttp || sep < 0) {
+      WarcRecord(fileId, idx, warcType, uri, cl, 0L, cl,
+        ascii(prefix, 0, math.min(HeadBytes, prefix.length)))
+    } else {
+      val statusLineEnd = prefix.indexOf('\n'.toByte)
+      val statusLine = ascii(prefix, 0, if (statusLineEnd < 0) prefix.length else statusLineEnd)
+      val status = statusLine.split(" ").lift(1)
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+      val bodyStart = sep + 4
+      val head = ascii(prefix, bodyStart,
+        math.min(bodyStart + HeadBytes, prefix.length))
+      WarcRecord(fileId, idx, warcType, uri, cl, status, cl - bodyStart, head)
+    }
+  }
+
+  /** The distributed form: one narrow flatMap, no shuffle — record
+    * extraction is embarrassingly parallel over files, and downstream
+    * ops see a relational table of records, never bytes. */
+  def records(files: Dataset[WarcFile]): Dataset[WarcRecord] = {
+    import files.sparkSession.implicits._
+    files.flatMap(f => parseFile(f.file_id, f.payload))
+  }
+}

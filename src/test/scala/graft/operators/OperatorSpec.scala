@@ -819,6 +819,48 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Scoring.hashedLinearScore matches an exact driver-side reference on random weights") {
+    // the Scaladoc contract: quantize-once DECIMAL weights make the
+    // per-doc sum exact and shuffle-order-independent — so a seeded
+    // random weight vector must reproduce a BigDecimal reference
+    // bit-for-bit, not approximately.
+    val rnd = new scala.util.Random(4242)
+    val b = 64
+    val weights = Array.fill(b)(rnd.nextDouble() * 2 - 1)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "of")
+    val docs = (1L to 20L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ ((21L, "alpha  beta")) // double space: empty token, same as Spark's split
+    val df = docs.toDF("doc_id", "text")
+
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.take(2).map(x => f"$x%02x").mkString // first 4 hex chars
+      (java.lang.Long.parseLong(hex, 16) % b).toInt
+    }
+    val qw = weights.map(w => BigDecimal(w).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq // limit -1: Spark's split keeps empties
+      val wSum = toks.map(t => qw(bucketOf(t))).sum
+      id -> ((toks.size.toLong, wSum,
+        (wSum / toks.size).setScale(6, BigDecimal.RoundingMode.HALF_UP), wSum > 0))
+    }.toMap
+
+    val got = Scoring.hashedLinearScore(df, "text", "doc_id", weights)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)),
+          r.getBoolean(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, wSum, score, keep)) =>
+      val (gn, gSum, gScore, gKeep) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert(gSum.compare(wSum) == 0, s"doc $id w_sum: got $gSum want $wSum")
+      assert(gScore.compare(score) == 0, s"doc $id score: got $gScore want $score")
+      assert(gKeep == keep, s"doc $id keep")
+    }
+  }
+
   test("Multimodal stub pipeline derives metadata from payload bytes") {
     import graft.operators.Multimodal._
     val files = spark.createDataset(Seq(MediaFile(1L, Array.fill(250)(7.toByte))))
