@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/**
+ * Corpus-level composition analytics for training-data curation
+ * (north-star extension per SURVEY.md §2.2 — the reference has no
+ * relational surface at all, /root/reference/src/lib.rs:1-957): the
+ * questions a data team asks BEFORE mixing/dedup decisions — "is the
+ * corpus still contributing new content?" and "which sources say the
+ * same things?".
+ *
+ * Scale shape of both operators: the only shuffles are hash
+ * aggregations on the n-gram key (map-side combined) plus joins whose
+ * build sides are bounded by #docs or #sources² — nothing all-pairs,
+ * nothing driver-side.
+ */
+object CorpusStats {
+
+  /**
+   * Corpus-diversity growth curve: for each document (in `idCol` order,
+   * i.e. ingestion order for the synthetic corpus), the number of
+   * distinct word n-grams whose FIRST occurrence is that document, plus
+   * the running total — the saturation curve data teams read to decide
+   * when a source stops contributing novelty (deduplication's
+   * macro-level cousin; cf. the scaling-laws practice of tracking
+   * unique-token growth).
+   *
+   * Plan: one explode of the codegen'd [[graft.functions.ShinglesExpr]]
+   * → one (gram → min id) hash agg (map-side combined, gram-partitioned
+   * — THE scale-bearing shuffle, same shape as l4's band agg) → one
+   * tiny (first-doc → count) agg → left join back onto the doc spine.
+   * The cumulative sum uses [[Windows.runningSumScalable]] (bucketed
+   * two-pass prefix sum), NOT a single-partition window — the curve
+   * stays distributed at any corpus size.
+   *
+   * Output: idCol, `n_novel` (distinct n-grams first seen here),
+   * `cum_novel` (running distinct-n-gram count of the corpus prefix).
+   */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int, bucketWidth: Long = 64L): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("__g"))
+    val first = grams.groupBy(col("__g")).agg(min(col(idCol)).as("__fd"))
+    val novel = first.groupBy(col("__fd").as(idCol))
+      .agg(count(lit(1)).as("__nn"))
+    val spine = docs.select(col(idCol))
+      .join(novel, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("__nn"), lit(0L)))
+      // constant-valued (but non-foldable: id % 1, so Catalyst keeps the
+      // equality) group key: runningSumScalable's bucket-offset self-join
+      // keeps an equi-component (hash join + inequality filter over the
+      // tiny per-bucket summaries) instead of degrading to a
+      // nested-loop join when the grouping is genuinely global
+      .withColumn("__grp", pmod(col(idCol), lit(1L)).cast("int"))
+      .select(col(idCol), col("n_novel"), col("__grp"))
+    Windows.runningSumScalable(spine, Seq("__grp"),
+      floor(col(idCol) / bucketWidth).cast("long"),
+      Seq(col(idCol)), col("n_novel"), "cum_novel")
+      .drop("__grp")
+  }
+
+  /**
+   * Pairwise source-vocabulary overlap: for every pair of sources, how
+   * many distinct word n-grams they share — the corpus-composition
+   * matrix behind source-level dedup priorities and contamination
+   * triage (exact-text overlap is often empty across crawls even when
+   * the CONTENT overlaps heavily; n-gram overlap is the honest signal).
+   *
+   * Plan: distinct (source, gram) — one hash agg — then a self-join on
+   * the gram key (gram-partitioned shuffle join; the reused exchange
+   * carries both sides) and a final aggregation whose output is bounded
+   * by #sources², plus a broadcast of the #sources-row per-source
+   * totals for the union denominator. Integer output only — no
+   * cross-engine float boundary.
+   *
+   * Output: `src_a` < `src_b`, `n_shared` (grams in both), `n_union`
+   * (grams in either) — Jaccard is n_shared/n_union, left to the
+   * caller so the declared result stays exact.
+   */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    n: Int): DataFrame = {
+    val grams = docs
+      .select(col(srcCol).as("__src"),
+        explode(wordShingles(col(textCol), n)).as("__g"))
+      .groupBy(col("__src"), col("__g")).agg(count(lit(1)).as("__c"))
+      .select(col("__src"), col("__g"))
+    val totals = grams.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals).withColumnRenamed("__src", "src_a")
+        .withColumnRenamed("__n", "__na"), Seq("src_a"))
+      .join(broadcast(totals).withColumnRenamed("__src", "src_b")
+        .withColumnRenamed("__n", "__nb"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("__na") + col("__nb") - col("n_shared")).as("n_union"))
+  }
+}

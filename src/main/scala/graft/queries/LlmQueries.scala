@@ -854,6 +854,88 @@ object LlmQueries {
         .toDF().orderBy("file_id", "rec_idx"),
       Some(graft.sources.WarcFixtures.oracleSql)),
 
+    // L51 — PII scrubbing (TextFunctions.redactPii / piiCount), oracle-
+    // certified. The synthetic corpus carries no PII (no digits at all),
+    // so — following the l48/l50 fixture pattern — deterministic
+    // email/phone spans derived from doc_id are appended IN THE QUERY,
+    // identically on both engine sides; the oracle then proves the two
+    // regex dialects (Java in Spark codegen, RE2 in DuckDB) agree span-
+    // for-span: counts, redacted length, and the md5 of the redacted
+    // text all match. Docs split 3 ways (email only / phone only /
+    // both-or-neither) so zero-count rows are covered too. The operator
+    // is a pure per-row projection — zero shuffles at any scale.
+    "l51_pii_redact" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = concat(col("text"),
+          when(id % 3 === 0, concat(lit(" mail user"), id.cast("string"),
+            lit("@ex"), (id % 10).cast("string"), lit(".org")))
+            .otherwise(lit("")),
+          when(id % 4 === 0, concat(lit(" call +1"),
+            lpad(((id * 7919) % 10000000).cast("string"), 7, "0")))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(id, aug.as("__t"))
+          .select(id,
+            piiCount(col("__t")).as("n_pii"),
+            regexp_count(col("__t"), lit(EmailPattern)).cast("long")
+              .as("n_emails"),
+            length(redactPii(col("__t"))).cast("long").as("red_len"),
+            md5(redactPii(col("__t"))).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH aug AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@ex' || (doc_id % 10) || '.org' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' call +1' || lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0') ELSE '' END AS t " +
+        "FROM documents), " +
+        s"red AS (SELECT doc_id, " +
+        s"regexp_replace(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'), '$PhonePattern', '<PHONE>', 'g') AS r, " +
+        s"len(regexp_extract_all(t, '$EmailPattern')) AS ne, " +
+        s"len(regexp_extract_all(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'), '$PhonePattern')) AS np " +
+        "FROM aug) " +
+        "SELECT doc_id, CAST(ne + np AS BIGINT) AS n_pii, CAST(ne AS BIGINT) AS n_emails, " +
+        "CAST(length(r) AS BIGINT) AS red_len, md5(r) AS red_md5 FROM red ORDER BY doc_id")),
+
+    // L52 — corpus-diversity growth curve (CorpusStats.ngramNovelty):
+    // distinct 3-grams first contributed per document plus the running
+    // corpus total, in doc_id (= ingestion) order — the saturation
+    // signal behind "when does this source stop adding content?".
+    // Integer output only; the cumulative sum is the bucketed two-pass
+    // prefix sum (Windows.runningSumScalable), not a single-partition
+    // window.
+    "l52_ngram_novelty" -> QueryDef(
+      (s, d) => graft.operators.CorpusStats.ngramNovelty(
+          Tables.documents(s, d), "text", "doc_id", 3)
+        .orderBy("doc_id"),
+      Some("WITH " + shinglesCte() + ", " +
+        "fst AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s), " +
+        "novel AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM fst GROUP BY fd) " +
+        "SELECT d.doc_id, COALESCE(n_novel, 0) AS n_novel, " +
+        "CAST(SUM(COALESCE(n_novel, 0)) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_novel " +
+        "FROM documents d LEFT JOIN novel USING (doc_id) ORDER BY d.doc_id")),
+
+    // L53 — pairwise source-vocabulary overlap (CorpusStats.
+    // sourceOverlap): shared and union distinct-3-gram counts per
+    // source pair — the corpus-composition matrix (exact-text overlap
+    // across these sources is empty; n-gram overlap is the honest
+    // signal). Integer output only; Jaccard is n_shared/n_union for the
+    // caller.
+    "l53_source_overlap" -> QueryDef(
+      (s, d) => graft.operators.CorpusStats.sourceOverlap(
+          Tables.documents(s, d), "text", "source", 3)
+        .orderBy("src_a", "src_b"),
+      Some("WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT source AS src, UNNEST(CASE WHEN len(t) >= 3 " +
+        "THEN list_transform(generate_series(1, len(t) - 2), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks), " +
+        "tot AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY src) " +
+        "SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared, " +
+        "ta.n + tb.n - CAST(COUNT(*) AS BIGINT) AS n_union " +
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src " +
+        "JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src " +
+        "GROUP BY a.src, b.src, ta.n, tb.n ORDER BY src_a, src_b")),
+
     // L21 — heavy hitters: top-10 tokens per language by frequency
     // (vocabulary analysis). Two-level aggregation: the (lang, token)
     // counts partial-aggregate map-side; the ranking window runs on the

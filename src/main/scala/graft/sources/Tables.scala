@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
  * callers `.select(...)`/`.filter(...)` and the scan reads only what is
  * needed (verify via `.explain`: `ReadSchema`/`PushedFilters`).
  *
- * The `events` table is written with parquet TIMESTAMP(NANOS), which the
- * Spark 4 parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it with
+ * The `events` table has shipped in two layouts across driver rounds:
+ * parquet TIMESTAMP(NANOS) — which the Spark 4 parquet reader rejects
+ * ([PARQUET_TYPE_ILLEGAL]), so we read it with
  * `spark.sql.legacy.parquet.nanosAsLong` and convert to a microsecond
  * TimestampType ourselves with exact integer arithmetic (`div 1000`, no
- * double round-trip — ns epochs exceed 2^53). The driver data carries
- * microsecond resolution, so the truncation is lossless; this mirrors the
- * reference engine's nanosecond `NaiveDateTime` absorbed at µs per
+ * double round-trip — ns epochs exceed 2^53) — and plain TIMESTAMP(MICROS)
+ * (isAdjustedToUTC=false), which Spark reads natively as TIMESTAMP_NTZ.
+ * The loader dispatches on the type the scan actually produced and
+ * normalizes both to the same µs TimestampType (sessions run UTC, so the
+ * NTZ→LTZ cast is value-preserving); downstream code and the DuckDB
+ * oracles (`epoch(ts)` arithmetic) are layout-independent. This mirrors
+ * the reference engine's nanosecond `NaiveDateTime` absorbed at µs per
  * SURVEY.md §7.5.2 (reference: /root/reference/src/lib.rs:20-26).
  */
 object Tables {
@@ -60,11 +65,23 @@ object Tables {
     }
   }
 
+  /** Normalize the `ts` column to TimestampType (µs) regardless of which
+    * on-disk layout produced it: BIGINT nanoseconds (nanosAsLong read of
+    * TIMESTAMP(NANOS)) → exact `div 1000`; TIMESTAMP_NTZ (native read of
+    * TIMESTAMP(MICROS), isAdjustedToUTC=false) → cast, value-preserving
+    * under the UTC sessions every entry point pins. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   /** Events stream table with `ts` restored to TimestampType (µs). */
   def events(spark: SparkSession, dir: String): DataFrame =
     withNanosAsLong(spark) {
-      table(spark, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(table(spark, dir, "events"))
     }
 
   /** The same events table as a STREAMING source (`readStream`), with the
@@ -77,9 +94,8 @@ object Tables {
       val schema = table(spark, dir, "events").schema
       // the file-stream source requires a directory; glob-filter down to
       // the events table within it
-      spark.readStream.schema(schema)
+      normalizeTs(spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(dir))
     }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+/** Hand-computed cases for the corpus-composition analytics plus the
+  * PII-redaction column functions they certify in l51. */
+class CorpusStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ngramNovelty counts first-seen distinct n-grams per doc and accumulates") {
+    // doc 1: grams {a b c, b c d} — both novel (2)
+    // doc 2: grams {b c d, c d e} — b c d seen, c d e novel (1)
+    // doc 3: "a b c d" → {a b c, b c d} — all seen (0)
+    // doc 4: too short for 3-grams (0)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "b c d e"),
+      (3L, "a b c d"),
+      (4L, "x y")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.ngramNovelty(docs, "text", "doc_id", 3, bucketWidth = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_novel", "cum_novel")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L), (4L, 0L, 3L)))
+  }
+
+  test("ngramNovelty total equals the corpus-wide distinct gram count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CorpusStats.ngramNovelty(docs, "text", "doc_id", 3)
+    val total = out.agg(sum("n_novel")).as[Long].head()
+    val distinctGrams = docs
+      .select(explode(TextFunctions.wordShingles(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(total == distinctGrams)
+    // the curve is the running sum of its own increments
+    val last = out.orderBy(col("doc_id").desc).select("cum_novel").as[Long].head()
+    assert(last == total)
+  }
+
+  test("sourceOverlap emits shared and union distinct-gram counts per pair") {
+    // srcA grams: {a b c, b c d} ; srcB grams: {b c d, c d e} ; srcC: {q r s}
+    val docs = Seq(
+      (1L, "A", "a b c d"),
+      (2L, "B", "b c d e"),
+      (3L, "C", "q r s"),
+      (4L, "A", "a b c") // duplicate gram within source — must not double-count
+    ).toDF("doc_id", "src", "text")
+    val out = CorpusStats.sourceOverlap(docs, "text", "src", 3)
+      .select("src_a", "src_b", "n_shared", "n_union")
+      .as[(String, String, Long, Long)].collect().toSet
+    // only A∩B is non-empty: shared {b c d} = 1, union {a b c, b c d, c d e} = 3
+    assert(out == Set(("A", "B", 1L, 3L)))
+  }
+
+  test("redactPii replaces emails then phone-like runs; piiCount agrees") {
+    val rows = Seq(
+      (1L, "write bob.smith+x@mail-host.org today"),
+      (2L, "call +1 (415) 555-0199 now"),
+      (3L, "a@b.io and 1234567 both"),
+      (4L, "no pii here at all")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t")).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 == "write <EMAIL> today" && out(0)._3 == 1L)
+    assert(out(1)._2 == "call <PHONE> now" && out(1)._3 == 1L)
+    assert(out(2)._2 == "<EMAIL> and <PHONE> both" && out(2)._3 == 2L)
+    assert(out(3)._2 == "no pii here at all" && out(3)._3 == 0L)
+  }
+}
