@@ -63,6 +63,53 @@ object CorpusStats {
   }
 
   /**
+   * Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+   * token distributions — the corpus-composition number behind "which
+   * source is least like the rest?" (domain skew triage, the
+   * source-level cousin of l34's Moore-Lewis document scoring).
+   *
+   * KL(P_s ‖ P_c) = Σ_t (n_st/N_s)·ln((n_st·N)/(N_s·n_t)) with
+   * n_st = count of token t in source s, N_s = Σ_t n_st,
+   * n_t = corpus count, N = corpus total.
+   *
+   * Determinism discipline = l33's: the ln argument is computed with
+   * every operand cast to DOUBLE FIRST (so no integer-overflow cliff
+   * exists at any corpus size and the IEEE expression tree is identical
+   * in both engines), the ln is rounded to 9dp and carried as
+   * DECIMAL(20,9), the per-source sum is exact decimal (shuffle-order-
+   * independent), and the final divide-and-round happens once.
+   *
+   * Plan: one (source, token) hash agg — THE scale shuffle, map-side
+   * combined; corpus token counts derive from that (smaller) table, not
+   * a second pass over the corpus; per-source totals and the corpus
+   * scalar broadcast back. Token-count join is shuffle-hash (vocab
+   * never broadcasts at scale).
+   *
+   * Output: `src`, `n_tokens` (N_s), `kl_vs_corpus` (6dp).
+   */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+                       srcCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("src"),
+      explode(wsTokens(col(textCol))).as("__t"))
+    val st = tok.groupBy("src", "__t").agg(count(lit(1)).as("__nst"))
+    val ct = st.groupBy("__t").agg(sum(col("__nst")).as("__nt"))
+    val ns = st.groupBy("src").agg(sum(col("__nst")).as("__ns"))
+    val n = ct.agg(sum(col("__nt")).as("__n"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    st.join(ct.hint("shuffle_hash"), Seq("__t"))
+      .join(broadcast(ns), Seq("src"))
+      .crossJoin(broadcast(n))
+      .select(col("src"), col("__nst"), col("__ns"),
+        round(log((dbl(col("__nst")) * dbl(col("__n"))) /
+          (dbl(col("__ns")) * dbl(col("__nt")))), 9)
+          .cast("decimal(20,9)").as("__r"))
+      .groupBy("src")
+      .agg(max(col("__ns")).as("n_tokens"),
+        round(sum(col("__nst").cast("decimal(20,0)") * col("__r"))
+          .cast("double") / max(col("__ns")), 6).as("kl_vs_corpus"))
+  }
+
+  /**
    * Pairwise source-vocabulary overlap: for every pair of sources, how
    * many distinct word n-grams they share — the corpus-composition
    * matrix behind source-level dedup priorities and contamination

@@ -936,6 +936,30 @@ object LlmQueries {
         "JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src " +
         "GROUP BY a.src, b.src, ta.n, tb.n ORDER BY src_a, src_b")),
 
+    // L54 — per-source distribution drift: KL(P_source ‖ P_corpus) over
+    // unigram distributions (CorpusStats.sourceDivergence) — which
+    // source is least like the rest. l33's determinism discipline: the
+    // ln argument casts every operand to DOUBLE first (no integer
+    // overflow at any size, identical IEEE trees), ln rounded to 9dp →
+    // DECIMAL(20,9), exact-decimal per-source sums, one final
+    // divide-and-round.
+    "l54_source_divergence" -> QueryDef(
+      (s, d) => graft.operators.CorpusStats.sourceDivergence(
+          Tables.documents(s, d), "text", "source")
+        .orderBy("src"),
+      Some("WITH tok AS (SELECT source AS src, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "st AS (SELECT src, t, COUNT(*) AS nst FROM tok GROUP BY src, t), " +
+        "ct AS (SELECT t, CAST(SUM(nst) AS BIGINT) AS nt FROM st GROUP BY t), " +
+        "nsrc AS (SELECT src, CAST(SUM(nst) AS BIGINT) AS nsv FROM st GROUP BY src), " +
+        "tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS n FROM ct), " +
+        "sc AS (SELECT src, nst, nsv, " +
+        "CAST(ROUND(LN((CAST(nst AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+        "(CAST(nsv AS DOUBLE) * CAST(nt AS DOUBLE))), 9) AS DECIMAL(20,9)) AS r " +
+        "FROM st JOIN ct USING (t) JOIN nsrc USING (src), tot) " +
+        "SELECT src, CAST(MAX(nsv) AS BIGINT) AS n_tokens, " +
+        "ROUND(CAST(SUM(nst * r) AS DOUBLE) / MAX(nsv), 6) AS kl_vs_corpus " +
+        "FROM sc GROUP BY src ORDER BY src")),
+
     // L21 — heavy hitters: top-10 tokens per language by frequency
     // (vocabulary analysis). Two-level aggregation: the (lang, token)
     // counts partial-aggregate map-side; the ranking window runs on the

@@ -58,6 +58,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out == Set(("A", "B", 1L, 3L)))
   }
 
+  test("sourceDivergence: identical distributions give KL = 0, disjoint give ln(N/Ns)") {
+    // A and B have the SAME distribution → every term ln(1) = 0.
+    val same = Seq((1L, "A", "x y x"), (2L, "B", "x x y")).toDF("id", "src", "text")
+    val klSame = CorpusStats.sourceDivergence(same, "text", "src")
+      .select("src", "kl_vs_corpus").as[(String, Double)].collect().toMap
+    assert(klSame("A") == 0.0 && klSame("B") == 0.0)
+
+    // Disjoint vocabularies: every token satisfies n_st = n_t, so each
+    // term is ln(N/Ns) and KL = ln(N/Ns) exactly.
+    val disj = Seq((1L, "A", "a a b"), (2L, "B", "c d e c d e")).toDF("id", "src", "text")
+    val out = CorpusStats.sourceDivergence(disj, "text", "src")
+      .select("src", "n_tokens", "kl_vs_corpus")
+      .as[(String, Long, Double)].collect()
+      .map { case (s, n, k) => s -> ((n, k)) }.toMap
+    def exp9then6(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expA = exp9then6(math.log(9.0 / 3.0))
+    val expB = exp9then6(math.log(9.0 / 6.0))
+    assert(out("A") == ((3L, expA)) && out("B") == ((6L, expB)))
+  }
+
   test("redactPii replaces emails then phone-like runs; piiCount agrees") {
     val rows = Seq(
       (1L, "write bob.smith+x@mail-host.org today"),
