@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order-clustered parquet writes — the data-skipping layout lever for
+ * multi-dimensional read patterns (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+ * capability, re-expressed with stock Spark operators; north-star
+ * extension — the reference has no storage layout control at all,
+ * /root/reference/src/lib.rs:943-957 is a stdout sink).
+ *
+ * Why it matters at 100 TB: parquet readers prune row groups by
+ * column min/max. A table sorted by ONE column skips beautifully on
+ * that column and not at all on any other; interleaving the bits of
+ * several range-bucketed dimensions gives every clustered dimension
+ * sub-linear per-file ranges (≈ range / fileCount^(1/dims)), so
+ * selective filters on ANY clustered column skip most files. The same
+ * layout also co-locates similar rows for downstream joins.
+ *
+ * Spark-first construction — every step is a stock operator:
+ *  - per-dimension min/max: one tiny aggregate (driver receives
+ *    2 doubles per dimension — the trainCentroids class of driver
+ *    collect, bounded by the column count, never by rows);
+ *  - range bucketization + bit interleave: pure codegen'd column
+ *    arithmetic (shift/and/or fold — no UDF, no custom expression;
+ *    the whole z-value stays inside WholeStageCodegen);
+ *  - layout: `repartitionByRange(__z)` (range exchange with sampled
+ *    bounds — each output file owns a contiguous z-interval) +
+ *    `sortWithinPartitions(__z)` (rides the exchange, no extra
+ *    shuffle) + projection dropping the helper column (row order
+ *    survives a projection).
+ */
+object ClusteredWriter {
+
+  /** Interleave the low `bits` bits of the given non-negative long
+    * columns: result bit `i*n + j` = bit `i` of column `j`. Codegen'd
+    * shift/mask fold; `dims.size * bits` must fit a signed long. */
+  def zInterleave(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 1, "zInterleave needs at least one dimension")
+    require(n * bits <= 63, s"$n dims x $bits bits exceeds a signed long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (d, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
+  /** Map a numeric column onto integer buckets [0, 2^bits) by linear
+    * range position between `lo` and `hi` (clamped; nulls → bucket 0,
+    * i.e. they cluster together at the z-curve origin). */
+  def rangeBucket(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val buckets = (1L << bits) - 1
+    val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+    val pos = floor((c.cast("double") - lit(lo)) / lit(span) * lit(buckets.toDouble))
+    coalesce(least(lit(buckets), greatest(lit(0L), pos.cast("long"))), lit(0L))
+  }
+
+  /** The z-value column for `df` over the given numeric dimensions:
+    * one min/max aggregate to fix the bucket ranges, then pure column
+    * arithmetic. Exposed separately so callers can also range-join or
+    * pre-partition by z without writing. */
+  def zValue(df: DataFrame, clusterCols: Seq[String], bits: Int): Column = {
+    require(clusterCols.nonEmpty, "zValue needs at least one cluster column")
+    val aggs = clusterCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    def at(i: Int, orElse: Double) =
+      if (stats.isNullAt(i)) orElse else stats.getDouble(i)
+    zInterleave(
+      clusterCols.zipWithIndex.map { case (c, k) =>
+        // all-null column: min/max are null; any constant range works
+        // (every row lands in bucket 0 via rangeBucket's coalesce)
+        rangeBucket(col(c), at(2 * k, 0.0), at(2 * k + 1, 1.0), bits)
+      }, bits)
+  }
+
+  /** Write `df` as `numFiles` parquet files under `outDir`, z-ordered on
+    * `clusterCols`: each file owns a contiguous z-interval, so parquet
+    * min/max pruning skips on every clustered dimension. Lossless —
+    * purely a layout change. */
+  def writeClustered(df: DataFrame, clusterCols: Seq[String], outDir: String,
+                     numFiles: Int, bits: Int = 16,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("__z", zValue(df, clusterCols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(outDir)
+}
