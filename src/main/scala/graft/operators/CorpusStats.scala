@@ -110,6 +110,28 @@ object CorpusStats {
   }
 
   /**
+   * Per-shard mergeable distinct-count sketches (Apache DataSketches
+   * HLL via Spark's `hll_sketch_agg`): one binary sketch per shard that
+   * can be PERSISTED and unioned later — the cross-job pattern exact
+   * counting can't do (sketch each day's ingest once; answer "distinct
+   * docs this quarter?" by unioning 90 rows of bytes, never rescanning
+   * 100 TB). The map-side-combined shard agg is the only shuffle; each
+   * sketch is ≤ ~2^lgK registers regardless of row count.
+   */
+  def hllShardSketches(df: DataFrame, valueCol: String, shardCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(col(shardCol).as("shard"))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+
+  /** Union previously materialized shard sketches into one distinct
+    * estimate — bytes in, one row out; no touch of the base data. */
+  def hllMergeEstimate(sketches: DataFrame,
+                       sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(
+      expr(s"hll_sketch_estimate(hll_union_agg($sketchCol))")
+        .as("n_distinct"))
+
+  /**
    * Pairwise source-vocabulary overlap: for every pair of sources, how
    * many distinct word n-grams they share — the corpus-composition
    * matrix behind source-level dedup priorities and contamination

@@ -80,6 +80,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out("A") == ((3L, expA)) && out("B") == ((6L, expB)))
   }
 
+  test("hllShardSketches persist, re-merge in stages, and estimate within 5%") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = docs.select("text").distinct().count().toDouble
+
+    // sketch per source, PERSIST the sketch bytes, merge from disk —
+    // the cross-job pattern (no rescan of the base data at merge time)
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString + "/sk"
+    CorpusStats.hllShardSketches(docs, "text", "source").write.parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val est = CorpusStats.hllMergeEstimate(persisted).as[Long].head().toDouble
+    assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+
+    // staged merge (merge halves, then merge the merged) must agree with
+    // the flat merge — the re-mergeability the quarterly-rollup relies
+    // on. Not bit-identical (the union gadget can hold a different HLL
+    // register width than a leaf sketch), so pin close agreement plus
+    // the same 5% bound vs exact.
+    val halves = persisted.withColumn("half", (crc32(col("shard")) % 2).cast("int"))
+    val partials = halves.groupBy("half")
+      .agg(expr("hll_union_agg(sketch)").as("sketch"))
+    val est2 = CorpusStats.hllMergeEstimate(partials).as[Long].head().toDouble
+    assert(math.abs(est2 - est) / est < 0.02, s"staged=$est2 flat=$est")
+    assert(math.abs(est2 - exact) / exact < 0.05, s"staged=$est2 exact=$exact")
+  }
+
   test("redactPii replaces emails then phone-like runs; piiCount agrees") {
     val rows = Seq(
       (1L, "write bob.smith+x@mail-host.org today"),
