@@ -79,13 +79,25 @@ object ClusteredWriter {
   /** Write `df` as `numFiles` parquet files under `outDir`, z-ordered on
     * `clusterCols`: each file owns a contiguous z-interval, so parquet
     * min/max pruning skips on every clustered dimension. Lossless —
-    * purely a layout change. */
+    * purely a layout change.
+    *
+    * `bloomCols` additionally writes parquet bloom filters for the named
+    * columns — the point-lookup complement to z-order's range skipping:
+    * min/max stats can't skip on a HIGH-CARDINALITY unclustered column
+    * (every file spans the hash space), but a bloom probe skips every
+    * row group that definitely lacks the key. The standard shape:
+    * cluster on the range-scan dimensions, bloom the equality-lookup
+    * ones (doc ids, fingerprints). */
   def writeClustered(df: DataFrame, clusterCols: Seq[String], outDir: String,
                      numFiles: Int, bits: Int = 16,
-                     mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.withColumn("__z", zValue(df, clusterCols, bits))
+                     bloomCols: Seq[String] = Nil,
+                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val clustered = df.withColumn("__z", zValue(df, clusterCols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode(mode).parquet(outDir)
+    bloomCols.foldLeft(clustered.write.mode(mode)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(outDir)
+  }
 }

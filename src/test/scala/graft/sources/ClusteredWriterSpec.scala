@@ -61,6 +61,35 @@ class ClusteredWriterSpec extends AnyFunSuite {
     assert(out == java.lang.Long.parseLong("00100111", 2))
   }
 
+  test("bloomCols write real parquet bloom filters (footer-verified)") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    val dir = Files.createTempDirectory("zbloom").toString + "/t"
+    ClusteredWriter.writeClustered(events, Seq("user_id", "value"), dir, 2,
+      bloomCols = Seq("event_id"))
+
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val cols = reader.getFooter.getBlocks.get(0).getColumns
+        import scala.jdk.CollectionConverters._
+        val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+        // bloomed column carries a filter; the others must not
+        assert(reader.readBloomFilter(byName("event_id")) != null,
+          s"no bloom filter for event_id in $f")
+        assert(reader.readBloomFilter(byName("user_id")) == null,
+          s"unexpected bloom filter for user_id in $f")
+      } finally reader.close()
+    }
+  }
+
   test("single-dimension clustering degenerates to a plain range sort") {
     val df = (0L until 1000L).map(i => (i, (i * 37) % 1000)).toDF("id", "k")
     val dir = Files.createTempDirectory("zorder1").toString
