@@ -303,6 +303,35 @@ object Dedup {
       .select(col("id"), coalesce(col("__c"), col("__rep")).as("cluster"))
   }
 
+  /** Keep the BEST member of every duplicate cluster instead of the
+    * first: real curation pipelines keep the longest / highest-quality
+    * copy of near-duplicated content, not the lowest-id one (RefinedWeb
+    * keeps by quality signals; "longest wins" is the common heuristic).
+    * `priority` ranks members (descending; ties broken by ascending
+    * `idCol` for determinism); documents in no cluster pass through.
+    *
+    * Plan: [[duplicateClusters]]' pair/label machinery unchanged, plus
+    * one id-keyed join and one rank window PARTITIONED BY CLUSTER — the
+    * window input is only the clustered rows (dup-cluster membership,
+    * a small fraction of any real corpus) and each partition is one
+    * cluster, so the selection never concentrates the corpus. */
+  def keepBestPerCluster(docs: DataFrame, textCol: String, idCol: String,
+                         priority: Column,
+                         k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val cl = duplicateClusters(docs, textCol, idCol, k, bands, shingleN)
+      .withColumnRenamed("id", idCol)
+    val withCl = docs.join(cl.hint("shuffle_hash"), Seq(idCol), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(priority.desc, col(idCol))
+    val best = withCl.filter(col("cluster").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(docs.columns.map(col): _*)
+    withCl.filter(col("cluster").isNull)
+      .select(docs.columns.map(col): _*)
+      .unionByName(best)
+  }
+
   /** Benchmark-contamination check: for each document, the number of
     * distinct word n-gram shingles it shares with a benchmark corpus —
     * the standard train/test leakage scan in LLM data pipelines. The

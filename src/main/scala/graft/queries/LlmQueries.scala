@@ -960,6 +960,30 @@ object LlmQueries {
         "ROUND(CAST(SUM(nst * r) AS DOUBLE) / MAX(nsv), 6) AS kl_vs_corpus " +
         "FROM sc GROUP BY src ORDER BY src")),
 
+    // L55 — quality-priority dedup (Dedup.keepBestPerCluster): keep the
+    // LONGEST member of every duplicate cluster (n_chars DESC, doc_id
+    // tiebreak) instead of l23/l15's first-id-wins — the curation
+    // pipelines' usual representative choice. Oracle = l23's recursive
+    // transitive closure + a per-cluster argmax window; non-clustered
+    // documents pass through.
+    "l55_keep_best_dup" -> QueryDef(
+      (s, d) => Dedup.keepBestPerCluster(
+          Tables.documents(s, d), "text", "doc_id", col("n_chars"))
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some(s"WITH RECURSIVE ${minhashPairsCte()}, " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "reach(id, lab) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id), " +
+        "cl AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id), " +
+        "j AS (SELECT d.doc_id, d.n_chars, cl.cluster FROM documents d LEFT JOIN cl USING (doc_id)), " +
+        "best AS (SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM j WHERE cluster IS NOT NULL) WHERE rn = 1) " +
+        "SELECT doc_id, n_chars FROM j WHERE cluster IS NULL " +
+        "OR doc_id IN (SELECT doc_id FROM best) ORDER BY doc_id")),
+
     // L21 — heavy hitters: top-10 tokens per language by frequency
     // (vocabulary analysis). Two-level aggregation: the (lang, token)
     // counts partial-aggregate map-side; the ranking window runs on the

@@ -105,6 +105,21 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(est2 - exact) / exact < 0.05, s"staged=$est2 exact=$exact")
   }
 
+  test("keepBestPerCluster keeps the highest-priority member of each cluster") {
+    // docs 1/2/3 are near-dups of each other (1 and 3 exact, 2 differs by
+    // one word); doc 4 is unrelated and must pass through untouched.
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, base, 10L),
+      (2L, base + " extra", 11L), // longest — must win its cluster
+      (3L, base, 10L),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", 10L)
+    ).toDF("doc_id", "text", "n_chars")
+    val kept = Dedup.keepBestPerCluster(docs, "text", "doc_id", col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("redactPii replaces emails then phone-like runs; piiCount agrees") {
     val rows = Seq(
       (1L, "write bob.smith+x@mail-host.org today"),
