@@ -303,6 +303,33 @@ object Dedup {
       .select(col("id"), coalesce(col("__c"), col("__rep")).as("cluster"))
   }
 
+  /** Edit-distance verification over the MinHash-LSH candidate pairs —
+    * the character-level alternative to [[ngramJaccard]]'s set overlap
+    * (catches small in-place edits that shift every n-gram). Distance is
+    * classic Levenshtein (unit insert/delete/substitute — identical
+    * semantics in Spark and DuckDB), computed ONLY on candidate pairs,
+    * never all-pairs; `threshold >= 0` switches to Spark's banded
+    * `levenshtein(l, r, threshold)` (O(len·threshold) instead of
+    * O(len²), returns −1 past the bound) — the 100 TB form when
+    * documents are long; the unbounded form stays for oracle
+    * portability. Output: a_id, b_id, edit_dist. */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                        threshold: Int = -1): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, textCol, idCol, k, bands, shingleN)
+    val txt = docs.select(col(idCol), col(textCol))
+    val dist =
+      if (threshold >= 0)
+        levenshtein(col("__ta"), col("__tb"), threshold)
+      else levenshtein(col("__ta"), col("__tb"))
+    pairs
+      .join(txt.select(col(idCol).as("a_id"), col(textCol).as("__ta"))
+        .hint("shuffle_hash"), Seq("a_id"))
+      .join(txt.select(col(idCol).as("b_id"), col(textCol).as("__tb"))
+        .hint("shuffle_hash"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), dist.cast("long").as("edit_dist"))
+  }
+
   /** Keep the BEST member of every duplicate cluster instead of the
     * first: real curation pipelines keep the longest / highest-quality
     * copy of near-duplicated content, not the lowest-id one (RefinedWeb

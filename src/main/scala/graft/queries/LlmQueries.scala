@@ -984,6 +984,22 @@ object LlmQueries {
         "SELECT doc_id, n_chars FROM j WHERE cluster IS NULL " +
         "OR doc_id IN (SELECT doc_id FROM best) ORDER BY doc_id")),
 
+    // L56 — edit-distance verify over the l4 LSH candidates
+    // (Dedup.editDistancePairs): character-level Levenshtein, the
+    // in-place-edit complement to l5's n-gram Jaccard (a one-character
+    // substitution shifts every covering n-gram but costs edit distance
+    // 1). Candidate-bounded — never all-pairs; Spark and DuckDB
+    // levenshtein share the classic unit-cost definition, so the
+    // distances compare exactly. The operator's threshold variant
+    // (banded O(len·k) DP) is the long-document form at scale.
+    "l56_edit_distance" -> QueryDef(
+      (s, d) => Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("a_id", "b_id"),
+      Some(s"WITH ${minhashPairsCte()} " +
+        "SELECT a_id, b_id, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist " +
+        "FROM pairs JOIN documents da ON da.doc_id = a_id " +
+        "JOIN documents db ON db.doc_id = b_id ORDER BY a_id, b_id")),
+
     // L21 — heavy hitters: top-10 tokens per language by frequency
     // (vocabulary analysis). Two-level aggregation: the (lang, token)
     // counts partial-aggregate map-side; the ranking window runs on the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -403,6 +403,48 @@ object RelationalQueries {
         "COUNT(*) AS n_items " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand ORDER BY brand")),
+
+    // R20 — per-group Pearson correlation with EXACT sufficient
+    // statistics: the built-in corr() folds doubles in shuffle order
+    // (non-deterministic last bits), so instead quantity and price go to
+    // integer units (quantity is integral, price is exact at 2dp —
+    // data-verified), the five sufficient sums accumulate in
+    // DECIMAL(38,0) (oracle: HUGEINT — both 128-bit-class exact, the
+    // l47 discipline), and the closed form divides once at the end:
+    // identical IEEE (sqrt, /) trees over identical integers ⇒
+    // bit-equal across engines and shuffle orders. One partial agg is
+    // the entire plan.
+    "r20_correlation" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("__x"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("__y"))
+        def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+        val agg = li.groupBy("flag").agg(
+          count(lit(1)).as("__n"),
+          dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+          dsum(col("__x") * col("__y")).as("__sxy"),
+          dsum(col("__x") * col("__x")).as("__sxx"),
+          dsum(col("__y") * col("__y")).as("__syy"))
+        val n = col("__n").cast("decimal(38,0)")
+        val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+        val denx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+        val deny = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+        agg.select(col("flag"), col("__n").as("n_rows"),
+          round(num / (sqrt(denx) * sqrt(deny)), 6).as("corr_qty_price"))
+          .orderBy("flag")
+      },
+      Some("WITH b AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), " +
+        "a AS (SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n, " +
+        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, " +
+        "CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx, " +
+        "CAST(SUM(y*y) AS HUGEINT) AS syy FROM b GROUP BY flag) " +
+        "SELECT flag, CAST(n AS BIGINT) AS n_rows, " +
+        "ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / " +
+        "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) " +
+        "AS corr_qty_price FROM a ORDER BY flag")),
 
     // NTILE and PERCENT_RANK partitioned by segment would single-task
     // each segment's full customer set (5 segments over 100 TB =

@@ -120,6 +120,42 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("editDistancePairs: unit distance for a one-word substitution; banded variant caps") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("w5", "x5")), // 1 substituted char at distance 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    ).toDF("doc_id", "text")
+    val d = Dedup.editDistancePairs(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d == Set((1L, 2L, 1L)))
+    val banded = Dedup.editDistancePairs(docs, "text", "doc_id", threshold = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == Set((1L, 2L, -1L))) // past the bound → -1, pair still listed
+  }
+
+  test("r20's closed-form correlation matches a driver-side double fold") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def corr(xs: Seq[(Double, Double)]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val expected = li.groupBy(_._1).map { case (f, rows) =>
+      f -> corr(rows.map(r => (r._2, r._3)).toSeq)
+    }
+    val got = graft.SparkEntry.queries("r20_correlation")(spark, "/root/testdata/sf0.001")
+      .select("flag", "corr_qty_price").as[(String, Double)].collect().toMap
+    for ((f, e) <- expected)
+      assert(math.abs(got(f) - e) < 1e-6, s"flag $f: got ${got(f)} expected $e")
+  }
+
   test("redactPii replaces emails then phone-like runs; piiCount agrees") {
     val rows = Seq(
       (1L, "write bob.smith+x@mail-host.org today"),
