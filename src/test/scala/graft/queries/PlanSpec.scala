@@ -232,4 +232,29 @@ class PlanSpec extends AnyFunSuite {
     // candidate generation must be an equi-join keyed by (band, byte)
     assert(p.contains("__band"), p.take(3000))
   }
+
+  test("r20: one aggregation pass, no join of any kind") {
+    // the whole point of the exact-sufficient-statistics form: corr is
+    // ONE partial-aggregating groupBy over the scan — a join or second
+    // pass appearing here means the closed form regressed
+    val p = planOf("r20_correlation")
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("l52: the global prefix sum keeps its equi-keyed offsets join") {
+    // the non-foldable constant group key must survive optimization: if
+    // Catalyst ever folds it away, the bucket-offset self-join degrades
+    // to a nested loop (round-10 PlanAudit catch)
+    val p = planOf("l52_ngram_novelty")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l56: edit distance rides candidate pairs — no sort-merge, no cartesian") {
+    val p = planOf("l56_edit_distance")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("levenshtein"), p.take(3000))
+  }
 }

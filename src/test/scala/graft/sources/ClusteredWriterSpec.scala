@@ -90,6 +90,40 @@ class ClusteredWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("zInterleave matches a reference interleave on random inputs") {
+    def reference(vals: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits; j <- vals.indices)
+        if (((vals(j) >> i) & 1L) == 1L) z |= 1L << (i * vals.size + j)
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    for (dims <- Seq(1, 2, 3)) {
+      val bits = 63 / dims
+      val rows = Seq.fill(200)(Seq.fill(dims)(rnd.nextLong() & ((1L << bits) - 1)))
+      val df = rows.map(r => (r.lift(0).getOrElse(0L), r.lift(1).getOrElse(0L),
+        r.lift(2).getOrElse(0L))).toDF("a", "b", "c")
+      val cols = Seq(col("a"), col("b"), col("c")).take(dims)
+      val got = df.select(ClusteredWriter.zInterleave(cols, bits).as("z"))
+        .as[Long].collect().toSeq
+      val want = rows.map(reference(_, bits))
+      assert(got == want, s"dims=$dims")
+    }
+  }
+
+  test("rangeBucket clamps, orders monotonically, and sends nulls to 0") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, 2.5, 10.0, 99.0, null)
+      .toDF("v")
+    val out = df.select(ClusteredWriter.rangeBucket(col("v"), 0.0, 10.0, 4).as("b"))
+      .as[Long].collect().toSeq
+    assert(out(0) == 0L)   // below lo → clamp 0
+    assert(out(1) == 0L)
+    assert(out(2) == 3L)   // 2.5/10 * 15 = 3.75 → floor 3
+    assert(out(3) == 15L)  // hi → top bucket
+    assert(out(4) == 15L)  // above hi → clamp top
+    assert(out(5) == 0L)   // null → origin
+  }
+
   test("single-dimension clustering degenerates to a plain range sort") {
     val df = (0L until 1000L).map(i => (i, (i * 37) % 1000)).toDF("id", "k")
     val dir = Files.createTempDirectory("zorder1").toString
