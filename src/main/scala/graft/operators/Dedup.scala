@@ -140,18 +140,40 @@ object Dedup {
     // set is O(corpus), and a forced broadcast would hit the 8 GB limit —
     // AQE broadcasts it exactly when it measures small (verified in
     // PlanSpec), and falls back to a shuffled semi join when it isn't.
-    val candidateIds = pairs.select(col("a_id").as("id"))
-      .union(pairs.select(col("b_id").as("id"))).distinct()
-    val sets = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .join(candidateIds, Seq("id"), "left_semi")
+    // The set intersection is the cost; pay it once per distinct TEXT
+    // pair (keyed by content hash), not per id pair — in a dup-heavy
+    // corpus an exact-copy group's C(g,2) candidate pairs would each
+    // intersect identical arrays (the l56 lesson; jaccard depends only
+    // on the texts, so mapping id pairs through hash pairs is
+    // value-identical — equal-hash pairs evaluate to 1.0 through the
+    // same formula, no special case). Hash-pair space is pruned to
+    // candidates first, so the materialized relations stay
+    // O(distinct candidates), not O(corpus).
+    val hashed = docs.select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+    val pairsH = pairs
+      .join(hashed.select(col("id").as("a_id"), col("__h").as("__ha"))
+        .hint("shuffle_hash"), Seq("a_id"))
+      .join(hashed.select(col("id").as("b_id"), col("__h").as("__hb"))
+        .hint("shuffle_hash"), Seq("b_id"))
       .localCheckpoint()
-    pairs
-      .join(sets.select(col("id").as("a_id"), col("sh").as("__sha")), Seq("a_id"))
-      .join(sets.select(col("id").as("b_id"), col("sh").as("__shb")), Seq("b_id"))
+    val hashPairs = pairsH.select("__ha", "__hb").distinct()
+    val candHashes = hashPairs.select(col("__ha").as("__h"))
+      .union(hashPairs.select(col("__hb").as("__h"))).distinct()
+    val repSets = docs
+      .select(md5(col(textCol)).as("__h"), col(textCol))
+      .groupBy("__h").agg(min(col(textCol)).as("__t"))
+      .join(candHashes, Seq("__h"), "left_semi")
+      .select(col("__h"), wordShingles(col("__t"), shingleN).as("sh"))
+      .localCheckpoint()
+    val hashJac = hashPairs
+      .join(repSets.select(col("__h").as("__ha"), col("sh").as("__sha")), Seq("__ha"))
+      .join(repSets.select(col("__h").as("__hb"), col("sh").as("__shb")), Seq("__hb"))
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("__ha"), col("__hb"),
         (col("__inter").cast("double") /
           (size(col("__sha")) + size(col("__shb")) - col("__inter"))).as("jaccard"))
+    pairsH.join(hashJac.hint("shuffle_hash"), Seq("__ha", "__hb"))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** 32-bit SimHash over whitespace tokens: bit b of md5(token) is the
