@@ -33,6 +33,11 @@ object ScaleProbe {
         docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L)))
       .reduce(_ unionAll _)
       .write.parquet(s"$dir10/documents.parquet")
+    val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 10).map(k =>
+        embs.withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L)))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$dir10/embeddings.parquet")
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String): Double = {

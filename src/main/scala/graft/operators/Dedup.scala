@@ -861,7 +861,8 @@ object Dedup {
     * [[embeddingNearDups]]'s label blocking. Same scoped persist/
     * checkpoint lifecycle as [[minhashCandidatePairs]]. */
   def rhpCandidatePairs(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
-                        nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+                        nPlanes: Int = 8, nTables: Int = 4,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val tables = (0 until nTables).map { t =>
       val bkt = (0 until nPlanes).map { j =>
         when(dot(col(vecCol), lit(rhpSigns(t, j, dim))) >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -873,8 +874,23 @@ object Dedup {
       .select(col(idCol), col("__tb.tbl").as("tbl"), col("__tb.bkt").as("bkt"))
       .persist()
     try {
-      val a = buckets.select(col("tbl"), col("bkt"), col(idCol).as("a_id"))
-      val b = buckets.select(col("tbl"), col("bkt"), col(idCol).as("b_id"))
+      // Same degenerate-bucket guard as minhashCandidatePairs: a bucket
+      // of g members emits g(g−1)/2 pairs, and a corpus with many
+      // IDENTICAL vectors (same content embedded repeatedly — the norm
+      // in an undeduplicated crawl) concentrates whole duplicate groups
+      // into single buckets in EVERY table. The 10× scale probe drove
+      // the unbounded join out of memory exactly this way. Production
+      // order remains exact-dedup-before-ANN; the cap is the guard rail
+      // for corpora that skip it (recall cost documented at the caller).
+      val capped =
+        if (maxBucketSize == Int.MaxValue) buckets
+        else {
+          val w = Window.partitionBy("tbl", "bkt")
+          buckets.withColumn("__bsz", count(lit(1)).over(w))
+            .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+        }
+      val a = capped.select(col("tbl"), col("bkt"), col(idCol).as("a_id"))
+      val b = capped.select(col("tbl"), col("bkt"), col(idCol).as("b_id"))
       a.join(b, Seq("tbl", "bkt"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
@@ -887,8 +903,9 @@ object Dedup {
     * candidate's vector via two id-keyed joins (pairs are tiny — that is
     * LSH's point), computes one dot per pair with hoisted norms. */
   def embeddingNearDupsRhp(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
-                           threshold: Double, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val pairs = rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables)
+                           threshold: Double, nPlanes: Int = 8, nTables: Int = 4,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables, maxBucketSize)
     val a = embs.select(col(idCol).as("a_id"), col(vecCol).as("__va"), l2Norm(col(vecCol)).as("__na"))
     val b = embs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"), l2Norm(col(vecCol)).as("__nb"))
     pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))

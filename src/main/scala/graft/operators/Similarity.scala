@@ -216,8 +216,10 @@ object Similarity {
     * approximate by construction, like every LSH method here; raise
     * nTables for recall. Output: src, nbr, sim, rnk (1 = nearest). */
   def knnGraphRhp(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
-                  k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    val pairs = Dedup.rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables)
+                  k: Int, nPlanes: Int = 8, nTables: Int = 4,
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = Dedup.rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables,
+      maxBucketSize)
     // Score each UNDIRECTED pair once, symmetrize the scored edges after:
     // half the vector joins and dot products of the symmetrize-first
     // form, bit-identical sim (element products commute, fold order is
@@ -252,8 +254,8 @@ object Similarity {
     * Dedup.duplicateClusters hints its map-back). */
   def semanticDedup(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
                     threshold: Double, k: Int = 3, nPlanes: Int = 4,
-                    nTables: Int = 16): DataFrame = {
-    val edges = knnGraphRhp(embs, vecCol, idCol, dim, k, nPlanes, nTables)
+                    nTables: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val edges = knnGraphRhp(embs, vecCol, idCol, dim, k, nPlanes, nTables, maxBucketSize)
       .filter(col("sim") > threshold)
       .select(least(col("src"), col("nbr")).as("a_id"),
         greatest(col("src"), col("nbr")).as("b_id"))
