@@ -32,7 +32,8 @@ object PlanAudit {
       "l39_ppl_buckets", "l42_ivf_trained", "l44_sql_functions",
       "l45_bigram_logprob", // V scalar cross-broadcast, as l33's total
       "l47_temperature_mix", // 1-row (Σw, N) total against the per-key weights
-      "l54_source_divergence") // 1-row corpus-total N cross-broadcast, as l33
+      "l54_source_divergence", // 1-row corpus-total N cross-broadcast, as l33
+      "r21_skew_stats") // 1-row (total, #keys) scalar against per-key counts
   // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
   // directly over co-located sorted buckets with NO exchange on either
   // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,

@@ -133,4 +133,38 @@ object Sampling {
             s" DIV (CAST(${targetDen} AS DECIMAL(38,0)) * __n * __sw)")))
       .select(col(keyCol), col("__thr"))
   }
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement — priority
+   * sampling (Duffield, Lund & Thorup, "Priority sampling for estimating
+   * arbitrary subset sums", JACM 54(6), 2007): row i draws a fixed
+   * pseudo-random uniform u_i from md5(id) and gets priority w_i/u_i;
+   * the k highest-priority rows per stratum form the sample, so
+   * P(selected) ≈ min(1, w_i·τ) for the stratum's threshold τ — longer
+   * (or higher-quality, or whatever `weightCol` encodes) documents are
+   * proportionally more likely, yet the draw is bit-reproducible across
+   * engines and runs (the md5 trick of [[stratifiedSample]], weighted).
+   *
+   * Integer-exact cross-engine form: u_i = first 15 md5 hex digits + 1
+   * (u ∈ [1, 16¹⁵] — fits BIGINT) and rows rank by floor(u_i / w_i)
+   * ASCENDING — u/w smallest ⟺ w/u largest, same order with no overflow
+   * anywhere (the quotient only shrinks). Equal quotients break by id.
+   * The floor costs resolution only as w_i approaches u_i's 1.15·10¹⁸
+   * range; weights are lengths/scores, not 10¹⁸-scale numbers.
+   *
+   * Selection runs through [[Windows.topKPerKeyScalable]] — #strata × 16
+   * parallel sub-sorts, never one multi-TB task per stratum. Weights
+   * must be ≥ 1: 0 divides to null (sorts first — corrupting), and
+   * negative weights are meaningless. Filter or clamp upstream.
+   */
+  def weightedPrioritySample(df: DataFrame, keyCol: String, idCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") + 1
+    val d = df.withColumn("__u", u)
+      .withColumn("__q", expr(s"__u DIV `$weightCol`"))
+    Windows.topKPerKeyScalable(d, Seq(keyCol), Seq(col("__q"), col(idCol)),
+        k, pmod(xxhash64(col(idCol)), lit(16)), "__rk")
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -32,4 +32,35 @@ object SkewJoin {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /**
+   * Pre-flight key-distribution diagnostics for a planned join or
+   * aggregation: the `topK` heaviest keys with exact counts, each key's
+   * parts-per-million share of the table, and its skew ratio ×1000
+   * against the mean key (count · #keys / total) — the numbers that
+   * decide broadcast vs [[saltedInnerJoin]] (size `buckets` ≈
+   * skew_x1000 / 1000) vs trusting AQE, BEFORE burning a 100 TB shuffle
+   * to find out.
+   *
+   * Plan shape: one partial-aggregated count shuffle over the keys, a
+   * 1-row scalar broadcast of (total, #keys), then TakeOrderedAndProject
+   * for the top-k — no global sort, k rows to the driver. Products are
+   * computed in DECIMAL(38,0) (a count near the BIGINT ceiling times
+   * #keys overflows int64 silently with ANSI off); `DIV` brings the
+   * bounded quotients back to BIGINT. Integer outputs keep the numbers
+   * engine-exact.
+   */
+  def keyStats(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("key_count"))
+    val tot = counts.agg(sum(col("key_count")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("CAST(key_count AS DECIMAL(38,0)) * 1000000 DIV __total"))
+      .withColumn("skew_x1000",
+        expr("CAST(key_count AS DECIMAL(38,0)) * __nkeys * 1000 DIV __total"))
+      .select(col(keyCol), col("key_count"), col("share_ppm"), col("skew_x1000"))
+      .orderBy(col("key_count").desc, col(keyCol))
+      .limit(topK)
+  }
 }

@@ -107,4 +107,36 @@ object Windows {
       .withColumn("w_start", timestamp_seconds(col("__w") * slideSec))
       .drop("__w")
   }
+
+  /**
+   * Scalable per-key top-k: the k first rows per `keyCols` group in
+   * `orderCols` order, without the single-task-per-group hazard of a
+   * plain `row_number().over(partitionBy(key))` — with O(10) strata at
+   * 100 TB that window is O(10) tasks, each sorting a multi-TB slice
+   * (the same cap [[runningSumScalable]] removes for running sums).
+   *
+   * Two-level selection instead: rows first compete inside (key, salt)
+   * sub-groups — `salt` is any deterministic per-row expression in
+   * [0, salts) — so the heavy sort runs at #keys × #salts parallelism;
+   * only each sub-group's top k (≤ k·salts rows per key, a bounded
+   * relation) reach the final per-key window. The global per-key top-k
+   * is contained in the union of the per-salt top-k's, so the output is
+   * IDENTICAL to the single-window form (SkewAndWindowSpec proves it).
+   * `out` receives the final 1-based rank in `orderCols` order.
+   *
+   * `orderCols` must be a total order (include a unique tiebreaker) or
+   * the selected set is nondeterministic — row_number's own caveat.
+   */
+  def topKPerKeyScalable(df: DataFrame, keyCols: Seq[String],
+                         orderCols: Seq[Column], k: Int, salt: Column,
+                         out: String): DataFrame = {
+    val d = df.withColumn("__salt", salt)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col) :+ col("__salt"): _*).orderBy(orderCols: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    d.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn(out, row_number().over(w2)).filter(col(out) <= k)
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
 }

@@ -1414,6 +1414,29 @@ object LlmQueries {
         "fin AS (SELECT doc_id FROM kept WHERE doc_id NOT IN " +
         "(SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
         "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
-        "FROM fin JOIN documents USING (doc_id) GROUP BY lang ORDER BY lang"))
+        "FROM fin JOIN documents USING (doc_id) GROUP BY lang ORDER BY lang")),
+
+    // L57 — deterministic weighted sampling without replacement
+    // (priority sampling, Duffield-Lund-Thorup JACM'07): the 40 docs per
+    // language most favored by a char-length-proportional reproducible
+    // draw — "sample long documents preferentially, but reproducibly",
+    // the training-mix curation primitive l16/l20/l47 don't cover
+    // (those are unweighted / rate-based). Integer-only priorities
+    // (floor(u/w) over the 15-hex md5 uniform) make the oracle
+    // arithmetic bit-identical; selection runs through the two-level
+    // salted top-k (Windows.topKPerKeyScalable), never one
+    // multi-TB-per-stratum window task.
+    "l57_weighted_sample" -> QueryDef(
+      (s, d) => graft.operators.Sampling.weightedPrioritySample(
+          Tables.documents(s, d), "lang", "doc_id", "n_chars", 40)
+        .select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id"),
+      Some("WITH b AS (SELECT lang, doc_id, n_chars, " +
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS u " +
+        "FROM documents), " +
+        "q AS (SELECT lang, doc_id, n_chars, u // n_chars AS qt FROM b), " +
+        "r AS (SELECT lang, doc_id, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qt, doc_id) AS rk FROM q) " +
+        "SELECT lang, doc_id, n_chars FROM r WHERE rk <= 40 " +
+        "ORDER BY lang, doc_id"))
   )
 }

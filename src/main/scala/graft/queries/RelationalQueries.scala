@@ -488,6 +488,23 @@ object RelationalQueries {
         "NTILE(4) OVER w AS quartile, ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank " +
         "FROM spend JOIN customer ON o_custkey = c_custkey " +
         "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey) " +
-        "ORDER BY c_mktsegment, custkey"))
+        "ORDER BY c_mktsegment, custkey")),
+
+    // R21 — join pre-flight skew diagnostics (SkewJoin.keyStats): the 20
+    // heaviest join keys with exact counts, ppm share, and skew ratio
+    // ×1000 vs the mean key — the measurement that picks broadcast vs
+    // salting (r19) vs AQE before committing a 100 TB shuffle. One
+    // partial-agg count shuffle + a 1-row scalar broadcast +
+    // TakeOrderedAndProject; DECIMAL(38,0) products, integer outputs.
+    "r21_skew_stats" -> QueryDef(
+      (s, d) => graft.operators.SkewJoin.keyStats(
+          Tables.events(s, d), "user_id", 20)
+        .orderBy(col("key_count").desc, col("user_id")),
+      Some("WITH c AS (SELECT user_id, COUNT(*) AS key_count FROM events GROUP BY user_id), " +
+        "t AS (SELECT SUM(key_count) AS total, COUNT(*) AS nkeys FROM c) " +
+        "SELECT user_id, key_count, " +
+        "CAST(CAST(key_count AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm, " +
+        "CAST(CAST(key_count AS HUGEINT) * nkeys * 1000 // total AS BIGINT) AS skew_x1000 " +
+        "FROM c, t ORDER BY key_count DESC, user_id LIMIT 20"))
   )
 }

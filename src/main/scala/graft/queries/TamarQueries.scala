@@ -318,6 +318,32 @@ object TamarQueries {
           "SELECT user_id, MIN(ts) AS session_start, " +
           "CAST(MAX(CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2 " +
           "WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS funnel_stage " +
-          "FROM s3 GROUP BY user_id, sid ORDER BY user_id, session_start")))
+          "FROM s3 GROUP BY user_id, sid ORDER BY user_id, session_start"))),
+
+    // T20 — two-stream correlation: view→click attribution within a
+    // 6-hour horizon. The reference cannot combine two streams at all
+    // (single-chain DSL — SURVEY.md §2.2); this certifies graft's
+    // stream-stream join story. The declared batch plan uses RangeJoin's
+    // time-bucketed form (candidates bounded by events-per-horizon, not
+    // events-per-user²); the STREAMING twin joins the same two inputs as
+    // watermarked streams through StreamJoins.follows (symmetric hash
+    // join, state evicted past the horizon) and is proven row-identical
+    // to this plan in StreamStreamJoinSpec.
+    "t20_stream_join" -> QueryDef(
+      (s, d) => {
+        val e = ev(s, d)
+        graft.operators.RangeJoin.follows(
+            e.filter(col("event_type") === "view"),
+            e.filter(col("event_type") === "click"),
+            "user_id", "ts", "event_id", 21600000000L)
+          .select(col("user_id"), col("a_id").as("view_id"),
+            col("b_id").as("click_id"))
+          .orderBy("view_id", "click_id")
+      },
+      Some("SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id " +
+        "FROM events v JOIN events c ON v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND c.event_type = 'click' " +
+        "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR " +
+        "ORDER BY view_id, click_id"))
   )
 }

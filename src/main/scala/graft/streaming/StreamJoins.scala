@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stream-stream joins — a capability entirely absent from the reference
+ * (its DSL is a single chain; two streams cannot be combined at all,
+ * /root/reference/src/lib.rs has no join surface — SURVEY.md §2.2).
+ *
+ * Spark's StreamingSymmetricHashJoin gives the scalable shape for free
+ * once the query has (a) an equi-key — both sides hash-partition on it,
+ * so state is distributed, never per-executor-global — and (b) a time
+ * bound plus watermarks on both sides, so rows provably past matching
+ * range are evicted: state is horizon-bounded, not stream-bounded. That
+ * is the ONLY join shape that survives an unbounded 100 TB/day stream.
+ */
+object StreamJoins {
+
+  /**
+   * Pairs (a, b) with equal `keyCol` where `a_ts < b_ts <= a_ts +
+   * horizon` — the streaming twin of
+   * [[graft.operators.RangeJoin.follows]], same output schema
+   * (keyCol, a_id, a_ts, b_id, b_ts), proven row-identical to it in
+   * StreamStreamJoinSpec.
+   *
+   * Streaming use: both inputs must carry `withWatermark` on `tsCol`
+   * BEFORE this call (the watermark tag survives the internal renames —
+   * it is column metadata, carried through alias). Join state then holds
+   * only rows younger than horizon + watermark delay per side.
+   *
+   * Batch use: the same predicate works, but prefer RangeJoin.follows —
+   * its time-bucketed equi-join bounds candidate pairs by
+   * events-per-horizon, where this raw predicate form materializes
+   * per-key cross products before the time filter. In streaming that
+   * hazard does not exist: the symmetric hash join probes per-row as
+   * micro-batches arrive, against state already pruned to the horizon.
+   */
+  def follows(left: DataFrame, right: DataFrame, keyCol: String,
+              tsCol: String, idCol: String, horizon: String): DataFrame = {
+    val a = left.select(col(keyCol), col(tsCol).as("a_ts"), col(idCol).as("a_id"))
+    val b = right.select(col(keyCol).as("__bk"), col(tsCol).as("b_ts"),
+      col(idCol).as("b_id"))
+    a.join(b,
+        col(keyCol) === col("__bk") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
+      .select(col(keyCol), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+  }
+}

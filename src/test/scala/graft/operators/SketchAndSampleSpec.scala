@@ -85,6 +85,46 @@ class SketchAndSampleSpec extends AnyFunSuite {
     assert(perLang.values.forall(_ <= 3))
   }
 
+  test("weightedPrioritySample: reference-exact, weight-monotone, size-capped") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = Sampling.weightedPrioritySample(docs, "lang", "doc_id", "n_chars", 15)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    // reference: the plain single-window form of the same priority rule
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") + 1
+    val ref = docs.withColumn("__u", u)
+      .withColumn("__q", expr("__u DIV n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("__q"), col("doc_id"))))
+      .filter(col("rk") <= 15)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == ref)
+    assert(got.groupBy(_._1).forall(_._2.size == 15)) // every lang has >15 docs
+    // a stratum smaller than k survives whole
+    val tiny = Seq(("a", 1L, 10L), ("a", 2L, 10L)).toDF("lang", "doc_id", "n_chars")
+    assert(Sampling.weightedPrioritySample(tiny, "lang", "doc_id", "n_chars", 5)
+      .count() == 2)
+    // weight-monotone: a row weighted 10^6 against 99 weight-1 rivals wins
+    // the k=1 slot (its priority quotient shrinks a million-fold; the
+    // expected winner is computed with BigInt from the same md5 rule)
+    val skewed = (1L to 100L).map(i => ("s", i, if (i == 42L) 1000000L else 1L))
+      .toDF("lang", "doc_id", "n_chars")
+    val winner = Sampling
+      .weightedPrioritySample(skewed, "lang", "doc_id", "n_chars", 1)
+      .select("doc_id").as[Long].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uOf(id: Long): BigInt = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      BigInt(hex, 16) + 1
+    }
+    val expWinner = (1L to 100L)
+      .minBy(i => (uOf(i) / BigInt(if (i == 42L) 1000000L else 1L), i))
+    assert(winner == expWinner)
+    assert(expWinner == 42L) // and the heavy row does in fact win here
+  }
+
   test("temperatureMix up-weights small strata and honors the overall target") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val kept = Sampling.temperatureMix(docs, "lang", "doc_id")

@@ -100,6 +100,45 @@ class SkewAndWindowSpec extends AnyFunSuite {
     assert(narrow == wide)
   }
 
+  test("topKPerKeyScalable equals the single-window top-k on random input") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(77)
+    val rows = (1L to 500L).map(i =>
+      (s"g${rng.nextInt(4)}", i, rng.nextInt(1000).toLong))
+    val df = rows.toDF("g", "id", "score")
+    val plain = df.withColumn("rk",
+        row_number().over(Window.partitionBy("g")
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rk") <= 7)
+      .select("g", "id", "score", "rk").as[(String, Long, Long, Int)]
+      .collect().toSet
+    val scalable = Windows.topKPerKeyScalable(df, Seq("g"),
+        Seq(col("score").desc, col("id")), 7,
+        pmod(xxhash64(col("id")), lit(5)), "rk")
+      .select("g", "id", "score", "rk").as[(String, Long, Long, Int)]
+      .collect().toSet
+    assert(scalable == plain)
+    // groups smaller than k survive whole
+    val tiny = Seq(("a", 1L, 5L), ("a", 2L, 3L), ("b", 3L, 9L))
+      .toDF("g", "id", "score")
+    assert(Windows.topKPerKeyScalable(tiny, Seq("g"),
+      Seq(col("score").desc, col("id")), 7,
+      pmod(xxhash64(col("id")), lit(5)), "rk").count() == 3)
+  }
+
+  test("SkewJoin.keyStats: exact counts, integer shares, top-k order") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 10).map(i => s"cold$i")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val got = SkewJoin.keyStats(df, "k", 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // 100 rows, 12 distinct keys; hot = 60% = 600000 ppm, skew 60*12*1000/100
+    assert(got.head == (("hot", 60L, 600000L, 7200L)))
+    assert(got(1) == (("warm", 30L, 300000L, 3600L)))
+    assert(got(2)._2 == 1L && got(2)._1 == "cold1") // tie broken by key
+    assert(got.size == 3)
+  }
+
   test("Source/Sink traits round-trip through Env.addSource / addSink") {
     import graft.api._
     val sink = Sink.collecting[Int]

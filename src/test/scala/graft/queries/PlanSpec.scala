@@ -257,4 +257,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("levenshtein"), p.take(3000))
   }
+
+  test("t20: interval join is a bucketed equi-join, no cartesian blow-up") {
+    // RangeJoin's time-bucket key must keep this a hash/sort-merge
+    // EQUI-join — losing the bucket key degrades to per-user cross
+    // products filtered after the fact
+    val p = planOf("t20_stream_join")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("r21: key stats end in TakeOrderedAndProject, not a global sort") {
+    val p = planOf("r21_skew_stats")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("l57: weighted sample never windows a whole stratum in one task") {
+    // both row_number windows must partition by (lang, __salt) first —
+    // a single partition-by-lang window over the full input means the
+    // two-level top-k collapsed
+    val p = planOf("l57_weighted_sample")
+    val firstWindow = p.linesIterator.filter(_.contains("row_number"))
+      .toSeq.lastOption.getOrElse("") // bottom-most = first executed
+    assert(firstWindow.contains("__salt"), p.take(3000))
+  }
 }

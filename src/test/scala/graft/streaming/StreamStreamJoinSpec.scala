@@ -51,4 +51,49 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       assert(got == Set((100L, 900L)), s"got $got")
     } finally query.stop()
   }
+
+  test("StreamJoins.follows (streaming) is row-identical to RangeJoin.follows (batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic two-stream workload: 5 users, 120 events per side,
+    // timestamps striding so some pairs fall inside the 10-minute
+    // horizon and some straddle it
+    def ts(i: Long) = new Timestamp(1709280000000L + i * 97000L) // 97 s apart
+    val viewRows = (0L until 120L).map(i => (i % 5, ts(i), 1000L + i))
+    val clickRows = (0L until 120L).map(i => (i % 5, ts(i * 3 / 2), 2000L + i))
+
+    val batchViews = viewRows.toDF("user_id", "ts", "event_id")
+    val batchClicks = clickRows.toDF("user_id", "ts", "event_id")
+    val expected = graft.operators.RangeJoin
+      .follows(batchViews, batchClicks, "user_id", "ts", "event_id", 600000000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    // the same predicate in one batch call of the streaming twin
+    val batchTwin = StreamJoins
+      .follows(batchViews, batchClicks, "user_id", "ts", "event_id", "10 minutes")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(batchTwin == expected)
+
+    // now as two real watermarked streams, fed across several batches
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamJoins.follows(
+      views.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "1 minute"),
+      clicks.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "1 minute"),
+      "user_id", "ts", "event_id", "10 minutes")
+    val query = joined.select("a_id", "b_id").writeStream
+      .format("memory").queryName("ssj_parity").outputMode("append").start()
+    try {
+      viewRows.grouped(40).zip(clickRows.grouped(40)).foreach { case (v, c) =>
+        views.addData(v); clicks.addData(c)
+        query.processAllAvailable()
+      }
+      val got = spark.table("ssj_parity").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"streaming missing ${expected -- got}, extra ${got -- expected}")
+      // watermark-bounded state: after the final watermark advance the
+      // join holds far fewer rows than the 240 fed in
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows < 240, s"join state not evicted: $stateRows rows")
+    } finally query.stop()
+  }
 }
