@@ -38,6 +38,18 @@ object ScaleProbe {
         embs.withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L)))
       .reduce(_ unionAll _)
       .write.parquet(s"$dir10/embeddings.parquet")
+    // events replicate ALONG TIME (each copy shifted past the ~30-day
+    // span), not stacked onto the same instants: 10× the data as a
+    // 10×-longer stream. Stacking would instead densify every join
+    // horizon 10× and grow interval-join OUTPUT ~100× — a different
+    // (also interesting) regime, but not the "same workload, more days"
+    // question this probe asks.
+    val evts = graft.sources.Tables.events(spark, base)
+    (0 until 10).map(k =>
+        evts.withColumn("event_id", col("event_id") + lit(k.toLong * 100000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${k * 35} DAYS")))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$dir10/events.parquet")
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String): Double = {
