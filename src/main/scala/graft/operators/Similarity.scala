@@ -283,4 +283,32 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .drop("__csim", "__rn", "__centv", "__centn", "__vn")
   }
+
+  /**
+   * Per-group mean vector (class centroid) over an embedding column —
+   * the bulk companion to [[trainCentroids]]' k-row driver loop: compute
+   * the centroid of EVERY group (label, cluster, source, …) in one
+   * distributed pass, no driver collect. The prototype step behind
+   * SemDedup-style cluster pruning, nearest-class-mean classification,
+   * and per-source embedding drift monitoring.
+   *
+   * Plan shape: posexplode to (key, pos, x) — the one shuffle carries
+   * dim× the rows but partial-aggregates map-side to #keys × dim per
+   * partition — then per-(key, pos) sums reassemble into an ordered
+   * array via array_sort(collect_list(struct(pos, mean))); the collect
+   * is dim-bounded per group. Means are double-precision sums of the
+   * (exactly widened) float inputs in shuffle order — fine for a
+   * centroid; the l58 declared query instead emits the exact integer
+   * sufficient statistic (Σ floor(x·10⁶), n) per (label, pos) so the
+   * oracle has no float-fold-order boundary at all.
+   */
+  def groupCentroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col(keyCol), col("__p"))
+      .agg(sum(col("__x").cast("double")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__p"),
+          (col("__s") / col("__n")).as("__m")))), s => s("__m")).as("centroid"),
+        max(col("__n")).as("n"))
 }

@@ -1437,6 +1437,32 @@ object LlmQueries {
         "r AS (SELECT lang, doc_id, n_chars, " +
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qt, doc_id) AS rk FROM q) " +
         "SELECT lang, doc_id, n_chars FROM r WHERE rk <= 40 " +
-        "ORDER BY lang, doc_id"))
+        "ORDER BY lang, doc_id")),
+
+    // L58 — per-class embedding centroids (Similarity.groupCentroids'
+    // aggregation core): the prototype step behind SemDedup cluster
+    // pruning / nearest-class-mean labeling / per-source drift, as one
+    // distributed pass. Declared in the l49 exact-sufficient-statistic
+    // style: per (label, dimension) the query emits Σ floor(x·10⁶) and n
+    // — floor of an identically-widened double is bit-portable where a
+    // float mean's shuffle-order fold is not; the operator's
+    // double-precision centroid is proven against these statistics in
+    // OperatorSpec. One explode + one map-side-combined agg, output
+    // #labels × dim rows.
+    "l58_label_centroids" -> QueryDef(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_x1e6"),
+          count(lit(1)).as("n"))
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("pos"), col("sum_x1e6"), col("n"))
+        .orderBy("label", "pos"),
+      Some("WITH p AS (SELECT label, embedding AS e, " +
+        "UNNEST(generate_series(0, len(embedding) - 1)) AS pos FROM embeddings), " +
+        "u AS (SELECT label, pos, e[pos + 1] AS x FROM p) " +
+        "SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos, " +
+        "CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_x1e6, " +
+        "COUNT(*) AS n FROM u GROUP BY 1, 2 ORDER BY 1, 2"))
   )
 }

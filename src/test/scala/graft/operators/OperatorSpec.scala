@@ -189,6 +189,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(cents.exists(c => c(1) > 0.9 && c(0) == 0.0))
   }
 
+  test("Similarity.groupCentroids: per-label means, ordered dims, l58 statistic parity") {
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.groupCentroids(embs, "label", "embedding")
+      .collect().map(r => (r.getInt(0),
+        (r.getSeq[Double](1).toArray, r.getLong(2)))).toMap
+    // driver-side reference: plain per-(label, pos) means of the raw rows
+    val raw = embs.select(col("label"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val ref = raw.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> ((0 until dim).map(p => vs.map(_._2(p)).sum / vs.length).toArray,
+        vs.length.toLong)
+    }
+    assert(got.keySet == ref.keySet)
+    for ((l, (cent, n)) <- got) {
+      assert(n == ref(l)._2, s"label $l n")
+      val diff = cent.zip(ref(l)._1).map { case (a, b) => math.abs(a - b) }.max
+      assert(diff < 1e-9, s"label $l max dim diff $diff") // fold-order only
+    }
+    // and the l58 exact statistic recovers the same means to 1e-6:
+    // mean ≈ (Σ floor(x·10⁶)) / (n·10⁶), off by at most the floor's 1e-6
+    val stats = embs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("x") * 1000000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    for (((l, p), (s, n)) <- stats) {
+      val approx = s.toDouble / (n * 1e6)
+      assert(math.abs(approx - got(l)._1(p)) <= 1e-6 + 1e-9,
+        s"label $l pos $p: stat $approx vs centroid ${got(l)._1(p)}")
+    }
+  }
+
   test("Similarity.trainCentroids reseeds an engineered empty cell and stays k-wide") {
     // seeds 1 and 2 are IDENTICAL vectors: every assignment tie goes to
     // the lowest cell id, so cell 2 gets zero members — without repair
