@@ -344,6 +344,38 @@ object TamarQueries {
         "FROM events v JOIN events c ON v.user_id = c.user_id " +
         "AND v.event_type = 'view' AND c.event_type = 'click' " +
         "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR " +
+        "ORDER BY view_id, click_id")),
+
+    // T21 — left-outer variant of t20: every view appears, paired with
+    // its in-horizon clicks or once with a NULL click ("which views
+    // never converted" — the rows the inner join silently drops). The
+    // scale form is NOT a raw outer join (per-user cross products):
+    // RangeJoin's bucketed inner result plus an anti-join union of the
+    // unmatched views — both stages horizon- or key-bounded. The
+    // streaming twin (StreamJoins.followsLeftOuter) emits the null rows
+    // on watermark passage and is proven row-identical in
+    // StreamStreamJoinSpec.
+    "t21_stream_outer_join" -> QueryDef(
+      (s, d) => {
+        val e = ev(s, d)
+        val views = e.filter(col("event_type") === "view")
+        val inner = graft.operators.RangeJoin.follows(
+            views, e.filter(col("event_type") === "click"),
+            "user_id", "ts", "event_id", 21600000000L)
+          .select(col("user_id"), col("a_id").as("view_id"),
+            col("b_id").as("click_id"))
+        val unmatched = views
+          .join(inner.select(col("view_id")),
+            views("event_id") === col("view_id"), "left_anti")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            lit(null).cast("long").as("click_id"))
+        inner.unionAll(unmatched).orderBy("view_id", "click_id")
+      },
+      Some("SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON v.user_id = c.user_id " +
+        "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR " +
         "ORDER BY view_id, click_id"))
   )
 }

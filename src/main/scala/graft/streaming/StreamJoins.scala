@@ -47,4 +47,34 @@ object StreamJoins {
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
       .select(col(keyCol), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
   }
+
+  /**
+   * Left-outer [[follows]]: every left row appears — paired with each
+   * right match in `(a_ts, a_ts + horizon]`, or once with null
+   * b_id/b_ts if nothing matched. The "which views never converted"
+   * question, which the inner join silently drops.
+   *
+   * Streaming: Spark emits the null-padded row only once the LEFT
+   * watermark passes a_ts + horizon (before that a match could still
+   * arrive) — so unmatched results trail the event by horizon + delay,
+   * and a final empty micro-batch may be needed to flush the tail
+   * (StreamStreamJoinSpec pushes a sentinel event for exactly this).
+   * Same state bound as the inner form.
+   *
+   * Batch: same predicate, same per-key-cross-product caveat as
+   * [[follows]] — at scale compose RangeJoin.follows with an anti-join
+   * union instead (the t21 declared plan does; proven identical there).
+   */
+  def followsLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, idCol: String, horizon: String): DataFrame = {
+    val a = left.select(col(keyCol), col(tsCol).as("a_ts"), col(idCol).as("a_id"))
+    val b = right.select(col(keyCol).as("__bk"), col(tsCol).as("b_ts"),
+      col(idCol).as("b_id"))
+    a.join(b,
+        col(keyCol) === col("__bk") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col(keyCol), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+  }
 }

@@ -96,4 +96,57 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       assert(stateRows < 240, s"join state not evicted: $stateRows rows")
     } finally query.stop()
   }
+
+  test("followsLeftOuter (streaming) emits null-padded rows on watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Long) = new Timestamp(1709280000000L + i * 97000L)
+    // user 4 gets views but never clicks — its rows can ONLY surface
+    // through the outer path
+    val viewRows = (0L until 80L).map(i => (i % 5, ts(i), 1000L + i))
+    val clickRows = (0L until 80L).map(i => (i % 4, ts(i * 3 / 2), 2000L + i))
+
+    val batchViews = viewRows.toDF("user_id", "ts", "event_id")
+    val batchClicks = clickRows.toDF("user_id", "ts", "event_id")
+    val expected = StreamJoins
+      .followsLeftOuter(batchViews, batchClicks, "user_id", "ts", "event_id", "10 minutes")
+      .select("a_id", "b_id").as[(Long, Option[Long])].collect().toSet
+    assert(expected.exists(_._2.isEmpty), "fixture must have unmatched views")
+    // the t21 composition (bucketed inner + anti-join union) agrees
+    val inner = graft.operators.RangeJoin
+      .follows(batchViews, batchClicks, "user_id", "ts", "event_id", 600000000L)
+    val composed = inner.select("a_id", "b_id").as[(Long, Long)].collect()
+      .map { case (a, b) => (a, Some(b): Option[Long]) }.toSet ++
+      batchViews.join(inner.select("a_id"),
+          batchViews("event_id") === col("a_id"), "left_anti")
+        .select("event_id").as[Long].collect()
+        .map(a => (a, None: Option[Long])).toSet
+    assert(composed == expected)
+
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamJoins.followsLeftOuter(
+      views.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "1 minute"),
+      clicks.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "1 minute"),
+      "user_id", "ts", "event_id", "10 minutes")
+    val query = joined.select("a_id", "b_id").writeStream
+      .format("memory").queryName("ssj_outer").outputMode("append").start()
+    try {
+      viewRows.grouped(40).zip(clickRows.grouped(40)).foreach { case (v, c) =>
+        views.addData(v); clicks.addData(c)
+        query.processAllAvailable()
+      }
+      // before the watermark clears the tail, unmatched views near the
+      // end are still pending; a far-future sentinel (excluded from
+      // `expected` by its id, matching nothing) flushes them
+      views.addData((9L, ts(10000L), 999999L))
+      clicks.addData((9L, ts(10000L), 888888L))
+      query.processAllAvailable()
+      views.addData((9L, ts(10001L), 999998L)) // one more advance to drain
+      query.processAllAvailable()
+      val got = spark.table("ssj_outer").as[(Long, Option[Long])].collect().toSet
+        .filterNot(r => r._1 >= 999000L)
+      assert(got == expected,
+        s"streaming missing ${expected -- got}, extra ${got -- expected}")
+    } finally query.stop()
+  }
 }
