@@ -302,6 +302,41 @@ object Similarity {
    * sufficient statistic (Σ floor(x·10⁶), n) per (label, pos) so the
    * oracle has no float-fold-order boundary at all.
    */
+  /**
+   * Per-group embedding drift: each group's L2 distance from the CORPUS
+   * centroid — "which source/class has shifted away from the rest", the
+   * vector-space analogue of [[graft.operators.CorpusStats.sourceDivergence]]'s
+   * unigram KL. A crawl source whose drift jumps between snapshots
+   * changed its content mix; a fine-tuning slice with high drift is
+   * out-of-distribution.
+   *
+   * Engine-exact arithmetic (l54's discipline, adapted to vectors):
+   * coordinates quantize ONCE to exact integers u = floor(x·10⁶)
+   * (bit-portable: floor of an identically-widened double), per-(key,
+   * dim) sums are exact BIGINTs, each dimension's squared mean gap is
+   * rounded to a DECIMAL(30,6) term (single deterministic rounding),
+   * the term sum is exact decimal, and one final sqrt/scale/round
+   * produces the drift in original units. Quantization error ≤
+   * 10⁻⁶·√dim — noise for monitoring. Shuffles: the (key, dim) agg
+   * (map-side combined) and a dim-bounded broadcast of the global sums.
+   */
+  def centroidDrift(df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val per = df
+      .select(col(keyCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col(keyCol), col("__p"))
+      .agg(sum(floor(col("__x").cast("double") * 1000000).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+    val glob = per.groupBy(col("__p"))
+      .agg(sum(col("__s")).as("__gs"), sum(col("__n")).as("__gn"))
+    val d = col("__s") / col("__n") - col("__gs") / col("__gn")
+    per.join(broadcast(glob), Seq("__p"))
+      .select(col(keyCol), col("__n"),
+        round(d * d, 6).cast("decimal(30,6)").as("__t"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        round(sqrt(sum(col("__t")).cast("double")) / 1000000, 6).as("drift"))
+  }
+
   def groupCentroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
     df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
       .groupBy(col(keyCol), col("__p"))

@@ -1463,6 +1463,31 @@ object LlmQueries {
         "u AS (SELECT label, pos, e[pos + 1] AS x FROM p) " +
         "SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos, " +
         "CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_x1e6, " +
-        "COUNT(*) AS n FROM u GROUP BY 1, 2 ORDER BY 1, 2"))
+        "COUNT(*) AS n FROM u GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // L59 — per-class embedding drift (Similarity.centroidDrift): each
+    // label's L2 distance from the corpus centroid — the vector-space
+    // analogue of l54's unigram KL ("which source shifted away from the
+    // rest"). l54's engine-exact discipline adapted to vectors:
+    // coordinates quantize once to floor(x·10⁶) BIGINTs, per-dimension
+    // squared mean gaps round once into DECIMAL(30,6) terms, the term
+    // sum is exact decimal, one final sqrt+round. Two shuffles, the
+    // second dim-bounded.
+    "l59_embedding_drift" -> QueryDef(
+      (s, d) => graft.operators.Similarity.centroidDrift(
+          Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label").cast("long").as("label"), col("n"), col("drift"))
+        .orderBy("label"),
+      Some("WITH p AS (SELECT label, embedding AS e, " +
+        "UNNEST(generate_series(0, len(embedding) - 1)) AS pos FROM embeddings), " +
+        "u AS (SELECT label, pos, " +
+        "CAST(FLOOR(CAST(e[pos + 1] AS DOUBLE) * 1000000) AS BIGINT) AS uq FROM p), " +
+        "per AS (SELECT label, pos, SUM(uq) AS s, COUNT(*) AS n FROM u GROUP BY 1, 2), " +
+        "g AS (SELECT pos, SUM(s) AS gs, SUM(n) AS gn FROM per GROUP BY 1), " +
+        "t AS (SELECT label, n, CAST(ROUND((s / n - gs / gn) * (s / n - gs / gn), 6) " +
+        "AS DECIMAL(30,6)) AS term FROM per JOIN g USING (pos)) " +
+        "SELECT CAST(label AS BIGINT) AS label, CAST(MAX(n) AS BIGINT) AS n, " +
+        "ROUND(SQRT(CAST(SUM(term) AS DOUBLE)) / 1000000, 6) AS drift " +
+        "FROM t GROUP BY 1 ORDER BY 1"))
   )
 }

@@ -224,6 +224,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity.centroidDrift: zero for a lone group, exact on a closed form") {
+    // one group == the corpus → drift exactly 0
+    val lone = Seq((0, Array(0.25, 0.5)), (0, Array(0.75, 0.5)))
+      .toDF("label", "embedding")
+    val z = Similarity.centroidDrift(lone, "label", "embedding")
+      .select("drift").as[Double].head()
+    assert(z == 0.0)
+    // two symmetric groups around the corpus mean: centroids (0.2, 0.4)
+    // and (0.6, 0.8); corpus centroid (0.4, 0.6); each drift =
+    // sqrt(0.2^2 + 0.2^2) = 0.2·sqrt(2) ≈ 0.282843
+    val sym = Seq(
+      (0, Array(0.1, 0.3)), (0, Array(0.3, 0.5)),
+      (1, Array(0.5, 0.7)), (1, Array(0.7, 0.9)))
+      .toDF("label", "embedding")
+    val got = Similarity.centroidDrift(sym, "label", "embedding")
+      .orderBy("label").select("label", "n", "drift")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(2L, 2L))
+    val exp = 0.2 * math.sqrt(2)
+    got.foreach { case (l, _, dr) =>
+      assert(math.abs(dr - exp) < 1e-5, s"label $l drift $dr vs $exp")
+    }
+  }
+
   test("Similarity.trainCentroids reseeds an engineered empty cell and stays k-wide") {
     // seeds 1 and 2 are IDENTICAL vectors: every assignment tie goes to
     // the lowest cell id, so cell 2 gets zero members — without repair
