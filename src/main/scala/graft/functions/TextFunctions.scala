@@ -85,4 +85,15 @@ object TextFunctions {
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   def bpeishTokenCount(text: Column): Column =
     regexp_count(lower(text), lit(BpePattern)).cast("long")
+
+  /** Canonical text form for dedup keys (the C4/RefinedWeb
+    * normalize-before-exact-dedup step): lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim. Two documents
+    * differing only in case/punctuation/spacing — trivial crawl mutations
+    * exact dedup misses — normalize to the same key. Dialect-neutral
+    * character classes (no \s, no \w), so Java regex and RE2 agree; a
+    * pure per-row projection, zero shuffles at any scale. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), "  +", " "))
 }

@@ -1488,6 +1488,40 @@ object LlmQueries {
         "AS DECIMAL(30,6)) AS term FROM per JOIN g USING (pos)) " +
         "SELECT CAST(label AS BIGINT) AS label, CAST(MAX(n) AS BIGINT) AS n, " +
         "ROUND(SQRT(CAST(SUM(term) AS DOUBLE)) / 1000000, 6) AS drift " +
-        "FROM t GROUP BY 1 ORDER BY 1"))
+        "FROM t GROUP BY 1 ORDER BY 1")),
+
+    // L60 — canonical-form dedup keys (TextFunctions.normalizeText, the
+    // C4/RefinedWeb normalize-before-exact-dedup step): the corpus has
+    // no case/punctuation variance, so — per the l51 fixture pattern —
+    // each doc gets a deterministically mutated twin (uppercased prefix
+    // + trailing punctuation) appended in-query on BOTH engine sides.
+    // Raw md5 keys see 2× distinct texts; normalized keys collapse every
+    // twin back onto its original, certifying the normalization catches
+    // exactly the trivial-mutation duplicates. Per-lang distinct-count
+    // agg is the only shuffle.
+    "l60_normalized_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val twin = concat(upper(substring(col("text"), 1, 8)),
+          expr("substring(text, 9)"), lit(" !!"))
+        val aug = docs.select(col("lang"), col("text"))
+          .unionAll(docs.select(col("lang"), twin.as("text")))
+        aug.select(col("lang"), col("text"),
+            normalizeText(col("text")).as("__norm"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(md5(col("text"))).as("n_raw"),
+            countDistinct(md5(col("__norm"))).as("n_norm"))
+          .orderBy("lang")
+      },
+      Some("WITH aug AS (SELECT lang, text FROM documents UNION ALL " +
+        "SELECT lang, upper(substr(text, 1, 8)) || substr(text, 9) || ' !!' AS text " +
+        "FROM documents), " +
+        "n AS (SELECT lang, text, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS norm FROM aug) " +
+        "SELECT lang, COUNT(*) AS n_rows, " +
+        "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw, " +
+        "CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_norm " +
+        "FROM n GROUP BY lang ORDER BY lang"))
   )
 }

@@ -194,4 +194,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(2)._2 == "<EMAIL> and <PHONE> both" && out(2)._3 == 2L)
     assert(out(3)._2 == "no pii here at all" && out(3)._3 == 0L)
   }
+
+  test("normalizeText canonicalizes case, punctuation, and whitespace runs") {
+    val rows = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "  HELLO ... world  "),
+      (4L, "unrelated text"),
+      (5L, "...!!!") // punctuation-only → empty
+    ).toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextFunctions.normalizeText(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "hello world")
+    assert(out(3L) == "hello world") // all three share one dedup key
+    assert(out(4L) == "unrelated text")
+    assert(out(5L) == "")
+  }
 }

@@ -125,6 +125,31 @@ class SketchAndSampleSpec extends AnyFunSuite {
     assert(expWinner == 42L) // and the heavy row does in fact win here
   }
 
+  test("weightedPrioritySample model check: random weights vs a BigInt driver model") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uOf(id: Long): BigInt = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      BigInt(hex, 16) + 1
+    }
+    for (seed <- Seq(11, 12)) {
+      val rng = new scala.util.Random(seed)
+      // weights span 1 .. ~1e9 — six orders of magnitude, far beyond any
+      // length/score ratio a corpus produces
+      val rows = (1L to 250L).map(i =>
+        (s"s${rng.nextInt(3)}", i, math.max(1L, math.abs(rng.nextLong()) % 1000000000L)))
+      val k = 1 + rng.nextInt(8)
+      val got = Sampling.weightedPrioritySample(
+          rows.toDF("lang", "doc_id", "w"), "lang", "doc_id", "w", k)
+        .select("lang", "doc_id").as[(String, Long)].collect().toSet
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy { case (_, id, w) => (uOf(id) / BigInt(w), id) }
+          .take(k).map(r => (g, r._2))
+      }.toSet
+      assert(got == exp, s"seed=$seed k=$k")
+    }
+  }
+
   test("temperatureMix up-weights small strata and honors the overall target") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val kept = Sampling.temperatureMix(docs, "lang", "doc_id")

@@ -126,6 +126,32 @@ class SkewAndWindowSpec extends AnyFunSuite {
       pmod(xxhash64(col("id")), lit(5)), "rk").count() == 3)
   }
 
+  test("topKPerKeyScalable model check: random shapes, duplicate scores, varying salts") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val n = 200 + rng.nextInt(300)
+      val groups = 1 + rng.nextInt(6)
+      val k = 1 + rng.nextInt(10)
+      val salts = 1 + rng.nextInt(8)
+      // scores drawn from a 5-value range: heavy ties, so the id
+      // tiebreaker decides most ranks — the edge a salted split must
+      // not scramble
+      val df = (1L to n.toLong).map(i =>
+        (s"g${rng.nextInt(groups)}", i, rng.nextInt(5).toLong))
+        .toDF("g", "id", "score")
+      val plain = df.withColumn("rk", row_number().over(
+          Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+        .filter(col("rk") <= k)
+        .select("g", "id", "rk").as[(String, Long, Int)].collect().toSet
+      val scalable = Windows.topKPerKeyScalable(df, Seq("g"),
+          Seq(col("score").desc, col("id")), k,
+          pmod(xxhash64(col("id")), lit(salts)), "rk")
+        .select("g", "id", "rk").as[(String, Long, Int)].collect().toSet
+      assert(scalable == plain, s"seed=$seed n=$n groups=$groups k=$k salts=$salts")
+    }
+  }
+
   test("SkewJoin.keyStats: exact counts, integer shares, top-k order") {
     val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
       (1 to 10).map(i => s"cold$i")).zipWithIndex
