@@ -395,6 +395,134 @@ object Multimodal {
     files.mapPartitions(_.map(decodeVideo))
   }
 
+  // ---------------------------------------------------------------- audio
+
+  /** Audio container metadata. `bits_per_sample` is 0 for lossy formats
+    * (no fixed PCM width exists); `container` tags the decode path
+    * ("wav"/"flac"/"mp3"/"stub"). */
+  final case class AudioMeta(doc_id: Long, byte_len: Long, n_channels: Long,
+                             sample_rate: Long, bits_per_sample: Long,
+                             n_samples: Long, duration_ms: Long,
+                             container: String)
+
+  private def le16(b: Array[Byte], off: Int): Long =
+    ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+  /** 4 ASCII bytes AT `off` (RIFF/FLAC magic convention — unlike
+    * [[boxType]], which reads the type AFTER an ISO BMFF size field). */
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** WAV (RIFF/WAVE, the raw-PCM interchange format): walk the chunk
+    * list for `fmt ` (channels, sample rate, bits, block align) and
+    * `data` (payload size → sample count). Header walk only — PCM bytes
+    * are never read. */
+  def parseWavMeta(m: MediaFile): Option[AudioMeta] = {
+    val b = m.payload
+    try {
+      if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Long, Long, Long, Long)] = None // ch, rate, bits, align
+      var dataSize = -1L
+      while (off + 8 <= b.length) {
+        val id = fourcc(b, off)
+        val sz = le32(b, off + 4)
+        val payloadEnd = off + 8 + sz
+        if (sz < 0 || payloadEnd > b.length) return buildWav(m, fmt, dataSize)
+        if (id == "fmt " && sz >= 16)
+          fmt = Some((le16(b, off + 8 + 2), le32(b, off + 8 + 4),
+            le16(b, off + 8 + 14), le16(b, off + 8 + 12)))
+        if (id == "data") dataSize = sz
+        off = (payloadEnd + (sz % 2)).toInt // chunks pad to even
+      }
+      buildWav(m, fmt, dataSize)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def buildWav(m: MediaFile, fmt: Option[(Long, Long, Long, Long)],
+                       dataSize: Long): Option[AudioMeta] =
+    fmt.collect { case (ch, rate, bits, align)
+        if ch > 0 && rate > 0 && align > 0 && dataSize >= 0 =>
+      val n = dataSize / align
+      AudioMeta(m.doc_id, m.payload.length.toLong, ch, rate, bits, n,
+        n * 1000L / rate, "wav")
+    }
+
+  /** FLAC: the mandatory first STREAMINFO metadata block (34 bytes after
+    * the 4-byte `fLaC` magic and 4-byte block header) carries sample
+    * rate (20 bits), channels−1 (3), bits-per-sample−1 (5), and total
+    * samples (36) in one big-endian packed field. */
+  def parseFlacMeta(m: MediaFile): Option[AudioMeta] = {
+    val b = m.payload
+    try {
+      if (b.length < 8 + 34 || fourcc(b, 0) != "fLaC") return None
+      val blockType = b(4) & 0x7f
+      val blockLen = ((b(5) & 0xffL) << 16) | ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+      if (blockType != 0 || blockLen < 34) return None
+      val packed = be64(b, 8 + 10) // skip block/frame-size fields
+      val rate = (packed >>> 44) & 0xfffffL
+      val ch = ((packed >>> 41) & 0x7L) + 1
+      val bits = ((packed >>> 36) & 0x1fL) + 1
+      val n = packed & 0xfffffffffL
+      if (rate == 0) None
+      else Some(AudioMeta(m.doc_id, b.length.toLong, ch, rate, bits, n,
+        n * 1000L / rate, "flac"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbit/s (0 = free, 15 = bad)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100L, 48000L, 32000L, 0L)
+
+  /** MP3 (MPEG-1 Layer III): locate the first frame sync in the leading
+    * 4 KiB (skipping any ID3v2 prefix byte-by-byte) and read channel
+    * mode, sample rate, and bitrate from its 4-byte header. Duration is
+    * the CBR estimate bytes·8/bitrate — exact for constant-bitrate
+    * files, approximate for VBR (an exact count needs a full frame walk);
+    * `n_samples` derives from that estimate. `bits_per_sample` = 0:
+    * lossy audio has no PCM width. */
+  def parseMp3Meta(m: MediaFile): Option[AudioMeta] = {
+    val b = m.payload
+    try {
+      val limit = math.min(b.length - 4, 4096)
+      var off = 0
+      while (off < limit) {
+        if ((b(off) & 0xff) == 0xff && (b(off + 1) & 0xfe) == 0xfa) {
+          // sync + MPEG-1 (bits 19-20 = 11) + Layer III (bits 17-18 = 01)
+          val kbps = Mp3Bitrates((b(off + 2) & 0xf0) >> 4)
+          val rate = Mp3Rates((b(off + 2) & 0x0c) >> 2)
+          val ch = if (((b(off + 3) & 0xc0) >> 6) == 3) 1L else 2L
+          if (kbps > 0 && rate > 0) {
+            val durMs = b.length.toLong * 8 / kbps
+            return Some(AudioMeta(m.doc_id, b.length.toLong, ch, rate, 0L,
+              durMs * rate / 1000L, durMs, "mp3"))
+          }
+          return None
+        }
+        off += 1
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio decode with the [[decodeVideo]] fallback contract: real
+    * WAV/FLAC/MP3 header parse, deterministic stub otherwise (tagged
+    * `container = "stub"`; the stub pretends one 16-bit mono sample per
+    * payload byte at a byte-length-derived rate). */
+  def decodeAudio(m: MediaFile): AudioMeta =
+    parseWavMeta(m).orElse(parseFlacMeta(m)).orElse(parseMp3Meta(m)).getOrElse {
+      val bl = m.payload.length.toLong
+      val rate = 8000L + (bl * 7) % 40000L
+      AudioMeta(m.doc_id, bl, 1L + bl % 2, rate, 16L, bl,
+        bl * 1000L / rate, "stub")
+    }
+
+  /** [[extractMeta]]'s audio twin at the same `mapPartitions` boundary. */
+  def extractMetaAudio(files: Dataset[MediaFile]): Dataset[AudioMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodeAudio))
+  }
+
   /** Demo source: treat document text bytes as the media payload. */
   def filesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._

@@ -1522,6 +1522,21 @@ object LlmQueries {
         "SELECT lang, COUNT(*) AS n_rows, " +
         "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw, " +
         "CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_norm " +
-        "FROM n GROUP BY lang ORDER BY lang"))
+        "FROM n GROUP BY lang ORDER BY lang")),
+
+    // L61 — REAL audio-container metadata, oracle-certified: the
+    // WAV/FLAC/MP3 header walks (plus the stub-fallback path) over
+    // deterministic fixture payloads built byte-exactly from known
+    // construction parameters (graft.operators.AudioFixtures — the l48
+    // pattern, audio twin). The DuckDB oracle is a VALUES relation of
+    // the SAME construction parameters, so a match proves the parsers
+    // read back exactly what the construction wrote. Same mapPartitions
+    // decode boundary as images/video: malformed input is data, binary
+    // never touches the driver.
+    "l61_audio_meta" -> QueryDef(
+      (s, _) => Multimodal.extractMetaAudio(
+          graft.operators.AudioFixtures.dataset(s))
+        .toDF().orderBy("doc_id"),
+      Some(graft.operators.AudioFixtures.oracleSql))
   )
 }

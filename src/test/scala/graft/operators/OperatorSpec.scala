@@ -846,6 +846,50 @@ class OperatorSpec extends AnyFunSuite {
       s"budget-hit scan must report unknown (1), got $meta")
   }
 
+  test("Multimodal.decodeAudio reads WAV/FLAC/MP3 headers; edge widths and rates hold") {
+    import graft.operators.Multimodal._
+    // the l61 fixtures decode to their construction parameters
+    graft.operators.AudioFixtures.fixtures.foreach { case (f, exp) =>
+      assert(decodeAudio(f) == exp, s"doc ${f.doc_id}")
+    }
+    // a WAV whose data chunk precedes fmt still parses (chunk order is
+    // not fixed by RIFF), and odd-sized chunks honor the pad byte
+    def le16(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def tag(s: String) = s.getBytes("ISO-8859-1")
+    val oddChunk = tag("LIST") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // padded
+    val fmt = tag("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val data = tag("data") ++ le32(400) ++ Array.fill(400)(0.toByte)
+    val body = tag("WAVE") ++ oddChunk ++ data ++ fmt
+    val wav = tag("RIFF") ++ le32(body.length.toLong) ++ body
+    val meta = decodeAudio(MediaFile(7L, wav))
+    assert(meta == AudioMeta(7L, wav.length.toLong, 2L, 44100L, 16L, 100L,
+      100L * 1000 / 44100, "wav"), meta.toString)
+  }
+
+  test("Multimodal audio parsers never throw on mutated/truncated payloads") {
+    import graft.operators.Multimodal._
+    val rnd = new scala.util.Random(43)
+    val seeds = graft.operators.AudioFixtures.fixtures.map(_._1.payload)
+    (1 to 400).foreach { i =>
+      val payload = rnd.nextInt(3) match {
+        case 0 => // mutate a valid container payload in a few positions
+          val p = seeds(rnd.nextInt(seeds.length)).clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            p(rnd.nextInt(p.length)) = rnd.nextInt().toByte }
+          p
+        case 1 => // truncate a valid payload
+          val p = seeds(rnd.nextInt(seeds.length))
+          p.take(1 + rnd.nextInt(p.length))
+        case _ => Array.fill(rnd.nextInt(128))(rnd.nextInt().toByte)
+      }
+      val meta = decodeAudio(MediaFile(i.toLong, payload)) // must not throw
+      assert(meta.doc_id == i.toLong && meta.byte_len == payload.length.toLong)
+    }
+  }
+
   test("Multimodal container parsers never throw on mutated/truncated payloads") {
     import graft.operators.Multimodal._
     // the 100 TB contract: a corrupt payload is DATA (stub fallback),
