@@ -1218,4 +1218,72 @@ object Dedup {
           s => s.getField("__tok"))).as("text_clean"),
         sum(when(col("__cov") === 0, 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /**
+   * EXACT threshold set-similarity join via prefix filtering (the
+   * PPJoin family — Xiao, Wang, Lin & Yu, WWW'08): every pair of
+   * documents whose n-gram shingle sets have Jaccard ≥ `tau`, with NO
+   * probabilistic misses — the deterministic complement to the MinHash
+   * path ([[minhashCandidatePairs]] trades a small false-negative rate
+   * for fewer candidates; this trades more candidates for a guarantee).
+   *
+   * Prefix theorem: order every set by one GLOBAL ordering (here:
+   * document frequency ascending, then shingle — rarest first) and take
+   * each set's first |x| − ⌈τ·|x|⌉ + 1 elements. If J(A,B) ≥ τ then
+   * |A∩B| ≥ τ·|A|, so the intersection cannot fit entirely in the
+   * ⌈τ·|A|⌉ − 1 elements after A's prefix — the prefixes must share an
+   * element. Candidates are therefore pairs sharing a PREFIX shingle,
+   * and rare-first ordering makes those join buckets the smallest ones.
+   *
+   * Plan shape: one df-count agg, a per-document rank window (bounded by
+   * shingles-per-doc, never by corpus), a prefix equi-join on the
+   * shingle, and an `array_intersect` verify over the candidate pairs
+   * (l5's shape). `maxBucketSize` caps a degenerate prefix bucket the
+   * same way the MinHash/RHP paths do — an all-identical-corpus makes
+   * every shingle's bucket the whole corpus; collapse exact duplicates
+   * first ([[exactKept]]) as [[dedupCorpus]] does. The cap trades the
+   * exactness guarantee for survival, so it defaults off.
+   */
+  def similarityJoinExact(docs: DataFrame, textCol: String, idCol: String,
+                          tau: Double, shingleN: Int = 3,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("__id"),
+        explode(wordShingles(col(textCol), shingleN)).as("__s"))
+      .distinct()
+    val dfreq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val sz = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val prefix = sh.join(dfreq.hint("shuffle_hash"), Seq("__s"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
+      .join(sz, Seq("__id"))
+      .filter(col("__r") <= col("__sz") - ceil(col("__sz") * lit(tau)) + 1)
+      .select(col("__s"), col("__id"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) prefix
+      else {
+        val w = Window.partitionBy("__s")
+        prefix.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      }
+    val cand = capped.select(col("__s"), col("__id").as("a_id"))
+      .join(capped.select(col("__s"), col("__id").as("b_id")), Seq("__s"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sets = sh.groupBy("__id").agg(collect_set(col("__s")).as("__set"),
+      count(lit(1)).as("__n"))
+    cand
+      .join(sets.select(col("__id").as("a_id"), col("__set").as("__sa"),
+        col("__n").as("__na")), Seq("a_id"))
+      .join(sets.select(col("__id").as("b_id"), col("__set").as("__sb"),
+        col("__n").as("__nb")), Seq("b_id"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
 }

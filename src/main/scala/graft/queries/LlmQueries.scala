@@ -1537,6 +1537,25 @@ object LlmQueries {
       (s, _) => Multimodal.extractMetaAudio(
           graft.operators.AudioFixtures.dataset(s))
         .toDF().orderBy("doc_id"),
-      Some(graft.operators.AudioFixtures.oracleSql))
+      Some(graft.operators.AudioFixtures.oracleSql)),
+
+    // L62 — EXACT threshold set-similarity join (prefix filtering, the
+    // PPJoin family): every document pair with shingle-set Jaccard
+    // ≥ 0.5 and NO probabilistic misses — the deterministic complement
+    // to l4's MinHash candidates. The ORACLE is the brute-force
+    // all-pairs join, so a hash match certifies the prefix filter's
+    // exactness theorem end-to-end (prefix pruning dropped no qualifying
+    // pair), not just agreement with another heuristic.
+    "l62_similarity_join" -> QueryDef(
+      (s, d) => graft.operators.Dedup.similarityJoinExact(
+          Tables.documents(s, d), "text", "doc_id", tau = 0.5)
+        .orderBy("a_id", "b_id"),
+      Some("WITH " + shinglesCte() + ", " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard " +
+        "FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY a_id, b_id"))
   )
 }

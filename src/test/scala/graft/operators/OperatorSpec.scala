@@ -175,6 +175,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("Dedup.similarityJoinExact equals brute force on random near-dup corpora") {
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      def doc() = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // half the corpus is mutated copies of earlier docs → plenty of
+      // pairs above and below the threshold
+      val base = (1L to 15L).map(i => (i, doc()))
+      val mutated = base.take(8).map { case (i, t) =>
+        val w = t.split(" "); w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        (i + 100L, w.mkString(" "))
+      }
+      val docs = (base ++ mutated).toDF("doc_id", "text")
+      val got = Dedup.similarityJoinExact(docs, "text", "doc_id", tau = 0.4)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // brute force: all pairs via full shingle-set intersection
+      val sets = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+        .as[(Long, Seq[String])].collect().map { case (i, s) => (i, s.toSet) }
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size
+        if sa.nonEmpty && sb.nonEmpty &&
+          i.toDouble / (sa.size + sb.size - i) >= 0.4
+      } yield (a, b)).toSet
+      assert(got == brute,
+        s"seed=$seed missing=${brute -- got} extra=${got -- brute}")
+      assert(brute.nonEmpty, s"seed=$seed fixture produced no pairs")
+    }
+  }
+
   test("Similarity.trainCentroids converges to the two cluster centers") {
     // even ids on the x-axis, odd ids on the y-axis, so the deterministic
     // seeding (k lowest ids) starts with one vector from each cluster
