@@ -1248,11 +1248,17 @@ object Dedup {
                           tau: Double, shingleN: Int = 3,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    // sh feeds four consumers (df counts, set sizes, the prefix table,
+    // and the verify sets) and prefix feeds both self-join sides —
+    // persist both for the call's scope (minhashCandidatePairs'
+    // discipline), eagerly materialize the (small) result via
+    // localCheckpoint, and drop the caches before returning.
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("__id"),
         explode(wordShingles(col(textCol), shingleN)).as("__s"))
       .distinct()
+      .persist()
     val dfreq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
     val sz = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val prefix = sh.join(dfreq.hint("shuffle_hash"), Seq("__s"))
@@ -1260,7 +1266,8 @@ object Dedup {
         Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
       .join(sz, Seq("__id"))
       .filter(col("__r") <= col("__sz") - ceil(col("__sz") * lit(tau)) + 1)
-      .select(col("__s"), col("__id"))
+      .select(col("__s"), col("__id"), col("__r"), col("__sz"))
+      .persist()
     val capped =
       if (maxBucketSize == Int.MaxValue) prefix
       else {
@@ -1268,22 +1275,45 @@ object Dedup {
         prefix.withColumn("__bsz", count(lit(1)).over(w))
           .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
       }
-    val cand = capped.select(col("__s"), col("__id").as("a_id"))
-      .join(capped.select(col("__s"), col("__id").as("b_id")), Seq("__s"))
-      .filter(col("a_id") < col("b_id"))
+    // PPJoin's two exactness-preserving prunes, applied inside the join
+    // before the (expensive) distinct + verify:
+    //  - length filter: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ;
+    //  - positional filter: both sets are sorted by the SAME global
+    //    order, so for a shared element at ranks (r_a, r_b) the total
+    //    overlap is at most min(r_a, r_b) + min(|A|−r_a, |B|−r_b)
+    //    (matches before it + it + matches after it), which must reach
+    //    the equivalent-overlap bound α = ⌈τ/(1+τ)·(|A|+|B|)⌉. This is
+    //    the per-element-safe form of PPJoin's scan bound (the scan's
+    //    "1 + suffix" constant is only valid with accumulated-match
+    //    bookkeeping): a qualifying pair satisfies it at EVERY shared
+    //    element, so keeping pairs where ANY element passes is exact.
+    val a = capped.select(col("__s"), col("__id").as("a_id"),
+      col("__r").as("__ra"), col("__sz").as("__sa"))
+    val b = capped.select(col("__s"), col("__id").as("b_id"),
+      col("__r").as("__rb"), col("__sz").as("__sb"))
+    val cand = a.join(b, Seq("__s"))
+      .filter(col("a_id") < col("b_id") &&
+        col("__sb") >= ceil(col("__sa") * lit(tau)) &&
+        col("__sa") >= ceil(col("__sb") * lit(tau)) &&
+        least(col("__ra"), col("__rb")) +
+          least(col("__sa") - col("__ra"), col("__sb") - col("__rb")) >=
+          ceil((col("__sa") + col("__sb")) * lit(tau / (1 + tau))))
       .select("a_id", "b_id").distinct()
     val sets = sh.groupBy("__id").agg(collect_set(col("__s")).as("__set"),
       count(lit(1)).as("__n"))
-    cand
-      .join(sets.select(col("__id").as("a_id"), col("__set").as("__sa"),
-        col("__n").as("__na")), Seq("a_id"))
-      .join(sets.select(col("__id").as("b_id"), col("__set").as("__sb"),
-        col("__n").as("__nb")), Seq("b_id"))
-      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
-      .withColumn("jaccard",
-        col("__i").cast("double") /
-          (col("__na") + col("__nb") - col("__i")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    try {
+      cand
+        .join(sets.select(col("__id").as("a_id"), col("__set").as("__sa"),
+          col("__n").as("__na")), Seq("a_id"))
+        .join(sets.select(col("__id").as("b_id"), col("__set").as("__sb"),
+          col("__n").as("__nb")), Seq("b_id"))
+        .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        .withColumn("jaccard",
+          col("__i").cast("double") /
+            (col("__na") + col("__nb") - col("__i")).cast("double"))
+        .filter(col("jaccard") >= tau)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .localCheckpoint()
+    } finally { prefix.unpersist(); sh.unpersist() }
   }
 }
