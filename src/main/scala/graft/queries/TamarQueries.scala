@@ -376,6 +376,31 @@ object TamarQueries {
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON v.user_id = c.user_id " +
         "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR " +
-        "ORDER BY view_id, click_id"))
+        "ORDER BY view_id, click_id")),
+
+    // T22 — stream-static enrichment: the event stream joined to a
+    // broadcast dimension table (customer segment), then aggregated —
+    // the third stream-join family after t20/t21's stream-stream forms,
+    // and the everyday shape of "tag the firehose with reference data".
+    // Static side broadcasts (no stream-side shuffle for the join);
+    // per-(segment, type) agg is the only exchange. Value sums use the
+    // l58 quantize-once discipline (Σ floor(v·10⁶) BIGINT) so no double
+    // fold order crosses engines. Streaming twin (same join + agg over
+    // a file stream, complete mode) proven equal in StreamStreamJoinSpec.
+    "t22_stream_enrich" -> QueryDef(
+      (s, d) => {
+        val e = ev(s, d)
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        e.join(broadcast(c), e("user_id") === c("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000000).cast("long")).as("sum_v1e6"))
+          .orderBy("c_mktsegment", "event_type")
+      },
+      Some("SELECT c_mktsegment, event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v1e6 " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"))
   )
 }

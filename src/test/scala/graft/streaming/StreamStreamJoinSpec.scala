@@ -149,4 +149,27 @@ class StreamStreamJoinSpec extends AnyFunSuite {
         s"streaming missing ${expected -- got}, extra ${got -- expected}")
     } finally query.stop()
   }
+
+  test("stream-static enrichment (t22): file-stream join to broadcast dim equals batch") {
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("t22_stream_enrich")(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    val c = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val e = graft.sources.Tables.eventsStream(spark, sf)
+    val enriched = e.join(broadcast(c), e("user_id") === c("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_v1e6"))
+    val query = enriched.writeStream
+      .format("memory").queryName("t22_stream").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("t22_stream")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"missing ${expected -- got}, extra ${got -- expected}")
+    } finally query.stop()
+  }
 }
