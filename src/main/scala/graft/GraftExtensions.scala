@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, RegExpCount, Sqrt, StringReplace, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, RegExpCount, RegExpReplace, Sqrt, StringReplace, StringTrim, Subtract}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr, TextFunctions}
 
@@ -96,9 +96,19 @@ object GraftFunctions {
       Cast(RegExpCount(Lower(args.head), Literal(TextFunctions.BpePattern)), LongType)
     })
 
+  val normalizeText: FunctionDescription = (
+    FunctionIdentifier("normalize_text"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "normalize_text"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "normalize_text(text) takes exactly one argument")
+      StringTrim(RegExpReplace(
+        RegExpReplace(Lower(args.head), Literal("[^a-z0-9 ]"), Literal("")),
+        Literal("  +"), Literal(" ")))
+    })
+
   val all: Seq[FunctionDescription] =
     Seq(rollingHash, wordShingles, dotProduct,
-      cosineSim, l2Norm, wsTokenCount, bpeishTokenCount)
+      cosineSim, l2Norm, wsTokenCount, bpeishTokenCount, normalizeText)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

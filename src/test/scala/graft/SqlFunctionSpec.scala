@@ -35,6 +35,17 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(bpe == 5L) // "ab", ",", "12", "cd", "!"
   }
 
+  test("normalize_text is callable from SQL and matches the Column form") {
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT normalize_text('  Hello,   WORLD!! 42 ') AS n").as[String].head()
+    assert(got == "hello world 42")
+    val viaColumn = Seq("  Hello,   WORLD!! 42 ").toDF("t")
+      .select(graft.functions.TextFunctions.normalizeText(org.apache.spark.sql.functions.col("t")))
+      .as[String].head()
+    assert(got == viaColumn)
+  }
+
   test("rolling_hash is callable from SQL and matches the fold") {
     import spark.implicits._
     val got = spark.sql("SELECT rolling_hash('a b c d') AS fp").as[Long].head()
