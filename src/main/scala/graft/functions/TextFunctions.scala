@@ -96,4 +96,43 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), "  +", " "))
+
+  // ------------------------------------------------------------ URLs
+
+  /** The authority segment of a URL (host[:port]), raw case. */
+  private def urlAuthority(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Lowercased hostname with any port stripped — the per-host group
+    * key for crawl-frequency stats. Pure per-row projection. */
+  def urlHost(url: Column): Column =
+    lower(regexp_replace(urlAuthority(url), ":[0-9]+$", ""))
+
+  /** Registrable-ish domain: the last two dot-labels of the host (the
+    * public-suffix-list-free approximation every crawl pipeline starts
+    * with — exact PSL handling needs a suffix table join, which is a
+    * broadcast join over ~9k rows when a caller supplies one). The
+    * per-domain politeness/capping key. */
+  def registrableDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
+  /** Canonical URL for exact URL-level dedup (the crawl-frontier /
+    * revisit-collapse normal form): lowercase scheme and host, strip a
+    * leading `www.`, drop default ports (:80, :443), drop the fragment,
+    * and remove `utm_*` tracking parameters (tidying any dangling
+    * `?`/`&` they leave). Non-default ports, paths, and real query
+    * parameters are preserved. All patterns are dialect-neutral (no \w,
+    * no backrefs, no lookarounds) so Java regex and DuckDB's RE2 agree
+    * span-for-span — certified by the l64 oracle, where both engines
+    * normalize the same deterministically-constructed URLs. Pure
+    * per-row projection, zero shuffles at any scale. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(lower(urlAuthority(url)), ":(80|443)$", ""),
+      "^www\\.", "")
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val noUtm = regexp_replace(rest, "utm_[a-z]*=[^&#]*&?", "")
+    concat(scheme, lit("://"), host, regexp_replace(noUtm, "[?&]+$", ""))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed byte-pair-encoding (BPE) merge statistics — the
+ * tokenizer-training half of the data pipeline (north-star extension
+ * per SURVEY.md §2.2; the reference has no text surface at all,
+ * /root/reference/src/lib.rs:1-957). Sennrich et al. (ACL 2016)
+ * formulation: training operates on the WORD-FREQUENCY table, not the
+ * corpus — a word seen a million times contributes its pairs once,
+ * weighted by its count. That table is the working set every real BPE
+ * trainer (fastBPE, HF tokenizers) holds, and it is what makes the
+ * operator scale: the corpus-sized shuffle is one (word → count) hash
+ * agg with map-side combine; everything after runs on the distinct
+ * vocabulary, orders of magnitude smaller than 100 TB of text.
+ *
+ * [[pairCounts]] is the per-iteration sufficient statistic (declared as
+ * l63 with a DuckDB oracle); [[trainMerges]] iterates it into an actual
+ * merge list, applying each merge with a pure Catalyst fold (no UDF) —
+ * spec-pinned against a reference implementation in OperatorSpec (the
+ * fold-with-list-accumulator has no DuckDB-portable form, so the
+ * iterative path's guarantee is the spec, exactly like
+ * [[Similarity.trainCentroids]]'s reseeding internals).
+ */
+object Bpe {
+
+  /** word → corpus frequency, the Sennrich vocabulary table. One
+    * map-side-combined hash agg — THE scale shuffle of the family. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Adjacent-character-pair corpus frequencies — the statistic whose
+    * argmax is BPE's first merge. Computed over the DISTINCT-word table
+    * weighted by word counts (never over raw text), so the pair agg's
+    * input is |vocab| × avg word length rows regardless of corpus size.
+    * `sequence` is guarded behind `length >= 2`: Spark's
+    * `sequence(1, 0)` counts DOWN (yielding [1, 0]), it is not empty.
+    * Ties in downstream top-k consumers break on the pair string —
+    * deterministic across engines. */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol)
+      .select(explode(expr(
+        "CASE WHEN length(w) >= 2 " +
+          "THEN transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("pair"), col("c"))
+      .groupBy("pair").agg(sum(col("c")).as("cnt"))
+
+  /** Top-k merge candidates by weighted frequency (count desc, pair asc
+    * — a total order, so the k rows are engine-reproducible). Two-level
+    * TakeOrderedAndProject, never a global sort. */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    pairCounts(docs, textCol).orderBy(col("cnt").desc, col("pair")).limit(k)
+
+  /** One greedy left-to-right merge pass over a symbol array: every
+    * adjacent (a, b) becomes the single symbol a+b. A pure Catalyst
+    * `aggregate` fold (codegen-eligible, no UDF): the accumulator is the
+    * rebuilt array, and a step either extends it or replaces its last
+    * element with the merged pair. Overlaps resolve left-first ("aaa"
+    * under merge (a,a) → ["aa","a"]), matching the reference BPE
+    * semantics. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /**
+   * Full iterative BPE training: `nMerges` rounds of (count pairs over
+   * the symbolized vocabulary → take the argmax → rewrite every word's
+   * symbol array). Returns the learned merge table
+   * (merge_idx, a, b, merged, cnt) — the artifact a tokenizer ships.
+   *
+   * Scale shape per round: one (a, b) hash agg over the vocab (map-side
+   * combined), a 1-row `limit(1).collect()` argmax (driver-bounded, like
+   * [[Similarity.trainCentroids]]'s k-row collects), and one narrow
+   * projection applying the merge. `localCheckpoint` truncates the
+   * per-round lineage so round n's plan does not replay rounds 1..n−1.
+   * Stops early when no pair occurs twice — merging a count-1 pair
+   * memorizes a single word, which no tokenizer wants.
+   */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab = wordCounts(docs, textCol)
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("c"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = vocab
+        .select(explode(expr(
+          "CASE WHEN size(syms) >= 2 " +
+            "THEN transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END")).as("p"),
+          col("c"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, cnt))
+        vocab = vocab.select(applyMerge(col("syms"), a, b).as("syms"), col("c"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.result()
+  }
+}

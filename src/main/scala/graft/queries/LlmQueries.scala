@@ -1556,6 +1556,99 @@ object LlmQueries {
         "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard " +
         "FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
-        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY a_id, b_id"))
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY a_id, b_id")),
+
+    // L63 — BPE merge statistics (Sennrich et al. ACL 2016, the
+    // tokenizer-training half of the pipeline): top-50 adjacent
+    // character pairs by corpus frequency — the statistic whose argmax
+    // is BPE's first merge. Computed over the DISTINCT-word table
+    // weighted by word counts (the formulation every real trainer
+    // uses), so the only corpus-scale shuffle is the (word → count)
+    // hash agg; the pair agg runs on the vocabulary. (count desc, pair)
+    // is a total order, so the 50 rows are engine-reproducible. The
+    // iterative trainer (Bpe.trainMerges) is spec-pinned against a
+    // reference implementation — its fold-with-list-accumulator merge
+    // application has no DuckDB-portable form.
+    "l63_bpe_pairs" -> QueryDef(
+      (s, d) => graft.operators.Bpe.topPairs(Tables.documents(s, d), "text", 50),
+      Some("WITH words AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+        "vocab AS (SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY w), " +
+        "pr AS (SELECT UNNEST(CASE WHEN length(w) >= 2 " +
+        "THEN list_transform(generate_series(1, length(w) - 1), i -> substr(w, i, 2)) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS pair, c FROM vocab) " +
+        "SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pr GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 50")),
+
+    // L64 — URL canonicalization + per-domain capping (the crawl-side
+    // dedup/politeness step): per the l48/l51 fixture pattern, a
+    // deterministic URL is constructed from doc_id on BOTH engine sides
+    // (mixed-case host, www. prefix, default and non-default ports,
+    // utm_* tracking params in every position, fragments), then each
+    // engine independently normalizes it (lowercase scheme+host, strip
+    // www./default ports/fragment/utm_*, keep real ports+params) and
+    // extracts host + registrable domain — a hash match certifies the
+    // dialect-neutral regex chain span-for-span across Java regex and
+    // RE2. `kept` caps each domain at 20 docs in md5 order (the
+    // anti-domination rule) via the bucketed two-pass rank — no
+    // per-domain single-task window at scale.
+    "l64_url_dedup" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(
+          lit("https://"),
+          when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("sub"), str(id % 5), lit(".Site"), str(id % 11), lit(".com"),
+          when(id % 6 === 0, lit(":443"))
+            .when(id % 7 === 3, lit(":8080")).otherwise(lit("")),
+          lit("/path/"), str(id),
+          when(id % 2 === 0,
+            concat(lit("?utm_source=s"), str(id % 4), lit("&id="), str(id % 9)))
+            .when(id % 5 === 1,
+              concat(lit("?id="), str(id % 9), lit("&utm_campaign=c")))
+            .otherwise(lit("")),
+          when(id % 4 === 0, lit("#frag")).otherwise(lit("")))
+        val norm = Tables.documents(s, d)
+          .select(id, url.as("url"))
+          .select(id, col("url"),
+            urlHost(col("url")).as("host"),
+            registrableDomain(col("url")).as("domain"),
+            normalizeUrl(col("url")).as("norm_url"))
+        graft.operators.Windows.runningSumScalable(
+            norm.withColumn("__h", md5(id.cast("string"))),
+            Seq("domain"), substring(col("__h"), 1, 2),
+            Seq(col("__h"), id), lit(1L), "__rn")
+          .select(id, col("url"), col("host"), col("domain"), col("norm_url"),
+            when(col("__rn") <= 20, 1L).otherwise(0L).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("WITH u AS (SELECT doc_id, 'https://' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || " +
+        "'sub' || CAST(doc_id % 5 AS VARCHAR) || '.Site' || " +
+        "CAST(doc_id % 11 AS VARCHAR) || '.com' || " +
+        "CASE WHEN doc_id % 6 = 0 THEN ':443' " +
+        "WHEN doc_id % 7 = 3 THEN ':8080' ELSE '' END || " +
+        "'/path/' || CAST(doc_id AS VARCHAR) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=s' || CAST(doc_id % 4 AS VARCHAR) " +
+        "|| '&id=' || CAST(doc_id % 9 AS VARCHAR) " +
+        "WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR) " +
+        "|| '&utm_campaign=c' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url FROM documents), " +
+        "n AS (SELECT doc_id, url, " +
+        "lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), " +
+        "':[0-9]+$', '')) AS host, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || " +
+        "regexp_replace(regexp_replace(" +
+        "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), " +
+        "':(80|443)$', ''), '^www\\.', '') || " +
+        "regexp_replace(regexp_replace(" +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), " +
+        "'utm_[a-z]*=[^&#]*&?', '', 'g'), '[?&]+$', '') AS norm_url FROM u) " +
+        "SELECT doc_id, url, host, " +
+        "regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS domain, " +
+        "norm_url, CAST(CASE WHEN ROW_NUMBER() OVER (" +
+        "PARTITION BY regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS kept FROM n ORDER BY doc_id"))
   )
 }

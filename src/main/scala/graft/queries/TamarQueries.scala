@@ -364,8 +364,10 @@ object TamarQueries {
             "user_id", "ts", "event_id", 21600000000L)
           .select(col("user_id"), col("a_id").as("view_id"),
             col("b_id").as("click_id"))
+        // shuffle-hash, not sort-merge: both sides are large and
+        // hash-partitionable; neither needs a sort at any scale
         val unmatched = views
-          .join(inner.select(col("view_id")),
+          .join(inner.select(col("view_id")).hint("shuffle_hash"),
             views("event_id") === col("view_id"), "left_anti")
           .select(col("user_id"), col("event_id").as("view_id"),
             lit(null).cast("long").as("click_id"))
