@@ -82,6 +82,28 @@ object Bpe {
    * Stops early when no pair occurs twice — merging a count-1 pair
    * memorizes a single word, which no tokenizer wants.
    */
+  /**
+   * Apply a learned merge list to the corpus: every distinct word is
+   * symbolized and rewritten by each merge IN TRAINING ORDER (the BPE
+   * encode contract — later merges see earlier merges' output), giving
+   * the (word → symbol array) encoding table a tokenization join uses.
+   * Each merge is one [[applyMerge]] projection over the distinct-word
+   * table; the chain is `merges.length` narrow stages over |vocab| rows
+   * — fine for spec/analysis-sized merge lists. A production encoder
+   * with a 50k-merge vocabulary would instead walk a broadcast merge
+   * trie per word inside `mapPartitions` (one pass, same output); this
+   * form is the semantics reference that encoder must match.
+   */
+  def encodeWords(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val base = wordCounts(docs, textCol)
+      .select(col("w"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    merges.foldLeft(base) { case (df, (a, b)) =>
+      df.select(col("w"), applyMerge(col("syms"), a, b).as("syms"))
+    }
+  }
+
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
     var vocab = wordCounts(docs, textCol)
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),

@@ -63,6 +63,26 @@ class BpeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._3 >= 2L))
   }
 
+  test("encodeWords applies trained merges in order — matches the reference encoding") {
+    val words = Seq("low", "low", "low", "lower", "lower", "aaab", "aaab", "aaab")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 4).map(m => (m._1, m._2))
+    // reference encode: same greedy fold per merge, in training order
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.split("").toList) { case (syms, (a, b)) =>
+        syms.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      }
+    val got = Bpe.encodeWords(docs, "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(got.keySet == words.toSet)
+    words.distinct.foreach(w => assert(got(w) == encode(w), s"word $w"))
+    // the trained merges actually compress: fewer symbols than chars
+    assert(got("lower").size < 5 && got("aaab").size < 4)
+  }
+
   test("trainMerges stops early when no pair repeats") {
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     // every pair occurs once → zero merges regardless of the budget
