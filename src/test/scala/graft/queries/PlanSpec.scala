@@ -281,4 +281,24 @@ class PlanSpec extends AnyFunSuite {
       .toSeq.lastOption.getOrElse("") // bottom-most = first executed
     assert(firstWindow.contains("__salt"), p.take(3000))
   }
+
+  test("l63: BPE pair top-k is TakeOrderedAndProject with partial aggs below both shuffles") {
+    val p = planOf("l63_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // neither the word-count nor the pair-count agg may skip its
+    // map-side combine: two HashAggregate pairs = 4 HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+  }
+
+  test("l64: URL canonicalization has no partition-less window and no sort-merge join") {
+    val p = planOf("l64_url_dedup")
+    // the per-domain rank must ride the bucketed two-pass form: every
+    // window (the running-sum rank) partitions by (domain, __bkt),
+    // never domain alone
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__bkt")), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
