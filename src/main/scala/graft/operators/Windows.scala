@@ -139,4 +139,41 @@ object Windows {
       .withColumn(out, row_number().over(w2)).filter(col(out) <= k)
       .select(df.columns.map(col) :+ col(out): _*)
   }
+
+  /**
+   * Time-series gap fill + cumulative resample: per key, one row per
+   * `bucketSec`-sized time bucket from the key's first to last event —
+   * missing buckets filled with zero — with the per-bucket event count
+   * and the running cumulative count (the step function a dashboard or
+   * downstream as-of join samples). Standard dense-resample shape SQL
+   * engines lack a primitive for.
+   *
+   * Plan: one (key, bucket) count agg (map-side combined, THE scale
+   * shuffle); the per-key bucket spine derives from that agg's min/max
+   * (exchange-reused, spine rows = key's time span — arithmetic
+   * `sequence` explode, never a calendar cross join); counts hash-join
+   * back onto the spine; the cumulative sum runs in the bucketed
+   * two-pass [[runningSumScalable]] form chunked by `bucketsPerChunk`
+   * buckets (chunk index = bucket div chunk — a prefix of the order
+   * key, monotone per key), so no key's full history ever sorts in one
+   * task. Bucket index is integer `div` of epoch seconds — identical
+   * floor arithmetic in Spark and DuckDB.
+   */
+  def gapFillCumulative(events: DataFrame, keyCol: String, tsCol: String,
+                        bucketSec: Long, bucketsPerChunk: Long = 24L): DataFrame = {
+    val counts = events
+      .select(col(keyCol), expr(s"unix_timestamp($tsCol) div $bucketSec").as("bucket"))
+      .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("n_events"))
+    val spine = counts.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val filled = spine
+      .join(counts.hint("shuffle_hash"), Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    runningSumScalable(filled, Seq(keyCol),
+        expr(s"bucket div $bucketsPerChunk"), Seq(col("bucket")),
+        col("n_events"), "cum_events")
+      .select(col(keyCol), col("bucket"), col("n_events"), col("cum_events"))
+  }
 }

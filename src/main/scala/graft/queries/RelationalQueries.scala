@@ -505,6 +505,32 @@ object RelationalQueries {
         "SELECT user_id, key_count, " +
         "CAST(CAST(key_count AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm, " +
         "CAST(CAST(key_count AS HUGEINT) * nkeys * 1000 // total AS BIGINT) AS skew_x1000 " +
-        "FROM c, t ORDER BY key_count DESC, user_id LIMIT 20"))
+        "FROM c, t ORDER BY key_count DESC, user_id LIMIT 20")),
+
+    // R22 — time-series gap fill + cumulative resample
+    // (Windows.gapFillCumulative): per user, one row per hour from the
+    // user's first to last event, zero-filled gaps, hourly count +
+    // running cumulative — the dense step function a dashboard or
+    // downstream as-of join samples; no SQL engine has a primitive for
+    // it. Plan: one (user, hour) count agg → per-user spine via min/max
+    // + arithmetic sequence explode (never a calendar cross join) →
+    // hash join back → cumulative in the bucketed two-pass form chunked
+    // by day, so no user's full history sorts in one task. All-integer
+    // output; hour index = epoch-seconds div 3600, identical floor
+    // arithmetic in both engines.
+    "r22_gap_fill" -> QueryDef(
+      (s, d) => graft.operators.Windows.gapFillCumulative(
+          Tables.events(s, d), "user_id", "ts", 3600L)
+        .orderBy("user_id", "bucket"),
+      Some("WITH h AS (SELECT user_id, " +
+        "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket FROM events), " +
+        "c AS (SELECT user_id, bucket, COUNT(*) AS n_events FROM h GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM c GROUP BY 1), " +
+        "spine AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS bucket FROM b) " +
+        "SELECT s.user_id, s.bucket, COALESCE(c.n_events, 0) AS n_events, " +
+        "CAST(SUM(COALESCE(c.n_events, 0)) OVER (" +
+        "PARTITION BY s.user_id ORDER BY s.bucket) AS BIGINT) AS cum_events " +
+        "FROM spine s LEFT JOIN c ON c.user_id = s.user_id AND c.bucket = s.bucket " +
+        "ORDER BY s.user_id, s.bucket"))
   )
 }

@@ -173,4 +173,28 @@ class SkewAndWindowSpec extends AnyFunSuite {
       .addSink(sink)
     assert(sink.values.sorted == Seq(2, 3))
   }
+
+  test("gapFillCumulative fills missing buckets with zeros and accumulates") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // user a: events in hours 10, 10, 13 → spine 10..13 with a 2-hour gap;
+    // user b: single event → one-row spine
+    val ev = Seq(
+      ("a", 10L * 3600 + 5), ("a", 10L * 3600 + 600), ("a", 13L * 3600 + 1),
+      ("b", 20L * 3600)
+    ).toDF("u", "sec").select(col("u"), timestamp_seconds(col("sec")).as("ts"))
+    val out = Windows.gapFillCumulative(ev, "u", "ts", 3600L, bucketsPerChunk = 2L)
+      .orderBy("u", "bucket")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 10L, 2L, 2L), ("a", 11L, 0L, 2L), ("a", 12L, 0L, 2L),
+      ("a", 13L, 1L, 3L), ("b", 20L, 1L, 1L)))
+    // bucketsPerChunk=2 exercises the chunked prefix-sum across a
+    // chunk boundary (buckets 10-11 | 12-13); the window form must agree
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("bucket")
+    val simple = Windows.gapFillCumulative(ev, "u", "ts", 3600L)
+      .withColumn("__chk", org.apache.spark.sql.functions.sum("n_events").over(w))
+      .filter(col("cum_events") =!= col("__chk")).count()
+    assert(simple == 0L)
+  }
 }
