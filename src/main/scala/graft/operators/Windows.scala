@@ -159,6 +159,106 @@ object Windows {
    * task. Bucket index is integer `div` of epoch seconds — identical
    * floor arithmetic in Spark and DuckDB.
    */
+  /**
+   * Linear-interpolation resample — [[gapFillCumulative]]'s numeric
+   * twin: per key, one row per `bucketSec` bucket from first to last
+   * measurement; measured buckets carry their mean value, gap buckets
+   * carry the straight line between the nearest measured neighbors
+   * (every gap is interior by construction — the spine's endpoints are
+   * measured — so no boundary policy is needed).
+   *
+   * Scale shape: the LOCF/NOCB neighbor search never sorts a key's full
+   * history in one task. Each bucket finds its neighbors within its
+   * `bucketsPerChunk`-sized chunk via two (key, chunk)-partitioned
+   * windows; buckets whose chunk holds no earlier (resp. later)
+   * measurement fall back to a chunk-level carry table — per-chunk
+   * first/last measured (bucket, value) structs, joined triangularly
+   * exactly like [[runningSumScalable]]'s offset join (chunk count per
+   * key = span/chunk, orders of magnitude below row count).
+   *
+   * Determinism: measured means quantize to exact integer micro-units
+   * (Σ floor(v·10⁶) — the t22 convention) and every downstream value is
+   * the same IEEE double expression tree in Spark and the DuckDB
+   * oracle, so `v_fill` is bit-identical across engines. It is emitted
+   * UNROUNDED: a decimal rounding here would sit on the engines'
+   * half-up-vs-half-even tie boundary (interpolating 6-dp values
+   * produces exact midpoints — 19 such rows at sf0.01); the declared
+   * r23 query projects `floor(v_fill·10⁶ + 0.5)` instead, the l49
+   * integer-sufficient-statistic pattern with no rounding boundary at
+   * all. Output: keyCol, bucket, `measured` 0/1, `v_fill` (double).
+   */
+  def gapFillInterpolate(events: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, bucketSec: Long,
+                         bucketsPerChunk: Long = 24L): DataFrame = {
+    val mStruct = struct(col("bucket").as("b"), col("__v").as("v"))
+    val measured = events
+      .select(col(keyCol), expr(s"unix_timestamp($tsCol) div $bucketSec").as("bucket"),
+        expr(s"CAST(floor($valueCol * 1000000) AS BIGINT)").as("__m"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("__m")).as("__s"), count(lit(1)).as("__n"))
+      .select(col(keyCol), col("bucket"),
+        (col("__s").cast("double") / col("__n") / lit(1000000.0)).as("__v"))
+    val spine = measured.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val chunk = expr(s"bucket div $bucketsPerChunk")
+    val joined = spine
+      .join(measured.hint("shuffle_hash"), Seq(keyCol, "bucket"), "left")
+      .withColumn("__chunk", chunk)
+    // within-chunk neighbors: (key, chunk)-partitioned windows, so the
+    // per-task sort is bounded by the chunk width
+    val pv = when(col("__v").isNotNull, mStruct)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__chunk")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__chunk")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val within = joined
+      .withColumn("__pin", last(pv, ignoreNulls = true).over(wPrev))
+      .withColumn("__nin", first(pv, ignoreNulls = true).over(wNext))
+    // chunk-level carry: per measured chunk its first/last measurement,
+    // then per-key running max/min over strictly-earlier/-later CHUNKS.
+    // These per-key windows run over the CHUNK table — span-bounded
+    // (#buckets / bucketsPerChunk rows per key: a 10-year hourly spine
+    // at daily chunks is ~3,650 rows), never row-scale, so the
+    // single-task-per-key hazard the chunked windows above avoid does
+    // not apply; a triangular offsets join here would instead be
+    // O(chunks²) per key — measured 21.7× at the 10× along-time probe
+    // before this form replaced it.
+    val chunkAgg = measured.withColumn("__chunk", chunk)
+      .groupBy(col(keyCol), col("__chunk"))
+      .agg(max(mStruct).as("__last"), min(mStruct).as("__first"))
+    val spineChunks = measured.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(sequence(
+        expr(s"__lo div $bucketsPerChunk"),
+        expr(s"__hi div $bucketsPerChunk"))).as("__chunk"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__chunk"))
+    val carries = spineChunks
+      .join(chunkAgg.hint("shuffle_hash"), Seq(keyCol, "__chunk"), "left")
+      .select(col(keyCol), col("__chunk"),
+        max(col("__last")).over(wk.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+          .as("__cprev"),
+        min(col("__first")).over(wk.rowsBetween(1,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing))
+          .as("__cnext"))
+    val p = coalesce(col("__pin"), col("__cprev"))
+    val n = coalesce(col("__nin"), col("__cnext"))
+    within
+      .join(carries.hint("shuffle_hash"), Seq(keyCol, "__chunk"), "left")
+      .select(col(keyCol), col("bucket"),
+        when(col("__v").isNotNull, 1L).otherwise(0L).as("measured"),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(p.getField("v") + (n.getField("v") - p.getField("v")) *
+            ((col("bucket") - p.getField("b")).cast("double") /
+              (n.getField("b") - p.getField("b")).cast("double"))).as("v_fill"))
+  }
+
   def gapFillCumulative(events: DataFrame, keyCol: String, tsCol: String,
                         bucketSec: Long, bucketsPerChunk: Long = 24L): DataFrame = {
     val counts = events

@@ -531,6 +531,53 @@ object RelationalQueries {
         "CAST(SUM(COALESCE(c.n_events, 0)) OVER (" +
         "PARTITION BY s.user_id ORDER BY s.bucket) AS BIGINT) AS cum_events " +
         "FROM spine s LEFT JOIN c ON c.user_id = s.user_id AND c.bucket = s.bucket " +
-        "ORDER BY s.user_id, s.bucket"))
+        "ORDER BY s.user_id, s.bucket")),
+
+    // R23 — linear-interpolation resample (Windows.gapFillInterpolate),
+    // r22's numeric twin: measured buckets carry their mean event value
+    // (exact Σ floor(v·10⁶) integer sums, one rounded division — the
+    // t22 determinism convention), gap buckets the straight line
+    // between nearest measured neighbors. The neighbor search is the
+    // chunked LOCF/NOCB form: (user, day-chunk)-partitioned windows +
+    // a triangular chunk-carry join, so no user's full history sorts
+    // in one task; the oracle's plain IGNORE NULLS windows certify the
+    // chunked form's equivalence end-to-end. Same IEEE double
+    // expression tree on both engines; the declared output projects
+    // floor(v·10⁶ + 0.5) micro-units (the l49 integer-sufficient-
+    // statistic pattern) because a 6-dp ROUND would sit on the
+    // half-up-vs-half-even tie boundary — interpolating 6-dp-scale
+    // values produces exact decimal midpoints (19 rows at sf0.01).
+    "r23_interpolate" -> QueryDef(
+      (s, d) => graft.operators.Windows.gapFillInterpolate(
+          Tables.events(s, d), "user_id", "ts", "value", 3600L)
+        .select(col("user_id"), col("bucket"), col("measured"),
+          expr("CAST(floor(v_fill * 1000000 + 0.5) AS BIGINT)").as("v_fill_micro"))
+        .orderBy("user_id", "bucket"),
+      Some("WITH h AS (SELECT user_id, " +
+        "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, " +
+        "CAST(floor(value * 1000000) AS BIGINT) AS m FROM events), " +
+        "mv AS (SELECT user_id, bucket, " +
+        "CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0 AS v " +
+        "FROM h GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM mv GROUP BY 1), " +
+        "spine AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS bucket FROM b), " +
+        "j AS (SELECT s.user_id, s.bucket, mv.v FROM spine s " +
+        "LEFT JOIN mv ON mv.user_id = s.user_id AND mv.bucket = s.bucket), " +
+        "f AS (SELECT user_id, bucket, v, " +
+        "LAST_VALUE(v IGNORE NULLS) OVER wp AS pv, " +
+        "LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb, " +
+        "FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv, " +
+        "FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nb " +
+        "FROM j WINDOW " +
+        "wp AS (PARTITION BY user_id ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wn AS (PARTITION BY user_id ORDER BY bucket " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, bucket, " +
+        "CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS measured, " +
+        "CAST(floor((CASE WHEN v IS NOT NULL THEN v ELSE " +
+        "pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) " +
+        "END) * 1000000 + 0.5) AS BIGINT) AS v_fill_micro " +
+        "FROM f ORDER BY user_id, bucket"))
   )
 }

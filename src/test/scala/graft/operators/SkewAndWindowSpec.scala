@@ -197,4 +197,28 @@ class SkewAndWindowSpec extends AnyFunSuite {
       .filter(col("cum_events") =!= col("__chk")).count()
     assert(simple == 0L)
   }
+
+  test("gapFillInterpolate draws the line between measured neighbors across chunk gaps") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // user a: hour 10 → 2.0, hour 14 → 10.0; gap hours 11-13 must read
+    // 4, 6, 8. bucketsPerChunk=2 puts the gap across chunks 5|6|7, so
+    // hours 12-13 (chunk 6, no measurement) exercise BOTH carry sides.
+    val ev = Seq(
+      ("a", 10L * 3600, 2.0), ("a", 14L * 3600, 10.0),
+      // user b: two events in one bucket → measured mean 3.5, one-row spine
+      ("b", 20L * 3600, 3.0), ("b", 20L * 3600 + 9, 4.0)
+    ).toDF("u", "sec", "value")
+      .select(col("u"), timestamp_seconds(col("sec")).as("ts"), col("value"))
+    val out = Windows.gapFillInterpolate(ev, "u", "ts", "value", 3600L,
+        bucketsPerChunk = 2L)
+      .orderBy("u", "bucket")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val expected = Seq(
+      ("a", 10L, 1L, 2.0), ("a", 11L, 0L, 4.0), ("a", 12L, 0L, 6.0),
+      ("a", 13L, 0L, 8.0), ("a", 14L, 1L, 10.0), ("b", 20L, 1L, 3.5))
+    assert(out.size == expected.size)
+    out.zip(expected).foreach { case ((u, b, m, v), (eu, eb, em, ev0)) =>
+      assert(u == eu && b == eb && m == em && math.abs(v - ev0) < 1e-9, s"$u/$b")
+    }
+  }
 }
