@@ -80,6 +80,39 @@ object Windows {
   }
 
   /**
+   * [[runningSumScalable]] for UNBOUNDED bucket counts: identical
+   * semantics and contract, but the per-group prefix offsets come from a
+   * per-group running-sum window over the (group, bucket) sums table
+   * instead of the triangular self-join. The join is O(buckets²) per
+   * group — the right shape when buckets are bounded by construction
+   * (the md5-prefix forms: ≤256 forever) and exactly wrong when the
+   * bucket is a TIME chunk whose count grows with the data's span
+   * (r23's first cut measured 21.7× at the 10× along-time probe on that
+   * shape). The offsets window here partitions by group over the
+   * CHUNK-LEVEL table — span-bounded (a 10-year hourly spine at daily
+   * chunks is ~3,650 rows per group), never row-scale, so the
+   * single-task-per-group hazard this family exists to avoid does not
+   * apply.
+   */
+  def runningSumChunked(df: DataFrame, groupCols: Seq[String],
+                        bucketExpr: Column, orderCols: Seq[Column],
+                        valueCol: Column, out: String): DataFrame = {
+    val d = df.withColumn("__bkt", bucketExpr).withColumn("__v", valueCol)
+    val gb = groupCols.map(col) :+ col("__bkt")
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(gb: _*).agg(sum(col("__v")).as("__c"))
+      .select((groupCols.map(col) :+ col("__bkt")) :+
+        coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gb: _*).orderBy(orderCols: _*)
+    d.join(offsets.hint("shuffle_hash"), groupCols :+ "__bkt")
+      .withColumn(out, col("__off") + sum(col("__v")).over(w))
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+
+  /**
    * Two-phase sliding COUNT/SUM: first aggregate per slide-grain tumbling
    * bucket (shuffle carries ONE row per event, already combined
    * map-side), then expand each bucket into the size/slide windows that
@@ -152,12 +185,14 @@ object Windows {
    * shuffle); the per-key bucket spine derives from that agg's min/max
    * (exchange-reused, spine rows = key's time span — arithmetic
    * `sequence` explode, never a calendar cross join); counts hash-join
-   * back onto the spine; the cumulative sum runs in the bucketed
-   * two-pass [[runningSumScalable]] form chunked by `bucketsPerChunk`
-   * buckets (chunk index = bucket div chunk — a prefix of the order
-   * key, monotone per key), so no key's full history ever sorts in one
-   * task. Bucket index is integer `div` of epoch seconds — identical
-   * floor arithmetic in Spark and DuckDB.
+   * back onto the spine; the cumulative sum runs in the two-pass
+   * [[runningSumChunked]] form chunked by `bucketsPerChunk` buckets
+   * (chunk index = bucket div chunk — a prefix of the order key,
+   * monotone per key), so no key's full history ever sorts in one task
+   * and the chunk-offset pass is a span-bounded per-key window, not the
+   * triangular join (time-chunk counts grow with the span). Bucket
+   * index is integer `div` of epoch seconds — identical floor
+   * arithmetic in Spark and DuckDB.
    */
   /**
    * Linear-interpolation resample — [[gapFillCumulative]]'s numeric
@@ -172,9 +207,10 @@ object Windows {
    * `bucketsPerChunk`-sized chunk via two (key, chunk)-partitioned
    * windows; buckets whose chunk holds no earlier (resp. later)
    * measurement fall back to a chunk-level carry table — per-chunk
-   * first/last measured (bucket, value) structs, joined triangularly
-   * exactly like [[runningSumScalable]]'s offset join (chunk count per
-   * key = span/chunk, orders of magnitude below row count).
+   * first/last measured (bucket, value) structs with per-key running
+   * max/min windows over the span-bounded chunk table (the
+   * [[runningSumChunked]] offsets shape; chunk count per key =
+   * span/chunk, orders of magnitude below row count).
    *
    * Determinism: measured means quantize to exact integer micro-units
    * (Σ floor(v·10⁶) — the t22 convention) and every downstream value is
@@ -271,7 +307,7 @@ object Windows {
       .join(counts.hint("shuffle_hash"), Seq(keyCol, "bucket"), "left")
       .select(col(keyCol), col("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
-    runningSumScalable(filled, Seq(keyCol),
+    runningSumChunked(filled, Seq(keyCol),
         expr(s"bucket div $bucketsPerChunk"), Seq(col("bucket")),
         col("n_events"), "cum_events")
       .select(col(keyCol), col("bucket"), col("n_events"), col("cum_events"))
