@@ -578,6 +578,32 @@ object RelationalQueries {
         "CAST(floor((CASE WHEN v IS NOT NULL THEN v ELSE " +
         "pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) " +
         "END) * 1000000 + 0.5) AS BIGINT) AS v_fill_micro " +
-        "FROM f ORDER BY user_id, bucket"))
+        "FROM f ORDER BY user_id, bucket")),
+
+    // R24 — retention cohort matrix: users grouped by first-seen DAY,
+    // retention = distinct active users per (cohort day, days-since)
+    // offset — the product-analytics staple. Plan: per-(user, day)
+    // distinct agg (map-side combined — THE scale shuffle), per-user
+    // min-day derived from it (exchange-reused), one user-keyed hash
+    // join back, then a #days²-bounded count agg. All-integer output;
+    // day index = epoch-seconds div 86400, identical floor arithmetic
+    // both engines.
+    "r24_retention" -> QueryDef(
+      (s, d) => {
+        val uw = Tables.events(s, d)
+          .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+          .distinct()
+        val cohort = uw.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        uw.join(cohort.hint("shuffle_hash"), Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("WITH uw AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events), " +
+        "c AS (SELECT user_id, MIN(day) AS cohort_day FROM uw GROUP BY 1) " +
+        "SELECT c.cohort_day, uw.day - c.cohort_day AS day_offset, " +
+        "COUNT(*) AS n_users FROM uw JOIN c ON uw.user_id = c.user_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"))
   )
 }
