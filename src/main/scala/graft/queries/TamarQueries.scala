@@ -258,6 +258,31 @@ object TamarQueries {
           s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
         " FROM events GROUP BY user_id % 10 ORDER BY ub")),
 
+    // T23 — UNPIVOT, t16's inverse: the pivoted wide (ub × event-type
+    // counts) table melted back to long (ub, event_type, n) rows via
+    // `stack` — one generator projection, zero extra shuffles beyond
+    // t16's agg. Zero-filled combinations survive the round trip (the
+    // wide form materializes them), so the oracle derives the DENSE
+    // matrix independently: observed ubs × the 5 fixed types, left
+    // join, COALESCE 0.
+    "t23_unpivot" -> QueryDef(
+      (s, d) => ev(s, d)
+        .withColumn("ub", col("user_id") % 10)
+        .groupBy("ub")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .select(col("ub"), expr("stack(5, 'click', click, 'error', error, " +
+          "'purchase', purchase, 'signup', signup, 'view', view) AS (event_type, n)"))
+        .orderBy("ub", "event_type"),
+      Some("WITH ubs AS (SELECT DISTINCT user_id % 10 AS ub FROM events), " +
+        "t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')), " +
+        "c AS (SELECT user_id % 10 AS ub, event_type, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT ubs.ub, t.event_type, COALESCE(c.n, 0) AS n " +
+        "FROM ubs CROSS JOIN t LEFT JOIN c ON c.ub = ubs.ub " +
+        "AND c.event_type = t.event_type ORDER BY ubs.ub, t.event_type")),
+
     // T17 — analytic lag: seconds since the user's previous event
     // (lead/lag family; first event per user → -1 sentinel).
     "t17_lag_gap" -> QueryDef(
