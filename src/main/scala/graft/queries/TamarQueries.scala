@@ -258,6 +258,43 @@ object TamarQueries {
           s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
         " FROM events GROUP BY user_id % 10 ORDER BY ub")),
 
+    // T24 — FULL-outer interval join, completing t20/t21: every view
+    // AND every click accounted for — matched pairs, never-converted
+    // views (null click), orphan clicks with no in-horizon prior view
+    // (null view). Declared batch plan: the bucketed inner + TWO
+    // anti-join unions (raw full-outer cross-products per key at
+    // scale); the streaming twin is StreamJoins.followsFullOuter,
+    // proven row-identical in StreamStreamJoinSpec.
+    "t24_stream_full_outer" -> QueryDef(
+      (s, d) => {
+        val e = ev(s, d)
+        val views = e.filter(col("event_type") === "view")
+        val clicks = e.filter(col("event_type") === "click")
+        val inner = graft.operators.RangeJoin.follows(
+            views, clicks, "user_id", "ts", "event_id", 21600000000L)
+          .select(col("user_id"), col("a_id").as("view_id"),
+            col("b_id").as("click_id"))
+        val unmatchedV = views
+          .join(inner.select(col("view_id")).hint("shuffle_hash"),
+            views("event_id") === col("view_id"), "left_anti")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            lit(null).cast("long").as("click_id"))
+        val unmatchedC = clicks
+          .join(inner.select(col("click_id")).distinct().hint("shuffle_hash"),
+            clicks("event_id") === col("click_id"), "left_anti")
+          .select(col("user_id"), lit(null).cast("long").as("view_id"),
+            col("event_id").as("click_id"))
+        inner.unionByName(unmatchedV).unionByName(unmatchedC)
+          .orderBy("user_id", "view_id", "click_id")
+      },
+      Some("SELECT COALESCE(v.user_id, c.user_id) AS user_id, " +
+        "v.event_id AS view_id, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON v.user_id = c.user_id " +
+        "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR " +
+        "ORDER BY user_id, view_id, click_id")),
+
     // T23 — UNPIVOT, t16's inverse: the pivoted wide (ub × event-type
     // counts) table melted back to long (ub, event_type, n) rows via
     // `stack` — one generator projection, zero extra shuffles beyond

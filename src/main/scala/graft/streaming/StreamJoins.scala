@@ -77,4 +77,34 @@ object StreamJoins {
         "left_outer")
       .select(col(keyCol), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
   }
+
+  /**
+   * Full-outer [[follows]], completing the t20/t21 family: matched
+   * pairs, plus each unmatched left row null-padded on the right, plus
+   * each unmatched right row null-padded on the left — attribution
+   * COMPLETENESS ("every view and every click accounted for exactly
+   * once or as a pair"). `keyCol` coalesces across sides, so it is
+   * non-null on every output row.
+   *
+   * Streaming: null rows for a side emit once that side's watermark
+   * clears the possibility of a match (left at a_ts + horizon, right at
+   * b_ts — a click strictly after all in-horizon views can match
+   * nothing older once its own time passes the left watermark); same
+   * horizon-bounded state as the inner form, same sentinel-flush caveat
+   * as [[followsLeftOuter]]. Batch: prefer the t24 declared
+   * composition (bucketed inner + two anti-join unions).
+   */
+  def followsFullOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, idCol: String, horizon: String): DataFrame = {
+    val a = left.select(col(keyCol), col(tsCol).as("a_ts"), col(idCol).as("a_id"))
+    val b = right.select(col(keyCol).as("__bk"), col(tsCol).as("b_ts"),
+      col(idCol).as("b_id"))
+    a.join(b,
+        col(keyCol) === col("__bk") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"),
+        "full_outer")
+      .select(coalesce(col(keyCol), col("__bk")).as(keyCol),
+        col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+  }
 }

@@ -150,6 +150,62 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("followsFullOuter (streaming) accounts for every row on both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Long) = new Timestamp(1709280000000L + i * 97000L)
+    // user 4: views only (left-null-padded path); the i*3/2 click spread
+    // also strands clicks with no prior in-horizon view (right path)
+    val viewRows = (0L until 80L).map(i => (i % 5, ts(i), 1000L + i))
+    val clickRows = (0L until 80L).map(i => (i % 4, ts(i * 3 / 2), 2000L + i))
+    val batchViews = viewRows.toDF("user_id", "ts", "event_id")
+    val batchClicks = clickRows.toDF("user_id", "ts", "event_id")
+    val expected = StreamJoins
+      .followsFullOuter(batchViews, batchClicks, "user_id", "ts", "event_id", "10 minutes")
+      .select("a_id", "b_id").as[(Option[Long], Option[Long])].collect().toSet
+    assert(expected.exists(_._1.isEmpty), "fixture must have orphan clicks")
+    assert(expected.exists(_._2.isEmpty), "fixture must have unmatched views")
+    // the t24 composition (bucketed inner + two anti-join unions) agrees
+    val inner = graft.operators.RangeJoin
+      .follows(batchViews, batchClicks, "user_id", "ts", "event_id", 600000000L)
+    val composed: Set[(Option[Long], Option[Long])] =
+      inner.select("a_id", "b_id").as[(Long, Long)].collect()
+        .map { case (a, b) => (Some(a): Option[Long], Some(b): Option[Long]) }.toSet ++
+      batchViews.join(inner.select("a_id"),
+          batchViews("event_id") === col("a_id"), "left_anti")
+        .select("event_id").as[Long].collect()
+        .map(a => (Some(a): Option[Long], None: Option[Long])).toSet ++
+      batchClicks.join(inner.select("b_id").distinct(),
+          batchClicks("event_id") === col("b_id"), "left_anti")
+        .select("event_id").as[Long].collect()
+        .map(b => (None: Option[Long], Some(b): Option[Long])).toSet
+    assert(composed == expected)
+
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamJoins.followsFullOuter(
+      views.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "1 minute"),
+      clicks.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "1 minute"),
+      "user_id", "ts", "event_id", "10 minutes")
+    val query = joined.select("a_id", "b_id").writeStream
+      .format("memory").queryName("ssj_full").outputMode("append").start()
+    try {
+      viewRows.grouped(40).zip(clickRows.grouped(40)).foreach { case (v, c) =>
+        views.addData(v); clicks.addData(c)
+        query.processAllAvailable()
+      }
+      views.addData((9L, ts(10000L), 999999L))
+      clicks.addData((9L, ts(10000L), 888888L))
+      query.processAllAvailable()
+      views.addData((9L, ts(10001L), 999998L))
+      clicks.addData((9L, ts(10001L), 888887L))
+      query.processAllAvailable()
+      val got = spark.table("ssj_full").as[(Option[Long], Option[Long])].collect().toSet
+        .filterNot(r => r._1.exists(_ >= 999000L) || r._2.exists(_ >= 888000L))
+      assert(got == expected,
+        s"streaming missing ${expected -- got}, extra ${got -- expected}")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment (t22): file-stream join to broadcast dim equals batch") {
     val sf = "/root/testdata/sf0.001"
     val expected = graft.SparkEntry.queries("t22_stream_enrich")(spark, sf)
