@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Measured scale probe for the streaming gap fill
+ * (graft.streaming.GapFillStream): the Scaladoc argues state per key is
+ * the counters plus watermark-horizon-bounded pending counts — i.e.
+ * total state scales with KEY CARDINALITY, not with history length or
+ * corpus size. Run at two key counts (e.g. 200 and 2000) and compare
+ * stored state rows per micro-batch: rows should track keys ~linearly
+ * and stay flat across batches (history growing 5× while state does
+ * not). Recorded in SCALE.md.
+ *
+ * Usage: `sbt "runMain graft.GapFillProbe 200"` (key count; 5 file
+ * batches, each spanning 2 h of event time at minute-level events, 1 h
+ * buckets, 30 min watermark delay).
+ */
+object GapFillProbe {
+  def main(args: Array[String]): Unit = {
+    val keys = args.headOption.map(_.toInt).getOrElse(200)
+    val batches = 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_gapfillprobe")
+      .toFile.getAbsolutePath
+    val src = s"$root/src"
+
+    // every key emits one event per ~7 minutes but SKIPS a pseudo-random
+    // third of the hours — a steady mix of measured and zero buckets
+    val rnd = new scala.util.Random(11)
+    (0 until batches).foreach { b =>
+      val rows = for {
+        k <- 0 until keys
+        m <- 0 until 17 // ~one event per 7 min over the 2 h window
+        if rnd.nextInt(3) > 0
+      } yield (s"k$k",
+        new Timestamp(1704100000000L + (b * 120L + m * 7L) * 60000L))
+      rows.toDF("k", "ts").coalesce(1).write.mode("append").parquet(src)
+    }
+
+    val stream = spark.readStream
+      .schema("k STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withWatermark("ts", "30 minutes")
+    val filled = graft.streaming.GapFillStream(stream, "k", "ts", 3600L,
+      idleTimeoutBuckets = 4L, useTws = false) // FMGWS: provider-agnostic
+    val t0 = System.nanoTime()
+    val q = filled.writeStream.format("noop")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    println(f"[probe] keys=$keys, $batches batches, wall ${wall}%.1f s")
+    println("[probe] batch | input | batch_ms | state rows")
+    q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+      val st = p.stateOperators.map(so => s"${so.operatorName}=${so.numRowsTotal}")
+      println(f"[probe] ${p.batchId}%5d | ${p.numInputRows}%6d | ${p.batchDuration}%8d | " +
+        st.mkString(" "))
+    }
+    spark.stop()
+  }
+}
