@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, RegExpCount, RegExpReplace, Sqrt, StringReplace, StringTrim, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat, Divide, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, RegExpCount, RegExpExtract, RegExpReplace, Sqrt, StringReplace, StringTrim, Subtract}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr, TextFunctions}
 
@@ -106,9 +106,55 @@ object GraftFunctions {
         Literal("  +"), Literal(" ")))
     })
 
+  // URL canonicalization (mirrors TextFunctions.urlHost/
+  // registrableDomain/normalizeUrl — same dialect-neutral patterns the
+  // l64 oracle certifies cross-engine)
+
+  private def authorityExpr(url: Expression): Expression =
+    RegExpExtract(url, Literal("^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"), Literal(1))
+
+  private def urlHostExpr(url: Expression): Expression =
+    Lower(RegExpReplace(authorityExpr(url), Literal(":[0-9]+$"), Literal("")))
+
+  val urlHost: FunctionDescription = (
+    FunctionIdentifier("url_host"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "url_host"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "url_host(url) takes exactly one argument")
+      urlHostExpr(args.head)
+    })
+
+  val registrableDomain: FunctionDescription = (
+    FunctionIdentifier("registrable_domain"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "registrable_domain"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "registrable_domain(url) takes exactly one argument")
+      RegExpExtract(urlHostExpr(args.head),
+        Literal("([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$"), Literal(1))
+    })
+
+  val normalizeUrl: FunctionDescription = (
+    FunctionIdentifier("normalize_url"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "normalize_url"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "normalize_url(url) takes exactly one argument")
+      val url = args.head
+      val scheme = Lower(RegExpExtract(url,
+        Literal("^([A-Za-z][A-Za-z0-9+.-]*)://"), Literal(1)))
+      val host = RegExpReplace(
+        RegExpReplace(Lower(authorityExpr(url)), Literal(":(80|443)$"), Literal("")),
+        Literal("^www\\."), Literal(""))
+      val rest = RegExpExtract(url,
+        Literal("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"), Literal(1))
+      val noUtm = RegExpReplace(rest, Literal("utm_[a-z]*=[^&#]*&?"), Literal(""))
+      Concat(Seq(scheme, Literal("://"), host,
+        RegExpReplace(noUtm, Literal("[?&]+$"), Literal(""))))
+    })
+
   val all: Seq[FunctionDescription] =
     Seq(rollingHash, wordShingles, dotProduct,
-      cosineSim, l2Norm, wsTokenCount, bpeishTokenCount, normalizeText)
+      cosineSim, l2Norm, wsTokenCount, bpeishTokenCount, normalizeText,
+      urlHost, registrableDomain, normalizeUrl)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

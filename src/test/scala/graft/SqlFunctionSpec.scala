@@ -46,6 +46,22 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(got == viaColumn)
   }
 
+  test("url functions are callable from SQL and match the Column forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val url = "https://WWW.Sub0.Site3.com:443/p/1?utm_source=a&id=2#frag"
+    val got = spark.sql(
+      s"SELECT url_host('$url') AS h, registrable_domain('$url') AS d, " +
+        s"normalize_url('$url') AS n").as[(String, String, String)].head()
+    assert(got == ("www.sub0.site3.com", "site3.com", "https://sub0.site3.com/p/1?id=2"))
+    val viaColumn = Seq(url).toDF("u").select(
+        graft.functions.TextFunctions.urlHost(col("u")),
+        graft.functions.TextFunctions.registrableDomain(col("u")),
+        graft.functions.TextFunctions.normalizeUrl(col("u")))
+      .as[(String, String, String)].head()
+    assert(got == viaColumn)
+  }
+
   test("rolling_hash is callable from SQL and matches the fold") {
     import spark.implicits._
     val got = spark.sql("SELECT rolling_hash('a b c d') AS fp").as[Long].head()
