@@ -31,6 +31,7 @@ object PlanAudit {
       "l25_tfidf", "l26_ann_int8", "l33_unigram_logprob", "l34_moore_lewis",
       "l39_ppl_buckets", "l42_ivf_trained", "l44_sql_functions",
       "l45_bigram_logprob", // V scalar cross-broadcast, as l33's total
+      "l65_kneser_ney", // 1-row distinct-bigram total cross-broadcast, as l45's V
       "l47_temperature_mix", // 1-row (Σw, N) total against the per-key weights
       "l54_source_divergence", // 1-row corpus-total N cross-broadcast, as l33
       "r21_skew_stats") // 1-row (total, #keys) scalar against per-key counts

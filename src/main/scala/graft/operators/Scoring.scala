@@ -69,4 +69,46 @@ object Scoring {
     * vector instead; OperatorSpec pins a random-weight run against a
     * driver-side reference. */
   val oracleWeights: Array[Double] = Array.tabulate(256)(b => (b - 128) / 256.0)
+
+  /**
+   * Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995) — the
+   * smoothing family KenLM ships: per document, mean −ln P_KN(b|a)
+   * under absolute discount `d` with continuation-probability backoff,
+   *   P_KN(b|a) = (max(C(a,b)−d, 0) + d·N1+(a·)·P_cont(b)) / C(a·),
+   *   P_cont(b) = N1+(·b) / |distinct bigrams|.
+   * Self-scoring the training corpus means no unseen events, so no
+   * unseen-context branch is needed. Every statistic is an agg of the
+   * one bigram-count table; both count joins are shuffle-hash (vocab²
+   * never broadcasts); 9-dp DECIMAL(20,9) per-bigram terms keep the
+   * per-doc mean shuffle-order-exact (the l33/l45 discipline).
+   * Output: idCol, n_bigrams, avg_neg_logprob. ScoringSpec pins the
+   * formula against hand-computed probabilities.
+   */
+  def kneserNeyBigram(docs: DataFrame, textCol: String, idCol: String,
+                      d: Double = 0.75): DataFrame = {
+    val big = docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - 2)).as("__i"))
+      .select(col(idCol),
+        col("__t")(col("__i")).as("a"), col("__t")(col("__i") + 1).as("b"))
+    val bc = big.groupBy("a", "b").agg(count(lit(1)).as("__nab"))
+    val cx = bc.groupBy("a").agg(sum(col("__nab")).as("__na"),
+      count(lit(1)).as("__n1v"))
+    val cw = bc.groupBy("b").agg(count(lit(1)).as("__ncw"))
+    val nb = bc.agg(count(lit(1)).as("__nb"))
+    val p = (greatest(col("__nab").cast("double") - lit(d), lit(0.0)) +
+      lit(d) * col("__n1v") *
+        (col("__ncw").cast("double") / col("__nb"))) / col("__na")
+    big.join(bc.hint("shuffle_hash"), Seq("a", "b"))
+      .join(cx.hint("shuffle_hash"), Seq("a"))
+      .join(cw.hint("shuffle_hash"), Seq("b"))
+      .crossJoin(broadcast(nb))
+      .select(col(idCol),
+        round(-log(p), 9).cast("decimal(20,9)").as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lp")).cast("double") / count(lit(1)), 6).as("avg_neg_logprob"))
+  }
 }

@@ -1346,6 +1346,42 @@ object LlmQueries {
         "ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id")),
 
+    // L65 — interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    // the smoothing family KenLM ships and CCNet actually filters
+    // with — l45's add-one is the pedagogical baseline, this is the
+    // production one): mean −ln P_KN(b|a) per document with absolute
+    // discount d = 0.75 and the continuation-probability backoff
+    //   P_KN(b|a) = (max(C(a,b)−d, 0) + d·N1+(a·)·P_cont(b)) / C(a·),
+    //   P_cont(b) = N1+(·b) / |distinct bigrams|.
+    // Every statistic derives from the ONE bigram-count table (context
+    // totals, distinct-continuation and distinct-predecessor counts are
+    // three cheap aggs of it); self-scoring the corpus means no unseen
+    // events, so the formula needs no unseen-context branch. Same plan
+    // + determinism discipline as l45: shuffle-hash count joins (vocab²
+    // never broadcasts), one broadcast scalar, all-DOUBLE expression
+    // tree identical in both engines (the oracle CASTs every operand —
+    // DuckDB decimal literals would otherwise pull the arithmetic into
+    // DECIMAL), 9-dp DECIMAL(20,9) terms, exact partial sums.
+    "l65_kneser_ney" -> QueryDef(
+      (s, d) => graft.operators.Scoring.kneserNeyBigram(
+          Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "bg AS (SELECT doc_id, tk[i + 1] AS a, tk[i + 2] AS b FROM " +
+        "(SELECT doc_id, tk, UNNEST(generate_series(0, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 2)), " +
+        "bc AS (SELECT a, b, COUNT(*) AS nab FROM bg GROUP BY a, b), " +
+        "cx AS (SELECT a, SUM(nab) AS na, COUNT(*) AS n1v FROM bc GROUP BY a), " +
+        "cw AS (SELECT b, COUNT(*) AS ncw FROM bc GROUP BY b), " +
+        "nbt AS (SELECT COUNT(*) AS nb FROM bc), " +
+        "sc AS (SELECT doc_id, CAST(ROUND(-LN(" +
+        "(GREATEST(CAST(nab AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) + " +
+        "CAST(0.75 AS DOUBLE) * n1v * (CAST(ncw AS DOUBLE) / nb)) / na" +
+        "), 9) AS DECIMAL(20,9)) AS lp " +
+        "FROM bg JOIN bc USING (a, b) JOIN cx USING (a) JOIN cw USING (b), nbt) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+
     // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
     // ACL'10 — the standard cross-entropy-difference ranking for
     // domain-targeted pretraining data): score every document by the

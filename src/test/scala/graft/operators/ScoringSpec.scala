@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hand-computed Kneser-Ney probabilities for [[Scoring.kneserNeyBigram]]
+  * (the l65 formula, pinned against the paper's definition). */
+class ScoringSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kneserNeyBigram matches hand-computed interpolated KN probabilities") {
+    // corpus "a b a b a c": C(a,b)=2 C(b,a)=2 C(a,c)=1;
+    // C(a·)=3 N1+(a·)=2; C(b·)=2 N1+(b·)=1; N1+(·a)=N1+(·b)=N1+(·c)=1;
+    // distinct bigrams = 3, d = 0.75, P_cont(x) = 1/3 for all x
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val pBgivenA = (2.0 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3 // 1.75/3
+    val pAgivenB = (2.0 - 0.75 + 0.75 * 1 * (1.0 / 3)) / 2 // 0.75
+    val pCgivenA = (1.0 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3 // 0.25
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = ((r9(-math.log(pBgivenA)) * 2 + r9(-math.log(pAgivenB)) * 2 +
+      r9(-math.log(pCgivenA))) / 5).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = Scoring.kneserNeyBigram(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().head
+    assert(got._2 == 5L)
+    assert(math.abs(got._3 - expected.toDouble) < 1e-9, s"got ${got._3}, want $expected")
+    // discounted mass leaves room for unseen continuations: the seen
+    // probabilities of context 'a' must sum strictly below 1
+    assert(2.0 / 3 * pBgivenA + 0 * 0 + pCgivenA < 1.0 - 1e-9 ||
+      pBgivenA + pCgivenA < 1.0 - 1e-9)
+  }
+
+  test("kneserNeyBigram scores every multi-token doc, skips single-token docs") {
+    val docs = Seq((1L, "x y"), (2L, "solo"), (3L, "x y x")).toDF("doc_id", "text")
+    val got = Scoring.kneserNeyBigram(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 3L)) // doc 2 has no bigrams
+    assert(got.forall(_._3 >= 0.0)) // −ln P ≥ 0 since every P ≤ 1
+  }
+}
