@@ -84,6 +84,44 @@ object Scoring {
    * Output: idCol, n_bigrams, avg_neg_logprob. ScoringSpec pins the
    * formula against hand-computed probabilities.
    */
+  /**
+   * Compression-ratio quality signal (the Dolma/Gopher compressibility
+   * heuristic): deflate each document's UTF-8 bytes and report
+   * compressed/raw size ×10⁶ as an integer ratio — highly repetitive
+   * boilerplate compresses far below prose, so a low ratio flags
+   * template/spam pages and a ratio near (or above) 10⁶ flags
+   * high-entropy noise. Runs at the same `mapPartitions` boundary as
+   * the multimodal decoders (one Deflater per batch, reused across the
+   * partition's rows — allocation cost amortizes exactly like a codec
+   * would); a pure per-row map otherwise, zero shuffles at any scale.
+   * No DuckDB oracle (the oracle engine ships no deflate) — like the
+   * HLL sketch bytes, the guarantee is the spec: deterministic across
+   * runs, ordered correctly across repetitive/prose/noise inputs.
+   * Output: idCol, `raw_len`, `deflate_len`, `ratio_ppm` (all long).
+   */
+  def compressionRatio(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // level 6 = zlib default: the standard corpus-quality setting;
+        // one deflater per partition, reset per row
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, raw.length.toLong, n, if (raw.length == 0) 0L else n * 1000000L / raw.length)
+        }
+      }
+      .toDF(idCol, "raw_len", "deflate_len", "ratio_ppm")
+  }
+
   def kneserNeyBigram(docs: DataFrame, textCol: String, idCol: String,
                       d: Double = 0.75): DataFrame = {
     val big = docs

@@ -31,6 +31,23 @@ class ScoringSpec extends AnyFunSuite {
       pBgivenA + pCgivenA < 1.0 - 1e-9)
   }
 
+  test("compressionRatio orders repetitive < prose < noise, deterministically") {
+    val rnd = new scala.util.Random(3)
+    val docs = Seq(
+      (1L, "spam spam " * 200),                                  // boilerplate
+      (2L, (0 until 200).map(i => s"word${i % 50} item$i").mkString(" ")), // prose-ish
+      (3L, Array.fill(400)(rnd.nextPrintableChar()).mkString)    // high entropy
+    ).toDF("doc_id", "text")
+    def run() = Scoring.compressionRatio(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val a = run()
+    assert(a == run()) // bit-deterministic across runs
+    val ratio = a.map(r => r._1 -> r._4).toMap
+    assert(ratio(1L) < ratio(2L) && ratio(2L) < ratio(3L), s"got $ratio")
+    assert(ratio(1L) < 100000L, s"boilerplate should crush: $ratio") // < 10%
+    assert(a.forall(r => r._2 > 0 && r._3 > 0))
+  }
+
   test("kneserNeyBigram scores every multi-token doc, skips single-token docs") {
     val docs = Seq((1L, "x y"), (2L, "solo"), (3L, "x y x")).toDF("doc_id", "text")
     val got = Scoring.kneserNeyBigram(docs, "text", "doc_id")
