@@ -198,6 +198,71 @@ class SkewAndWindowSpec extends AnyFunSuite {
     assert(simple == 0L)
   }
 
+  test("runningSumChunked equals runningSumScalable on random input across chunk widths") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 500).map(_ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(200).toLong, rnd.nextInt(9).toLong + 1))
+      .distinct // near-unique (g, ord); residual ties hit both forms'
+                // identical RANGE-frame tie semantics, also under test
+    val df = rows.toDF("g", "ord", "v")
+    for (w <- Seq(1L, 7L, 64L)) {
+      val a = Windows.runningSumScalable(df, Seq("g"), expr(s"ord div $w"),
+          Seq(col("ord")), col("v"), "rs")
+        .select("g", "ord", "rs").as[(String, Long, Long)].collect().toSet
+      val b = Windows.runningSumChunked(df, Seq("g"), expr(s"ord div $w"),
+          Seq(col("ord")), col("v"), "rs")
+        .select("g", "ord", "rs").as[(String, Long, Long)].collect().toSet
+      assert(a == b, s"chunk width $w")
+    }
+  }
+
+  test("gapFillInterpolate equals the plain-window form on random sparse series") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    // sparse measurements: ~30 random (key, hour) points over a 200-hour
+    // span per key, random values — gaps of every width incl. across
+    // multiple chunk boundaries
+    val rows = (for {
+      k <- 0 until 4
+      _ <- 0 until 30
+    } yield (s"k$k", rnd.nextInt(200).toLong * 3600L,
+      math.round(rnd.nextDouble() * 100 * 100) / 100.0)).distinct
+    val ev = rows.toDF("k", "sec", "value")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("value"))
+    val chunked = Windows.gapFillInterpolate(ev, "k", "ts", "value", 3600L,
+        bucketsPerChunk = 5L)
+      .select("k", "bucket", "measured", "v_fill")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // reference: single per-key IGNORE NULLS windows (the oracle's form)
+    val measured = ev.select(col("k"),
+        expr("unix_timestamp(ts) div 3600").as("bucket"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("m"))
+      .groupBy("k", "bucket")
+      .agg((sum("m").cast("double") / count(lit(1)) / lit(1000000.0)).as("v"))
+    val spine = measured.groupBy("k")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("bucket")
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val plain = spine.join(measured, Seq("k", "bucket"), "left")
+      .withColumn("pv", last("v", ignoreNulls = true).over(wp))
+      .withColumn("pb", last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wn))
+      .withColumn("nb", first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wn))
+      .select(col("k"), col("bucket"),
+        when(col("v").isNotNull, 1L).otherwise(0L).as("measured"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("bucket") - col("pb")).cast("double") /
+              (col("nb") - col("pb")).cast("double"))).as("v_fill"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(chunked == plain,
+      s"missing ${plain -- chunked}, extra ${chunked -- plain}")
+  }
+
   test("gapFillInterpolate draws the line between measured neighbors across chunk gaps") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
     // user a: hour 10 → 2.0, hour 14 → 10.0; gap hours 11-13 must read
