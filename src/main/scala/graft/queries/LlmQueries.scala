@@ -1382,6 +1382,49 @@ object LlmQueries {
         "ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id")),
 
+    // L66 — HTML-to-text extraction (the CommonCrawl step between WARC
+    // bodies and every text operator here): per the l51/l64 fixture
+    // pattern, deterministic HTML is constructed around each document's
+    // text on BOTH engine sides (title, style block, comment, script
+    // block, entity-bearing tail — every removal class), then each
+    // engine independently runs the same strip-blocks → strip-tags →
+    // decode-entities → collapse chain. A hash match over the full
+    // extracted strings certifies the (?s)/non-greedy regex chain and
+    // entity ordering span-for-span across Java regex and RE2. Pure
+    // per-row projection; zero shuffles.
+    "l66_html_extract" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val html = concat(
+          lit("<html><head><title>T"), str(id),
+          lit("</title><style>p{color:red}</style></head><body><!-- c"), str(id),
+          lit(" --><p>"), col("text"),
+          lit("</p><script>var x="), str(id),
+          lit(";</script><div>tail &amp; &lt;b&gt; "), str(id % 7),
+          lit("</div></body></html>"))
+        Tables.documents(s, d)
+          .select(id, htmlToText(html).as("ext"))
+          .select(id, col("ext"), md5(col("ext")).as("ext_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH h AS (SELECT doc_id, '<html><head><title>T' || CAST(doc_id AS VARCHAR) || " +
+        "'</title><style>p{color:red}</style></head><body><!-- c' || CAST(doc_id AS VARCHAR) || " +
+        "' --><p>' || text || '</p><script>var x=' || CAST(doc_id AS VARCHAR) || " +
+        "';</script><div>tail &amp; &lt;b&gt; ' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "'</div></body></html>' AS html FROM documents), " +
+        "e AS (SELECT doc_id, trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(" +
+        "regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        "'<[^>]*>', ' ', 'g'), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'), " +
+        "'  +', ' ', 'g')) AS ext FROM h) " +
+        "SELECT doc_id, ext, md5(ext) AS ext_md5 FROM e ORDER BY doc_id")),
+
     // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
     // ACL'10 — the standard cross-entropy-difference ranking for
     // domain-targeted pretraining data): score every document by the

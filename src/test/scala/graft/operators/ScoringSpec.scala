@@ -48,6 +48,29 @@ class ScoringSpec extends AnyFunSuite {
     assert(a.forall(r => r._2 > 0 && r._3 > 0))
   }
 
+  test("htmlToText strips blocks and tags, decodes entities, survives malformed input") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.htmlToText
+    val cases = Seq(
+      // blocks removed wholesale, tags stripped, entities decoded last
+      ("<p>a &amp; b</p><script>x<y; if(a&&b){}</script><i>c</i>", "a & b c"),
+      // an entity-encoded tag is TEXT, not a strippable tag
+      ("&lt;script&gt;not code&lt;/script&gt;", "<script>not code</script>"),
+      // style with attributes; comment with tags inside
+      ("<style type=\"text/css\">p>span{}</style>ok<!-- <b>x</b> -->", "ok"),
+      // unclosed script swallows to the end (the (?s) span finds no
+      // terminator -> nothing matches -> tags stripped individually):
+      // malformed input degrades, never throws
+      ("<p>keep</p><script>var x=1", "keep var x=1"),
+      ("", ""),
+      ("plain text, no markup", "plain text, no markup"))
+    val got = cases.map(_._1).toDF("h")
+      .select(htmlToText(col("h"))).as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"input $in: got '$g', want '$want'")
+    }
+  }
+
   test("kneserNeyBigram scores every multi-token doc, skips single-token docs") {
     val docs = Seq((1L, "x y"), (2L, "solo"), (3L, "x y x")).toDF("doc_id", "text")
     val got = Scoring.kneserNeyBigram(docs, "text", "doc_id")
