@@ -151,10 +151,28 @@ object GraftFunctions {
         RegExpReplace(noUtm, Literal("[?&]+$"), Literal(""))))
     })
 
+  val htmlToText: FunctionDescription = (
+    FunctionIdentifier("html_to_text"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "html_to_text"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "html_to_text(html) takes exactly one argument")
+      val noBlocks = RegExpReplace(RegExpReplace(RegExpReplace(args.head,
+        Literal("(?s)<script[^>]*>.*?</script>"), Literal(" ")),
+        Literal("(?s)<style[^>]*>.*?</style>"), Literal(" ")),
+        Literal("(?s)<!--.*?-->"), Literal(" "))
+      val noTags = RegExpReplace(noBlocks, Literal("<[^>]*>"), Literal(" "))
+      val decoded = StringReplace(StringReplace(StringReplace(StringReplace(
+        StringReplace(noTags,
+          Literal("&lt;"), Literal("<")), Literal("&gt;"), Literal(">")),
+        Literal("&quot;"), Literal("\"")), Literal("&#39;"), Literal("'")),
+        Literal("&amp;"), Literal("&"))
+      StringTrim(RegExpReplace(decoded, Literal("  +"), Literal(" ")))
+    })
+
   val all: Seq[FunctionDescription] =
     Seq(rollingHash, wordShingles, dotProduct,
       cosineSim, l2Norm, wsTokenCount, bpeishTokenCount, normalizeText,
-      urlHost, registrableDomain, normalizeUrl)
+      urlHost, registrableDomain, normalizeUrl, htmlToText)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -62,6 +62,19 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(got == viaColumn)
   }
 
+  test("html_to_text is callable from SQL and matches the Column form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val html = "<p>a &amp; b</p><script>x<y;</script><i>c</i>"
+    val got = spark.sql(
+      s"SELECT html_to_text('$html') AS t").as[String].head()
+    assert(got == "a & b c")
+    val viaColumn = Seq(html).toDF("h")
+      .select(graft.functions.TextFunctions.htmlToText(col("h")))
+      .as[String].head()
+    assert(got == viaColumn)
+  }
+
   test("rolling_hash is callable from SQL and matches the fold") {
     import spark.implicits._
     val got = spark.sql("SELECT rolling_hash('a b c d') AS fp").as[Long].head()
