@@ -3,15 +3,17 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Sampling, Scoring}
 
 /**
  * End-to-end training-data curation pipeline assembled from the graft
  * operators — the workload this engine is built for at 100 TB:
  *
- *   documents → quality + repetition filters → exact+near dedup cascade →
- *   benchmark decontamination → domain reweighting →
- *   token stats enrichment → stratified sample → curated parquet
+ *   documents (as crawled HTML) → text extraction → URL canonicalization
+ *   → quality + repetition + LM-perplexity filters → exact+near dedup
+ *   cascade (normalized keys) → benchmark decontamination → domain
+ *   reweighting → token stats enrichment → stratified sample →
+ *   curated parquet
  *
  * Every stage is a declarative DataFrame transform, so the whole
  * pipeline is ONE Catalyst plan per output: pushdown reaches the scan,
@@ -30,16 +32,38 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    val total = docs.count()
+    val raw = graft.sources.Tables.documents(spark, sfDir)
+    val total = raw.count()
+
+    // 0. crawl-side preprocessing: the corpus stands in for crawled
+    // pages — wrap each text in deterministic HTML + a URL, then run
+    // the real extraction/canonicalization the WARC path uses:
+    // html_to_text recovers the text, normalize_url collapses revisit
+    // variants (per-URL exact dedup), both pure projections
+    val crawled = raw.select(col("doc_id"), col("lang"), col("source"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p><script>var x=1;</script></body></html>")).as("html"),
+      concat(lit("https://www.site"), (col("doc_id") % 11).cast("string"),
+        lit(".com:443/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=crawl")).as("url"))
+    val docs = crawled.select(col("doc_id"), col("lang"), col("source"),
+      TextFunctions.htmlToText(col("html")).as("text"),
+      TextFunctions.normalizeUrl(col("url")).as("norm_url"),
+      TextFunctions.registrableDomain(col("url")).as("domain"))
 
     // 1. quality gate: length band + whitespace sanity + repetition cap
-    // (duplicate-2-gram fraction — per-row arithmetic, no shuffle)
+    // (duplicate-2-gram fraction — per-row arithmetic, no shuffle) +
+    // compressibility band (boilerplate crushes, noise doesn't)
     val dup2 = TextFunctions.dupNgramFraction(col("text"), 2)
+    val ratios = Scoring.compressionRatio(docs, "text", "doc_id")
+      .select(col("doc_id"), col("ratio_ppm"))
     val quality = docs.filter(
-      length(col("text")).between(50, 5000) &&
-        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) / length(col("text")) > 0.05 &&
-        dup2 < 0.9)
+        length(col("text")).between(50, 5000) &&
+          (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) / length(col("text")) > 0.05 &&
+          dup2 < 0.9)
+      .join(ratios.hint("shuffle_hash"), Seq("doc_id"))
+      .filter(col("ratio_ppm").between(100000L, 900000L))
+      .drop("ratio_ppm")
 
     // 2. dedup cascade: exact (min id wins) + MinHash-LSH near-dups
     val deduped = Dedup.dedupCorpus(quality, "text", "doc_id", jaccardThreshold = 0.8)
@@ -57,10 +81,14 @@ object PipelineDemo {
       decontaminated, "lang", "doc_id", Map("en" -> 0.7))
 
     // 5. enrichment: token counts + fingerprint (codegen'd expressions)
+    // + Kneser-Ney bigram perplexity (the KenLM-family quality score)
+    val kn = Scoring.kneserNeyBigram(mixed, "text", "doc_id")
+      .select(col("doc_id"), col("avg_neg_logprob").as("kn_score"))
     val enriched = mixed
       .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")))
       .withColumn("n_bpeish", TextFunctions.bpeishTokenCount(col("text")))
       .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
+      .join(kn.hint("shuffle_hash"), Seq("doc_id"), "left")
 
     // 6. deterministic per-language sample for eval/inspection splits
     val sample = Sampling.stratifiedSample(enriched, "lang", "doc_id", 50)
