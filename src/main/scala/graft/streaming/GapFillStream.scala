@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  * GapFillStreamSpec), and past the key's last event the stream keeps
  * emitting zero rows until `idleTimeoutBuckets` consecutive zeros
  * retire the key (releasing all its state) — silence is data, but
- * unbounded silence must not be unbounded state.
+ * unbounded silence must not be unbounded state. A RETIRED key that
+ * receives new data starts a FRESH series (cum restarts at zero from
+ * the new first bucket): retirement is end-of-series, not a pause;
+ * callers wanting one unbroken series across long silences set
+ * `idleTimeoutBuckets` ≤ 0 and accept the standing zero emission.
  *
  * Scale shape: state per key = the running (nextBucket, cum, zeroRun)
  * counters plus pending counts for buckets the watermark has not

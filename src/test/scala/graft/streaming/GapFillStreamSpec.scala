@@ -124,6 +124,17 @@ class GapFillStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("a retired key revived by new data starts a fresh series") {
+    // retire at idleMax=2, then absorb a later bucket: next/cum restart
+    val s1 = GapFillStream.absorb(None, Iterator(5L)).get
+    val (r1, s2) = GapFillStream.release(s1, 9000L, 1000L, idleMax = 2L)
+    assert(r1 == Seq((5L, 1L, 1L), (6L, 0L, 1L), (7L, 0L, 1L)) && s2.isEmpty)
+    val revived = GapFillStream.absorb(s2, Iterator(20L)).get
+    assert(revived == GapFillStream.GapState(20L, 0L, 0L, Map(20L -> 1L)))
+    val (r2, _) = GapFillStream.release(revived, 22000L, 1000L, idleMax = 2L)
+    assert(r2 == Seq((20L, 1L, 1L), (21L, 0L, 1L))) // cum restarted at 0
+  }
+
   test("absorb/release core: zero runs, retirement, late-row drop") {
     val s1 = GapFillStream.absorb(None, Iterator(5L, 5L, 7L)).get
     assert(s1 == GapFillStream.GapState(5L, 0L, 0L, Map(5L -> 2L, 7L -> 1L)))

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.Windows
+
+/** Streaming per-window top-k vs the batch tumbling + top-k
+  * composition: emissions must be row-identical once windows close,
+  * cross-batch counts must merge, and closed-window state must drop. */
+class TopKStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def t(hour: Long, min: Long): Timestamp =
+    new Timestamp((hour * 3600 + min * 60) * 1000L)
+
+  /** Batch reference: tumbling hourly counts + scalable top-k. */
+  private def batchTopK(rows: Seq[(Timestamp, String)], k: Int): Set[(Long, String, Long, Long)] = {
+    val df = rows.toDF("ts", "token")
+    val counts = df.groupBy(
+        (expr("unix_timestamp(ts) div 3600") * lit(3600000000L)).as("window_start"),
+        col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    Windows.topKPerKeyScalable(counts, Seq("window_start"),
+        Seq(col("cnt").desc, col("token")), k,
+        substring(md5(col("token")), 1, 1), "rank")
+      .as[(Long, String, Long, Long)].collect().toSet
+  }
+
+  private def run(useTws: Boolean): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    // hour 10: a×3 b×2 c×1 split ACROSS two micro-batches (state must
+    // merge); hour 11: b×2 d×1
+    val batch1 = Seq((t(10, 1), "a"), (t(10, 2), "b"), (t(10, 3), "a"))
+    val batch2 = Seq((t(10, 4), "a"), (t(10, 5), "c"), (t(10, 6), "b"),
+      (t(11, 1), "b"), (t(11, 2), "d"), (t(11, 3), "b"))
+    val sentinel = Seq((t(20, 0), "zzz"))
+    val expected = batchTopK(batch1 ++ batch2, 2)
+
+    val input = MemoryStream[(Timestamp, String)]
+    val out = TopKStream(
+      input.toDF().toDF("ts", "token").withWatermark("ts", "0 seconds"),
+      "ts", "token", 3600L, 2, useTws = useTws)
+    val name = s"topk_$useTws"
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      input.addData(sentinel); query.processAllAvailable() // closes 10, 11
+      input.addData(Seq((t(21, 0), "zz2"))); query.processAllAvailable()
+      val got = spark.table(name).as[(Long, String, Long, Long)].collect().toSet
+        .filterNot(_._1 >= 20L * 3600L * 1000000L) // sentinel windows
+      assert(got == expected,
+        s"missing ${expected -- got}, extra ${got -- expected}")
+      // hour 10's top-2 is (a,3),(b,2) — c must NOT appear
+      assert(!got.exists(r => r._1 == 10L * 3600000000L && r._2 == "c"))
+    } finally query.stop()
+  }
+
+  test("TWS backend matches the batch tumbling + top-k composition") {
+    withRocksDb { run(useTws = true) }
+  }
+
+  test("FMGWS backend matches the batch tumbling + top-k composition") {
+    run(useTws = false)
+  }
+
+  test("merge/closeWindow core: count desc, token asc, rank, k cut") {
+    val m = TopKStream.merge(Map("a" -> 1L), Iterator("b", "a", "b", "c"))
+    assert(m == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    assert(TopKStream.closeWindow(m, 2) == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+    assert(TopKStream.closeWindow(Map.empty, 3) == Seq.empty)
+  }
+}
