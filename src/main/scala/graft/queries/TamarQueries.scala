@@ -258,6 +258,33 @@ object TamarQueries {
           s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(", ") +
         " FROM events GROUP BY user_id % 10 ORDER BY ub")),
 
+    // T25 — per-window trending top-k, the BATCH twin of
+    // streaming/TopKStream (which TopKStreamSpec proves row-identical
+    // to this composition): top-3 event types per hourly tumbling
+    // window by count, ties by type ascending. The top-k runs in the
+    // two-level salted form (Windows.topKPerKeyScalable) — at 100 TB a
+    // plain per-window row_number over raw counts is fine (counts are
+    // #windows × #types), but the salted form costs nothing and keeps
+    // the pattern uniform. window_start is epoch µs (the SessionBounds
+    // µs-portable convention).
+    "t25_trending" -> QueryDef(
+      (s, d) => graft.operators.Windows.topKPerKeyScalable(
+          ev(s, d).groupBy(
+              (expr("unix_timestamp(ts) div 3600") * lit(3600000000L)).as("window_start"),
+              col("event_type"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("window_start"), Seq(col("cnt").desc, col("event_type")), 3,
+          substring(md5(col("event_type")), 1, 1), "rank")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("window_start", "rank"),
+      Some("SELECT window_start, event_type, cnt, rank FROM (" +
+        "SELECT window_start, event_type, cnt, " +
+        "ROW_NUMBER() OVER (PARTITION BY window_start " +
+        "ORDER BY cnt DESC, event_type) AS rank FROM (" +
+        "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000000 AS window_start, " +
+        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2)) " +
+        "WHERE rank <= 3 ORDER BY window_start, rank")),
+
     // T24 — FULL-outer interval join, completing t20/t21: every view
     // AND every click accounted for — matched pairs, never-converted
     // views (null click), orphan clicks with no in-horizon prior view
