@@ -76,3 +76,63 @@ object GapFillProbe {
     spark.stop()
   }
 }
+
+/**
+ * State probe for graft.streaming.TopKStream: the Scaladoc bounds state
+ * by OPEN windows (one map per un-closed window), evicted at close —
+ * run at two token cardinalities and watch state rows track open
+ * windows (1-2 here), not tokens seen or stream length.
+ *
+ * Usage: `sbt "runMain graft.TopKProbe 5000"` (distinct tokens).
+ */
+object TopKProbe {
+  def main(args: Array[String]): Unit = {
+    val tokens = args.headOption.map(_.toInt).getOrElse(5000)
+    val batches = 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_topkprobe")
+      .toFile.getAbsolutePath
+    val src = s"$root/src"
+    val rnd = new scala.util.Random(13)
+    // each batch spans one hour; every batch closes the previous window
+    (0 until batches).foreach { b =>
+      val rows = (0 until 20000).map { _ =>
+        (s"tok${rnd.nextInt(tokens)}",
+          new Timestamp(1704100000000L + b * 3600000L + rnd.nextInt(3600000)))
+      }
+      rows.toDF("token", "ts").coalesce(1).write.mode("append").parquet(src)
+    }
+    val stream = spark.readStream
+      .schema("token STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withWatermark("ts", "5 minutes")
+    val trending = graft.streaming.TopKStream(stream, "ts", "token", 3600L, 10,
+      useTws = false)
+    val t0 = System.nanoTime()
+    val q = trending.writeStream.format("noop")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] distinct tokens=$tokens, $batches hourly batches, wall ${wall}%.1f s")
+    println("[probe] batch | input | batch_ms | state rows (open windows)")
+    q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+      val st = p.stateOperators.map(so => s"${so.operatorName}=${so.numRowsTotal}")
+      println(f"[probe] ${p.batchId}%5d | ${p.numInputRows}%6d | ${p.batchDuration}%8d | " +
+        st.mkString(" "))
+    }
+    spark.stop()
+  }
+}
