@@ -82,6 +82,39 @@ class TopKStreamSpec extends AnyFunSuite {
     run(useTws = false)
   }
 
+  test("approx (CMS + candidate cap) recovers the exact top-k on skewed streams") {
+    implicit val sqlCtx = spark.sqlContext
+    // Zipf-ish hour: heavy tokens h0..h4 (60, 50, 40, 30, 20 events)
+    // inside 2000 singleton-noise tokens — the regime the sketch is for.
+    // cap=64 << 2005 distinct tokens forces real candidate eviction.
+    val rnd = new scala.util.Random(5)
+    val heavy = (0 until 5).flatMap(i => Seq.fill(60 - i * 10)(s"h$i"))
+    val noise = (0 until 2000).map(i => s"n$i")
+    val events = rnd.shuffle(heavy ++ noise).zipWithIndex
+      .map { case (tok, i) => (t(10, 0 + (i % 59)), tok) }
+    val input = MemoryStream[(Timestamp, String)]
+    // 1-hour delay: the shuffled arrival order must not make in-window
+    // rows late (a 0 s watermark would drop every row behind the
+    // running max — the exact-path tests feed in order, this one not)
+    val out = TopKStream.approx(
+      input.toDF().toDF("ts", "token").withWatermark("ts", "1 hour"),
+      "ts", "token", 3600L, 5, w = 1024, cap = 64)
+    val query = out.writeStream.format("memory").queryName("topk_approx")
+      .outputMode("append").start()
+    try {
+      events.grouped(800).foreach { g => input.addData(g); query.processAllAvailable() }
+      input.addData(Seq((t(20, 0), "zz"))); query.processAllAvailable()
+      input.addData(Seq((t(21, 0), "zz2"))); query.processAllAvailable()
+      val got = spark.table("topk_approx").as[(Long, String, Long, Long)].collect()
+        .filter(_._1 == 10L * 3600000000L).sortBy(_._4)
+      // the five true heavy hitters, in order; estimates ≥ true counts
+      assert(got.map(_._2).toSeq == Seq("h0", "h1", "h2", "h3", "h4"), s"got ${got.toSeq}")
+      got.zip(Seq(60L, 50L, 40L, 30L, 20L)).foreach { case (r, trueC) =>
+        assert(r._3 >= trueC && r._3 <= trueC + 40, s"estimate off: $r vs $trueC")
+      }
+    } finally query.stop()
+  }
+
   test("merge/closeWindow core: count desc, token asc, rank, k cut") {
     val m = TopKStream.merge(Map("a" -> 1L), Iterator("b", "a", "b", "c"))
     assert(m == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
