@@ -170,4 +170,26 @@ object CorpusStats {
       .select(col("src_a"), col("src_b"), col("n_shared"),
         (col("__na") + col("__nb") - col("n_shared")).as("n_union"))
   }
+
+  /**
+   * Corpus snapshot diff — the dataset-versioning primitive behind
+   * "what changed between crawl N and crawl N+1": per id, `added`
+   * (new only), `removed` (old only), `changed` (both, different
+   * content hash), or `unchanged`. One full-outer hash join on the id —
+   * content compares by md5, so the (huge) text columns never cross the
+   * shuffle; the join key coalesces, so every output row has the id.
+   * Downstream: `added ∪ changed` is the incremental slice the dedup /
+   * scoring pipeline reprocesses; `removed` drives tombstones.
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame =
+    oldSnap.select(col(idCol), md5(col(textCol)).as("__oh"))
+      .join(newSnap.select(col(idCol), md5(col(textCol)).as("__nh"))
+          .hint("shuffle_hash"), // full-outer hash join: no sort at scale
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
 }

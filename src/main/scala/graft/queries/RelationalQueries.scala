@@ -604,6 +604,37 @@ object RelationalQueries {
         "c AS (SELECT user_id, MIN(day) AS cohort_day FROM uw GROUP BY 1) " +
         "SELECT c.cohort_day, uw.day - c.cohort_day AS day_offset, " +
         "COUNT(*) AS n_users FROM uw JOIN c ON uw.user_id = c.user_id " +
-        "GROUP BY 1, 2 ORDER BY 1, 2"))
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // R25 — corpus snapshot diff (CorpusStats.snapshotDiff), the
+    // dataset-versioning primitive: old snapshot constructed from the
+    // corpus on BOTH engine sides (the fixture pattern — drop id%7==0
+    // → those read as `added`; mutate text of id%5==0 → `changed`; add
+    // shifted ids for id%11==0 → `removed`; rest `unchanged`), one
+    // full-outer hash join on the id comparing md5 content hashes —
+    // text never crosses the shuffle.
+    "r25_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit("!")))
+              .otherwise(col("text")).as("text"))
+          .unionAll(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.operators.CorpusStats.snapshotDiff(oldSnap, docs, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("WITH o AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '!' " +
+        "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 11 = 0), " +
+        "o2 AS (SELECT doc_id, md5(text) AS oh FROM o), " +
+        "n2 AS (SELECT doc_id, md5(text) AS nh FROM documents) " +
+        "SELECT COALESCE(o2.doc_id, n2.doc_id) AS doc_id, " +
+        "CASE WHEN o2.doc_id IS NULL THEN 'added' " +
+        "WHEN n2.doc_id IS NULL THEN 'removed' " +
+        "WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM o2 FULL JOIN n2 ON o2.doc_id = n2.doc_id ORDER BY doc_id"))
   )
 }
