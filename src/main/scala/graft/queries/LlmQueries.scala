@@ -1425,6 +1425,29 @@ object LlmQueries {
         "'  +', ' ', 'g')) AS ext FROM h) " +
         "SELECT doc_id, ext, md5(ext) AS ext_md5 FROM e ORDER BY doc_id")),
 
+    // L67 — lexical diversity: per document, total tokens, distinct
+    // tokens (type-token ratio's numerator), and hapax legomena (tokens
+    // occurring exactly once in the doc) — the classic lexical-richness
+    // signals that separate natural prose from keyword stuffing and
+    // template spam. Integer sufficient statistics ONLY (the ratio is a
+    // downstream division): no rounding boundary can exist. One explode
+    // + a (doc, token) agg + a per-doc agg, both map-side combined.
+    "l67_lexical_diversity" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id")
+        .agg(sum(col("__c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax " +
+        "FROM tc GROUP BY doc_id ORDER BY doc_id")),
+
     // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
     // ACL'10 — the standard cross-entropy-difference ranking for
     // domain-targeted pretraining data): score every document by the
