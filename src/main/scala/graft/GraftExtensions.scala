@@ -146,9 +146,17 @@ object GraftFunctions {
         Literal("^www\\."), Literal(""))
       val rest = RegExpExtract(url,
         Literal("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"), Literal(1))
-      val noUtm = RegExpReplace(rest, Literal("utm_[a-z]*=[^&#]*&?"), Literal(""))
+      // Delimiter-anchored utm strip + run collapse (literal
+      // replacements only — backref syntax differs across engines);
+      // mirrors TextFunctions.normalizeUrl exactly.
+      val noUtm = RegExpReplace(
+        RegExpReplace(rest, Literal("\\?utm_[a-z]*=[^&#]*"), Literal("?")),
+        Literal("&utm_[a-z]*=[^&#]*"), Literal("&"))
+      val collapsed = RegExpReplace(
+        RegExpReplace(noUtm, Literal("\\?[?&]+"), Literal("?")),
+        Literal("&[?&]+"), Literal("&"))
       Concat(Seq(scheme, Literal("://"), host,
-        RegExpReplace(noUtm, Literal("[?&]+$"), Literal(""))))
+        RegExpReplace(collapsed, Literal("[?&]+$"), Literal(""))))
     })
 
   val htmlToText: FunctionDescription = (

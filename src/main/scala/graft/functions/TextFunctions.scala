@@ -151,14 +151,26 @@ object TextFunctions {
     * no backrefs, no lookarounds) so Java regex and DuckDB's RE2 agree
     * span-for-span — certified by the l64 oracle, where both engines
     * normalize the same deterministically-constructed URLs. Pure
-    * per-row projection, zero shuffles at any scale. */
+    * per-row projection, zero shuffles at any scale.
+    *
+    * The utm strip anchors on the preceding `?`/`&` delimiter so a
+    * parameter whose NAME merely contains `utm_` (`?my_utm_x=1`) is
+    * never touched; the delimiter is kept (literal replacement — no
+    * capture groups, whose backreference syntax differs between Java
+    * `$1` and RE2 `\1`) and the resulting `?&`/`&&` runs collapse in a
+    * follow-up pass, so consecutive utm params still strip cleanly in
+    * one non-overlapping scan. */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = regexp_replace(
       regexp_replace(lower(urlAuthority(url)), ":(80|443)$", ""),
       "^www\\.", "")
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
-    val noUtm = regexp_replace(rest, "utm_[a-z]*=[^&#]*&?", "")
-    concat(scheme, lit("://"), host, regexp_replace(noUtm, "[?&]+$", ""))
+    val noUtm = regexp_replace(
+      regexp_replace(rest, "\\?utm_[a-z]*=[^&#]*", "?"),
+      "&utm_[a-z]*=[^&#]*", "&")
+    val collapsed = regexp_replace(
+      regexp_replace(noUtm, "\\?[?&]+", "?"), "&[?&]+", "&")
+    concat(scheme, lit("://"), host, regexp_replace(collapsed, "[?&]+$", ""))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -182,9 +182,16 @@ object CorpusStats {
    * scoring pipeline reprocesses; `removed` drives tombstones.
    */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   idCol: String, textCol: String): DataFrame =
-    oldSnap.select(col(idCol), md5(col(textCol)).as("__oh"))
-      .join(newSnap.select(col(idCol), md5(col(textCol)).as("__nh"))
+                   idCol: String, textCol: String): DataFrame = {
+    // Presence is inferred from hash nullability, so the hash must
+    // never be NULL for a present row: md5(NULL) is NULL, which would
+    // misfile a NULL-text row as added/removed (or let NULL-vs-text
+    // fall through =!= to "unchanged"). Hash a null-normalized value —
+    // \u0000 cannot appear in a parquet string that itself hashes
+    // equal, so NULL text compares equal only to NULL text.
+    def h(c: Column) = md5(coalesce(c, lit("\u0000")))
+    oldSnap.select(col(idCol), h(col(textCol)).as("__oh"))
+      .join(newSnap.select(col(idCol), h(col(textCol)).as("__nh"))
           .hint("shuffle_hash"), // full-outer hash join: no sort at scale
         Seq(idCol), "full_outer")
       .select(col(idCol),
@@ -192,4 +199,5 @@ object CorpusStats {
           .when(col("__nh").isNull, "removed")
           .when(col("__oh") =!= col("__nh"), "changed")
           .otherwise("unchanged").as("status"))
+  }
 }

@@ -106,8 +106,12 @@ object Scoring {
       .as[(Long, String)]
       .mapPartitions { it =>
         // level 6 = zlib default: the standard corpus-quality setting;
-        // one deflater per partition, reset per row
+        // one deflater per partition, reset per row. Deflater holds
+        // off-heap zlib state that finalization reclaims too slowly on
+        // long-lived executors — release it at task completion.
         val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

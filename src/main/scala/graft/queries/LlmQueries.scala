@@ -1708,6 +1708,13 @@ object LlmQueries {
             concat(lit("?utm_source=s"), str(id % 4), lit("&id="), str(id % 9)))
             .when(id % 5 === 1,
               concat(lit("?id="), str(id % 9), lit("&utm_campaign=c")))
+            // A param whose NAME contains `utm_` but is not a utm param
+            // — must survive normalization untouched while the real
+            // `utm_term` after it strips (pins the delimiter-anchored
+            // strip cross-engine).
+            .when(id % 5 === 2,
+              concat(lit("?my_utm_x="), str(id % 3),
+                lit("&utm_term=t&q="), str(id % 7)))
             .otherwise(lit("")),
           when(id % 4 === 0, lit("#frag")).otherwise(lit("")))
         val norm = Tables.documents(s, d)
@@ -1734,7 +1741,9 @@ object LlmQueries {
         "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=s' || CAST(doc_id % 4 AS VARCHAR) " +
         "|| '&id=' || CAST(doc_id % 9 AS VARCHAR) " +
         "WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR) " +
-        "|| '&utm_campaign=c' ELSE '' END || " +
+        "|| '&utm_campaign=c' " +
+        "WHEN doc_id % 5 = 2 THEN '?my_utm_x=' || CAST(doc_id % 3 AS VARCHAR) " +
+        "|| '&utm_term=t&q=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END || " +
         "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url FROM documents), " +
         "n AS (SELECT doc_id, url, " +
         "lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), " +
@@ -1743,9 +1752,11 @@ object LlmQueries {
         "regexp_replace(regexp_replace(" +
         "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), " +
         "':(80|443)$', ''), '^www\\.', '') || " +
-        "regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
         "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), " +
-        "'utm_[a-z]*=[^&#]*&?', '', 'g'), '[?&]+$', '') AS norm_url FROM u) " +
+        "'\\?utm_[a-z]*=[^&#]*', '?', 'g'), '&utm_[a-z]*=[^&#]*', '&', 'g'), " +
+        "'\\?[?&]+', '?', 'g'), '&[?&]+', '&', 'g'), " +
+        "'[?&]+$', '') AS norm_url FROM u) " +
         "SELECT doc_id, url, host, " +
         "regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS domain, " +
         "norm_url, CAST(CASE WHEN ROW_NUMBER() OVER (" +
