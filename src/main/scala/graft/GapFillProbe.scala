@@ -83,11 +83,20 @@ object GapFillProbe {
  * run at two token cardinalities and watch state rows track open
  * windows (1-2 here), not tokens seen or stream length.
  *
- * Usage: `sbt "runMain graft.TopKProbe 5000"` (distinct tokens).
+ * With a shard count > 1 the same probe demonstrates the throughput
+ * fix: state rows = open_windows × shards (each carrying a disjoint
+ * token slice), so the hot window spreads across `shards` tasks
+ * instead of funnelling through one. `approx` mode probes the CMS +
+ * capped-candidate state and its amortized eviction latency at high
+ * cardinality.
+ *
+ * Usage: `sbt "runMain graft.TopKProbe <tokens> [shards] [exact|approx]"`.
  */
 object TopKProbe {
   def main(args: Array[String]): Unit = {
     val tokens = args.headOption.map(_.toInt).getOrElse(5000)
+    val shards = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val mode = args.drop(2).headOption.getOrElse("exact")
     val batches = 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -116,8 +125,13 @@ object TopKProbe {
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
       .withWatermark("ts", "5 minutes")
-    val trending = graft.streaming.TopKStream(stream, "ts", "token", 3600L, 10,
-      useTws = false)
+    val trending =
+      if (mode == "approx")
+        graft.streaming.TopKStream.approx(stream, "ts", "token", 3600L, 10,
+          w = 1024, cap = 256, shards = shards)
+      else
+        graft.streaming.TopKStream(stream, "ts", "token", 3600L, 10,
+          useTws = false, shards = shards)
     val t0 = System.nanoTime()
     val q = trending.writeStream.format("noop")
       .option("checkpointLocation", s"$root/ckpt")
@@ -126,8 +140,9 @@ object TopKProbe {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"[probe] distinct tokens=$tokens, $batches hourly batches, wall ${wall}%.1f s")
-    println("[probe] batch | input | batch_ms | state rows (open windows)")
+    println(f"[probe] distinct tokens=$tokens, shards=$shards, mode=$mode, " +
+      f"$batches hourly batches, wall ${wall}%.1f s")
+    println("[probe] batch | input | batch_ms | state rows (open windows x shards)")
     q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
       val st = p.stateOperators.map(so => s"${so.operatorName}=${so.numRowsTotal}")
       println(f"[probe] ${p.batchId}%5d | ${p.numInputRows}%6d | ${p.batchDuration}%8d | " +

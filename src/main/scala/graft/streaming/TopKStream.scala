@@ -13,19 +13,44 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  * Why ONE stateful stage: the natural two-stage form (windowed count
  * aggregation → per-window top-k) is illegal in Spark — a
  * group-with-state operator cannot follow an aggregation in append
- * mode — so the counts live in this operator's own keyed state (key =
- * window start). That is also the honest cost statement: exact
- * streaming top-k holds the full value-count map per OPEN window;
- * state is bounded by (values per window) × (open windows per key
- * horizon), evicted at close, NOT by stream length. The
- * [[GapFillStream]] conventions apply: pure [[merge]]/[[closeWindow]]
- * core shared by both backends, stored-timer bookkeeping, event-time
- * timers.
+ * mode — so the counts live in this operator's own keyed state. That is
+ * also the honest cost statement: exact streaming top-k holds the full
+ * value-count map per OPEN window; state is bounded by (values per
+ * window) × (open windows per key horizon), evicted at close, NOT by
+ * stream length. The [[GapFillStream]] conventions apply: pure
+ * [[merge]]/[[closeWindow]] core shared by both backends, stored-timer
+ * bookkeeping, event-time timers.
+ *
+ * THROUGHPUT: state is keyed by `(window_start, shard)` where
+ * `shard = pmod(hash(token), shards)` — with hourly windows there are
+ * only 1-2 open windows at any moment, so a window-only key would
+ * funnel the ENTIRE live token stream through one or two state
+ * partitions (one task absorbs the full ingest rate). Sharding the key
+ * splits that hot window across `shards` tasks while staying EXACT:
+ * the token→shard assignment partitions tokens disjointly, so each
+ * token's full in-window count lives in exactly one shard, per-shard
+ * counts are the true counts, and the global top-k is contained in the
+ * union of per-shard top-k's. Each shard emits its own top-k at close
+ * (k·shards candidate rows per window — tiny); [[resolveCandidates]]
+ * takes the final k downstream (a trailing batch query or
+ * foreachBatch). `shards = 1` (the default) reproduces the original
+ * single-key behavior exactly: one candidate set per window IS the
+ * final top-k, rank included — TopKStreamSpec pins it row-identical to
+ * the batch tumbling + top-k composition.
+ *
+ * Late rows: group-with-state operators do NOT pre-filter rows behind
+ * the watermark, so a straggler for an already-closed-and-emitted
+ * window would silently recreate state and later emit a second,
+ * partial top-k for the same window. Both backends guard: a row whose
+ * window has no live state AND whose window end is at or below the
+ * current watermark is dropped (the standard beyond-lateness-drop
+ * semantics; mirrors GapFillStream's retired-key contract). A late row
+ * for a STILL-OPEN window merges normally.
  *
  * Output: (window_start µs, token, cnt, rank 1..k), ties broken by
- * token ascending — a total order, so emissions are deterministic and
- * TopKStreamSpec pins them row-identical to the batch
- * tumbling + top-k composition.
+ * token ascending — a total order, so emissions are deterministic.
+ * With `shards > 1` the rank is shard-local (candidate order); the
+ * resolver reassigns the global rank.
  */
 object TopKStream {
 
@@ -43,8 +68,8 @@ object TopKStream {
    * sketch + heap heavy hitters). State per open window is
    * d·w + cap regardless of token cardinality. CMS never
    * underestimates, so a true heavy hitter's estimate always reaches
-   * the candidate bar — misses need `cap` distinct tokens with higher
-   * estimates, impossible for a token above the (cap+1)-th true
+   * the candidate bar — misses need `cap − cap/4` distinct tokens with
+   * higher estimates, impossible for a token above that rank's true
    * frequency plus the CMS error εN. Seeds are FIXED — emissions stay
    * deterministic for a given input multiset.
    */
@@ -65,36 +90,37 @@ object TopKStream {
   def cmsEmpty(w: Int): CmsState =
     CmsState(Vector.fill(CmsD * w)(0L), Map.empty)
 
-  /** Add one token; returns the state and the token's new estimate. */
-  private def cmsAdd(st: CmsState, token: String, w: Int): (CmsState, Long) = {
-    var grid = st.grid
-    var est = Long.MaxValue
-    var r = 0
-    while (r < CmsD) {
-      val i = r * w + cmsSlot(token, r, w)
-      val v = grid(i) + 1L
-      grid = grid.updated(i, v)
-      if (v < est) est = v
-      r += 1
-    }
-    (st.copy(grid = grid), est)
-  }
-
-  /** Fold a batch of tokens into the sketch + capped candidate map. */
+  /**
+   * Fold a batch of tokens into the sketch + capped candidate map.
+   * The grid copies to a mutable Array ONCE per invocation (not 4
+   * Vector rebuilds per token), and eviction drops to `cap − cap/4`
+   * rather than exactly `cap`: at capacity every unseen token would
+   * otherwise trigger a full O(cap log cap) sort — with the slack the
+   * sort runs once per cap/4 new tokens, amortizing to O(log cap) per
+   * token in exactly the extreme-cardinality regime this operator
+   * exists for. The kept set stays deterministic (total (-est, token)
+   * order), and an evicted token that re-arrives re-enters at its
+   * current CMS estimate, which already includes its earlier counts.
+   */
   def mergeApprox(st: CmsState, tokens: Iterator[String], w: Int, cap: Int): CmsState = {
-    var s = st
+    val grid = st.grid.toArray
+    var cand = st.candidates
+    val low = math.max(1, cap - cap / 4)
     tokens.foreach { t =>
-      val (s2, est) = cmsAdd(s, t, w)
-      var cand = s2.candidates.updated(t, est)
-      if (cand.size > cap) {
-        // drop the lowest-estimate entries (ties by token desc, so the
-        // kept set is deterministic); done rarely — once per cap/1 new
-        // tokens at steady state
-        cand = cand.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(cap).toMap
+      var est = Long.MaxValue
+      var r = 0
+      while (r < CmsD) {
+        val i = r * w + cmsSlot(t, r, w)
+        val v = grid(i) + 1L
+        grid(i) = v
+        if (v < est) est = v
+        r += 1
       }
-      s = CmsState(s2.grid, cand)
+      cand = cand.updated(t, est)
+      if (cand.size > cap)
+        cand = cand.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(low).toMap
     }
-    s
+    CmsState(grid.toVector, cand)
   }
 
   /** Top-k of a closed approximate window: estimate desc, token asc. */
@@ -111,24 +137,48 @@ object TopKStream {
     StructField("window_start", LongType), StructField("token", StringType),
     StructField("cnt", LongType), StructField("rank", LongType)))
 
-  /** TWS backend: one (map, registeredTimer) value per open window. */
+  /**
+   * Global top-k from the union of per-shard candidates (batch; run it
+   * over the candidate sink or inside foreachBatch). Exact because the
+   * token→shard assignment is a partition of the token space — every
+   * candidate row carries its token's TRUE in-window count, and any
+   * token in the global top-k is necessarily in its own shard's top-k.
+   * Inputs are tiny (k·shards rows per window), but the salted
+   * two-level form is kept anyway so even a pathological shard count
+   * never single-tasks a window.
+   */
+  def resolveCandidates(candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Windows.topKPerKeyScalable(
+        candidates.select(col("window_start"), col("token"), col("cnt")),
+        Seq("window_start"), Seq(col("cnt").desc, col("token")), k,
+        substring(md5(col("token")), 1, 1), "rank")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** TWS backend: one (map, registeredTimer) value per (window, shard). */
   private final class TopKTws(windowMs: Long, k: Int)
-      extends StatefulProcessor[Long, Row, Row] {
+      extends StatefulProcessor[(Long, Int), Row, Row] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[(Map[String, Long], Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState("topk", Encoders.kryo[(Map[String, Long], Long)],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
-    override def handleInputRows(key: Long, rows: Iterator[Row],
+    override def handleInputRows(key: (Long, Int), rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
+      // late-row guard: no live state + window already closed by the
+      // watermark → a straggler for an emitted window; drop, don't revive
+      if (!st.exists() &&
+          key._1 / 1000L + windowMs <= timerValues.getCurrentWatermarkInMs())
+        return Iterator.empty
       val (prev, timer) =
         if (st.exists()) st.get()
         else (Map.empty[String, Long], -1L)
-      val merged = merge(prev, rows.map(_.getString(1)))
+      val merged = merge(prev, rows.map(_.getString(2)))
       if (timer < 0) {
         // close at window end, clamped past the current watermark
-        val exp = math.max(key / 1000L + windowMs,
+        val exp = math.max(key._1 / 1000L + windowMs,
           timerValues.getCurrentWatermarkInMs() + 1)
         getHandle.registerTimer(exp)
         st.update((merged, exp))
@@ -136,90 +186,109 @@ object TopKStream {
       Iterator.empty
     }
 
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+    override def handleExpiredTimer(key: (Long, Int), timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
       if (!st.exists() || expiredTimerInfo.getExpiryTimeInMs() != st.get()._2)
         return Iterator.empty
       val counts = st.get()._1
       st.clear()
-      closeWindow(counts, k).iterator.map { case (t, c, r) => Row(key, t, c, r) }
+      closeWindow(counts, k).iterator.map { case (t, c, r) => Row(key._1, t, c, r) }
     }
   }
 
-  /**
-   * Wire the stream: `events` must declare a watermark on `tsCol`.
-   * `window_start` is the tumbling window's start in epoch MICROS
-   * (µs-portable, the SessionBounds convention).
-   */
+  /** (window_start µs, shard, token, event-time) input projection. */
+  private def project(events: DataFrame, tsCol: String, tokenCol: String,
+                      windowSec: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.select(
+      (expr(s"unix_timestamp($tsCol) div $windowSec") * lit(windowSec * 1000000L))
+        .as("window_start"),
+      pmod(hash(col(tokenCol).cast("string")), lit(shards)).cast("int").as("shard"),
+      col(tokenCol).cast("string").as("token"), col(tsCol))
+  }
+
+  private def keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+  private def keyOf(r: Row): (Long, Int) = (r.getLong(0), r.getInt(1))
+
   /**
    * Approximate variant of [[apply]] — same output schema and close
    * semantics, `cnt` is the CMS estimate (never an underestimate).
-   * State per open window is d·w + cap integers/entries regardless of
-   * token cardinality — the extreme-cardinality regime where the exact
-   * map outgrows the store. FMGWS event-time-timeout backend (the
-   * exact path proves backend parity for this operator shape; the
-   * sketch state is backend-agnostic kryo bytes either way).
+   * State per (window, shard) is d·w + cap integers/entries regardless
+   * of token cardinality — the extreme-cardinality regime where the
+   * exact map outgrows the store. Sharding additionally SHARPENS the
+   * sketch: each shard sees only its tokens, so the εN error term
+   * scales with the shard's mass, not the window's. FMGWS
+   * event-time-timeout backend (the exact path proves backend parity
+   * for this operator shape; the sketch state is backend-agnostic kryo
+   * bytes either way).
    */
   def approx(events: DataFrame, tsCol: String, tokenCol: String,
-             windowSec: Long, k: Int, w: Int = 1024, cap: Int = 256): DataFrame = {
-    import org.apache.spark.sql.functions._
+             windowSec: Long, k: Int, w: Int = 1024, cap: Int = 256,
+             shards: Int = 1): DataFrame = {
     val windowMs = windowSec * 1000L
     val (kk, ww, cc) = (k, w, cap)
-    val rows = events.select(
-      (expr(s"unix_timestamp($tsCol) div $windowSec") * lit(windowSec * 1000000L))
-        .as("window_start"),
-      col(tokenCol).cast("string").as("token"), col(tsCol))
+    val rows = project(events, tsCol, tokenCol, windowSec, shards)
     val outEnc = Encoders.row(outSchema)
-    implicit val longEnc = Encoders.scalaLong
+    implicit val ke = keyEnc
     val stEnc = Encoders.kryo[CmsState]
-    rows.groupByKey((r: Row) => r.getLong(0))
+    rows.groupByKey(keyOf _)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: Long, it: Iterator[Row], gs: GroupState[CmsState]) =>
+        (key: (Long, Int), it: Iterator[Row], gs: GroupState[CmsState]) =>
           if (gs.hasTimedOut) {
             val st = gs.get
             gs.remove()
-            closeWindowApprox(st, kk).iterator.map { case (t, c, r) => Row(key, t, c, r) }
+            closeWindowApprox(st, kk).iterator.map { case (t, c, r) => Row(key._1, t, c, r) }
+          } else if (!gs.exists &&
+              key._1 / 1000L + windowMs <= gs.getCurrentWatermarkMs()) {
+            Iterator.empty[Row] // late-row guard: closed window, no revival
           } else {
             val merged = mergeApprox(if (gs.exists) gs.get else cmsEmpty(ww),
-              it.map(_.getString(1)), ww, cc)
+              it.map(_.getString(2)), ww, cc)
             gs.update(merged)
-            gs.setTimeoutTimestamp(math.max(key / 1000L + windowMs,
+            gs.setTimeoutTimestamp(math.max(key._1 / 1000L + windowMs,
               gs.getCurrentWatermarkMs() + 1))
             Iterator.empty[Row]
           }
       }(stEnc, outEnc)
   }
 
+  /**
+   * Wire the stream: `events` must declare a watermark on `tsCol`.
+   * `window_start` is the tumbling window's start in epoch MICROS
+   * (µs-portable, the SessionBounds convention). With `shards > 1`,
+   * output rows are per-shard candidates — pipe through
+   * [[resolveCandidates]] for the final k.
+   */
   def apply(events: DataFrame, tsCol: String, tokenCol: String,
-            windowSec: Long, k: Int, useTws: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions._
+            windowSec: Long, k: Int, useTws: Boolean = true,
+            shards: Int = 1): DataFrame = {
     val windowMs = windowSec * 1000L
     val kk = k
-    val rows = events.select(
-      (expr(s"unix_timestamp($tsCol) div $windowSec") * lit(windowSec * 1000000L))
-        .as("window_start"),
-      col(tokenCol).cast("string").as("token"), col(tsCol))
+    val rows = project(events, tsCol, tokenCol, windowSec, shards)
     val outEnc = Encoders.row(outSchema)
-    implicit val longEnc = Encoders.scalaLong
+    implicit val ke = keyEnc
     if (useTws)
-      rows.groupByKey((r: Row) => r.getLong(0))
+      rows.groupByKey(keyOf _)
         .transformWithState(new TopKTws(windowMs, kk),
           TimeMode.EventTime(), OutputMode.Append())(outEnc)
     else {
       val stEnc = Encoders.kryo[Map[String, Long]]
-      rows.groupByKey((r: Row) => r.getLong(0))
+      rows.groupByKey(keyOf _)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-          (key: Long, it: Iterator[Row], gs: GroupState[Map[String, Long]]) =>
+          (key: (Long, Int), it: Iterator[Row], gs: GroupState[Map[String, Long]]) =>
             if (gs.hasTimedOut) {
               val counts = gs.get
               gs.remove()
-              closeWindow(counts, kk).iterator.map { case (t, c, r) => Row(key, t, c, r) }
+              closeWindow(counts, kk).iterator.map { case (t, c, r) => Row(key._1, t, c, r) }
+            } else if (!gs.exists &&
+                key._1 / 1000L + windowMs <= gs.getCurrentWatermarkMs()) {
+              Iterator.empty[Row] // late-row guard: closed window, no revival
             } else {
               val merged = merge(if (gs.exists) gs.get else Map.empty,
-                it.map(_.getString(1)))
+                it.map(_.getString(2)))
               gs.update(merged)
               // re-arm on EVERY invocation (NearDupState:187)
-              gs.setTimeoutTimestamp(math.max(key / 1000L + windowMs,
+              gs.setTimeoutTimestamp(math.max(key._1 / 1000L + windowMs,
                 gs.getCurrentWatermarkMs() + 1))
               Iterator.empty[Row]
             }

@@ -115,6 +115,68 @@ class TopKStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  private def runSharded(useTws: Boolean): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    // 12 distinct tokens so 4 shards all carry load; counts 12,11,…,1
+    val toks = (0 until 12).flatMap(i => Seq.fill(12 - i)(f"tk$i%02d"))
+    val rows = toks.zipWithIndex.map { case (tok, i) => (t(10, i % 59), tok) }
+    val expected = batchTopK(rows, 3)
+    val input = MemoryStream[(Timestamp, String)]
+    val cands = TopKStream(
+      input.toDF().toDF("ts", "token").withWatermark("ts", "1 hour"),
+      "ts", "token", 3600L, 3, useTws = useTws, shards = 4)
+    val name = s"topk_shard_$useTws"
+    val query = cands.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      rows.grouped(30).foreach { g => input.addData(g); query.processAllAvailable() }
+      input.addData(Seq((t(20, 0), "zz"))); query.processAllAvailable()
+      input.addData(Seq((t(21, 0), "zz2"))); query.processAllAvailable()
+      val cand = spark.table(name).filter(col("window_start") === 10L * 3600000000L)
+      // ≤ k·shards candidates, every count exact (token→shard partition)
+      assert(cand.count() <= 3 * 4)
+      val resolved = TopKStream.resolveCandidates(cand, 3)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(resolved == expected,
+        s"missing ${expected -- resolved}, extra ${resolved -- expected}")
+    } finally query.stop()
+  }
+
+  test("sharded state (4 shards) + resolveCandidates == batch top-k, TWS") {
+    withRocksDb { runSharded(useTws = true) }
+  }
+
+  test("sharded state (4 shards) + resolveCandidates == batch top-k, FMGWS") {
+    runSharded(useTws = false)
+  }
+
+  test("late row for a closed window is dropped, not revived (FMGWS)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = TopKStream(
+      input.toDF().toDF("ts", "token").withWatermark("ts", "0 seconds"),
+      "ts", "token", 3600L, 2, useTws = false)
+    val query = out.writeStream.format("memory").queryName("topk_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((t(10, 1), "a"), (t(10, 2), "a"), (t(10, 3), "b")))
+      query.processAllAvailable()
+      input.addData(Seq((t(20, 0), "zz"))); query.processAllAvailable() // closes 10
+      val h10 = () => spark.table("topk_late")
+        .filter(col("window_start") === 10L * 3600000000L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val afterClose = h10()
+      assert(afterClose == Set((10L * 3600000000L, "a", 2L, 1L),
+        (10L * 3600000000L, "b", 1L, 2L)))
+      // a straggler for the closed window, then another watermark push:
+      // without the guard this recreates state and re-emits a partial
+      // top-k for hour 10
+      input.addData(Seq((t(10, 30), "c"))); query.processAllAvailable()
+      input.addData(Seq((t(22, 0), "zz2"))); query.processAllAvailable()
+      assert(h10() == afterClose, s"closed window re-emitted: ${h10()}")
+    } finally query.stop()
+  }
+
   test("merge/closeWindow core: count desc, token asc, rank, k cut") {
     val m = TopKStream.merge(Map("a" -> 1L), Iterator("b", "a", "b", "c"))
     assert(m == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
