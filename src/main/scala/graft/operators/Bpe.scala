@@ -104,11 +104,160 @@ object Bpe {
     }
   }
 
-  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
+  /** Code-point symbolization of a word (surrogate-pair safe — matches
+    * Spark `substring`'s code-point character counting). */
+  private def symbolize(w: String): Array[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      buf += w.substring(i, i + n)
+      i += n
+    }
+    buf.toArray
+  }
+
+  /** One left-first merge pass — the driver-side mirror of
+    * [[applyMerge]]'s fold (chains included: a freshly merged symbol is
+    * immediately eligible as the `a` of the next position). */
+  private def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      val s = syms(j)
+      if (out.nonEmpty && out(out.length - 1) == a && s == b)
+        out(out.length - 1) = a + b
+      else out += s
+      j += 1
+    }
+    out.toArray
+  }
+
+  /**
+   * Encode ONE word against a rank-ordered merge table — the published
+   * BPE encode algorithm (the HF-tokenizers / tiktoken inner loop):
+   * repeatedly find the adjacent pair with the LOWEST merge rank
+   * present in the word and apply one left-first pass for it, until no
+   * adjacent pair is in the table. Equivalent to applying all merges
+   * sequentially in training order ([[encodeWords]]' chain) because a
+   * merge of rank r can only CREATE pairs of rank > r — any pair
+   * containing the merged symbol was necessarily learned after r — so
+   * ascending-rank processing visits exactly the merges the sequential
+   * chain applies, and skipping absent ranks is a no-op. Cost per word
+   * is O(len · merges-applied), independent of the table size — this
+   * is what makes a 50k-merge vocabulary affordable where the
+   * projection chain's O(len · table-size) is not.
+   */
+  def encodeWord(w: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var syms = symbolize(w)
+    var continue = syms.length >= 2 && rank.nonEmpty
+    while (continue) {
+      var best = Int.MaxValue
+      var ba: String = null
+      var bb: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; ba = syms(i); bb = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        syms = mergePass(syms, ba, bb)
+        continue = syms.length >= 2
+      }
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(syms)
+  }
+
+  /**
+   * Production-rate encoder: same (word → symbol array) output as
+   * [[encodeWords]] (spec-pinned identical on trained merges), but the
+   * merge table broadcasts ONCE as a rank map and every distinct word
+   * encodes in a single `mapPartitions` pass via [[encodeWord]] —
+   * per-word cost scales with the word's length and applied merges,
+   * not with the 50k-entry table, and the plan is one narrow stage
+   * over the |vocab| rows instead of `merges.length` chained
+   * projections. The corpus-sized shuffle remains the one
+   * [[wordCounts]] agg either way.
+   */
+  def encodeWordsFast(docs: DataFrame, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    wordCounts(docs, textCol).select(col("w")).as[String]
+      .mapPartitions(it => it.map(w => (w, encodeWord(w, bc.value))))
+      .toDF("w", "syms")
+  }
+
+  /**
+   * Driver-side merge loop over an already-collected symbolized vocab —
+   * identical argmax (cnt desc, a asc, b asc; cnt ≥ 2) and left-first
+   * merge-pass semantics as the distributed loop, spec-pinned to
+   * produce the same merge list. This is the endgame every real
+   * trainer switches to: once the vocab fits in driver memory
+   * (|vocab| × avg word length strings — megabytes for real corpora),
+   * one merge round is an in-memory scan instead of a Spark job, so a
+   * 50k-merge run is 50k array scans, not 50k scheduled jobs.
+   */
+  def trainMergesLocal(vocab0: Seq[(Array[String], Long)],
+                       nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab = vocab0.toArray
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (e._2 >= 2L && (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))))
+          best = e
+      }
+      if (best == null) exhausted = true
+      else {
+        val ((a, b), cnt) = best
+        merges += ((a, b, cnt))
+        vocab = vocab.map { case (syms, c) => (mergePass(syms, a, b), c) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /**
+   * `driverVocabLimit`: when the distinct-word count is at or below it,
+   * the symbolized vocab collects ONCE and the merge loop finishes
+   * driver-side via [[trainMergesLocal]] (identical output,
+   * spec-pinned) — eliminating the one-Spark-job-per-merge cost that
+   * makes the thousands-of-merges regime impractical distributed. The
+   * row count is invariant across rounds (merges rewrite arrays, never
+   * add or drop words), so the decision is made once up front. Pass 0
+   * to force the all-distributed path.
+   */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  driverVocabLimit: Long = 200000L): Seq[(String, String, Long)] = {
     var vocab = wordCounts(docs, textCol)
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
         col("c"))
       .localCheckpoint()
+    if (vocab.count() <= driverVocabLimit) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return trainMergesLocal(
+        vocab.as[(Seq[String], Long)].collect().toSeq
+          .map { case (s, c) => (s.toArray, c) }, nMerges)
+    }
     val merges = Seq.newBuilder[(String, String, Long)]
     var round = 0
     var exhausted = false

@@ -83,6 +83,61 @@ class BpeSpec extends AnyFunSuite {
     assert(got("lower").size < 5 && got("aaab").size < 4)
   }
 
+  test("encodeWordsFast (broadcast rank map, one mapPartitions pass) == encodeWords chain") {
+    // trained merges + a vocabulary stressing chains, overlaps, words
+    // containing merged symbols partially, unicode, and 1-char words
+    val words = Seq("low", "low", "low", "lower", "lower", "aaab", "aaab",
+      "aaab", "lowest", "slow", "a", "ab", "ba", "日本語", "日本", "aaaa")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 8).map(m => (m._1, m._2))
+    assert(merges.size >= 4) // enough table depth to be a real test
+    val slow = Bpe.encodeWords(docs, "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    val fast = Bpe.encodeWordsFast(docs, "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(fast.keySet == slow.keySet)
+    slow.foreach { case (w, syms) => assert(fast(w) == syms, s"word $w") }
+  }
+
+  test("encodeWord lowest-rank loop == sequential merge chain on random words") {
+    // ascending-rank equivalence proven by construction here: random
+    // merge tables over a 3-letter alphabet, random words, both paths
+    val rnd = new scala.util.Random(7)
+    val alpha = Seq("a", "b", "c")
+    for (trial <- 1 to 50) {
+      // grow a merge table the way training does: each merge's parts
+      // are existing symbols (chars or earlier merges)
+      val symbols = scala.collection.mutable.ArrayBuffer[String](alpha: _*)
+      val merges = (1 to 6).map { _ =>
+        val a = symbols(rnd.nextInt(symbols.size))
+        val b = symbols(rnd.nextInt(symbols.size))
+        symbols += (a + b)
+        (a, b)
+      }.distinct
+      val rank = merges.zipWithIndex.toMap
+      val w = (1 to 12).map(_ => alpha(rnd.nextInt(3))).mkString
+      val sequential = merges.foldLeft(w.split("").toList) { case (syms, (a, b)) =>
+        syms.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      }
+      assert(Bpe.encodeWord(w, rank).toList == sequential,
+        s"trial $trial word $w merges $merges")
+    }
+  }
+
+  test("trainMerges driver-side endgame == all-distributed path") {
+    val words = Seq("low", "low", "low", "lower", "lower", "lowest",
+      "aaab", "aaab", "aaab", "newer", "newer", "wider")
+    val docs = Seq((1L, words.take(7).mkString(" ")),
+      (2L, words.drop(7).mkString(" "))).toDF("doc_id", "text")
+    val distributed = Bpe.trainMerges(docs, "text", 8, driverVocabLimit = 0L)
+    val local = Bpe.trainMerges(docs, "text", 8) // default limit → driver path
+    assert(local == distributed)
+    assert(local.nonEmpty)
+  }
+
   test("trainMerges stops early when no pair repeats") {
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     // every pair occurs once → zero merges regardless of the budget
