@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat, Divide, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, RegExpCount, RegExpExtract, RegExpReplace, Sqrt, StringReplace, StringTrim, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Concat, Contains, Divide, EqualTo, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, Or, RegExpCount, RegExpExtract, RegExpReplace, RLike, Sqrt, StartsWith, StringReplace, StringTrim, Subtract}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr, TextFunctions}
 
@@ -113,8 +113,16 @@ object GraftFunctions {
   private def authorityExpr(url: Expression): Expression =
     RegExpExtract(url, Literal("^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"), Literal(1))
 
-  private def urlHostExpr(url: Expression): Expression =
-    Lower(RegExpReplace(authorityExpr(url), Literal(":[0-9]+$"), Literal("")))
+  private def urlHostExpr(url: Expression): Expression = {
+    val a = authorityExpr(url)
+    // IP-literal aware (mirrors TextFunctions.urlHost): bracketed IPv6
+    // keeps [...], bare multi-colon IPv6 has no port to strip
+    Lower(CaseWhen(Seq(
+      (StartsWith(a, Literal("[")),
+        RegExpExtract(a, Literal("^\\[[^\\]]*\\]"), Literal(0))),
+      (RLike(a, Literal(":.*:")), a)),
+      RegExpReplace(a, Literal(":[0-9]+$"), Literal(""))))
+  }
 
   val urlHost: FunctionDescription = (
     FunctionIdentifier("url_host"),
@@ -129,8 +137,13 @@ object GraftFunctions {
     new ExpressionInfo(GraftFunctions.getClass.getName, "registrable_domain"),
     (args: Seq[Expression]) => {
       require(args.size == 1, "registrable_domain(url) takes exactly one argument")
-      RegExpExtract(urlHostExpr(args.head),
-        Literal("([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$"), Literal(1))
+      val h = urlHostExpr(args.head)
+      // IP-literal hosts have no registrable domain: the host itself
+      // is the capping key (mirrors TextFunctions.registrableDomain)
+      CaseWhen(Seq(
+        (Or(Or(RLike(h, Literal("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")),
+          StartsWith(h, Literal("["))), Contains(h, Literal(":"))), h)),
+        RegExpExtract(h, Literal("([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$"), Literal(1)))
     })
 
   val normalizeUrl: FunctionDescription = (
@@ -141,9 +154,20 @@ object GraftFunctions {
       val url = args.head
       val scheme = Lower(RegExpExtract(url,
         Literal("^([A-Za-z][A-Za-z0-9+.-]*)://"), Literal(1)))
-      val host = RegExpReplace(
-        RegExpReplace(Lower(authorityExpr(url)), Literal(":(80|443)$"), Literal("")),
-        Literal("^www\\."), Literal(""))
+      val a = Lower(authorityExpr(url))
+      val bracketPort = RegExpExtract(a, Literal("\\]:([0-9]+)$"), Literal(1))
+      val host = CaseWhen(Seq(
+        (StartsWith(a, Literal("[")),
+          Concat(Seq(RegExpExtract(a, Literal("^\\[[^\\]]*\\]"), Literal(0)),
+            CaseWhen(Seq(
+              (Or(Or(EqualTo(bracketPort, Literal("")),
+                EqualTo(bracketPort, Literal("80"))),
+                EqualTo(bracketPort, Literal("443"))), Literal(""))),
+              Concat(Seq(Literal(":"), bracketPort)))))),
+        (RLike(a, Literal(":.*:")), a)),
+        RegExpReplace(
+          RegExpReplace(a, Literal(":(80|443)$"), Literal("")),
+          Literal("^www\\."), Literal("")))
       val rest = RegExpExtract(url,
         Literal("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"), Literal(1))
       // Delimiter-anchored utm strip + run collapse (literal

@@ -130,17 +130,35 @@ object TextFunctions {
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
 
   /** Lowercased hostname with any port stripped — the per-host group
-    * key for crawl-frequency stats. Pure per-row projection. */
-  def urlHost(url: Column): Column =
-    lower(regexp_replace(urlAuthority(url), ":[0-9]+$", ""))
+    * key for crawl-frequency stats. IP-literal aware (crawl frontiers
+    * contain them): a bracketed IPv6 authority keeps its `[...]` form
+    * (the WHATWG host serialization) with the port outside the bracket
+    * stripped; an unbracketed multi-colon authority is a bare IPv6
+    * address — it CANNOT carry a port (URLs require brackets for
+    * that), so the trailing `:digits` is address tail, not port, and
+    * passes through whole. Pure per-row projection. */
+  def urlHost(url: Column): Column = {
+    val a = urlAuthority(url)
+    lower(
+      when(a.startsWith("["), regexp_extract(a, "^\\[[^\\]]*\\]", 0))
+        .when(a.rlike(":.*:"), a)
+        .otherwise(regexp_replace(a, ":[0-9]+$", "")))
+  }
 
   /** Registrable-ish domain: the last two dot-labels of the host (the
     * public-suffix-list-free approximation every crawl pipeline starts
-    * with — exact PSL handling needs a suffix table join, which is a
-    * broadcast join over ~9k rows when a caller supplies one). The
-    * per-domain politeness/capping key. */
-  def registrableDomain(url: Column): Column =
-    regexp_extract(urlHost(url), "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+    * with — exact PSL handling is [[graft.operators.Domains
+    * .registrableDomainPsl]], a broadcast join against a caller-supplied
+    * suffix table). IP-literal hosts (bare IPv4, bracketed or bare
+    * IPv6) have no registrable domain — the host ITSELF is the
+    * politeness/capping key, so it is returned whole rather than a
+    * last-two-octet fragment. */
+  def registrableDomain(url: Column): Column = {
+    val h = urlHost(url)
+    when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$") ||
+        h.startsWith("[") || h.contains(":"), h)
+      .otherwise(regexp_extract(h, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
+  }
 
   /** Canonical URL for exact URL-level dedup (the crawl-frontier /
     * revisit-collapse normal form): lowercase scheme and host, strip a
@@ -162,9 +180,20 @@ object TextFunctions {
     * one non-overlapping scan. */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = regexp_replace(
-      regexp_replace(lower(urlAuthority(url)), ":(80|443)$", ""),
-      "^www\\.", "")
+    val a = lower(urlAuthority(url))
+    // IP-literal-aware authority normalization: bracketed IPv6 keeps
+    // its brackets and drops only a default port OUTSIDE the bracket;
+    // a bare multi-colon IPv6 authority has no port to strip (and a
+    // `:(80|443)$` strip would eat its address tail); names drop
+    // default ports and a leading www. as before.
+    val bracketPort = regexp_extract(a, "\\]:([0-9]+)$", 1)
+    val host = when(a.startsWith("["),
+        concat(regexp_extract(a, "^\\[[^\\]]*\\]", 0),
+          when(bracketPort === "" || bracketPort === "80" || bracketPort === "443",
+            lit("")).otherwise(concat(lit(":"), bracketPort))))
+      .when(a.rlike(":.*:"), a)
+      .otherwise(regexp_replace(
+        regexp_replace(a, ":(80|443)$", ""), "^www\\.", ""))
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
     val noUtm = regexp_replace(
       regexp_replace(rest, "\\?utm_[a-z]*=[^&#]*", "?"),

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * Public-suffix-aware registrable-domain extraction — the exact form of
+ * the per-domain politeness/capping key that
+ * [[TextFunctions.registrableDomain]]'s last-two-labels regex only
+ * approximates (under which every `*.co.uk` site collapses into one
+ * "domain" `co.uk` and per-domain capping over-prunes whole country
+ * registries). North-star extension: the reference has no URL surface
+ * at all (/root/reference/src/lib.rs:1-957).
+ *
+ * The caller supplies the suffix table (e.g. the ~9k-row Mozilla
+ * public suffix list; wildcard rules like `*.kawasaki.jp` are the
+ * caller's expansion burden — expand them to explicit rows against
+ * the observed hosts, the standard preprocessing). Matching follows
+ * the PSL algorithm: the registrable domain is one label plus the
+ * LONGEST suffix in the table that matches the host tail; a host that
+ * IS a public suffix has no registrable domain (empty); a host
+ * matching no rule falls back to the last-two-labels approximation
+ * (the PSL's own implicit `*` rule); IP-literal hosts cap on
+ * themselves (delegated to [[TextFunctions.registrableDomain]]).
+ *
+ * 100 TB shape: public suffixes are at most `maxSuffixLabels` dot
+ * labels, so the candidate tails per host are a FIXED small set —
+ * matching is `maxSuffixLabels` broadcast hash left-joins (build side
+ * = the suffix rows of that exact label count, deduplicated), all
+ * codegen, ZERO shuffles of the URL side, no explode, no re-group.
+ * Cost per row is a handful of hash probes regardless of corpus size.
+ */
+object Domains {
+
+  /**
+   * Adds `out` (the PSL registrable domain of `urlCol`) to `df`.
+   * `suffixes`' FIRST column is the suffix list, matched lowercased.
+   */
+  def registrableDomainPsl(df: DataFrame, urlCol: String,
+                           suffixes: DataFrame, out: String,
+                           maxSuffixLabels: Int = 4): DataFrame = {
+    val sfx = suffixes.select(
+      lower(col(suffixes.columns.head)).as("__sfx")).distinct()
+    val host = TextFunctions.urlHost(col(urlCol))
+    var d = df
+      .withColumn("__labels", split(host, "\\."))
+      .withColumn("__n", size(col("__labels")))
+    (1 to maxSuffixLabels).foreach { k =>
+      // the host's last-k-labels tail, only defined when the host is
+      // at least k labels deep (slice with a negative start demands it)
+      d = d.withColumn(s"__c$k",
+          when(col("__n") >= k,
+            array_join(slice(col("__labels"), -k, k), ".")))
+        .join(broadcast(sfx
+            .filter(size(split(col("__sfx"), "\\.")) === k)
+            .withColumnRenamed("__sfx", s"__m$k")),
+          col(s"__c$k") === col(s"__m$k"), "left")
+    }
+    // longest match wins (ascending fold leaves the longest-k test
+    // OUTERMOST); host == suffix (no label left of it) → empty
+    val psl = (1 to maxSuffixLabels).foldLeft(
+      // no rule matched → the PSL's implicit `*` rule = the regex
+      // approximation (which also handles IP-literal hosts)
+      TextFunctions.registrableDomain(col(urlCol))) { (fallback, k) =>
+      when(col(s"__m$k").isNotNull,
+        when(col("__n") > k,
+          array_join(slice(col("__labels"), -(k + 1), k + 1), "."))
+          .otherwise(lit("")))
+        .otherwise(fallback)
+    }
+    d.withColumn(out, psl)
+      .drop("__labels" +: "__n" +:
+        (1 to maxSuffixLabels).flatMap(k => Seq(s"__c$k", s"__m$k")): _*)
+  }
+}

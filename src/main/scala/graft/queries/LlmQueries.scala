@@ -107,6 +107,24 @@ object LlmQueries {
   private val embCte =
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** DuckDB mirror of TextFunctions.htmlToText over SQL expression `e`
+    * (shared by l66 and the l68 cascade). */
+  private def htmlToTextSql(e: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(" +
+      "regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(" + e + ", " +
+      "'(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      "'(?s)<!--.*?-->', ' ', 'g'), " +
+      "'<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'), " +
+      "'  +', ' ', 'g'))"
+
+  /** DuckDB mirror of TextFunctions.normalizeText over SQL expr `e`. */
+  private def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))"
+
   // Language-ID marker stopwords (scored over ' '||lower(text)||' ').
   private val langMarkers = Seq("en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
 
@@ -1413,16 +1431,7 @@ object LlmQueries {
         "' --><p>' || text || '</p><script>var x=' || CAST(doc_id AS VARCHAR) || " +
         "';</script><div>tail &amp; &lt;b&gt; ' || CAST(doc_id % 7 AS VARCHAR) || " +
         "'</div></body></html>' AS html FROM documents), " +
-        "e AS (SELECT doc_id, trim(regexp_replace(" +
-        "replace(replace(replace(replace(replace(" +
-        "regexp_replace(" +
-        "regexp_replace(regexp_replace(regexp_replace(html, " +
-        "'(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
-        "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
-        "'(?s)<!--.*?-->', ' ', 'g'), " +
-        "'<[^>]*>', ' ', 'g'), " +
-        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'), " +
-        "'  +', ' ', 'g')) AS ext FROM h) " +
+        "e AS (SELECT doc_id, " + htmlToTextSql("html") + " AS ext FROM h) " +
         "SELECT doc_id, ext, md5(ext) AS ext_md5 FROM e ORDER BY doc_id")),
 
     // L67 — lexical diversity: per document, total tokens, distinct
@@ -1447,6 +1456,219 @@ object LlmQueries {
         "CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
         "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax " +
         "FROM tc GROUP BY doc_id ORDER BY doc_id")),
+
+    // L68 — the end-to-end crawl cascade, COMPOSED: WARC bytes →
+    // record walk → HTTP-200 filter → HTML-to-text → normalize →
+    // exact dedup → banded-MinHash near dedup → kept set. l50, l66,
+    // l60 and l28 certify each stage alone; this is the first pipeline
+    // a new user actually builds, certified as one dataflow. Fixture =
+    // graft.sources.CascadeFixtures (36 HTTP-200 docs over 3 WARC
+    // files incl. a gzip multi-member one; warcinfo/404/request/
+    // truncated distractors the cascade must filter, not trip over;
+    // 12 text families × 3 markup variants arranged so exact dedup
+    // fires only because extraction+normalization converge and the
+    // near-dup families sit at 3-gram Jaccard ≥ 0.8). The oracle runs
+    // the same cascade in DuckDB from the construction-side (doc_id,
+    // html) VALUES — the l50+l66 oracles composed — so a match proves
+    // the stages compose identically from bytes to kept set. Scale
+    // shape: narrow flatMap ingest, per-row projections, then
+    // dedupCorpus's banded join — nothing quadratic.
+    "l68_crawl_cascade" -> QueryDef(
+      (s, _) => {
+        val recs = graft.sources.Warc.records(
+          graft.sources.CascadeFixtures.dataset(s), headBytes = 1024).toDF()
+        val docs = recs
+          .filter(col("warc_type") === "response" && col("http_status") === 200)
+          .select((col("file_id") * 100 + col("rec_idx")).as("doc_id"),
+            normalizeText(htmlToText(col("body_head"))).as("text"))
+        Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + graft.sources.CascadeFixtures.valuesSql + ", " +
+        "docs AS (SELECT doc_id, " +
+        normalizeTextSql(htmlToTextSql("html")) + " AS text FROM raw), " +
+        "kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM docs) " +
+        "WHERE rn = 1), " +
+        minhashPairsCte("kept") + ", " + jaccardCte + ", " +
+        "fin AS (SELECT doc_id, text FROM kept WHERE doc_id NOT IN " +
+        "(SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "md5(text) AS text_md5 FROM fin ORDER BY doc_id")),
+
+    // L69 — compression-ratio regression pin (Scoring.compressionRatio).
+    // The oracle engine ships no deflate, so a semantic oracle is
+    // impossible; instead — the l48 fixture philosophy inverted — the
+    // query runs the operator over six CONSTRUCTED payloads spanning
+    // the signal's range (extreme repetition, templated prose, hex
+    // noise, empty, single char, loop spam) and the oracle is a VALUES
+    // relation of golden rows. The deflate_len constants were pinned
+    // from the operator AND cross-checked byte-identical against an
+    // independent zlib implementation (python zlib.compress level 6) at
+    // pin time, so they are properties of the zlib format settings, not
+    // echoes of this code; any drift in deflater configuration (level,
+    // strategy, wrapper) breaks the pin.
+    "l69_compression_pin" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val bases = Seq(
+          "the quick brown fox jumps over the lazy dog by the river",
+          "pack my box with five dozen liquor jugs for the long trip",
+          "a stitch in time saves nine when the cloth begins to fray",
+          "all that glitters is not gold said the old miner at dawn")
+        val payloads = Seq(
+          (1L, "ab" * 500),
+          (2L, bases.mkString(" ") * 4),
+          (3L, (0 until 32).map(i => java.security.MessageDigest.getInstance("MD5")
+            .digest(i.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString).mkString),
+          (4L, ""),
+          (5L, "x"),
+          (6L, "the quick brown fox " * 64))
+        graft.operators.Scoring.compressionRatio(
+            payloads.toDF("doc_id", "text"), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), CAST(1000 AS BIGINT), CAST(18 AS BIGINT), CAST(18000 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), CAST(916 AS BIGINT), CAST(163 AS BIGINT), CAST(177947 AS BIGINT)), " +
+        "(CAST(3 AS BIGINT), CAST(1024 AS BIGINT), CAST(573 AS BIGINT), CAST(559570 AS BIGINT)), " +
+        "(CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT)), " +
+        "(CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(9 AS BIGINT), CAST(9000000 AS BIGINT)), " +
+        "(CAST(6 AS BIGINT), CAST(1280 AS BIGINT), CAST(39 AS BIGINT), CAST(30468 AS BIGINT))" +
+        ") AS t(doc_id, raw_len, deflate_len, ratio_ppm) ORDER BY doc_id")),
+
+    // L70 — IP-literal URL canonicalization, cross-engine certified
+    // (the l64 pattern over the address-shaped corner of the URL
+    // space): bracketed IPv6 with default/non-default/no ports, an
+    // address tail ending in 80 that a naive default-port strip would
+    // eat, bare IPv4, bare (invalid but crawl-real) IPv6 where a
+    // trailing `:digits` is address, not port, plus name hosts as the
+    // regression control. Both engines construct the same URLs from
+    // doc_id and independently run the same authority-classification
+    // chain (bracket → whole-[...] host; multi-colon → no port to
+    // strip; else → port strip + www strip); IP hosts cap on
+    // themselves in `domain`. Pure per-row projections throughout.
+    "l70_url_ip" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(
+          when(id % 2 === 0, lit("https")).otherwise(lit("http")), lit("://"),
+          when(id % 5 === 0, concat(lit("[2001:db8::"), str(id % 9), lit("]")))
+            .when(id % 5 === 1, concat(lit("[2001:DB8:0:"), str(id % 7), lit("::80]")))
+            .when(id % 5 === 2, concat(lit("10."), str(id % 200), lit(".0."), str(id % 9)))
+            .when(id % 5 === 3, concat(lit("2001:db8::"), str(id % 9)))
+            .otherwise(concat(lit("www.Host"), str(id % 11), lit(".Example.com"))),
+          when(id % 4 === 0, lit(":443")).when(id % 4 === 1, lit(":8080"))
+            .when(id % 4 === 2, lit(":80")).otherwise(lit("")),
+          lit("/p/"), str(id),
+          when(id % 3 === 0, concat(lit("?utm_source=x&id="), str(id % 7)))
+            .when(id % 3 === 1, concat(lit("?a="), str(id % 5)))
+            .otherwise(lit("")),
+          when(id % 6 === 0, lit("#f")).otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(id, url.as("url"))
+          .select(id, col("url"),
+            urlHost(col("url")).as("host"),
+            registrableDomain(col("url")).as("domain"),
+            normalizeUrl(col("url")).as("norm_url"))
+          .orderBy("doc_id")
+      },
+      Some("WITH u AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' || " +
+        "CASE WHEN doc_id % 5 = 0 THEN '[2001:db8::' || CAST(doc_id % 9 AS VARCHAR) || ']' " +
+        "WHEN doc_id % 5 = 1 THEN '[2001:DB8:0:' || CAST(doc_id % 7 AS VARCHAR) || '::80]' " +
+        "WHEN doc_id % 5 = 2 THEN '10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 9 AS VARCHAR) " +
+        "WHEN doc_id % 5 = 3 THEN '2001:db8::' || CAST(doc_id % 9 AS VARCHAR) " +
+        "ELSE 'www.Host' || CAST(doc_id % 11 AS VARCHAR) || '.Example.com' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8080' " +
+        "WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END || " +
+        "'/p/' || CAST(doc_id AS VARCHAR) || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR) " +
+        "WHEN doc_id % 3 = 1 THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 0 THEN '#f' ELSE '' END AS url FROM documents), " +
+        "a AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS auth, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest " +
+        "FROM u), " +
+        "h AS (SELECT doc_id, url, scheme, rest, " +
+        "CASE WHEN auth LIKE '[%' THEN lower(regexp_extract(auth, '^\\[[^\\]]*\\]', 0)) " +
+        "WHEN regexp_matches(auth, ':.*:') THEN lower(auth) " +
+        "ELSE lower(regexp_replace(auth, ':[0-9]+$', '')) END AS host, " +
+        "lower(auth) AS la, " +
+        "regexp_extract(lower(auth), '\\]:([0-9]+)$', 1) AS bport FROM a), " +
+        "n AS (SELECT doc_id, url, host, " +
+        "CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') " +
+        "OR host LIKE '[%' OR contains(host, ':') THEN host " +
+        "ELSE regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) END AS domain, " +
+        "scheme || '://' || " +
+        "CASE WHEN la LIKE '[%' THEN regexp_extract(la, '^\\[[^\\]]*\\]', 0) || " +
+        "(CASE WHEN bport IN ('', '80', '443') THEN '' ELSE ':' || bport END) " +
+        "WHEN regexp_matches(la, ':.*:') THEN la " +
+        "ELSE regexp_replace(regexp_replace(la, ':(80|443)$', ''), '^www\\.', '') END || " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest, " +
+        "'\\?utm_[a-z]*=[^&#]*', '?', 'g'), '&utm_[a-z]*=[^&#]*', '&', 'g'), " +
+        "'\\?[?&]+', '?', 'g'), '&[?&]+', '&', 'g'), '[?&]+$', '') AS norm_url FROM h) " +
+        "SELECT doc_id, url, host, domain, norm_url FROM n ORDER BY doc_id")),
+
+    // L71 — public-suffix-aware registrable domains (Domains.
+    // registrableDomainPsl): the exact per-domain capping key, where
+    // l64/l70's last-two-labels form over-collapses country registries
+    // (every `*.co.uk` site under one key). Fixture hosts span 2-label
+    // suffixes (co.uk, com.au), a private-section suffix (github.io),
+    // plain .com, a host that IS a suffix (no registrable domain →
+    // empty), and an unknown TLD (falls back to last-two-labels — the
+    // PSL's implicit `*` rule); the suffix table is the same VALUES
+    // relation on both sides. Spark matches via fixed-depth broadcast
+    // hash left-joins (zero shuffles of the URL side — DomainsSpec pins
+    // the plan); the oracle re-implements longest-suffix match
+    // independently via candidate tails + MAX(k).
+    "l71_psl_domain" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(lit("https://"),
+          when(id % 6 === 0, concat(lit("sub"), str(id % 7), lit(".BBC.co.uk")))
+            .when(id % 6 === 1, concat(lit("shop"), str(id % 5), lit(".example.com.au")))
+            .when(id % 6 === 2, concat(lit("a"), str(id % 3), lit(".b.example"), str(id % 4), lit(".com")))
+            .when(id % 6 === 3, concat(lit("user"), str(id % 9), lit(".github.io")))
+            .when(id % 6 === 4, lit("co.uk"))
+            .otherwise(concat(lit("x"), str(id % 8), lit(".example.zz"))),
+          lit("/p/"), str(id))
+        val sfx = Seq("com", "org", "uk", "co.uk", "org.uk", "com.au", "au",
+          "jp", "co.jp", "github.io", "io").toDF("suffix")
+        graft.operators.Domains.registrableDomainPsl(
+            Tables.documents(s, d).select(id, url.as("url")), "url", sfx, "domain")
+          .select(id, col("url"), col("domain"))
+          .orderBy("doc_id")
+      },
+      Some("WITH sfx(suffix) AS (VALUES ('com'), ('org'), ('uk'), ('co.uk'), " +
+        "('org.uk'), ('com.au'), ('au'), ('jp'), ('co.jp'), ('github.io'), ('io')), " +
+        "u AS (SELECT doc_id, 'https://' || " +
+        "CASE WHEN doc_id % 6 = 0 THEN 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.BBC.co.uk' " +
+        "WHEN doc_id % 6 = 1 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.example.com.au' " +
+        "WHEN doc_id % 6 = 2 THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.b.example' || CAST(doc_id % 4 AS VARCHAR) || '.com' " +
+        "WHEN doc_id % 6 = 3 THEN 'user' || CAST(doc_id % 9 AS VARCHAR) || '.github.io' " +
+        "WHEN doc_id % 6 = 4 THEN 'co.uk' " +
+        "ELSE 'x' || CAST(doc_id % 8 AS VARCHAR) || '.example.zz' END || " +
+        "'/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        "lab AS (SELECT doc_id, url, " +
+        "string_split(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '.') AS arr " +
+        "FROM u), " +
+        "c AS (SELECT doc_id, k, array_to_string(arr[len(arr)-k+1:len(arr)], '.') AS cand " +
+        "FROM lab, UNNEST(generate_series(1, 4)) AS t(k) WHERE len(arr) >= k), " +
+        "m AS (SELECT doc_id, MAX(k) AS mk FROM c JOIN sfx ON cand = suffix GROUP BY doc_id) " +
+        "SELECT l.doc_id, l.url, " +
+        "CASE WHEN mk IS NULL THEN regexp_extract(array_to_string(arr, '.'), '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) " +
+        "WHEN len(arr) > mk THEN array_to_string(arr[len(arr)-mk:len(arr)], '.') " +
+        "ELSE '' END AS domain " +
+        "FROM lab l LEFT JOIN m ON m.doc_id = l.doc_id ORDER BY l.doc_id")),
 
     // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
     // ACL'10 — the standard cross-entropy-difference ranking for

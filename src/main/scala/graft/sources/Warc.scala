@@ -100,7 +100,14 @@ object Warc {
   }
 
   /** Pure single-file walk (unit-testable without Spark). */
-  def parseFile(fileId: Long, payload: Array[Byte]): Seq[WarcRecord] = {
+  def parseFile(fileId: Long, payload: Array[Byte]): Seq[WarcRecord] =
+    parseFile(fileId, payload, HeadBytes)
+
+  /** `headBytes` sizes the retained body prefix: 48 for provenance
+    * (the default), larger when downstream actually consumes the body —
+    * e.g. the l68 crawl cascade extracts text from it. Bounded by
+    * [[MaxHttpPrefix]] either way. */
+  def parseFile(fileId: Long, payload: Array[Byte], headBytes: Int): Seq[WarcRecord] = {
     val raw: InputStream = new ByteArrayInputStream(payload)
     val in0: InputStream =
       if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
@@ -144,7 +151,7 @@ object Warc {
             val prefix = new Array[Byte](prefixLen)
             if (in.readN(prefix, prefixLen) < prefixLen) throw Malformed
             if (in.skipN(cl - prefixLen) < cl - prefixLen) throw Malformed
-            out += httpSplit(fileId, idx, warcType, uri, cl, prefix)
+            out += httpSplit(fileId, idx, warcType, uri, cl, prefix, headBytes)
             idx += 1
         }
       }
@@ -163,7 +170,8 @@ object Warc {
     * longer than [[MaxHttpPrefix]] is treated as non-HTTP (bounded-read
     * contract) — at that size it is not a sane HTTP header block. */
   private def httpSplit(fileId: Long, idx: Long, warcType: String, uri: String,
-                        cl: Long, prefix: Array[Byte]): WarcRecord = {
+                        cl: Long, prefix: Array[Byte],
+                        headBytes: Int): WarcRecord = {
     def ascii(b: Array[Byte], from: Int, until: Int) =
       new String(b, from, until - from, "UTF-8")
     val isHttp = prefix.length >= 5 && ascii(prefix, 0, 5) == "HTTP/"
@@ -179,7 +187,7 @@ object Warc {
     }
     if (!isHttp || sep < 0) {
       WarcRecord(fileId, idx, warcType, uri, cl, 0L, cl,
-        ascii(prefix, 0, math.min(HeadBytes, prefix.length)))
+        ascii(prefix, 0, math.min(headBytes, prefix.length)))
     } else {
       val statusLineEnd = prefix.indexOf('\n'.toByte)
       val statusLine = ascii(prefix, 0, if (statusLineEnd < 0) prefix.length else statusLineEnd)
@@ -187,7 +195,7 @@ object Warc {
         .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
       val bodyStart = sep + 4
       val head = ascii(prefix, bodyStart,
-        math.min(bodyStart + HeadBytes, prefix.length))
+        math.min(bodyStart + headBytes, prefix.length))
       WarcRecord(fileId, idx, warcType, uri, cl, status, cl - bodyStart, head)
     }
   }
@@ -195,8 +203,11 @@ object Warc {
   /** The distributed form: one narrow flatMap, no shuffle — record
     * extraction is embarrassingly parallel over files, and downstream
     * ops see a relational table of records, never bytes. */
-  def records(files: Dataset[WarcFile]): Dataset[WarcRecord] = {
+  def records(files: Dataset[WarcFile]): Dataset[WarcRecord] =
+    records(files, HeadBytes)
+
+  def records(files: Dataset[WarcFile], headBytes: Int): Dataset[WarcRecord] = {
     import files.sparkSession.implicits._
-    files.flatMap(f => parseFile(f.file_id, f.payload))
+    files.flatMap(f => parseFile(f.file_id, f.payload, headBytes))
   }
 }

@@ -21,10 +21,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
  */
 object WarcFixtures {
 
-  private def crlf(lines: String*): String = lines.mkString("", "\r\n", "\r\n")
+  private[sources] def crlf(lines: String*): String = lines.mkString("", "\r\n", "\r\n")
 
   /** One WARC record: version + headers + blank + payload + \r\n\r\n. */
-  private def record(warcType: String, uri: Option[String],
+  private[sources] def record(warcType: String, uri: Option[String],
                      payload: Array[Byte]): Array[Byte] = {
     val head = crlf(
       Seq("WARC/1.0", s"WARC-Type: $warcType") ++
@@ -34,11 +34,11 @@ object WarcFixtures {
     head.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
   }
 
-  private def http(status: String, body: String): Array[Byte] =
+  private[sources] def http(status: String, body: String): Array[Byte] =
     (crlf(s"HTTP/1.1 $status", "Content-Type: text/html", "") + body)
       .getBytes("UTF-8")
 
-  private def gz(b: Array[Byte]): Array[Byte] = {
+  private[sources] def gz(b: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val g = new GZIPOutputStream(bos)
     g.write(b); g.close()

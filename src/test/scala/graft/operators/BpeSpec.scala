@@ -159,6 +159,39 @@ class BpeSpec extends AnyFunSuite {
     assert(out.length == 12) // no row threw; empty-string results are fine
   }
 
+  test("IP-literal hosts: bracketed/bare IPv6 and bare IPv4 survive intact") {
+    val cases = Seq(
+      // bracketed IPv6 + non-default port: host keeps brackets, port kept
+      ("http://[2001:DB8::1]:8080/x?a=1",
+        "[2001:db8::1]", "[2001:db8::1]", "http://[2001:db8::1]:8080/x?a=1"),
+      // bracketed IPv6 + default port: port dropped OUTSIDE the bracket
+      ("https://[::1]:443/x", "[::1]", "[::1]", "https://[::1]/x"),
+      // address tail ends in :80 — must NOT be eaten as a default port
+      ("http://[2001:db8::80]/x",
+        "[2001:db8::80]", "[2001:db8::80]", "http://[2001:db8::80]/x"),
+      // bare IPv6 (technically invalid but present in crawl frontiers):
+      // multi-colon authority cannot carry a port — passes through whole
+      ("http://2001:db8::1/x", "2001:db8::1", "2001:db8::1", "http://2001:db8::1/x"),
+      // bare IPv4: port strips; the capping key is the full address,
+      // never a last-two-octet fragment
+      ("http://192.168.0.1:8080/p",
+        "192.168.0.1", "192.168.0.1", "http://192.168.0.1:8080/p"),
+      ("https://10.0.0.2:443/q?utm_source=a",
+        "10.0.0.2", "10.0.0.2", "https://10.0.0.2/q"))
+    val out = cases.map(_._1).toDF("url")
+      .select(TextFunctions.urlHost(col("url")),
+        TextFunctions.registrableDomain(col("url")),
+        TextFunctions.normalizeUrl(col("url")))
+      .as[(String, String, String)].collect().toSeq
+    assert(out == cases.map(c => (c._2, c._3, c._4)))
+    // the SQL-registered expressions agree with the Column functions
+    graft.GraftFunctions.register(spark)
+    val sqlOut = cases.map(_._1).toDF("url")
+      .selectExpr("url_host(url)", "registrable_domain(url)", "normalize_url(url)")
+      .as[(String, String, String)].collect().toSeq
+    assert(sqlOut == out)
+  }
+
   test("normalizeUrl is idempotent over the l64 construction space") {
     import org.apache.spark.sql.functions.{concat, lit, when}
     // the l64 fixture family for ids 0..399 — every branch combination

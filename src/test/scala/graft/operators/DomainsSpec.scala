@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** PSL-aware registrable domains: longest-suffix match against a
+  * caller-supplied table, empty for hosts that ARE suffixes, regex
+  * fallback for unknown TLDs and IP literals. */
+class DomainsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val psl = Seq("com", "org", "uk", "co.uk", "org.uk", "com.au",
+    "jp", "co.jp", "github.io").toDF("suffix")
+
+  test("longest-suffix match: co.uk sites stop collapsing into co.uk") {
+    val cases = Seq(
+      ("https://www.bbc.co.uk/news", "bbc.co.uk"),          // 2-label suffix beats uk
+      ("https://news.bbc.co.uk/x", "bbc.co.uk"),            // deeper subdomain, same key
+      ("https://sub.shop.example.com.au/p", "example.com.au"),
+      ("https://example.com/x", "example.com"),             // 1-label suffix
+      ("https://a.b.example.org/x", "example.org"),
+      ("https://myuser.github.io/repo", "myuser.github.io"), // private-section suffix
+      ("https://deep.myuser.github.io/repo", "myuser.github.io"),
+      ("https://tokyo.co.jp/x", "tokyo.co.jp"),             // hmm: co.jp is the suffix
+      ("https://example.co.uk/", "example.co.uk"))
+    val out = Domains.registrableDomainPsl(
+        cases.map(_._1).toDF("url"), "url", psl, "dom")
+      .select("dom").as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("a host that IS a public suffix has no registrable domain") {
+    val out = Domains.registrableDomainPsl(
+        Seq("https://co.uk/", "https://github.io/x", "https://com/").toDF("url"),
+        "url", psl, "dom")
+      .select("dom").as[String].collect().toSeq
+    assert(out == Seq("", "", ""))
+  }
+
+  test("no matching rule falls back to last-two-labels; IPs cap on themselves") {
+    val out = Domains.registrableDomainPsl(
+        Seq("https://a.b.example.dev/x",      // .dev not in the table
+          "http://192.168.0.1:8080/p",
+          "http://[2001:db8::1]/x").toDF("url"),
+        "url", psl, "dom")
+      .select("dom").as[String].collect().toSeq
+    assert(out == Seq("example.dev", "192.168.0.1", "[2001:db8::1]"))
+  }
+
+  test("plan: suffix matching is broadcast joins only — no shuffle of the URL side") {
+    val urls = spark.range(100)
+      .select(concat(lit("https://sub"), col("id") % 10,
+        lit(".example"), col("id") % 7, lit(".co.uk/p")).as("url"))
+    val plan = Domains.registrableDomainPsl(urls, "url", psl, "dom")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    // the only shuffle exchanges are the per-label-count dedups of the
+    // (tiny) suffix build side — at most one per join level; the URL
+    // side streams through joins without repartitioning
+    val shuffles = plan.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 4, s"unexpected shuffle count $shuffles in:\n$plan")
+  }
+}
