@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Bounded iterative graph traversal (north-star extension per
+ * SURVEY.md §2.2): min-hop reachability from a seed set — the
+ * dependency-closure / blast-radius / lineage primitive relational
+ * engines express as `WITH RECURSIVE` and Spark has no operator for.
+ * Complements [[Dedup.duplicateClusters]]' label propagation (which
+ * converges labels, not distances).
+ *
+ * Frontier-expansion BFS, one round per hop: join the frontier to the
+ * edge table, anti-join out already-reached nodes, tag the round's
+ * distance. Each round is one shuffled hash join + distinct — work
+ * scales with the FRONTIER, not the reached set (anti-join keeps
+ * settled nodes out of later joins), and rounds are bounded by
+ * `maxHops`, so the driver loop is O(maxHops) jobs. `localCheckpoint`
+ * truncates per-round lineage (round n's plan must not replay rounds
+ * 1..n−1 — the [[Bpe.trainMerges]] discipline). At 100 TB the edge
+ * table is the big side: it hash-partitions once per join on the
+ * source key; the frontier (small by comparison) shuffles to it.
+ */
+object Graph {
+
+  /**
+   * (node, dist) for every node within `maxHops` of a seed, dist =
+   * MINIMUM hop count (seeds at 0). BFS invariant: a node first reached
+   * in round h has true min-distance h, so no relaxation pass is
+   * needed — the anti-join IS the min.
+   */
+  def reachMinHops(edges: DataFrame, seeds: DataFrame,
+                   srcCol: String, dstCol: String, nodeCol: String,
+                   maxHops: Int): DataFrame = {
+    // InferFiltersFromConstraints compounds across BFS rounds: each
+    // round's join re-infers every prior round's arithmetic constraints
+    // and pushes the conjunction into both join sides, tripling the
+    // physical plan (and task binaries) PER ROUND — measured 3.3 MiB →
+    // 109 MiB by hop 8 on a 1k-edge fixture graph. The standard
+    // mitigation for iterative self-referential queries (GraphFrames
+    // does the same) is to disable constraint propagation for the
+    // loop; each round's plan optimizes at its eager checkpoint inside
+    // the loop, so restoring the conf afterwards leaves caller-side
+    // optimization untouched (the final plan is a flat union of
+    // checkpoint scans — nothing to infer).
+    val spark = edges.sparkSession
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try reachLoop(edges, seeds, srcCol, dstCol, nodeCol, maxHops)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def reachLoop(edges: DataFrame, seeds: DataFrame,
+                        srcCol: String, dstCol: String, nodeCol: String,
+                        maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    // Only the per-round FRONTIER checkpoints (it is the small, hot
+    // set); `reached` stays a plain union of the already-truncated
+    // frontiers — checkpointing the union each round would re-copy the
+    // whole reached set O(rounds) times and balloon task binaries.
+    var frontier = seeds.select(col(nodeCol)).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var reached = frontier
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.drop("dist")
+        .join(e.hint("shuffle_hash"), col(nodeCol) === col("__src"))
+        .select(col("__dst").as(nodeCol)).distinct()
+        .join(reached.select(nodeCol).hint("shuffle_hash"), Seq(nodeCol), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint()
+      reached = reached.union(next)
+      frontier = next
+      h += 1
+    }
+    reached
+  }
+}

@@ -1670,6 +1670,38 @@ object LlmQueries {
         "ELSE '' END AS domain " +
         "FROM lab l LEFT JOIN m ON m.doc_id = l.doc_id ORDER BY l.doc_id")),
 
+    // L72 — BM25 relevance scoring (Retrieval.bm25, the Lucene idf
+    // form): every document scored against a 5-term query — the
+    // inverted-index computation relationalized (decontamination
+    // triage / corpus search / hard-negative mining). One token
+    // explode feeds doc lengths AND query-term tfs (terms filtered
+    // before the shuffle); df derives from tf; N/Σdl broadcast as a
+    // 1-row scalar. Cross-engine determinism per the l34 discipline:
+    // per-(doc, term) scores round once to 9 dp into DECIMAL(20,9),
+    // per-doc sums are exact decimal, final score rounds to 6 dp.
+    "l72_bm25" -> QueryDef(
+      (s, d) => graft.operators.Retrieval.bm25(
+          Tables.documents(s, d), "text", "doc_id",
+          Seq("query", "join", "window", "vector", "merge"))
+        .orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t " +
+        "FROM documents WHERE text <> ''), " +
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok WHERE t <> '' GROUP BY 1), " +
+        "scal AS (SELECT COUNT(*) AS n, SUM(dl) AS toks FROM dl), " +
+        "tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok " +
+        "WHERE t IN ('query', 'join', 'window', 'vector', 'merge') GROUP BY 1, 2), " +
+        "df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT doc_id, CAST(ROUND(" +
+        "LN(1 + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) * " +
+        "(tf * (CAST(1.2 AS DOUBLE) + 1)) / " +
+        "(tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + " +
+        "CAST(0.75 AS DOUBLE) * (dl / (CAST(toks AS DOUBLE) / n)))), 9) " +
+        "AS DECIMAL(20,9)) AS s " +
+        "FROM tf JOIN df USING (t) JOIN dl USING (doc_id), scal) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, " +
+        "ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id")),
+
     // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
     // ACL'10 — the standard cross-entropy-difference ranking for
     // domain-targeted pretraining data): score every document by the

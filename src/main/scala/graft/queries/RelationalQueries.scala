@@ -635,6 +635,41 @@ object RelationalQueries {
         "CASE WHEN o2.doc_id IS NULL THEN 'added' " +
         "WHEN n2.doc_id IS NULL THEN 'removed' " +
         "WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS status " +
-        "FROM o2 FULL JOIN n2 ON o2.doc_id = n2.doc_id ORDER BY doc_id"))
+        "FROM o2 FULL JOIN n2 ON o2.doc_id = n2.doc_id ORDER BY doc_id")),
+
+    // R26 — bounded min-hop reachability (Graph.reachMinHops): the
+    // `WITH RECURSIVE` capability relational engines ship and Spark
+    // lacks, expressed as driver-bounded frontier BFS (one hash join +
+    // distinct + anti-join per hop, lineage truncated per round).
+    // Fixture graph: three deterministic edge families over doc_id
+    // (step −1 chains broken every 4th node, step −10 skips, step −30
+    // long hops), seeds every 60th id, 8 hops — a topology with
+    // distances 0..8 AND unreachable nodes. The oracle is DuckDB's
+    // native recursive CTE with MIN(dist) — two utterly different
+    // evaluation strategies agreeing on the closure.
+    "r26_graph_reach" -> QueryDef(
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id").as("u"))
+        val e1 = ids.filter(col("u") % 4 =!= 0 && col("u") >= 1)
+          .select((col("u") - 1).as("src"), col("u").as("dst"))
+        val e2 = ids.filter(col("u") % 7 < 2 && col("u") >= 10)
+          .select((col("u") - 10).as("src"), col("u").as("dst"))
+        val e3 = ids.filter(col("u") % 9 === 2 && col("u") >= 30)
+          .select((col("u") - 30).as("src"), col("u").as("dst"))
+        val seeds = ids.filter(col("u") % 60 === 0).select(col("u").as("node"))
+        graft.operators.Graph.reachMinHops(
+            e1.unionAll(e2).unionAll(e3), seeds, "src", "dst", "node", 8)
+          .orderBy("node")
+      },
+      Some("WITH RECURSIVE edges AS (" +
+        "SELECT doc_id - 1 AS src, doc_id AS dst FROM documents WHERE doc_id % 4 <> 0 AND doc_id >= 1 " +
+        "UNION ALL SELECT doc_id - 10, doc_id FROM documents WHERE doc_id % 7 < 2 AND doc_id >= 10 " +
+        "UNION ALL SELECT doc_id - 30, doc_id FROM documents WHERE doc_id % 9 = 2 AND doc_id >= 30), " +
+        "reach(node, dist) AS (" +
+        "SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 60 = 0 " +
+        "UNION SELECT e.dst, r.dist + 1 FROM reach r " +
+        "JOIN edges e ON e.src = r.node WHERE r.dist < 8) " +
+        "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM reach " +
+        "GROUP BY node ORDER BY node"))
   )
 }
