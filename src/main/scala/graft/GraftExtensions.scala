@@ -179,8 +179,10 @@ object GraftFunctions {
       val collapsed = RegExpReplace(
         RegExpReplace(noUtm, Literal("\\?[?&]+"), Literal("?")),
         Literal("&[?&]+"), Literal("&"))
+      // chain gated on the cheap substring test, as in TextFunctions
+      val cleaned = CaseWhen(Seq((Contains(rest, Literal("utm_")), collapsed)), rest)
       Concat(Seq(scheme, Literal("://"), host,
-        RegExpReplace(collapsed, Literal("[?&]+$"), Literal(""))))
+        RegExpReplace(cleaned, Literal("[?&]+$"), Literal(""))))
     })
 
   val htmlToText: FunctionDescription = (

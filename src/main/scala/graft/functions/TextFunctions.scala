@@ -195,11 +195,15 @@ object TextFunctions {
       .otherwise(regexp_replace(
         regexp_replace(a, ":(80|443)$", ""), "^www\\.", ""))
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    // the strip + run-collapse chain (4 regex scans) runs only when the
+    // cheap substring test fires — most real URLs carry no utm params,
+    // and the collapse exists solely to tidy what the strip leaves
     val noUtm = regexp_replace(
       regexp_replace(rest, "\\?utm_[a-z]*=[^&#]*", "?"),
       "&utm_[a-z]*=[^&#]*", "&")
     val collapsed = regexp_replace(
       regexp_replace(noUtm, "\\?[?&]+", "?"), "&[?&]+", "&")
-    concat(scheme, lit("://"), host, regexp_replace(collapsed, "[?&]+$", ""))
+    val cleaned = when(rest.contains("utm_"), collapsed).otherwise(rest)
+    concat(scheme, lit("://"), host, regexp_replace(cleaned, "[?&]+$", ""))
   }
 }

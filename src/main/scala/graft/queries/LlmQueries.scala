@@ -1611,9 +1611,11 @@ object LlmQueries {
         "(CASE WHEN bport IN ('', '80', '443') THEN '' ELSE ':' || bport END) " +
         "WHEN regexp_matches(la, ':.*:') THEN la " +
         "ELSE regexp_replace(regexp_replace(la, ':(80|443)$', ''), '^www\\.', '') END || " +
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest, " +
+        "regexp_replace(CASE WHEN contains(rest, 'utm_') THEN " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest, " +
         "'\\?utm_[a-z]*=[^&#]*', '?', 'g'), '&utm_[a-z]*=[^&#]*', '&', 'g'), " +
-        "'\\?[?&]+', '?', 'g'), '&[?&]+', '&', 'g'), '[?&]+$', '') AS norm_url FROM h) " +
+        "'\\?[?&]+', '?', 'g'), '&[?&]+', '&', 'g') ELSE rest END, " +
+        "'[?&]+$', '') AS norm_url FROM h) " +
         "SELECT doc_id, url, host, domain, norm_url FROM n ORDER BY doc_id")),
 
     // L71 — public-suffix-aware registrable domains (Domains.
@@ -2006,10 +2008,13 @@ object LlmQueries {
         "regexp_replace(regexp_replace(" +
         "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), " +
         "':(80|443)$', ''), '^www\\.', '') || " +
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(CASE WHEN contains(" +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), 'utm_') THEN " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
         "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), " +
         "'\\?utm_[a-z]*=[^&#]*', '?', 'g'), '&utm_[a-z]*=[^&#]*', '&', 'g'), " +
-        "'\\?[?&]+', '?', 'g'), '&[?&]+', '&', 'g'), " +
+        "'\\?[?&]+', '?', 'g'), '&[?&]+', '&', 'g') " +
+        "ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) END, " +
         "'[?&]+$', '') AS norm_url FROM u) " +
         "SELECT doc_id, url, host, " +
         "regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS domain, " +
