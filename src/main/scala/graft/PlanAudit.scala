@@ -34,7 +34,8 @@ object PlanAudit {
       "l65_kneser_ney", // 1-row distinct-bigram total cross-broadcast, as l45's V
       "l47_temperature_mix", // 1-row (Σw, N) total against the per-key weights
       "l54_source_divergence", // 1-row corpus-total N cross-broadcast, as l33
-      "r21_skew_stats") // 1-row (total, #keys) scalar against per-key counts
+      "r21_skew_stats", // 1-row (total, #keys) scalar against per-key counts
+      "l72_bm25") // 1-row (N, Σdl) corpus scalar cross-broadcast, as l33's total
   // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
   // directly over co-located sorted buckets with NO exchange on either
   // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,

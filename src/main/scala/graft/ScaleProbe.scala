@@ -51,6 +51,13 @@ object ScaleProbe {
       .reduce(_ unionAll _)
       .write.parquet(s"$dir10/events.parquet")
 
+    // lineitem replicates with shifted order keys (r27 profiling probe)
+    val lin = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until 10).map(k =>
+        lin.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 100000000L)))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$dir10/lineitem.parquet")
+
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              dir: String): Double = {
       val t0 = System.nanoTime()

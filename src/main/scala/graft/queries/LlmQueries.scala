@@ -1704,6 +1704,79 @@ object LlmQueries {
         "ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id")),
 
+    // L73 — BPE train + encode golden pin (the l69 pattern applied to
+    // the tokenizer surface): trainMerges' driver endgame learns 30
+    // merges over a fixed 8-sentence corpus, encodeWordsFast (the
+    // broadcast-rank mapPartitions production encoder) applies them,
+    // and the oracle is a VALUES relation of the frozen (word →
+    // symbol-string) rows. The iterative fold has no DuckDB form, so
+    // this is a regression pin, not a semantic oracle — but it runs
+    // the REAL train→encode path end-to-end under CORRECTNESS every
+    // round (spec-level guarantees: BpeSpec proves the encoder
+    // identical to the sequential reference chain and the driver
+    // endgame identical to the distributed loop).
+    "l73_bpe_encode_pin" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val bases = Seq(
+          "the quick brown fox jumps over the lazy dog by the river",
+          "pack my box with five dozen liquor jugs for the long trip",
+          "a stitch in time saves nine when the cloth begins to fray",
+          "all that glitters is not gold said the old miner at dawn",
+          "every good boy deserves fruit after the long practice session",
+          "the rain in spain falls mainly on the wide open plain",
+          "still waters run deep where the old stone bridge crosses over",
+          "many hands make light work when the harvest moon rises early")
+        val docs = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", 30)
+          .map(m => (m._1, m._2))
+        graft.operators.Bpe.encodeWordsFast(docs, "text", merges)
+          .select(col("w"), array_join(col("syms"), "|").as("syms"),
+            size(col("syms")).cast("long").as("n_syms"))
+          .orderBy("w")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "('a', 'a', CAST(1 AS BIGINT)), ('after', 'a|f|t|er', CAST(4 AS BIGINT)), " +
+        "('all', 'all', CAST(1 AS BIGINT)), ('at', 'at', CAST(1 AS BIGINT)), " +
+        "('begins', 'b|e|g|in|s', CAST(5 AS BIGINT)), ('box', 'bo|x', CAST(2 AS BIGINT)), " +
+        "('boy', 'bo|y', CAST(2 AS BIGINT)), ('bridge', 'b|ri|d|g|e', CAST(5 AS BIGINT)), " +
+        "('brown', 'b|r|o|w|n', CAST(5 AS BIGINT)), ('by', 'b|y', CAST(2 AS BIGINT)), " +
+        "('cloth', 'c|l|o|t|h', CAST(5 AS BIGINT)), ('crosses', 'c|r|o|s|ses', CAST(5 AS BIGINT)), " +
+        "('dawn', 'd|a|w|n', CAST(4 AS BIGINT)), ('deep', 'de|e|p', CAST(3 AS BIGINT)), " +
+        "('deserves', 'd|es|er|ves', CAST(4 AS BIGINT)), ('dog', 'do|g', CAST(2 AS BIGINT)), " +
+        "('dozen', 'do|z|en', CAST(3 AS BIGINT)), ('early', 'e|ar|l|y', CAST(4 AS BIGINT)), " +
+        "('every', 'e|ver|y', CAST(3 AS BIGINT)), ('falls', 'f|all|s', CAST(3 AS BIGINT)), " +
+        "('five', 'f|i|v|e', CAST(4 AS BIGINT)), ('for', 'f|or', CAST(2 AS BIGINT)), " +
+        "('fox', 'f|o|x', CAST(3 AS BIGINT)), ('fray', 'fr|a|y', CAST(3 AS BIGINT)), " +
+        "('fruit', 'fr|u|it', CAST(3 AS BIGINT)), ('glitters', 'g|l|it|t|ers', CAST(5 AS BIGINT)), " +
+        "('gold', 'g|old', CAST(2 AS BIGINT)), ('good', 'g|o|o|d', CAST(4 AS BIGINT)), " +
+        "('hands', 'h|an|d|s', CAST(4 AS BIGINT)), ('harvest', 'h|ar|ves|t', CAST(4 AS BIGINT)), " +
+        "('in', 'in', CAST(1 AS BIGINT)), ('is', 'i|s', CAST(2 AS BIGINT)), " +
+        "('jugs', 'j|u|g|s', CAST(4 AS BIGINT)), ('jumps', 'j|u|m|p|s', CAST(5 AS BIGINT)), " +
+        "('lazy', 'l|a|z|y', CAST(4 AS BIGINT)), ('light', 'l|i|g|h|t', CAST(5 AS BIGINT)), " +
+        "('liquor', 'l|i|q|u|or', CAST(5 AS BIGINT)), ('long', 'l|on|g', CAST(3 AS BIGINT)), " +
+        "('mainly', 'm|ain|l|y', CAST(4 AS BIGINT)), ('make', 'm|a|k|e', CAST(4 AS BIGINT)), " +
+        "('many', 'm|an|y', CAST(3 AS BIGINT)), ('miner', 'm|in|er', CAST(3 AS BIGINT)), " +
+        "('moon', 'm|o|on', CAST(3 AS BIGINT)), ('my', 'm|y', CAST(2 AS BIGINT)), " +
+        "('nine', 'n|in|e', CAST(3 AS BIGINT)), ('not', 'n|o|t', CAST(3 AS BIGINT)), " +
+        "('old', 'old', CAST(1 AS BIGINT)), ('on', 'on', CAST(1 AS BIGINT)), " +
+        "('open', 'o|p|en', CAST(3 AS BIGINT)), ('over', 'o|ver', CAST(2 AS BIGINT)), " +
+        "('pack', 'p|ac|k', CAST(3 AS BIGINT)), ('plain', 'p|l|ain', CAST(3 AS BIGINT)), " +
+        "('practice', 'p|r|ac|t|ic|e', CAST(6 AS BIGINT)), ('quick', 'q|u|ic|k', CAST(4 AS BIGINT)), " +
+        "('rain', 'r|ain', CAST(2 AS BIGINT)), ('rises', 'ri|ses', CAST(2 AS BIGINT)), " +
+        "('river', 'ri|ver', CAST(2 AS BIGINT)), ('run', 'r|u|n', CAST(3 AS BIGINT)), " +
+        "('said', 's|a|i|d', CAST(4 AS BIGINT)), ('saves', 's|a|ves', CAST(3 AS BIGINT)), " +
+        "('session', 'ses|s|i|on', CAST(4 AS BIGINT)), ('spain', 's|p|ain', CAST(3 AS BIGINT)), " +
+        "('still', 'st|i|ll', CAST(3 AS BIGINT)), ('stitch', 'st|it|c|h', CAST(4 AS BIGINT)), " +
+        "('stone', 'st|on|e', CAST(3 AS BIGINT)), ('that', 't|h|at', CAST(3 AS BIGINT)), " +
+        "('the', 'the', CAST(1 AS BIGINT)), ('time', 't|i|m|e', CAST(4 AS BIGINT)), " +
+        "('to', 't|o', CAST(2 AS BIGINT)), ('trip', 't|ri|p', CAST(3 AS BIGINT)), " +
+        "('waters', 'w|at|ers', CAST(3 AS BIGINT)), ('when', 'whe|n', CAST(2 AS BIGINT)), " +
+        "('where', 'whe|r|e', CAST(3 AS BIGINT)), ('wide', 'w|i|de', CAST(3 AS BIGINT)), " +
+        "('with', 'w|it|h', CAST(3 AS BIGINT)), ('work', 'w|or|k', CAST(3 AS BIGINT))" +
+        ") AS t(w, syms, n_syms) ORDER BY w")),
+
     // L34 — Moore-Lewis contrastive data selection (Moore & Lewis,
     // ACL'10 — the standard cross-entropy-difference ranking for
     // domain-targeted pretraining data): score every document by the
