@@ -285,6 +285,21 @@ object TamarQueries {
         "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2)) " +
         "WHERE rank <= 3 ORDER BY window_start, rank")),
 
+    // T26 — per-window distinct-user counts, the BATCH twin of
+    // streaming/DistinctStream (which DistinctStreamSpec proves emits
+    // row-identical results at window close): the streaming form is
+    // instructive because Spark rejects countDistinct on a stream — it
+    // is dedup-state-keyed-on-the-watermarked-window chained into a
+    // windowed count (two stateful operators), with state one row per
+    // distinct (window, id) pair, evicted per closed window. Batch:
+    // single-distinct agg, two-phase rewrite, no Expand.
+    "t26_window_distinct" -> QueryDef(
+      (s, d) => graft.streaming.DistinctStream.batch(ev(s, d), "ts", "user_id", 3600L)
+        .orderBy("window_start"),
+      Some("SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000000 AS window_start, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     // T24 — FULL-outer interval join, completing t20/t21: every view
     // AND every click accounted for — matched pairs, never-converted
     // views (null click), orphan clicks with no in-horizon prior view
