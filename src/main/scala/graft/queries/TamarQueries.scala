@@ -285,6 +285,49 @@ object TamarQueries {
         "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2)) " +
         "WHERE rank <= 3 ORDER BY window_start, rank")),
 
+    // T27 — SCD-2 temporal enrichment (StreamJoins.enrichAsOf): each
+    // event joins the dimension VERSION valid at its event time — the
+    // enrichment t22's plain key join gets wrong once a dimension
+    // changes. The versioned dimension derives deterministically from
+    // customer (3 validity windows per key across the corpus's
+    // January span, tier = segment + version). Stateless broadcast
+    // join + range filter — identical code runs on an unbounded
+    // stream (StreamEnrichAsOfSpec proves stream rows == batch rows);
+    // versions are non-overlapping so each event matches exactly one.
+    "t27_scd2_enrich" -> QueryDef(
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            explode(expr("array(0, 1, 2)")).as("v"))
+          .select(col("c_custkey"),
+            concat(col("c_mktsegment"), lit("/v"), col("v")).as("tier"),
+            expr("CASE v WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00' " +
+              "WHEN 1 THEN TIMESTAMP '2024-01-11 00:00:00' " +
+              "ELSE TIMESTAMP '2024-01-21 00:00:00' END").as("valid_from"),
+            expr("CASE v WHEN 0 THEN TIMESTAMP '2024-01-11 00:00:00' " +
+              "WHEN 1 THEN TIMESTAMP '2024-01-21 00:00:00' " +
+              "ELSE TIMESTAMP '2024-02-01 00:00:00' END").as("valid_to"))
+        graft.streaming.StreamJoins.enrichAsOf(
+            ev(s, d), dim, "user_id", "ts", "c_custkey", "valid_from", "valid_to")
+          .groupBy("tier", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000000).cast("long")).as("sum_v1e6"))
+          .orderBy("tier", "event_type")
+      },
+      Some("WITH dim AS (SELECT c_custkey, c_mktsegment || '/v' || v AS tier, " +
+        "CASE v WHEN 0 THEN TIMESTAMP '2024-01-01 00:00:00' " +
+        "WHEN 1 THEN TIMESTAMP '2024-01-11 00:00:00' " +
+        "ELSE TIMESTAMP '2024-01-21 00:00:00' END AS valid_from, " +
+        "CASE v WHEN 0 THEN TIMESTAMP '2024-01-11 00:00:00' " +
+        "WHEN 1 THEN TIMESTAMP '2024-01-21 00:00:00' " +
+        "ELSE TIMESTAMP '2024-02-01 00:00:00' END AS valid_to " +
+        "FROM customer, UNNEST([0, 1, 2]) AS t(v)) " +
+        "SELECT tier, event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_v1e6 " +
+        "FROM events e JOIN dim ON e.user_id = dim.c_custkey " +
+        "AND e.ts >= valid_from AND e.ts < valid_to " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // T26 — per-window distinct-user counts, the BATCH twin of
     // streaming/DistinctStream (which DistinctStreamSpec proves emits
     // row-identical results at window close): the streaming form is

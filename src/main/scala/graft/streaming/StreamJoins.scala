@@ -94,6 +94,29 @@ object StreamJoins {
    * as [[followsLeftOuter]]. Batch: prefer the t24 declared
    * composition (bucketed inner + two anti-join unions).
    */
+  /**
+   * SCD-2 temporal enrichment: each event joins the dimension VERSION
+   * valid at its event time (`key` equal and `from ≤ ts < to`) — the
+   * "which price/segment/config applied when this happened" join that
+   * a plain key join silently gets wrong the moment a dimension
+   * changes. With explicit validity intervals this is STATELESS — an
+   * equi-join on the key plus a range filter, so it broadcasts on a
+   * stream exactly like a static enrichment (no watermark on the
+   * dimension side, no join state); versions are non-overlapping per
+   * key, so each event matches at most one row. The interval-free
+   * variant (derive validity from effective-dates only) is batch
+   * [[graft.operators.AsOfJoin.lastValueAsOf]] (r8). `how` = "inner"
+   * drops events predating every version; "left_outer" keeps them
+   * null-padded.
+   */
+  def enrichAsOf(events: DataFrame, dim: DataFrame, eventKey: String,
+                 tsCol: String, dimKey: String, fromCol: String,
+                 toCol: String, how: String = "inner"): DataFrame =
+    events.join(broadcast(dim),
+      events(eventKey) === dim(dimKey) &&
+        events(tsCol) >= dim(fromCol) && events(tsCol) < dim(toCol),
+      how)
+
   def followsFullOuter(left: DataFrame, right: DataFrame, keyCol: String,
                        tsCol: String, idCol: String, horizon: String): DataFrame = {
     val a = left.select(col(keyCol), col(tsCol).as("a_ts"), col(idCol).as("a_id"))
