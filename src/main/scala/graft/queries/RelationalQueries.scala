@@ -727,6 +727,37 @@ object RelationalQueries {
         "CAST(COUNT(DISTINCT vnum) + COUNT(DISTINCT vstr) AS BIGINT) AS n_distinct, " +
         "MIN(vnum) AS min_num, MAX(vnum) AS max_num, " +
         "MIN(vstr) AS min_str, MAX(vstr) AS max_str " +
-        "FROM st GROUP BY col_name ORDER BY col_name"))
+        "FROM st GROUP BY col_name ORDER BY col_name")),
+
+    // R28 — CDC / MERGE application (Cdc.applyChanges): the next
+    // snapshot from base + a change batch — upserts (every 7th doc
+    // gets a '+v2' text), deletes (every 11th; delete wins on
+    // overlap), and inserts (new 1000000+ ids for every 13th). The
+    // lakehouse MERGE INTO from stock operators, r25 snapshotDiff's
+    // inverse. One full-outer shuffle-hash join + CASE projection;
+    // output profiled as (doc_id, md5(text)).
+    "r28_cdc_merge" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val changes = docs.filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, lit("D")).otherwise(lit("U")).as("op"),
+            concat(col("text"), lit("+v2")).as("text"))
+          .unionAll(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
+              concat(lit("new "), col("text")).as("text")))
+        graft.operators.Cdc.applyChanges(docs, changes, "doc_id", "op", Seq("text"))
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .orderBy("doc_id")
+      },
+      Some("WITH ch AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, " +
+        "text || '+v2' AS text FROM documents WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, 'I', 'new ' || text FROM documents " +
+        "WHERE doc_id % 13 = 0), " +
+        "m AS (SELECT COALESCE(b.doc_id, ch.doc_id) AS doc_id, " +
+        "CASE WHEN ch.op IS NOT NULL THEN ch.text ELSE b.text END AS text, ch.op " +
+        "FROM documents b FULL JOIN ch ON b.doc_id = ch.doc_id) " +
+        "SELECT doc_id, md5(text) AS h FROM m WHERE op IS NULL OR op <> 'D' " +
+        "ORDER BY doc_id"))
   )
 }
