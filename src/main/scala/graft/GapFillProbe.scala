@@ -151,3 +151,62 @@ object TopKProbe {
     spark.stop()
   }
 }
+
+/**
+ * State probe for graft.streaming.DistinctStream: dedup state should
+ * hold one row per distinct (window, id) pair in OPEN windows (evicted
+ * at close) and the agg one row per open window — i.e. state tracks
+ * per-window CARDINALITY, not event count or history length. Run at
+ * two cardinalities and watch the dedup operator's rows scale with
+ * distinct ids while staying flat across batches.
+ *
+ * Usage: `sbt "runMain graft.DistinctProbe 500"` (distinct ids;
+ * 5 hourly AvailableNow batches of 20k heavily-duplicated events).
+ */
+object DistinctProbe {
+  def main(args: Array[String]): Unit = {
+    val ids = args.headOption.map(_.toInt).getOrElse(500)
+    val batches = 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_distprobe")
+      .toFile.getAbsolutePath
+    val src = s"$root/src"
+    val rnd = new scala.util.Random(29)
+    (0 until batches).foreach { b =>
+      val rows = (0 until 20000).map { _ =>
+        (s"u${rnd.nextInt(ids)}",
+          new Timestamp(1704100000000L + b * 3600000L + rnd.nextInt(3600000)))
+      }
+      rows.toDF("user", "ts").coalesce(1).write.mode("append").parquet(src)
+    }
+    val stream = spark.readStream
+      .schema("user STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withWatermark("ts", "5 minutes")
+    val out = graft.streaming.DistinctStream.stream(stream, "ts", "user", 3600L)
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    println(s"[probe] distinct ids=$ids, $batches hourly batches of 20k events")
+    println("[probe] batch | input | batch_ms | state rows per operator")
+    q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+      val st = p.stateOperators.map(so => s"${so.operatorName}=${so.numRowsTotal}")
+      println(f"[probe] ${p.batchId}%5d | ${p.numInputRows}%6d | ${p.batchDuration}%8d | " +
+        st.mkString(" "))
+    }
+    spark.stop()
+  }
+}
