@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-space covariance + principal components (north-star
+ * extension): the whitening/analysis step behind SemDedup-style
+ * clustering diagnostics, outlier detection, and "did the embedding
+ * space collapse" drift checks.
+ *
+ * Split on the l58/l59 exactness discipline: the DISTRIBUTED part
+ * emits integer sufficient statistics only — coordinates quantize once
+ * to q = floor(x·10⁶), and per (i ≤ j) dimension pair the query sums
+ * q_i, q_j, q_i·q_j exactly (BIGINT; |q| ≤ 10⁶ ⇒ products ≤ 10¹², so
+ * ~10⁶ rows stay far from overflow — switch the sums to DECIMAL(38,0)
+ * beyond that, the l47 lesson). Shuffle-order-invariant, DuckDB-
+ * expressible (l74), bit-deterministic. The EIGEN part (power
+ * iteration with deflation) runs driver-side on the dim² matrix those
+ * statistics define — dim ≤ a few thousand means the matrix is
+ * kilobytes-to-megabytes; the corpus-sized work is exactly one explode
+ * + one map-side-combined agg.
+ *
+ * Plan shape: pairs generate INSIDE one flattened array per row (a
+ * single explode of dim·(dim+1)/2 structs — no positional self-join),
+ * then one hash agg keyed by (i, j). At 100 TB the explode factor is
+ * dim²/2 — for wide dims cap the corpus with a deterministic sample
+ * first (Sampling.rateSample), the standard PCA-fit practice.
+ */
+object Pca {
+
+  /** Integer sufficient statistics per dimension pair i ≤ j:
+    * (i, j, n, sum_qi, sum_qj, sum_qiqj) with q = floor(x·10⁶). */
+  def covarianceStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(expr(
+        s"""flatten(transform(sequence(0, size($vecCol) - 1), i ->
+           |  transform(sequence(i, size($vecCol) - 1), j -> struct(
+           |    i AS i, j AS j,
+           |    CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1000000) AS BIGINT) AS qi,
+           |    CAST(floor(CAST($vecCol[j] AS DOUBLE) * 1000000) AS BIGINT) AS qj))))
+           |""".stripMargin).as("__p"))
+      .select(explode(col("__p")).as("p"))
+      .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.qi")).as("sum_qi"),
+        sum(col("p.qj")).as("sum_qj"),
+        sum(col("p.qi") * col("p.qj")).as("sum_qiqj"))
+
+  /** Dense covariance matrix from [[covarianceStats]]' collected rows
+    * (driver-side; dim² doubles). cov(i,j) = E[xy] − E[x]E[y] in the
+    * original units (the 10⁶ quantization divides back out). */
+  def covarianceMatrix(stats: Array[(Long, Long, Long, Long, Long, Long)],
+                       dim: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
+    stats.foreach { case (i0, j0, n, sqi, sqj, sqq) =>
+      val (i, j) = (i0.toInt, j0.toInt)
+      val nn = n.toDouble
+      val c = (sqq / nn - (sqi / nn) * (sqj / nn)) / 1e12
+      m(i)(j) = c
+      m(j)(i) = c
+    }
+    m
+  }
+
+  /** Top-k principal components by power iteration with deflation —
+    * deterministic (fixed start vector), driver-side, O(k·iters·dim²).
+    * Returns (eigenvalue, component) pairs, components unit-norm. */
+  def powerIteration(cov: Array[Array[Double]], k: Int,
+                     iters: Int = 100): Seq[(Double, Array[Double])] = {
+    val dim = cov.length
+    val a = cov.map(_.clone())
+    (0 until k).map { _ =>
+      var v = Array.tabulate(dim)(d => 1.0 / math.sqrt(dim.toDouble) + d * 1e-9)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim)(i => {
+          var s = 0.0; var j = 0
+          while (j < dim) { s += a(i)(j) * v(j); j += 1 }
+          s
+        })
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm > 0) { v = w.map(_ / norm); lambda = norm }
+      }
+      // deflate: A ← A − λ v vᵀ
+      for (i <- 0 until dim; j <- 0 until dim) a(i)(j) -= lambda * v(i) * v(j)
+      (lambda, v)
+    }
+  }
+}

@@ -1818,6 +1818,29 @@ object LlmQueries {
         "ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS ml_score " +
         "FROM sc GROUP BY doc_id, lang ORDER BY doc_id")),
 
+    // L74 — embedding covariance sufficient statistics (Pca
+    // .covarianceStats): per dimension pair i ≤ j, exact integer sums
+    // of the 10⁶-quantized coordinates and their products (the l58
+    // discipline lifted to second moments) — the distributed half of
+    // PCA/whitening; PcaSpec proves the driver-side power iteration
+    // recovers a planted principal direction from exactly these
+    // statistics. One in-row pair expansion (no positional self-join)
+    // + one map-side-combined agg, output dim·(dim+1)/2 rows.
+    "l74_embed_covariance" -> QueryDef(
+      (s, d) => graft.operators.Pca.covarianceStats(
+          Tables.embeddings(s, d), "embedding")
+        .orderBy("i", "j"),
+      Some("WITH p AS (SELECT embedding AS e, " +
+        "UNNEST(generate_series(0, len(embedding) - 1)) AS i FROM embeddings), " +
+        "q AS (SELECT e, i, UNNEST(generate_series(i, len(e) - 1)) AS j FROM p), " +
+        "u AS (SELECT i, j, " +
+        "CAST(FLOOR(CAST(e[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qi, " +
+        "CAST(FLOOR(CAST(e[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qj FROM q) " +
+        "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, COUNT(*) AS n, " +
+        "CAST(SUM(qi) AS BIGINT) AS sum_qi, CAST(SUM(qj) AS BIGINT) AS sum_qj, " +
+        "CAST(SUM(qi * qj) AS BIGINT) AS sum_qiqj FROM u " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-

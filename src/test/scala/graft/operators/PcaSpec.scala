@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Covariance sufficient statistics + power-iteration PCA: the stats
+  * reproduce a hand covariance, and the eigen pass recovers a planted
+  * principal direction from exactly those statistics. */
+class PcaSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def collectStats(vecs: Seq[Seq[Float]]): Array[(Long, Long, Long, Long, Long, Long)] =
+    Pca.covarianceStats(vecs.map(Tuple1(_)).toDF("embedding"), "embedding")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+
+  test("covarianceStats reproduce a hand-computed covariance") {
+    // 2-d data with known covariance: x = [1,2,3], y = [2,4,6] (y=2x)
+    val vecs = Seq(Seq(1f, 2f), Seq(2f, 4f), Seq(3f, 6f))
+    val cov = Pca.covarianceMatrix(collectStats(vecs), 2)
+    // var(x) = 2/3, cov(x,y) = 4/3, var(y) = 8/3
+    assert(math.abs(cov(0)(0) - 2.0 / 3) < 1e-6)
+    assert(math.abs(cov(0)(1) - 4.0 / 3) < 1e-6)
+    assert(math.abs(cov(1)(0) - 4.0 / 3) < 1e-6)
+    assert(math.abs(cov(1)(1) - 8.0 / 3) < 1e-6)
+  }
+
+  test("power iteration recovers a planted principal direction") {
+    // 8-d vectors: strong variance along u (normalized ones in dims
+    // 0..3), small deterministic noise elsewhere
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val vecs = (0 until 300).map { _ =>
+      val t = rnd.nextGaussian() * 3.0
+      (0 until dim).map(d =>
+        (if (d < 4) t / 2.0 else 0.0).toFloat + (rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val cov = Pca.covarianceMatrix(collectStats(vecs), dim)
+    val Seq((l1, v1), (l2, _)) = Pca.powerIteration(cov, 2)
+    // dominant direction ∝ (1,1,1,1,0,0,0,0)/2
+    val u = Array.tabulate(dim)(d => if (d < 4) 0.5 else 0.0)
+    val cos = math.abs(v1.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"cos=$cos v1=${v1.toSeq}")
+    assert(l1 > 10 * l2, s"eigengap too small: $l1 vs $l2")
+    // component is unit-norm
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
+  test("determinism: same stats, same components") {
+    val vecs = (0 until 50).map(i => Seq.tabulate(4)(d => ((i * (d + 1)) % 7).toFloat))
+    val cov = Pca.covarianceMatrix(collectStats(vecs), 4)
+    val a = Pca.powerIteration(cov, 2).map { case (l, v) => (l, v.toSeq) }
+    val b = Pca.powerIteration(cov, 2).map { case (l, v) => (l, v.toSeq) }
+    assert(a == b)
+  }
+}

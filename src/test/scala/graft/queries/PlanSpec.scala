@@ -291,6 +291,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
   }
 
+  test("r27: profiling has no Expand (the multi-distinct hazard) and one scan") {
+    val p = planOf("r27_profile")
+    // a countDistinct form would plan Expand (row multiplication
+    // before the shuffle — measured 9.4x slower); the two-level
+    // (col, value) agg must not
+    assert(!p.contains("Expand"), p.take(3000))
+    // one scan in the final plan (the AQE dump repeats it in the
+    // "Initial Plan" section — count before that marker)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).size == 1, p.take(3000))
+  }
+
+  test("r28: CDC merge is one shuffled hash join, no sort, no broadcast of the change set") {
+    val p = planOf("r28_cdc_merge")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("l72: BM25 query-term filter runs BEFORE the tf shuffle") {
+    val p = planOf("l72_bm25")
+    // the isin filter must sit under the (doc, term) aggregate's
+    // exchange so only query-term rows shuffle
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("t#") && l.contains("INSET") || l.contains("IN ("))
+    assert(lines.exists(l => l.contains("INSET") || l.contains(" IN ")), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("t27: SCD-2 enrichment broadcasts the versioned dimension") {
+    val p = planOf("t27_scd2_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("l64: URL canonicalization has no partition-less window and no sort-merge join") {
     val p = planOf("l64_url_dedup")
     // the per-domain rank must ride the bucketed two-pass form: every
