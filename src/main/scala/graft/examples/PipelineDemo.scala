@@ -31,6 +31,7 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val raw = graft.sources.Tables.documents(spark, sfDir)
     val total = raw.count()
@@ -46,10 +47,16 @@ object PipelineDemo {
       concat(lit("https://www.site"), (col("doc_id") % 11).cast("string"),
         lit(".com:443/p/"), col("doc_id").cast("string"),
         lit("?utm_source=crawl")).as("url"))
-    val docs = crawled.select(col("doc_id"), col("lang"), col("source"),
+    val extracted = crawled.select(col("doc_id"), col("lang"), col("source"),
+      col("url"),
       TextFunctions.htmlToText(col("html")).as("text"),
-      TextFunctions.normalizeUrl(col("url")).as("norm_url"),
-      TextFunctions.registrableDomain(col("url")).as("domain"))
+      TextFunctions.normalizeUrl(col("url")).as("norm_url"))
+    // PSL-exact per-domain capping key (last-two-labels would collapse
+    // every *.co.uk site into one key): longest-suffix match against a
+    // caller-supplied public-suffix table, broadcast joins only
+    val psl = Seq("com", "org", "net", "co.uk", "uk").toDF("suffix")
+    val docs = graft.operators.Domains.registrableDomainPsl(
+      extracted, "url", psl, "domain").drop("url")
 
     // 1. quality gate: length band + whitespace sanity + repetition cap
     // (duplicate-2-gram fraction — per-row arithmetic, no shuffle) +
@@ -90,11 +97,19 @@ object PipelineDemo {
       .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
       .join(kn.hint("shuffle_hash"), Seq("doc_id"), "left")
 
-    // 6. deterministic per-language sample for eval/inspection splits
+    // 6. decontamination triage the other way around: BM25-score the
+    // kept corpus against an eval-style query and surface the top hits
+    // for human review (the inverted-index computation relationalized)
+    val triage = graft.operators.Retrieval.bm25(
+        enriched, "text", "doc_id", Seq("query", "join", "window"))
+      .orderBy(desc("score")).limit(20)
+
+    // 7. deterministic per-language sample for eval/inspection splits
     val sample = Sampling.stratifiedSample(enriched, "lang", "doc_id", 50)
 
     enriched.write.mode("overwrite").parquet(s"$outDir/curated")
     sample.write.mode("overwrite").parquet(s"$outDir/sample")
+    triage.write.mode("overwrite").parquet(s"$outDir/triage")
 
     val kept = spark.read.parquet(s"$outDir/curated").count()
     val sampled = spark.read.parquet(s"$outDir/sample").count()
