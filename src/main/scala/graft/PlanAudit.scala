@@ -14,28 +14,19 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * listed inline. Run: `sbt "runMain graft.PlanAudit [sfDir]"`. */
 object PlanAudit {
 
-  // t7 is the reference's own single-task global state (SURVEY §7.5.4);
-  // l3/r11/l8 broadcast one side of a deliberately key-less join; t18's
-  // triangular prefix-offset join runs over the tiny bucket-count table;
-  // l25 cross-joins a broadcast 1-row scalar (corpus size N) into the
-  // tf×df table — the same shape as r11's scalar subquery.
+  // t7 is the reference's own single-task global state (SURVEY §7.5.4).
   private val allowPartitionlessWindow = Set("t7_global_state")
-  // l26 broadcasts the 1-row quantization scale and the query vectors
-  // against the corpus — the same deliberate key-less shape as l3.
-  // l33/l34/l39 cross-join broadcast 1-row model scalars, as l25's N.
-  // l42 broadcasts the k trained centroids against the corpus for
-  // assignment (the IVF contract: corpus never shuffles); l44 cross-joins
-  // the broadcast 1-row query embedding, as l3 does.
+  // Deliberately key-less broadcast joins whose small side is NOT a
+  // provable 1-row scalar (those are recognized structurally by
+  // [[isScalarBroadcast]] instead of by name): l3/l44 broadcast the
+  // query-vector table against the corpus; l26 adds the quantization
+  // scale; l8/l42 broadcast the k IVF centroids for assignment (the IVF
+  // contract: the corpus never shuffles); r11's scalar subquery plans
+  // its own BNLJ; t18's triangular prefix-offset join runs over the
+  // tiny bucket-count table.
   private val allowNestedLoop =
     Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
-      "l25_tfidf", "l26_ann_int8", "l33_unigram_logprob", "l34_moore_lewis",
-      "l39_ppl_buckets", "l42_ivf_trained", "l44_sql_functions",
-      "l45_bigram_logprob", // V scalar cross-broadcast, as l33's total
-      "l65_kneser_ney", // 1-row distinct-bigram total cross-broadcast, as l45's V
-      "l47_temperature_mix", // 1-row (Σw, N) total against the per-key weights
-      "l54_source_divergence", // 1-row corpus-total N cross-broadcast, as l33
-      "r21_skew_stats", // 1-row (total, #keys) scalar against per-key counts
-      "l72_bm25") // 1-row (N, Σdl) corpus scalar cross-broadcast, as l33's total
+      "l26_ann_int8", "l42_ivf_trained", "l44_sql_functions")
   // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
   // directly over co-located sorted buckets with NO exchange on either
   // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,
@@ -68,6 +59,31 @@ object PlanAudit {
     case _ => false
   }
 
+  /** A BroadcastNestedLoopJoin whose BUILD side is provably tiny — the
+    * scalar-attach shape (`crossJoin(broadcast(df.agg(...)))`): a global
+    * aggregate (no grouping keys) emits exactly one row, and a literal
+    * `LocalTableScan` of ≤ a handful of rows is a query constant. Both
+    * are the 100 TB-safe "attach a scalar to every row" idiom, so the
+    * audit recognizes the SHAPE instead of keeping a per-query name
+    * list that new queries silently bypass. Anything else nested-loop
+    * joined is still flagged. */
+  private[graft] def isScalarBroadcast(b: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = b.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+    }
+    flatten(build).exists {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.lengthCompare(8) <= 0
+      case _ => false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -88,7 +104,10 @@ object PlanAudit {
         "SortMergeJoin" ->
           (nodes.exists(_.isInstanceOf[SortMergeJoinExec]) && !allowSortMergeJoin(name)),
         "BroadcastNestedLoopJoin" ->
-          (nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) && !allowNestedLoop(name)),
+          (nodes.exists {
+            case b: BroadcastNestedLoopJoinExec => !isScalarBroadcast(b)
+            case _ => false
+          } && !allowNestedLoop(name)),
         // a window (or its rank-pushdown twin) with an empty partition
         // spec runs every row through one task
         "partitionless-window" ->

@@ -201,6 +201,26 @@ object Bpe {
    * one merge round is an in-memory scan instead of a Spark job, so a
    * 50k-merge run is 50k array scans, not 50k scheduled jobs.
    */
+  /** Code-point lexicographic `<` — matches Spark's UTF-8 binary string
+    * order (UTF-8 byte order ≡ code-point order). JVM `String.compareTo`
+    * compares UTF-16 code units, which sorts U+E000–U+FFFF (e.g.
+    * fullwidth forms) ABOVE supplementary characters (emoji); using it
+    * for the merge tie-break would let the local endgame pick a
+    * different merge than the distributed `orderBy` on such
+    * vocabularies, breaking the identical-output contract. */
+  private def cpLt(x: String, y: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return cx < cy
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    i == x.length && j < y.length // x is a strict prefix of y
+  }
+
   def trainMergesLocal(vocab0: Seq[(Array[String], Long)],
                        nMerges: Int): Seq[(String, String, Long)] = {
     var vocab = vocab0.toArray
@@ -220,8 +240,8 @@ object Bpe {
       var best: ((String, String), Long) = null
       counts.foreach { e =>
         if (e._2 >= 2L && (best == null || e._2 > best._2 ||
-            (e._2 == best._2 && (e._1._1 < best._1._1 ||
-              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))))
+            (e._2 == best._2 && (cpLt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && cpLt(e._1._2, best._1._2))))))
           best = e
       }
       if (best == null) exhausted = true

@@ -29,6 +29,15 @@ object Graph {
    * MINIMUM hop count (seeds at 0). BFS invariant: a node first reached
    * in round h has true min-distance h, so no relaxation pass is
    * needed — the anti-join IS the min.
+   *
+   * CONCURRENCY NOTE: for the duration of the BFS loop this toggles the
+   * SESSION-GLOBAL `spark.sql.constraintPropagation.enabled` (see the
+   * inline rationale below) — any query planned concurrently on the
+   * same SparkSession during the loop is optimized without constraint
+   * inference (correct, occasionally slower). Callers that plan other
+   * queries concurrently should serialize around this call or run it on
+   * `spark.newSession()` (confs are per-session; the cloned session
+   * shares the SparkContext so no extra executors are needed).
    */
   def reachMinHops(edges: DataFrame, seeds: DataFrame,
                    srcCol: String, dstCol: String, nodeCol: String,

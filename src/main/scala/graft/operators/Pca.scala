@@ -32,13 +32,35 @@ object Pca {
   /** Integer sufficient statistics per dimension pair i ≤ j:
     * (i, j, n, sum_qi, sum_qj, sum_qiqj) with q = floor(x·10⁶).
     *
+    * PRECONDITION: every row's vector has the SAME length, with no null
+    * vectors and no null elements. The broadcast-attached first moments
+    * are the GLOBAL per-dimension sums — valid only because every row
+    * contributes to every (i, j) pair; ragged or null-containing input
+    * would silently skew `sum_qi`/`sum_qj` (and diverge from a per-pair
+    * oracle). `checkShape` (default on) fails fast with one cheap agg
+    * over just the size/null flags — one extra read of the vector
+    * column, negligible next to the dim²/2 explode; pass false only
+    * when the shape is already guaranteed upstream.
+    *
     * Cost shape: the vector quantizes ONCE per row (dim floors, not
     * dim²/2·2 — measured 1.8× on the warm path), the pair expansion
     * carries only (i, j, product), and the group's first moments —
     * which are the GLOBAL per-dimension sums, since every row
     * contributes to every pair — attach afterwards from a 64-row agg
     * via broadcast joins instead of riding the 10⁷-row explode. */
-  def covarianceStats(df: DataFrame, vecCol: String): DataFrame = {
+  def covarianceStats(df: DataFrame, vecCol: String,
+                      checkShape: Boolean = true): DataFrame = {
+    if (checkShape) {
+      val shape = df.agg(
+        countDistinct(size(col(vecCol))).as("nd"),
+        coalesce(max(when(col(vecCol).isNull, 1).otherwise(0)), lit(0)).as("nullVec"),
+        coalesce(max(when(exists(col(vecCol), x => x.isNull), 1).otherwise(0)), lit(0)).as("nullElem")
+      ).first()
+      require(shape.getLong(0) <= 1L && shape.getInt(1) == 0 && shape.getInt(2) == 0,
+        s"covarianceStats($vecCol) requires fixed-length, null-free vectors: " +
+          s"found ${shape.getLong(0)} distinct lengths, nullVec=${shape.getInt(1)}, " +
+          s"nullElem=${shape.getInt(2)}")
+    }
     val q = df.select(expr(
       s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
       .as("__q"))

@@ -126,7 +126,7 @@ object Sampling {
     val w = counts
       .withColumn("__w", round(sqrt(col("__n")) * 1000).cast("long"))
     val tot = w.agg(sum(col("__w")).as("__sw"), sum(col("__n")).as("__nn"))
-    w.crossJoin(tot)
+    w.crossJoin(broadcast(tot))
       .withColumn("__thr",
         least(lit(65536L),
           expr(s"(CAST(65536 AS DECIMAL(38,0)) * ${targetNum}L * __nn * __w)" +

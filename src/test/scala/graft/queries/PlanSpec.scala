@@ -314,8 +314,21 @@ class PlanSpec extends AnyFunSuite {
     // the isin filter must sit under the (doc, term) aggregate's
     // exchange so only query-term rows shuffle
     val lines = p.linesIterator.toSeq
-    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("t#") && l.contains("INSET") || l.contains("IN ("))
-    assert(lines.exists(l => l.contains("INSET") || l.contains(" IN ")), p.take(3000))
+    // in the tree dump children print after parents, so "the filter sits
+    // below the exchange" = some INSET/IN Filter line reaches its leaf
+    // Scan with NO Exchange line in between (rows are filtered before
+    // they ever shuffle); an Exchange between the filter and the scan
+    // would mean the whole term table shuffled first
+    val filterIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Filter") && (l.contains("INSET") || l.contains(" IN (")) => i
+    }
+    assert(filterIdxs.nonEmpty, p.take(3000))
+    val filteredBeforeShuffle = filterIdxs.exists { fi =>
+      val below = lines.drop(fi + 1)
+      val scanAt = below.indexWhere(_.contains("Scan parquet"))
+      scanAt >= 0 && !below.take(scanAt).exists(_.contains("Exchange"))
+    }
+    assert(filteredBeforeShuffle, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
