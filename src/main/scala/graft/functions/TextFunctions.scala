@@ -138,12 +138,39 @@ object TextFunctions {
     * that), so the trailing `:digits` is address tail, not port, and
     * passes through whole. Pure per-row projection. */
   def urlHost(url: Column): Column = {
+    // expression-input form: MINIMIZE references to `a` — Catalyst's
+    // subexpression elimination skips `when` branches, so every
+    // reference re-runs the authority regexp_extract. (The
+    // attribute-input twin [[hostFromAuthority]] is free to branch
+    // more; [[withUrlParts]] feeds it a materialized column.)
     val a = urlAuthority(url)
     lower(
       when(a.startsWith("["), regexp_extract(a, "^\\[[^\\]]*\\]", 0))
         .when(a.rlike(":.*:"), a)
         .otherwise(regexp_replace(a, ":[0-9]+$", "")))
   }
+
+  /** [[urlHost]]'s branch logic over an ALREADY-EXTRACTED lowercase
+    * authority. The split matters for performance: Catalyst's
+    * subexpression elimination skips conditionally-evaluated branches,
+    * so a single-expression form re-runs the authority `regexp_extract`
+    * once per branch reference (measured 2× on the whole l64 chain
+    * when the string-op variant pushed references to ~10). Feeding a
+    * plain column (via [[withUrlParts]]'s staged projection) makes
+    * every reference a variable read. The bare-IPv6 test is a
+    * `translate` character count, not `rlike(":.*:")` — one pass, no
+    * regex engine. */
+  private[graft] def hostFromAuthority(a: Column): Column =
+    when(a.startsWith("["), regexp_extract(a, "^\\[[^\\]]*\\]", 0))
+      .when(multiColon(a), a)
+      // port strip gated on the cheap contains test: most real
+      // authorities carry no port, and the regex then never runs
+      .when(a.contains(":"), regexp_replace(a, ":[0-9]+$", ""))
+      .otherwise(a)
+
+  /** ≥ 2 colons — the bare-IPv6 test, as one `translate` pass. */
+  private def multiColon(a: Column): Column =
+    length(a) - length(translate(a, ":", "")) >= 2
 
   /** Registrable-ish domain: the last two dot-labels of the host (the
     * public-suffix-list-free approximation every crawl pipeline starts
@@ -154,11 +181,24 @@ object TextFunctions {
     * politeness/capping key, so it is returned whole rather than a
     * last-two-octet fragment. */
   def registrableDomain(url: Column): Column = {
+    // expression-input form — minimal references to the urlHost tree
+    // (each would re-evaluate it; see [[urlHost]]'s note)
     val h = urlHost(url)
     when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$") ||
         h.startsWith("[") || h.contains(":"), h)
       .otherwise(regexp_extract(h, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
   }
+
+  /** [[registrableDomain]]'s branch logic over an already-computed
+    * host column (see [[hostFromAuthority]] for why the split). The
+    * IPv4 regex only runs for hosts that START with a digit (no
+    * registered TLD does) — `when`/`&&` short-circuit per row, so the
+    * common named-host path pays one substring test, not a regex. */
+  private[graft] def domainFromHost(h: Column): Column =
+    when(h.startsWith("[") || h.contains(":") ||
+        (substring(h, 1, 1).between("0", "9") &&
+          h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")), h)
+      .otherwise(regexp_extract(h, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
 
   /** Canonical URL for exact URL-level dedup (the crawl-frontier /
     * revisit-collapse normal form): lowercase scheme and host, strip a
@@ -179,13 +219,11 @@ object TextFunctions {
     * follow-up pass, so consecutive utm params still strip cleanly in
     * one non-overlapping scan. */
   def normalizeUrl(url: Column): Column = {
+    // expression-input form — minimal references per subexpression
+    // (see [[urlHost]]'s note); [[normalizeFromParts]] is the
+    // attribute-input twin with the cheaper-per-op branchy body
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val a = lower(urlAuthority(url))
-    // IP-literal-aware authority normalization: bracketed IPv6 keeps
-    // its brackets and drops only a default port OUTSIDE the bracket;
-    // a bare multi-colon IPv6 authority has no port to strip (and a
-    // `:(80|443)$` strip would eat its address tail); names drop
-    // default ports and a leading www. as before.
     val bracketPort = regexp_extract(a, "\\]:([0-9]+)$", 1)
     val host = when(a.startsWith("["),
         concat(regexp_extract(a, "^\\[[^\\]]*\\]", 0),
@@ -195,6 +233,39 @@ object TextFunctions {
       .otherwise(regexp_replace(
         regexp_replace(a, ":(80|443)$", ""), "^www\\.", ""))
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val noUtm = regexp_replace(
+      regexp_replace(rest, "\\?utm_[a-z]*=[^&#]*", "?"),
+      "&utm_[a-z]*=[^&#]*", "&")
+    val collapsed = regexp_replace(
+      regexp_replace(noUtm, "\\?[?&]+", "?"), "&[?&]+", "&")
+    val cleaned = when(rest.contains("utm_"), collapsed).otherwise(rest)
+    concat(scheme, lit("://"), host, regexp_replace(cleaned, "[?&]+$", ""))
+  }
+
+  /** [[normalizeUrl]]'s logic over pre-extracted (scheme, lowercase
+    * authority, path?query) parts — see [[hostFromAuthority]] for why
+    * the split. Named hosts take pure string ops (endsWith / substr /
+    * startsWith): the previous `:(80|443)$` + `^www\.` regex pair ran
+    * on every row. */
+  private[graft] def normalizeFromParts(scheme: Column, a: Column,
+                                        rest: Column): Column = {
+    // IP-literal-aware authority normalization: bracketed IPv6 keeps
+    // its brackets and drops only a default port OUTSIDE the bracket;
+    // a bare multi-colon IPv6 authority has no port to strip (and a
+    // `:(80|443)$` strip would eat its address tail); names drop
+    // default ports and a leading www. as before.
+    val bracketPort = regexp_extract(a, "\\]:([0-9]+)$", 1)
+    val noPort = when(a.endsWith(":80"), a.substr(lit(1), length(a) - 3))
+      .when(a.endsWith(":443"), a.substr(lit(1), length(a) - 4))
+      .otherwise(a)
+    val named = when(noPort.startsWith("www."),
+      noPort.substr(lit(5), length(noPort) - 4)).otherwise(noPort)
+    val host = when(a.startsWith("["),
+        concat(regexp_extract(a, "^\\[[^\\]]*\\]", 0),
+          when(bracketPort === "" || bracketPort === "80" || bracketPort === "443",
+            lit("")).otherwise(concat(lit(":"), bracketPort))))
+      .when(multiColon(a), a)
+      .otherwise(named)
     // the strip + run-collapse chain (4 regex scans) runs only when the
     // cheap substring test fires — most real URLs carry no utm params,
     // and the collapse exists solely to tidy what the strip leaves
@@ -204,6 +275,42 @@ object TextFunctions {
     val collapsed = regexp_replace(
       regexp_replace(noUtm, "\\?[?&]+", "?"), "&[?&]+", "&")
     val cleaned = when(rest.contains("utm_"), collapsed).otherwise(rest)
-    concat(scheme, lit("://"), host, regexp_replace(cleaned, "[?&]+$", ""))
+    // trailing-junk trim gated the same way: only a stripped-or-odd URL
+    // ends in ? or &
+    val trimmed = when(cleaned.endsWith("?") || cleaned.endsWith("&"),
+      regexp_replace(cleaned, "[?&]+$", "")).otherwise(cleaned)
+    concat(scheme, lit("://"), host, trimmed)
+  }
+
+  /** Adds `host`/`domain`/`norm_url` columns in STAGED projections so
+    * the three authority/scheme/rest extractions evaluate ONCE per row
+    * and every downstream branch reference reads a variable. This is
+    * the scale form for URL-heavy pipelines (l64/l68): the
+    * single-Column functions above re-extract the authority at each
+    * conditional reference because Catalyst's subexpression elimination
+    * skips `when` branches — measured 2× on l64's chain. The alias
+    * boundary survives optimization: CollapseProject never inlines a
+    * non-cheap alias that is referenced more than once. */
+  def withUrlParts(df: org.apache.spark.sql.DataFrame, urlCol: String,
+                   hostCol: String = "host", domainCol: String = "domain",
+                   normCol: String = "norm_url"): org.apache.spark.sql.DataFrame = {
+    val url = col(urlCol)
+    val keep = df.columns.map(col).toSeq
+    df.select(keep ++ Seq(
+        lower(urlAuthority(url)).as("__ua"),
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1).as("__ur"),
+        lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)).as("__us")): _*)
+      .withColumn("__uh", hostFromAuthority(col("__ua")))
+      // coalesce(·, '') makes each output provably NON-NULLABLE (a null
+      // or unparseable URL yields ''): when a downstream join/window
+      // keys on one of these, InferFiltersFromConstraints' IsNotNull
+      // folds to `true` instead of pushing a filter that re-inlines the
+      // whole extraction chain below the projection — measured as the
+      // largest single cost in l64's plan before this
+      .select(keep ++ Seq(
+        coalesce(col("__uh"), lit("")).as(hostCol),
+        coalesce(domainFromHost(col("__uh")), lit("")).as(domainCol),
+        coalesce(normalizeFromParts(col("__us"), col("__ua"), col("__ur")),
+          lit("")).as(normCol)): _*)
   }
 }

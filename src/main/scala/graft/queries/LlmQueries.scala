@@ -2069,12 +2069,10 @@ object LlmQueries {
                 lit("&utm_term=t&q="), str(id % 7)))
             .otherwise(lit("")),
           when(id % 4 === 0, lit("#frag")).otherwise(lit("")))
-        val norm = Tables.documents(s, d)
-          .select(id, url.as("url"))
-          .select(id, col("url"),
-            urlHost(col("url")).as("host"),
-            registrableDomain(col("url")).as("domain"),
-            normalizeUrl(col("url")).as("norm_url"))
+        // withUrlParts = staged projections: authority/scheme/rest
+        // extract once per row instead of once per branch reference
+        val norm = withUrlParts(
+          Tables.documents(s, d).select(id, url.as("url")), "url")
         graft.operators.Windows.runningSumScalable(
             norm.withColumn("__h", md5(id.cast("string"))),
             Seq("domain"), substring(col("__h"), 1, 2),

@@ -62,6 +62,47 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(got == viaColumn)
   }
 
+  test("withUrlParts staged form matches the single-Column forms URL-for-URL") {
+    // the staged (attribute-input) twins use cheaper branchy bodies —
+    // string ops and a translate colon count instead of regexes — so
+    // pin them against the expression-input forms over the adversarial
+    // shapes: brackets, bare IPv6, IPv4, default/odd ports, www, utm
+    // (first/middle/consecutive/name-contains-utm), fragments, empty
+    // query, trailing junk, and an unparseable non-URL
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://WWW.Sub0.Site3.com:443/p/1?utm_source=a&id=2#frag",
+      "http://example.org:80/",
+      "http://example.org:8080/a?b=1",
+      "https://www.example.co.uk/x?utm_a=1&utm_b=2&c=3",
+      "https://site.com/?utm_only=x",
+      "https://site.com/p?my_utm_x=1&utm_term=t&q=2",
+      "http://1.2.3.4:80/path",
+      "http://[2001:db8::1]:443/p?utm_z=9",
+      "http://[2001:db8::1]:8080/p",
+      "http://2001:db8::7/p#f",
+      "https://www.x.com/p?",
+      "https://x.com/p?a=1&",
+      "ftp://Files.Example.NET:21/dir",
+      "not a url at all",
+      "")
+    val df = urls.toDF("u")
+    val staged = graft.functions.TextFunctions.withUrlParts(df, "u")
+      .select("u", "host", "domain", "norm_url")
+      .as[(String, String, String, String)].collect()
+      .map { case (u, h, d, n) => u -> ((h, d, n)) }.toMap
+    val single = df.select(col("u"),
+        graft.functions.TextFunctions.urlHost(col("u")).as("h"),
+        graft.functions.TextFunctions.registrableDomain(col("u")).as("d"),
+        graft.functions.TextFunctions.normalizeUrl(col("u")).as("n"))
+      .as[(String, String, String, String)].collect()
+      .map { case (u, h, d, n) => u -> ((h, d, n)) }.toMap
+    urls.foreach { u =>
+      assert(staged(u) == single(u), s"URL $u: staged ${staged(u)} vs single ${single(u)}")
+    }
+  }
+
   test("html_to_text is callable from SQL and matches the Column form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
