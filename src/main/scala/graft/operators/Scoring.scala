@@ -61,6 +61,78 @@ object Scoring {
       .withColumn("keep", col("w_sum") > 0)
   }
 
+  /**
+   * Multiclass hashed linear classifier — inference by argmax over
+   * per-class hashed weight vectors: the fastText-style model shape
+   * behind production language ID (CCNet et al. run one of these over
+   * EVERY document in EVERY corpus). Same feature hashing as
+   * [[hashedLinearScore]] (token → md5 16-bit value mod bucket count;
+   * no vocabulary, no join), generalized to k classes.
+   *
+   * Scale shape — the shuffle does NOT grow with k: tokens first
+   * collapse to per-(doc, bucket) COUNTS (one map-side-combined agg —
+   * at most `buckets` rows per doc survive, independent of document
+   * length), then each class's score is Σ count·w_c[bucket] over those
+   * ≤`buckets` rows (second agg keyed by doc). Applying k weight
+   * vectors after the collapse costs k·buckets multiplies per doc
+   * instead of k per TOKEN — for a fastText-sized k (176 languages)
+   * that is the difference between a scan-bound and a CPU-bound pass.
+   * Weights ride as DECIMAL(18,8) literals (codegen constants), so
+   * per-class sums are exact decimal arithmetic — shuffle-order
+   * independent, bit-equal across engines (the l49 discipline).
+   *
+   * Output: idCol, `n_tokens`, `pred` (argmax class label; ties break
+   * to the EARLIEST class in `classes` — deterministic), `top_sum`
+   * (winning class's score, DECIMAL(38,8)), `margin` (top_sum minus
+   * runner-up score — the fastText confidence signal; callers gate
+   * low-margin predictions to "unknown"). Requires ≥ 2 classes with
+   * equal-length weight vectors.
+   */
+  def hashedMulticlassScore(docs: DataFrame, textCol: String, idCol: String,
+                            classes: Seq[(String, Array[Double])]): DataFrame = {
+    require(classes.lengthCompare(2) >= 0, "need >= 2 classes")
+    val b = classes.head._2.length
+    require(b > 0 && classes.forall(_._2.length == b),
+      "all classes need the same non-empty bucket count")
+    def wLit(ws: Array[Double]) = array(ws.map(w =>
+      lit(BigDecimal(w).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .underlying()).cast("decimal(18,8)")): _*)
+    val bucket = (conv(substring(md5(col("__t")), 1, 4), 16, 10)
+      .cast("long") % b).cast("int")
+    val perBucket = docs
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("__t"))
+      .select(col(idCol), bucket.as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
+    val sums = classes.zipWithIndex.map { case ((_, ws), i) =>
+      // __n as DECIMAL(12,0), not its native long (= DECIMAL(20,0)):
+      // (20,0)×(18,8) needs precision 39 > 38 and Spark's
+      // precision-loss path silently rounds the product to scale 7;
+      // (12,0)×(18,8) = (31,8) stays exact and 10¹² tokens per
+      // (doc, bucket) is beyond any document
+      sum(col("__n").cast("decimal(12,0)") * element_at(wLit(ws), col("__b") + 1))
+        .cast("decimal(38,8)").as(s"__s$i")
+    }
+    val perDoc = perBucket.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_tokens"), sums: _*)
+    // argmax + runner-up in one pass: sort (score, -idx) structs
+    // descending — struct order is lexicographic, so ties on score
+    // fall to the larger -idx, i.e. the EARLIEST class
+    val arr = array(classes.indices.map(i =>
+      struct(col(s"__s$i").as("s"), lit(-i).as("ni"),
+        lit(classes(i)._1).as("lab"))): _*)
+    perDoc
+      .withColumn("__sorted", reverse(array_sort(arr)))
+      .select(col(idCol), col("n_tokens"),
+        col("__sorted")(0)("lab").as("pred"),
+        col("__sorted")(0)("s").as("top_sum"),
+        // operands down to (36,8) first: (38,8)−(38,8) needs precision
+        // 39 and Spark's precision-loss path rounds the margin to
+        // scale 7; (36,8)−(36,8) = (37,8) stays exact with 10²⁸
+        // headroom over any real score
+        (col("__sorted")(0)("s").cast("decimal(36,8)") -
+          col("__sorted")(1)("s").cast("decimal(36,8)")).as("margin"))
+  }
+
   /** The l49 weight vector: 256 buckets, w_b = (b − 128)/256 — a fixed
     * deterministic stand-in for trained weights whose arithmetic a DuckDB
     * oracle can reproduce exactly (each weight is an exact multiple of

@@ -1841,6 +1841,51 @@ object LlmQueries {
         "CAST(SUM(qi * qj) AS BIGINT) AS sum_qiqj FROM u " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // L75 — model-based multiclass language ID
+    // (Scoring.hashedMulticlassScore): the production upgrade of l9's
+    // marker heuristic — fastText-shaped argmax over per-class HASHED
+    // weight vectors, the classifier CCNet-style pipelines run over
+    // every document. Weights here are a fixed bucket formula
+    // w_c[b] = ((b + 37c) mod 256 − 128)/256 — exact multiples of 2⁻⁸,
+    // so per-class sums ×256 are INTEGERS and the oracle recomputes
+    // them exactly (the l49 discipline, per class). The oracle derives
+    // the same 16-bit md5 bucket, collapses to (doc, bucket) counts,
+    // forms the four class sums, and takes the same
+    // earliest-class-wins argmax plus top/margin via list_sort.
+    // Real deployments pass trained per-class vectors (see the
+    // trainer in ScoringSpec); the scale shape — one token collapse,
+    // then k·256 multiplies per doc — is identical.
+    "l75_lang_id_model" -> QueryDef(
+      (s, d) => {
+        val classes = Seq("en", "de", "fr", "es").zipWithIndex.map { case (lang, c) =>
+          lang -> Array.tabulate(256)(b => (((b + 37 * c) % 256) - 128) / 256.0)
+        }
+        graft.operators.Scoring.hashedMulticlassScore(
+            Tables.documents(s, d), "text", "doc_id", classes)
+          .select(col("doc_id"), col("n_tokens"), col("pred").as("pred_lang"),
+            (col("top_sum") * 256).cast("long").as("top_x256"),
+            (col("margin") * 256).cast("long").as("margin_x256"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "h AS (SELECT doc_id, ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096 + " +
+        "(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256 + " +
+        "(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16 + " +
+        "(strpos('0123456789abcdef', substr(md5(t),4,1))-1)) % 256 AS b FROM tok), " +
+        "g AS (SELECT doc_id, b, COUNT(*) AS n FROM h GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(n * (((b + 0) % 256) - 128)) AS BIGINT) AS s0, " +
+        "CAST(SUM(n * (((b + 37) % 256) - 128)) AS BIGINT) AS s1, " +
+        "CAST(SUM(n * (((b + 74) % 256) - 128)) AS BIGINT) AS s2, " +
+        "CAST(SUM(n * (((b + 111) % 256) - 128)) AS BIGINT) AS s3 FROM g GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, " +
+        "CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'en' " +
+        "WHEN s1 >= s2 AND s1 >= s3 THEN 'de' " +
+        "WHEN s2 >= s3 THEN 'fr' ELSE 'es' END AS pred_lang, " +
+        "CAST(list_sort([s0, s1, s2, s3])[4] AS BIGINT) AS top_x256, " +
+        "CAST(list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS BIGINT) AS margin_x256 " +
+        "FROM s ORDER BY doc_id")),
+
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace
     // ratio) → exact dedup → MinHash/LSH + Jaccard near-dedup → per-

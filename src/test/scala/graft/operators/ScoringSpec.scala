@@ -31,6 +31,58 @@ class ScoringSpec extends AnyFunSuite {
       pBgivenA + pCgivenA < 1.0 - 1e-9)
   }
 
+  test("hashedMulticlassScore matches a driver-side reference on seeded random weights") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val b = 64
+    val classes = Seq("aa", "bb", "cc").map(l => l -> Array.fill(b)(rnd.nextDouble() * 2 - 1))
+    val docs = (1 to 40).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, (1 to n).map(_ => s"w${rnd.nextInt(200)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Scoring.hashedMulticlassScore(df, "text", "doc_id", classes)
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("pred"),
+        col("top_sum").cast("string"), col("margin").cast("string"))
+      .as[(Long, Long, String, String, String)].collect()
+    assert(got.length == docs.length)
+    // driver-side reference: same md5 16-bit bucket, same DECIMAL(18,8)
+    // weight quantization, same earliest-class tie-break
+    def bucketOf(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % b
+    }
+    val qw = classes.map { case (l, ws) =>
+      l -> ws.map(w => BigDecimal(w).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    }
+    docs.zip(got).foreach { case ((id, text), (gid, gn, gpred, gtop, gmargin)) =>
+      assert(gid == id)
+      val toks = text.split(" ", -1).toSeq
+      assert(gn == toks.length.toLong)
+      val sums = qw.map { case (l, ws) => l -> toks.map(t => ws(bucketOf(t))).sum }
+      val ranked = sums.zipWithIndex.sortBy { case ((_, s), i) => (-s, i) }
+      assert(gpred == ranked.head._1._1, s"doc $id pred")
+      assert(BigDecimal(gtop) == ranked(0)._1._2, s"doc $id top")
+      assert(BigDecimal(gmargin) == ranked(0)._1._2 - ranked(1)._1._2, s"doc $id margin")
+    }
+  }
+
+  test("hashedMulticlassScore breaks exact score ties to the earliest class") {
+    import org.apache.spark.sql.functions.col
+    // identical weight vectors for every class -> every doc ties on all
+    // classes -> pred must be the FIRST declared class
+    val w = Array.tabulate(16)(i => (i - 8) / 16.0)
+    val classes = Seq("z_last" -> w.clone(), "a_mid" -> w.clone(), "m_first" -> w.clone())
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text")
+    val got = Scoring.hashedMulticlassScore(df, "text", "doc_id", classes)
+      .orderBy("doc_id").select(col("pred"), col("margin").cast("double"))
+      .as[(String, Double)].collect()
+    assert(got.forall(_._1 == "z_last")) // declaration order, not alphabetical
+    assert(got.forall(_._2 == 0.0))
+  }
+
   test("compressionRatio orders repetitive < prose < noise, deterministically") {
     val rnd = new scala.util.Random(3)
     val docs = Seq(

@@ -333,6 +333,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("l75: multiclass langid is the two-level agg — no Expand, one scan, no join") {
+    val p = planOf("l75_lang_id_model")
+    // per-class sums ride the (doc, bucket) collapse: a per-class
+    // explode or countDistinct-style Expand would multiply rows before
+    // the shuffle; the weight application must touch only collapsed rows
+    assert(!p.contains("Expand"), p.take(3000))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).size == 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("t27: SCD-2 enrichment broadcasts the versioned dimension") {
     val p = planOf("t27_scd2_enrich")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
