@@ -133,6 +133,64 @@ object Scoring {
           col("__sorted")(1)("s").cast("decimal(36,8)")).as("margin"))
   }
 
+  /**
+   * Distributed trainer for the hashed linear classifier — batch
+   * logistic regression by gradient descent, so pipelines can FIT the
+   * quality/language filter on their own seed data instead of
+   * importing weights ([[hashedLinearScore]] /
+   * [[hashedMulticlassScore]] consume the result directly: same md5
+   * bucket hash, same mean-bucket-weight feature definition
+   * x_b = count_b / n_tokens).
+   *
+   * Scale shape (the `trainCentroids` pattern): the corpus touches
+   * Spark ONCE — tokens collapse to a per-(doc, bucket) fraction table
+   * (≤ `buckets` rows per doc, `localCheckpoint`ed so no iteration
+   * replays the scan, partitioned by doc so the per-iteration score
+   * window needs NO exchange). Each of the `iters` fixed iterations
+   * then costs one windowed projection over that table plus one
+   * map-side-combined aggregation keyed by BUCKET — the collect is
+   * `buckets` doubles (the gradient), never rows. Driver applies
+   * w ← w − lr·∇, where ∇ = (1/N)·Σ_d (σ(s_d) − y_d)·x_d — plain
+   * mean-log-loss gradient, no regularization (callers can stop
+   * early; iteration count is FIXED for reproducibility).
+   *
+   * `labelCol`: 0/1 (castable to double). Docs with no tokens drop
+   * out (they have no features). Returns the weight vector.
+   */
+  def trainLogisticHashed(docs: DataFrame, textCol: String, idCol: String,
+                          labelCol: String, buckets: Int,
+                          iters: Int = 30, lr: Double = 2.0): Array[Double] = {
+    require(buckets > 0 && iters >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (conv(substring(md5(col("__t")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val byDoc = Window.partitionBy("__id")
+    val tb = docs
+      .select(col(idCol).as("__id"), col(labelCol).cast("double").as("__y"),
+        explode(wsTokens(col(textCol))).as("__t"))
+      .select(col("__id"), col("__y"), bucket.as("__b"))
+      .groupBy("__id", "__y", "__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__f", col("__n").cast("double") / sum(col("__n")).over(byDoc))
+      .select("__id", "__y", "__b", "__f")
+      .localCheckpoint()
+    val nDocs = tb.select("__id").distinct().count()
+    if (nDocs == 0) return new Array[Double](buckets)
+    val w = new Array[Double](buckets)
+    for (_ <- 1 to iters) {
+      val wl = array(w.map(lit(_)): _*)
+      val grad = tb
+        .withColumn("__s",
+          sum(col("__f") * element_at(wl, col("__b") + 1)).over(byDoc))
+        .withColumn("__r", lit(1.0) / (lit(1.0) + exp(-col("__s"))) - col("__y"))
+        .groupBy("__b").agg(sum(col("__f") * col("__r")).as("__g"))
+        .collect() // <= buckets rows — the gradient, not data
+      grad.foreach { r =>
+        w(r.getInt(0)) -= lr / nDocs * r.getDouble(1)
+      }
+    }
+    w
+  }
+
   /** The l49 weight vector: 256 buckets, w_b = (b − 128)/256 — a fixed
     * deterministic stand-in for trained weights whose arithmetic a DuckDB
     * oracle can reproduce exactly (each weight is an exact multiple of

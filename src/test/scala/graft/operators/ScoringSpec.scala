@@ -83,6 +83,80 @@ class ScoringSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0.0))
   }
 
+  private def md5Bucket(t: String, b: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 4), 16) % b
+  }
+
+  private def cosSim(x: Array[Double], y: Array[Double]): Double = {
+    def dot(a: Array[Double], c: Array[Double]) = a.zip(c).map(p => p._1 * p._2).sum
+    dot(x, y) / math.sqrt(dot(x, x) * dot(y, y))
+  }
+
+  test("trainLogisticHashed gradient machinery matches a driver-side reference exactly") {
+    // few iterations, arbitrary data: the DISTRIBUTED per-bucket
+    // gradient sums must equal a plain in-memory implementation of the
+    // same fixed-iteration GD (proves the sufficient-statistic
+    // plumbing, independent of convergence)
+    val rnd = new scala.util.Random(11)
+    val b = 8
+    val docs = (1 to 60).map { i =>
+      val toks = (1 to (3 + rnd.nextInt(10))).map(_ => s"t${rnd.nextInt(40)}")
+      (i.toLong, toks.mkString(" "), rnd.nextInt(2))
+    }
+    val df = docs.toDF("doc_id", "text", "label")
+    val got = Scoring.trainLogisticHashed(df, "text", "doc_id", "label", b,
+      iters = 5, lr = 3.0)
+    // driver reference: same features x_b = count_b / n_tokens
+    val feats = docs.map { case (_, text, y) =>
+      val toks = text.split(" ", -1)
+      val cnt = toks.groupBy(t => md5Bucket(t, b)).map { case (k, v) => k -> v.length }
+      (cnt.map { case (k, n) => k -> n.toDouble / toks.length }, y.toDouble)
+    }
+    val w = new Array[Double](b)
+    for (_ <- 1 to 5) {
+      val g = new Array[Double](b)
+      feats.foreach { case (x, y) =>
+        val s = x.map { case (k, v) => w(k) * v }.sum
+        val r = 1.0 / (1.0 + math.exp(-s)) - y
+        x.foreach { case (k, v) => g(k) += v * r }
+      }
+      for (k <- 0 until b) w(k) -= 3.0 / feats.length * g(k)
+    }
+    got.zip(w).foreach { case (gw, rw) =>
+      assert(math.abs(gw - rw) < 1e-9, s"got ${got.toSeq} want ${w.toSeq}")
+    }
+  }
+
+  test("trainLogisticHashed recovers planted weights and its output feeds hashedLinearScore") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val b = 16
+    val planted = Array.fill(b)(rnd.nextGaussian())
+    // soft targets y = sigmoid(c * x.planted): the model is then
+    // well-specified with ZERO label noise, so c*planted is the exact
+    // optimum and fixed-iteration GD must land on its direction
+    val c = 8.0
+    val docs = (1 to 300).map { i =>
+      val toks = (1 to 15).map(_ => s"t${rnd.nextInt(300)}")
+      val s = toks.map(t => planted(md5Bucket(t, b))).sum / toks.length
+      (i.toLong, toks.mkString(" "), 1.0 / (1.0 + math.exp(-c * s)), s)
+    }
+    val df = docs.map(d => (d._1, d._2, d._3)).toDF("doc_id", "text", "label")
+    val w = Scoring.trainLogisticHashed(df, "text", "doc_id", "label", b,
+      iters = 100, lr = 100.0)
+    val cos = cosSim(w, planted)
+    assert(cos > 0.99, s"cos=$cos")
+    // parity: the trained vector drops straight into hashedLinearScore
+    // (same hash, same feature definition), and its keep side
+    // reproduces the planted sign
+    val keep = Scoring.hashedLinearScore(df.select("doc_id", "text"), "text", "doc_id", w)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    val agree = docs.count(d => keep(d._1) == (d._4 > 0))
+    assert(agree >= docs.length * 95 / 100, s"agree=$agree of ${docs.length}")
+  }
+
   test("compressionRatio orders repetitive < prose < noise, deterministically") {
     val rnd = new scala.util.Random(3)
     val docs = Seq(
