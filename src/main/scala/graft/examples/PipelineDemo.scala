@@ -42,14 +42,20 @@ object PipelineDemo {
     // html_to_text recovers the text, normalize_url collapses revisit
     // variants (per-URL exact dedup), both pure projections
     val crawled = raw.select(col("doc_id"), col("lang"), col("source"),
-      concat(lit("<html><body><p>"), col("text"),
-        lit("</p><script>var x=1;</script></body></html>")).as("html"),
+      concat(lit("<html><body><nav><a href=/h>Home</a> <a href=/b>Blog</a></nav><p>"),
+        col("text"),
+        lit("</p><script>var x=1;</script>" +
+          "<footer>Copyright <a href=/p>privacy</a></footer></body></html>")).as("html"),
       concat(lit("https://www.site"), (col("doc_id") % 11).cast("string"),
         lit(".com:443/p/"), col("doc_id").cast("string"),
         lit("?utm_source=crawl")).as("url"))
+    // mainContent, not plain htmlToText: the nav/footer chrome above is
+    // exactly what a real crawl page carries, and the block-level
+    // boilerplate pass (link density + stopword density + length) is
+    // the step that sheds it before quality filtering
     val extracted = crawled.select(col("doc_id"), col("lang"), col("source"),
       col("url"),
-      TextFunctions.htmlToText(col("html")).as("text"),
+      TextFunctions.mainContent(col("html")).as("text"),
       TextFunctions.normalizeUrl(col("url")).as("norm_url"))
     // PSL-exact per-domain capping key (last-two-labels would collapse
     // every *.co.uk site into one key): longest-suffix match against a

@@ -110,18 +110,102 @@ object TextFunctions {
     * production boilerplate pass (trafilatura-class DOM heuristics)
     * layers ON TOP of this; the regex chain is the scale-shaped
     * extraction core. */
-  def htmlToText(html: Column): Column = {
-    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+  def htmlToText(html: Column): Column = stripAndDecode(removeHiddenBlocks(html))
+
+  /** Drop script/style blocks and comments wholesale (their content is
+    * code, not text). */
+  private def removeHiddenBlocks(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
       "(?s)<script[^>]*>.*?</script>", " "),
       "(?s)<style[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+
+  /** Strip remaining tags to spaces, decode the five standard entities
+    * (last — a `&lt;script&gt;` literal must not become a strippable
+    * tag), collapse whitespace, trim. */
+  private def stripAndDecode(x: Column): Column = {
+    val noTags = regexp_replace(x, "<[^>]*>", " ")
     val decoded = replace(replace(replace(replace(replace(noTags,
       lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
       lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
       lit("&amp;"), lit("&"))
     trim(regexp_replace(decoded, "  +", " "))
   }
+
+  /** Block-level HTML tags — the boundaries [[mainContentBlocks]] cuts
+    * at. Name anchored by `([ /][^>]*)?>` so `<pre>` never matches `p`.
+    * Dialect-neutral (no lookaround — RE2 has none). */
+  val BlockTagPattern: String =
+    "(?i)</?(div|p|h[1-6]|li|ul|ol|table|tr|td|th|nav|header|footer|aside|" +
+      "section|article|main|br|blockquote|body|html|head|title|form)([ /][^>]*)?>"
+
+  /**
+   * Block-level boilerplate classification — the jusText/trafilatura
+   * heuristic family, pure per-row: cut the document into blocks at
+   * block-level tag boundaries, extract each block's text, and score it
+   * by LENGTH (`minChars`), LINK DENSITY (chars that came from inside
+   * `<a>` spans; nav bars and menus are link-dense), and STOPWORD
+   * density (real prose in the target language carries function words
+   * at a steady rate — ≥ 1 marker per `tokensPerStop` tokens;
+   * boilerplate like "Copyright 2024" does not). `stopMarkers` is the
+   * per-language function-word list, space-delimited matching over the
+   * padded lowercased text (the l9/l10 occurrence machinery).
+   *
+   * Returns `array<struct<t: string, n: int, lk: int, keep: boolean>>`
+   * — per block: extracted text, its length, how many of its chars
+   * came from anchor spans, and the keep verdict
+   * `n ≥ minChars AND lk·100 ≤ n·maxLinkPct AND stops·tokensPerStop ≥ tokens`
+   * (integer cross-multiplication — no float thresholds to disagree
+   * across engines). [[mainContent]] joins the kept blocks.
+   *
+   * Scale shape: a pure per-row projection — the HOF lambdas run
+   * interpreted (outside codegen) but touch only this row's blocks, so
+   * the pass stays shuffle-free at any corpus size; the expensive
+   * extraction chain runs ONCE per block (structs materialize `t`
+   * before lengths/densities read it — the l64 staged-projection
+   * lesson applied inside the row).
+   */
+  def mainContentBlocks(html: Column,
+                        stopMarkers: Seq[String] = Seq("the", "a", "of", "and"),
+                        minChars: Int = 40, maxLinkPct: Int = 34,
+                        tokensPerStop: Int = 25): Column = {
+    val blocks = split(regexp_replace(removeHiddenBlocks(html),
+      BlockTagPattern, "\u0001"), "\u0001")
+    // stage 1: per block, extract text once (and once with anchors cut)
+    val extracted = transform(blocks, b => struct(
+      stripAndDecode(b).as("t"),
+      stripAndDecode(regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " ")).as("ta")))
+    // stage 2: lengths + densities read the materialized struct fields
+    transform(extracted, s => {
+      val t = s("t")
+      val n = length(t)
+      val lk = n - length(s("ta"))
+      val padded = concat(lit(" "), lower(t), lit(" "))
+      val stops = stopMarkers.map { m =>
+        val mk = s" $m "
+        (length(padded) - length(replace(padded, lit(mk), lit("")))) / lit(mk.length)
+      }.reduce(_ + _)
+      val toks = n - length(replace(t, lit(" "), lit(""))) + lit(1)
+      struct(t.as("t"), n.as("n"), lk.as("lk"),
+        (n >= minChars && lk * 100 <= n * maxLinkPct &&
+          stops * tokensPerStop >= toks).as("keep"))
+    })
+  }
+
+  /** Main-content text: [[mainContentBlocks]]' kept blocks joined with
+    * a single space ("" when nothing survives). The drop-in upgrade
+    * between [[htmlToText]] and the quality filters for crawl
+    * pipelines that must shed nav/menu/footer boilerplate. */
+  def mainContent(html: Column,
+                  stopMarkers: Seq[String] = Seq("the", "a", "of", "and"),
+                  minChars: Int = 40, maxLinkPct: Int = 34,
+                  tokensPerStop: Int = 25): Column =
+    array_join(
+      transform(
+        filter(mainContentBlocks(html, stopMarkers, minChars, maxLinkPct,
+          tokensPerStop), s => s("keep")),
+        s => s("t")),
+      " ")
 
   // ------------------------------------------------------------ URLs
 

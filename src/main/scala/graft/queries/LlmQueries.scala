@@ -121,6 +121,43 @@ object LlmQueries {
       "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'), " +
       "'  +', ' ', 'g'))"
 
+  /** DuckDB mirror of TextFunctions' private stripAndDecode (the
+    * htmlToText tail: strip tags → decode entities → collapse), used by
+    * the l76 per-block chain. */
+  private def stripDecodeSql(e: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'), " +
+      "'  +', ' ', 'g'))"
+
+  /** DuckDB mirror of TextFunctions.mainContentBlocks/mainContent over
+    * relation `src`(doc_id, html) at default thresholds: emits CTEs
+    * `mcx`…`mck` (per-block text + keep verdicts) and `mc`(doc_id,
+    * main) — the kept blocks joined in document order. Shared by l76
+    * and the l68 cascade. */
+  private def mainContentCtes(src: String): String = {
+    val stops = Seq(" the ", " a ", " of ", " and ").map(mk =>
+      s"(length(p) - length(replace(p, '$mk', ''))) / ${mk.length}").mkString(" + ")
+    "mcx AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html, " +
+      "'(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      s"'(?s)<!--.*?-->', ' ', 'g') AS x FROM $src), " +
+      "mcb AS (SELECT doc_id, string_split(regexp_replace(x, " +
+      s"'${graft.functions.TextFunctions.BlockTagPattern}', chr(1), 'g'), chr(1)) AS bs FROM mcx), " +
+      "mcu AS (SELECT doc_id, UNNEST(bs) AS blk, " +
+      "UNNEST(generate_series(1, len(bs))) AS ord FROM mcb), " +
+      "mcm AS (SELECT doc_id, ord, " + stripDecodeSql("blk") + " AS t, " +
+      stripDecodeSql("regexp_replace(blk, '(?is)<a[^>]*>.*?</a>', ' ', 'g')") +
+      " AS ta FROM mcu), " +
+      "mcc AS (SELECT doc_id, ord, t, ' ' || lower(t) || ' ' AS p, length(t) AS n, " +
+      "length(t) - length(ta) AS lk, " +
+      "length(t) - length(replace(t, ' ', '')) + 1 AS toks FROM mcm), " +
+      s"mck AS (SELECT doc_id, ord, t, (n >= 40 AND lk * 100 <= n * 34 AND ($stops) * 25 >= toks) AS keep FROM mcc), " +
+      "mc AS (SELECT doc_id, COALESCE(string_agg(t, ' ' ORDER BY ord) " +
+      "FILTER (WHERE keep), '') AS main FROM mck GROUP BY doc_id)"
+  }
+
   /** DuckDB mirror of TextFunctions.normalizeText over SQL expr `e`. */
   private def normalizeTextSql(e: String): String =
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))"
@@ -1479,8 +1516,11 @@ object LlmQueries {
           graft.sources.CascadeFixtures.dataset(s), headBytes = 1024).toDF()
         val docs = recs
           .filter(col("warc_type") === "response" && col("http_status") === 200)
+          // mainContent (not plain htmlToText): each markup variant
+          // carries DIFFERENT link-dense chrome, and the exact-dedup
+          // stage converges only because the boilerplate pass drops it
           .select((col("file_id") * 100 + col("rec_idx")).as("doc_id"),
-            normalizeText(htmlToText(col("body_head"))).as("text"))
+            normalizeText(mainContent(col("body_head"))).as("text"))
         Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
           .select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),
@@ -1488,8 +1528,9 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("WITH " + graft.sources.CascadeFixtures.valuesSql + ", " +
+        mainContentCtes("raw") + ", " +
         "docs AS (SELECT doc_id, " +
-        normalizeTextSql(htmlToTextSql("html")) + " AS text FROM raw), " +
+        normalizeTextSql("main") + " AS text FROM mc), " +
         "kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM docs) " +
         "WHERE rn = 1), " +
@@ -1885,6 +1926,64 @@ object LlmQueries {
         "CAST(list_sort([s0, s1, s2, s3])[4] AS BIGINT) AS top_x256, " +
         "CAST(list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS BIGINT) AS margin_x256 " +
         "FROM s ORDER BY doc_id")),
+
+    // L76 — block-level boilerplate removal (TextFunctions.mainContent,
+    // the jusText/trafilatura step between l66's extraction and the
+    // quality filters): constructed HTML wraps each document's text in
+    // a realistic page — title, link-only nav, a prose paragraph with
+    // injected function words, a sub-minChars stub, a link-dense
+    // "See also" block, a footer — and BOTH engines independently cut
+    // at block tags, extract per-block text, score length / link
+    // density / stopword density with integer cross-multiplied
+    // thresholds, and join the kept blocks. A hash match over the full
+    // main_text certifies the block cuts, the anchor-span accounting,
+    // and every keep verdict span-for-span; whether the prose block
+    // survives depends on each doc's own token count (stops·25 ≥
+    // tokens), so the boundary cases are in the data, not avoided.
+    // Pure per-row projection; zero shuffles at any scale.
+    "l76_main_content" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val html = concat(
+          lit("<html><head><title>T"), str(id), lit("</title></head><body>"),
+          lit("<nav><ul><li><a href=/h>Home</a></li><li><a href=/c"), str(id % 5),
+          lit(">Cat "), str(id % 5), lit("</a></li><li><a href=/c>Contact</a></li></ul></nav>"),
+          lit("<p>the story of "), col("text"), lit(" and the rest of a tale</p>"),
+          lit("<p>short "), str(id % 7), lit("</p>"),
+          lit("<div>See also <a href=/x>link one</a> and <a href=/y>link two</a> now</div>"),
+          lit("<footer>Copyright 20"), str(id % 10),
+          lit(" <a href=/p>privacy</a> <a href=/t>terms</a></footer>"),
+          lit("</body></html>"))
+        Tables.documents(s, d)
+          .select(id, html.as("__html"))
+          .select(id, mainContentBlocks(col("__html")).as("__b"))
+          .select(id,
+            size(col("__b")).cast("long").as("n_blocks"),
+            size(filter(col("__b"), b => b("keep"))).cast("long").as("n_kept"),
+            array_join(transform(filter(col("__b"), b => b("keep")), b => b("t")),
+              " ").as("main_text"))
+          .withColumn("main_md5", md5(col("main_text")))
+          .orderBy("doc_id")
+      },
+      Some {
+        "WITH h AS (SELECT doc_id, '<html><head><title>T' || CAST(doc_id AS VARCHAR) || " +
+          "'</title></head><body>' || " +
+          "'<nav><ul><li><a href=/h>Home</a></li><li><a href=/c' || CAST(doc_id % 5 AS VARCHAR) || " +
+          "'>Cat ' || CAST(doc_id % 5 AS VARCHAR) || '</a></li><li><a href=/c>Contact</a></li></ul></nav>' || " +
+          "'<p>the story of ' || text || ' and the rest of a tale</p>' || " +
+          "'<p>short ' || CAST(doc_id % 7 AS VARCHAR) || '</p>' || " +
+          "'<div>See also <a href=/x>link one</a> and <a href=/y>link two</a> now</div>' || " +
+          "'<footer>Copyright 20' || CAST(doc_id % 10 AS VARCHAR) || " +
+          "' <a href=/p>privacy</a> <a href=/t>terms</a></footer>' || " +
+          "'</body></html>' AS html FROM documents), " +
+          mainContentCtes("h") + " " +
+          "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks, " +
+          "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "COALESCE(string_agg(t, ' ' ORDER BY ord) FILTER (WHERE keep), '') AS main_text, " +
+          "md5(COALESCE(string_agg(t, ' ' ORDER BY ord) FILTER (WHERE keep), '')) AS main_md5 " +
+          "FROM mck GROUP BY doc_id ORDER BY doc_id"
+      }),
 
     // L28 — end-to-end corpus-cleaning pipeline (the flagship composite
     // a training-data run executes): quality gate (length + whitespace

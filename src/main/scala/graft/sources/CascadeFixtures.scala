@@ -54,14 +54,23 @@ object CascadeFixtures {
     if (fam < 8) bases(fam) else bases(fam - 8) + " " + extras(v)
   }
 
-  /** Three markup variants that all extract+normalize to textOf(r). */
+  /** Three markup variants that all extract+normalize to textOf(r) —
+    * ONLY because the cascade's boilerplate pass removes each variant's
+    * DIFFERENT link-dense chrome (nav bar / menu div / link list):
+    * under plain htmlToText the variants would keep their distinct
+    * boilerplate and never converge, so the dedup outcomes downstream
+    * prove mainContent is doing real work inside the composition. */
   def htmlOf(r: Int): String = {
     val t = textOf(r)
     (r / 12) match {
-      case 0 => s"<html><body><p>$t</p></body></html>"
+      case 0 => "<html><body><nav><a href=/h>Home</a> <a href=/b>Blog</a> " +
+        "<a href=/c>Contact</a></nav>" +
+        s"<p>$t</p><footer>Copyright <a href=/p>privacy</a></footer></body></html>"
       case 1 => s"<html><head><style>p{color:red}</style></head><body>" +
+        "<div class=menu><a href=/1>one</a> <a href=/2>two</a> <a href=/3>three</a></div>" +
         s"<div>$t</div><script>var x=1;</script></body></html>"
-      case _ => s"<P>$t &amp;&lt;&gt;</P><!-- note -->"
+      case _ => "<ul><li><a href=/x>archive</a></li><li><a href=/y>tags</a></li></ul>" +
+        s"<P>$t &amp;&lt;&gt;</P><!-- note -->"
     }
   }
 

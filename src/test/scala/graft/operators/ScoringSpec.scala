@@ -197,6 +197,47 @@ class ScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("mainContent keeps prose, drops nav/menu/footer/short/link-dense blocks") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.{mainContent, mainContentBlocks}
+    val prose1 = "the quick brown fox jumps over one of the lazy dogs and " +
+      "keeps running through the long field of grass and never stops at all"
+    val prose2 = "a second paragraph of real text with the usual run of " +
+      "function words and a steady rhythm of the kind prose always has"
+    val html =
+      "<html><head><title>T1</title></head><body>" +
+        "<nav><ul><li><a href='/h'>Home</a></li><li><a href='/b'>Blog</a></li>" +
+        "<li><a href='/c'>Contact</a></li></ul></nav>" +
+        s"<p>$prose1</p>" +
+        "<div class='menu'><a href='/1'>one</a> <a href='/2'>two</a> " +
+        "<a href='/3'>three</a></div>" +
+        "<p>short note</p>" +
+        s"<p>$prose2</p>" +
+        "<div>See also <a href='/x'>first link</a> and <a href='/y'>second link</a> here</div>" +
+        "<footer>Copyright 2024 <a href='/p'>privacy</a> <a href='/t'>terms</a></footer>" +
+        "</body></html>"
+    val df = Seq(html).toDF("h")
+    val got = df.select(mainContent(col("h"))).as[String].head()
+    assert(got == s"$prose1 $prose2", s"got '$got'")
+    // block-level verdicts: title+nav+menu+short+linky+footer all dropped
+    val blocks = df.select(mainContentBlocks(col("h")).as("b"))
+      .selectExpr("inline(b)").as[(String, Int, Int, Boolean)].collect()
+      .filter(_._1.nonEmpty)
+    assert(blocks.count(_._4) == 2, blocks.mkString("\n"))
+    val dropped = blocks.filterNot(_._4).map(_._1)
+    assert(dropped.exists(_.contains("Home")), dropped.toSeq)       // nav
+    assert(dropped.exists(_.contains("Copyright")), dropped.toSeq)  // footer
+    assert(dropped.exists(_.contains("short note")), dropped.toSeq) // minChars
+    // the link-dense "See also" block is long enough and has stopwords
+    // ("and") but >34% of its chars come from anchors
+    val seeAlso = blocks.find(_._1.contains("See also")).get
+    assert(!seeAlso._4 && seeAlso._3 * 100 > seeAlso._2 * 34, seeAlso)
+    // malformed input degrades, never throws
+    val weird = Seq("<p>unclosed <a href='x'>deep", "", "no tags at all plain")
+      .toDF("h").select(mainContent(col("h"))).as[String].collect()
+    assert(weird.length == 3)
+  }
+
   test("kneserNeyBigram scores every multi-token doc, skips single-token docs") {
     val docs = Seq((1L, "x y"), (2L, "solo"), (3L, "x y x")).toDF("doc_id", "text")
     val got = Scoring.kneserNeyBigram(docs, "text", "doc_id")
