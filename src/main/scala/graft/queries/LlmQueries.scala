@@ -1582,6 +1582,26 @@ object LlmQueries {
         "(CAST(6 AS BIGINT), CAST(1280 AS BIGINT), CAST(39 AS BIGINT), CAST(30468 AS BIGINT))" +
         ") AS t(doc_id, raw_len, deflate_len, ratio_ppm) ORDER BY doc_id")),
 
+    // L77 — charset detection for WARC bodies (Warc.sniffCharset /
+    // decodeBody): Common Crawl is full of legacy encodings, and a
+    // wrong decode silently corrupts every downstream text operator.
+    // Sniff priority is WHATWG's — BOM > HTTP Content-Type label >
+    // meta-charset label > UTF-8 structural validity > windows-1252
+    // fallback — and every branch has a fixture (CharsetFixtures):
+    // bodies are BUILT by encoding known strings under known charsets,
+    // and the oracle is a VALUES relation of the ORIGINAL strings, so
+    // a hash match proves the sniff picked the right encoding and the
+    // decode recovered the intended text. Runs inside the same
+    // zero-shuffle record walk as l50.
+    "l77_warc_charset" -> QueryDef(
+      (s, _) => graft.sources.Warc.records(
+          graft.sources.CharsetFixtures.dataset(s), headBytes = 256)
+        .toDF()
+        .select(col("file_id"), col("rec_idx"), col("http_status"),
+          col("body_len"), col("body_head"), col("charset"))
+        .orderBy("rec_idx"),
+      Some(graft.sources.CharsetFixtures.oracleSql)),
+
     // L70 — IP-literal URL canonicalization, cross-engine certified
     // (the l64 pattern over the address-shaped corner of the URL
     // space): bracketed IPv6 with default/non-default/no ports, an

@@ -15,11 +15,15 @@ case class WarcFile(file_id: Long, payload: Array[Byte])
 /** One parsed WARC record. `http_status`/`body_len`/`body_head` describe
   * the HTTP payload when the record carries one (response records),
   * otherwise the raw record payload; `http_status` is 0 for non-HTTP.
-  * Strings default to "" rather than null so the columns stay
-  * non-nullable BIGINT/VARCHAR across engines. */
+  * `charset` is the sniffed encoding `body_head` was decoded WITH
+  * (BOM > HTTP Content-Type > meta charset > UTF-8-validity, falling
+  * back to windows-1252 — see [[Warc.sniffCharset]]). Strings default
+  * to "" rather than null so the columns stay non-nullable
+  * BIGINT/VARCHAR across engines. */
 case class WarcRecord(file_id: Long, rec_idx: Long, warc_type: String,
                       target_uri: String, content_length: Long,
-                      http_status: Long, body_len: Long, body_head: String)
+                      http_status: Long, body_len: Long, body_head: String,
+                      charset: String)
 
 /**
  * WARC (ISO 28500) ingestion — the Common Crawl container every
@@ -165,10 +169,103 @@ object Warc {
     out.toSeq
   }
 
+  // -------------------------------------------------- charset sniffing
+
+  /** Encoding sniff for an HTTP(ish) body, WHATWG priority order:
+    * byte-order mark, then a `charset=` label in the HTTP Content-Type
+    * header, then a `<meta charset=…>` / `http-equiv` label in the body
+    * prefix, then content: bytes that validate as UTF-8 are UTF-8 and
+    * anything else falls back to windows-1252 (the WHATWG default —
+    * a superset of ISO-8859-1 in the bytes legacy pages actually use).
+    * Unrecognized labels are IGNORED (fall through to the content
+    * check) rather than trusted: a wrong decode silently corrupts
+    * every downstream text operator, the exact failure this step
+    * exists to stop. Deterministic, allocation-light, per record. */
+  private[sources] def sniffCharset(httpHeaders: String, body: Array[Byte]): String = {
+    def b(i: Int) = body(i) & 0xff
+    if (body.length >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF) "utf-8"
+    else if (body.length >= 2 && b(0) == 0xFF && b(1) == 0xFE) "utf-16le"
+    else if (body.length >= 2 && b(0) == 0xFE && b(1) == 0xFF) "utf-16be"
+    else {
+      val label = charsetLabel(httpHeaders)
+        .orElse(charsetLabel(new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        .flatMap(canonicalCharset)
+      label.getOrElse(if (isValidUtf8(body)) "utf-8" else "windows-1252")
+    }
+  }
+
+  private val CharsetLabelRe =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)")
+
+  private def charsetLabel(s: String): Option[String] = {
+    val m = CharsetLabelRe.matcher(s)
+    if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)) else None
+  }
+
+  /** WHATWG-ish label canonicalization for the encodings this walk
+    * decodes; None = unknown label, fall through to content sniff. */
+  private def canonicalCharset(l: String): Option[String] = l match {
+    case "utf-8" | "utf8" | "us-ascii" | "ascii" => Some("utf-8")
+    case "iso-8859-1" | "iso8859-1" | "latin-1" | "latin1" |
+         "windows-1252" | "cp1252" | "x-cp1252" => Some("windows-1252")
+    case "utf-16" | "utf-16le" | "unicode" => Some("utf-16le")
+    case "utf-16be" => Some("utf-16be")
+    case _ => None
+  }
+
+  /** Structural UTF-8 validation (lead-byte ranges + continuation
+    * count). A multibyte sequence cut by the PREFIX boundary counts as
+    * VALID — the sniff sees a bounded prefix of long documents, and a
+    * consistent-until-the-cut stream is UTF-8 evidence, not noise. */
+  private[sources] def isValidUtf8(body: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < body.length) {
+      val c = body(i) & 0xff
+      val n =
+        if (c < 0x80) 0
+        else if (c >= 0xC2 && c <= 0xDF) 1
+        else if (c >= 0xE0 && c <= 0xEF) 2
+        else if (c >= 0xF0 && c <= 0xF4) 3
+        else return false
+      var j = 1
+      while (j <= n) {
+        if (i + j >= body.length) return true // cut mid-sequence by the prefix
+        val cc = body(i + j) & 0xff
+        if (cc < 0x80 || cc > 0xBF) return false
+        j += 1
+      }
+      i += n + 1
+    }
+    true
+  }
+
+  /** Decode `bytes` under the sniffed charset, stripping a BOM and (for
+    * UTF-16) a trailing odd byte left by the prefix cut. */
+  private[sources] def decodeBody(bytes: Array[Byte], charset: String): String = {
+    import java.nio.charset.StandardCharsets._
+    charset match {
+      case "utf-16le" | "utf-16be" =>
+        val hasBom = bytes.length >= 2 &&
+          (((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xFE) ||
+            ((bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF))
+        val from = if (hasBom) 2 else 0
+        val len = (bytes.length - from) & ~1
+        new String(bytes, from, len, if (charset == "utf-16le") UTF_16LE else UTF_16BE)
+      case "windows-1252" =>
+        new String(bytes, java.nio.charset.Charset.forName("windows-1252"))
+      case _ =>
+        val from = if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xEF &&
+          (bytes(1) & 0xff) == 0xBB && (bytes(2) & 0xff) == 0xBF) 3 else 0
+        new String(bytes, from, bytes.length - from, UTF_8)
+    }
+  }
+
   /** Split an HTTP message payload into (status, body) when the record
     * carries one; non-HTTP payloads pass through whole. A header block
     * longer than [[MaxHttpPrefix]] is treated as non-HTTP (bounded-read
-    * contract) — at that size it is not a sane HTTP header block. */
+    * contract) — at that size it is not a sane HTTP header block. The
+    * retained body head decodes under the SNIFFED charset (BOM / HTTP
+    * header / meta label / UTF-8-validity → windows-1252). */
   private def httpSplit(fileId: Long, idx: Long, warcType: String, uri: String,
                         cl: Long, prefix: Array[Byte],
                         headBytes: Int): WarcRecord = {
@@ -186,17 +283,23 @@ object Warc {
       }
     }
     if (!isHttp || sep < 0) {
-      WarcRecord(fileId, idx, warcType, uri, cl, 0L, cl,
-        ascii(prefix, 0, math.min(headBytes, prefix.length)))
+      // sniff over the WHOLE retained prefix (a meta label may sit past
+      // the head cut); decode only the head slice
+      val cs = sniffCharset("", prefix)
+      val head = java.util.Arrays.copyOfRange(prefix, 0, math.min(headBytes, prefix.length))
+      WarcRecord(fileId, idx, warcType, uri, cl, 0L, cl, decodeBody(head, cs), cs)
     } else {
       val statusLineEnd = prefix.indexOf('\n'.toByte)
       val statusLine = ascii(prefix, 0, if (statusLineEnd < 0) prefix.length else statusLineEnd)
       val status = statusLine.split(" ").lift(1)
         .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
       val bodyStart = sep + 4
-      val head = ascii(prefix, bodyStart,
-        math.min(bodyStart + headBytes, prefix.length))
-      WarcRecord(fileId, idx, warcType, uri, cl, status, cl - bodyStart, head)
+      val fullBody = java.util.Arrays.copyOfRange(prefix, bodyStart, prefix.length)
+      val cs = sniffCharset(ascii(prefix, 0, sep), fullBody)
+      val head = java.util.Arrays.copyOfRange(fullBody, 0,
+        math.min(headBytes, fullBody.length))
+      WarcRecord(fileId, idx, warcType, uri, cl, status, cl - bodyStart,
+        decodeBody(head, cs), cs)
     }
   }
 

@@ -75,21 +75,21 @@ object WarcFixtures {
   lazy val fixtures: Seq[(WarcFile, Seq[WarcRecord])] = Seq(
     (WarcFile(1L, fileA), Seq(
       WarcRecord(1L, 0L, "warcinfo", "", InfoBody.length.toLong, 0L,
-        InfoBody.length.toLong, InfoBody),
+        InfoBody.length.toLong, InfoBody, "utf-8"),
       WarcRecord(1L, 1L, "response", "http://example.com/a",
-        (httpOverhead + BodyA.length).toLong, 200L, BodyA.length.toLong, BodyA),
+        (httpOverhead + BodyA.length).toLong, 200L, BodyA.length.toLong, BodyA, "utf-8"),
       WarcRecord(1L, 2L, "response", "http://example.com/missing",
         (http("404 Not Found", "").length + BodyMiss.length).toLong, 404L,
-        BodyMiss.length.toLong, BodyMiss))),
+        BodyMiss.length.toLong, BodyMiss, "utf-8"))),
     (WarcFile(2L, fileB), Seq(
       WarcRecord(2L, 0L, "response", "http://example.org/b",
-        (httpOverhead + BodyB.length).toLong, 200L, BodyB.length.toLong, BodyB),
+        (httpOverhead + BodyB.length).toLong, 200L, BodyB.length.toLong, BodyB, "utf-8"),
       WarcRecord(2L, 1L, "request", "http://example.org/b",
-        ReqB.length.toLong, 0L, ReqB.length.toLong, ReqB))),
+        ReqB.length.toLong, 0L, ReqB.length.toLong, ReqB, "utf-8"))),
     (WarcFile(3L, fileC), Seq(
       WarcRecord(3L, 0L, "response", "http://example.net/c",
         (http("301 Moved", "").length + BodyMoved.length).toLong, 301L,
-        BodyMoved.length.toLong, BodyMoved))))
+        BodyMoved.length.toLong, BodyMoved, "utf-8"))))
 
   /** The l50 input frame. */
   def dataset(spark: SparkSession): Dataset[WarcFile] = {
@@ -103,10 +103,10 @@ object WarcFixtures {
       s"(CAST(${r.file_id} AS BIGINT), CAST(${r.rec_idx} AS BIGINT), " +
         s"'${r.warc_type}', '${r.target_uri}', " +
         s"CAST(${r.content_length} AS BIGINT), CAST(${r.http_status} AS BIGINT), " +
-        s"CAST(${r.body_len} AS BIGINT), '${r.body_head}')"
+        s"CAST(${r.body_len} AS BIGINT), '${r.body_head}', '${r.charset}')"
     }.mkString(", ")
     s"SELECT * FROM (VALUES $rows) AS t(file_id, rec_idx, warc_type, " +
-      "target_uri, content_length, http_status, body_len, body_head) " +
+      "target_uri, content_length, http_status, body_len, body_head, charset) " +
       "ORDER BY file_id, rec_idx"
   }
 }

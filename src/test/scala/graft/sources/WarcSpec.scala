@@ -37,6 +37,44 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseFile(9L, bytes) == Seq(expA.head.copy(file_id = 9L)))
   }
 
+  test("charset sniff + decode recover latin-1, cp1252, UTF-16 and BOM payloads") {
+    // every CharsetFixtures case decodes back to its construction-side
+    // string under the expected charset (the l77 oracle in miniature)
+    val recs = Warc.parseFile(CharsetFixtures.file.file_id,
+      CharsetFixtures.file.payload, headBytes = 256)
+    assert(recs.length == 7)
+    val bySlug = recs.map(r => r.target_uri.split("/").last -> r).toMap
+    assert(bySlug("plain-utf8").charset == "utf-8" &&
+      bySlug("plain-utf8").body_head == "café résumé naïve")
+    assert(bySlug("legacy-cp1252").charset == "windows-1252" &&
+      bySlug("legacy-cp1252").body_head == "café “quoted” dash –")
+    assert(bySlug("declared-latin1").charset == "windows-1252" &&
+      bySlug("declared-latin1").body_head == "déjà vu")
+    assert(bySlug("meta-cp1252").charset == "windows-1252" &&
+      bySlug("meta-cp1252").body_head.contains("naïve"))
+    assert(bySlug("bom-utf8").charset == "utf-8" &&
+      bySlug("bom-utf8").body_head == "bom utf8 ü") // BOM stripped
+    assert(bySlug("bom-utf16le").charset == "utf-16le" &&
+      bySlug("bom-utf16le").body_head == "wide text é")
+    assert(bySlug("bom-utf16be").charset == "utf-16be" &&
+      bySlug("bom-utf16be").body_head == "big endian é")
+  }
+
+  test("sniff details: unknown labels fall through; prefix-cut UTF-8 stays UTF-8") {
+    // unknown charset label is ignored -> content check decides
+    assert(Warc.sniffCharset("Content-Type: text/html; charset=klingon-9",
+      "plain ascii".getBytes("UTF-8")) == "utf-8")
+    assert(Warc.sniffCharset("Content-Type: text/html; charset=klingon-9",
+      Array(0xE9, 0x20).map(_.toByte)) == "windows-1252")
+    // a multibyte sequence cut at the prefix boundary is UTF-8 evidence
+    val cut = "résumé".getBytes("UTF-8").dropRight(1)
+    assert(Warc.isValidUtf8(cut))
+    // odd trailing byte under UTF-16 is dropped, never garbled
+    val odd = Array(0xFF, 0xFE).map(_.toByte) ++
+      "ab".getBytes(java.nio.charset.StandardCharsets.UTF_16LE) ++ Array(0x41.toByte)
+    assert(Warc.decodeBody(odd, "utf-16le") == "ab")
+  }
+
   test("parseFile never throws on mutated, truncated, or garbage payloads") {
     val rnd = new scala.util.Random(77)
     val seeds = WarcFixtures.fixtures.map(_._1.payload)
