@@ -1083,6 +1083,18 @@ object Dedup {
       bandBits = 16, maxHamming, maxBucketSize)
   }
 
+  /** Public banded Hamming-pair join over an ARBITRARY 64-bit signature
+    * column (perceptual image dHash, custom fingerprints): the
+    * [[simhashNearDups64]] geometry — four 16-bit bands, pigeonhole-
+    * complete for `maxHamming` ≤ 3 — without prescribing how the
+    * signature was computed. `sig` must carry one row per id. */
+  def hammingPairs64(sig: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 3, "4-band banding is only complete for maxHamming <= 3")
+    hammingPairs(sig, idCol, sigCol, bandBits = 16, maxHamming, maxBucketSize)
+  }
+
   /** Shared banded Hamming-pair join: split the signature into four
     * `bandBits`-wide bands, equi-join on (band, value), verify with
     * `bit_count(xor)`. Only colliding buckets produce pairs. */

@@ -76,6 +76,97 @@ object Multimodal {
     files.mapPartitions(_.map(decodeImage))
   }
 
+  /** Per-image perceptual hash row: `decoded` = false when ImageIO
+    * cannot read the payload (dhash then 0 — such rows must be
+    * FILTERED before near-dup pairing, never matched on the sentinel). */
+  final case class ImageHash(doc_id: Long, decoded: Boolean, dhash: Long)
+
+  /**
+   * dHash — the 9×8 difference hash (the standard perceptual
+   * image-dedup signature): grayscale the decoded pixels, area-average
+   * them onto a 9-wide × 8-tall grid, and set bit (row·8 + col) when
+   * the cell right of (row, col) is strictly brighter. 64 bits, robust
+   * to rescaling/recompression, and ready for the SAME banded-Hamming
+   * pair machinery the text path uses (l40's 64-bit geometry).
+   *
+   * Determinism contract (the fixture oracle depends on it): luma =
+   * ⌊(299·R + 587·G + 114·B)/1000⌋ per pixel (integer), cell =
+   * ⌊Σluma/n⌋ over the floor-partitioned pixel ranges
+   * [c·w/9, (c+1)·w/9) × [r·h/8, (r+1)·h/8) — no float resampling, no
+   * AWT `Graphics2D` scaling (whose interpolation is
+   * implementation-dependent). Gray pixels (R=G=B=v) have luma exactly
+   * v, so constructed fixtures are hand-derivable.
+   */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9
+        val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+        val y0 = r * h / 8
+        val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        grid(r)(c) = if (n == 0) 0L else sum / n
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r)(c + 1) > grid(r)(c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-partition dHash extraction at the same ImageIO boundary as
+    * [[extractMetaImages]] — binary in, (id, decoded, hash) out; the
+    * huge payload column prunes away immediately after. */
+  def imageDHash(files: Dataset[MediaFile]): Dataset[ImageHash] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) ImageHash(m.doc_id, decoded = false, 0L)
+      else ImageHash(m.doc_id, decoded = true, dHash64(img))
+    })
+  }
+
+  /** Perceptual image near-dup pairs: dHash each decodable payload,
+    * then banded Hamming ≤ `maxHamming` pairs via the l40 64-bit
+    * machinery ([[Dedup.hammingPairs64]]) — pigeonhole-complete for
+    * maxHamming ≤ 3, never all-pairs; undecodable payloads are
+    * excluded (their sentinel hash must not collide into a bucket).
+    * Output: (a_id, b_id, hamming). */
+  def imageNearDups(files: Dataset[MediaFile], maxHamming: Int = 3,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingPairs64(
+      imageDHash(files).toDF().filter(col("decoded")),
+      "doc_id", "dhash", maxHamming, maxBucketSize)
+
   /** Video metadata — real values for MP4 payloads, stub-derived for
     * everything else. Kept a separate case class from [[MediaMeta]] so
     * the declared metadata query's schema (and its oracle) is untouched. */

@@ -1602,6 +1602,24 @@ object LlmQueries {
         .orderBy("rec_idx"),
       Some(graft.sources.CharsetFixtures.oracleSql)),
 
+    // L78 — perceptual image hashing for near-dup detection
+    // (Multimodal.dHash64 at the ImageIO decode boundary): the 9×8
+    // difference hash with a DOCUMENTED deterministic reduction
+    // (integer luma, floor-partitioned area averages — no
+    // implementation-dependent AWT scaling), so constructed BMPs have
+    // HAND-DERIVED expected hashes (ImageFixtures' scaladoc carries the
+    // derivations: ramps → all-ones/zero, the area-average twin, a
+    // one-dark-cell Hamming-1 neighbor, an undecodable payload). The
+    // oracle is a VALUES relation of those literals — l48's golden
+    // pattern. Pair generation reuses l40's banded-Hamming machinery
+    // (Dedup.hammingPairs64, certified vs brute force in OperatorSpec);
+    // this query certifies the signature itself.
+    "l78_image_dhash" -> QueryDef(
+      (s, _) => graft.operators.Multimodal.imageDHash(
+          graft.operators.ImageFixtures.dataset(s))
+        .toDF().orderBy("doc_id"),
+      Some(graft.operators.ImageFixtures.oracleSql)),
+
     // L70 — IP-literal URL canonicalization, cross-engine certified
     // (the l64 pattern over the address-shaped corner of the URL
     // space): bracketed IPv6 with default/non-default/no ports, an

@@ -742,6 +742,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(metas(3L) == decodeStub(MediaFile(3L, "just text bytes, not an image".getBytes("UTF-8"))))
   }
 
+  test("Multimodal.imageNearDups banded pairs equal brute-force Hamming <= 3 over dHashes") {
+    import graft.operators.Multimodal._
+    val rnd = new scala.util.Random(19)
+    // clusters: random 16x16 gray base images plus variants that darken
+    // 0-2 pixels (each flips at most 2 difference bits), so true pairs
+    // at Hamming <= 3 exist; unrelated bases are far apart
+    def gray(px: Array[Array[Int]]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = px(y)(x) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+      bos.toByteArray
+    }
+    val files = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
+    var id = 0L
+    (1 to 8).foreach { _ =>
+      val base = Array.fill(16, 16)(rnd.nextInt(256))
+      (0 until 3).foreach { v =>
+        val px = base.map(_.clone())
+        (0 until v).foreach { _ => px(rnd.nextInt(16))(rnd.nextInt(16)) = 0 }
+        files += MediaFile(id, gray(px)); id += 1
+      }
+    }
+    files += MediaFile(id, "junk bytes".getBytes("UTF-8")) // must be excluded
+    val ds = spark.createDataset(files.toSeq)
+    val hashes = imageDHash(ds).collect().filter(_.decoded).map(h => h.doc_id -> h.dhash)
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture produced no close pairs — weak test")
+    val banded = imageNearDups(ds, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
   test("Multimodal.decodeVideo reads true MP4 dimensions/duration/frames; non-MP4 falls back to stub") {
     import graft.operators.Multimodal._
     // hand-assembled but fully valid ISO BMFF box tree — the same byte
