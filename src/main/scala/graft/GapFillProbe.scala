@@ -160,12 +160,17 @@ object TopKProbe {
  * two cardinalities and watch the dedup operator's rows scale with
  * distinct ids while staying flat across batches.
  *
- * Usage: `sbt "runMain graft.DistinctProbe 500"` (distinct ids;
- * 5 hourly AvailableNow batches of 20k heavily-duplicated events).
+ * Usage: `sbt "runMain graft.DistinctProbe 500 [exact|approx]"`
+ * (distinct ids; 5 hourly AvailableNow batches of 20k
+ * heavily-duplicated events). `approx` runs
+ * [[graft.streaming.DistinctStream.approxStream]] — expect ONE state
+ * row (sketch) per open window regardless of cardinality, vs the
+ * exact form's one dedup row per distinct (window, id) pair.
  */
 object DistinctProbe {
   def main(args: Array[String]): Unit = {
     val ids = args.headOption.map(_.toInt).getOrElse(500)
+    val approx = args.lift(1).contains("approx")
     val batches = 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -193,14 +198,17 @@ object DistinctProbe {
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
       .withWatermark("ts", "5 minutes")
-    val out = graft.streaming.DistinctStream.stream(stream, "ts", "user", 3600L)
+    val out =
+      if (approx) graft.streaming.DistinctStream.approxStream(stream, "ts", "user", 3600L)
+      else graft.streaming.DistinctStream.stream(stream, "ts", "user", 3600L)
     val q = out.writeStream.format("noop")
       .option("checkpointLocation", s"$root/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    println(s"[probe] distinct ids=$ids, $batches hourly batches of 20k events")
+    println(s"[probe] distinct ids=$ids, $batches hourly batches of 20k events, " +
+      s"mode=${if (approx) "approx" else "exact"}")
     println("[probe] batch | input | batch_ms | state rows per operator")
     q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
       val st = p.stateOperators.map(so => s"${so.operatorName}=${so.numRowsTotal}")
