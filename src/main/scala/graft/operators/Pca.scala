@@ -25,9 +25,20 @@ import org.apache.spark.sql.functions._
  * single explode of dim·(dim+1)/2 structs — no positional self-join),
  * then one hash agg keyed by (i, j). At 100 TB the explode factor is
  * dim²/2 — for wide dims cap the corpus with a deterministic sample
- * first (Sampling.rateSample), the standard PCA-fit practice.
+ * first ([[covarianceStatsSampled]], the standard PCA-fit practice:
+ * covariance needs statistical mass, not every row).
  */
 object Pca {
+
+  /** [[covarianceStats]] behind a deterministic Bernoulli sample
+    * ([[Sampling.hashSample]] on `idCol` — md5-reproducible across
+    * runs/engines): the wide-dim front door. The explode costs
+    * dim·(dim+1)/2 structs PER ROW (dim 256 → 32,896), so at corpus
+    * scale the fit runs on a rate-capped sample; PcaProbe measures the
+    * row-linear scaling and the sample's cost floor. */
+  def covarianceStatsSampled(df: DataFrame, vecCol: String, idCol: String,
+                             rate: Double): DataFrame =
+    covarianceStats(Sampling.hashSample(df, idCol, rate), vecCol)
 
   /** Integer sufficient statistics per dimension pair i ≤ j:
     * (i, j, n, sum_qi, sum_qj, sum_qiqj) with q = floor(x·10⁶).
