@@ -205,6 +205,153 @@ object Similarity {
       .select("query_id", "neighbor_id", "approx", "sim", "rank")
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Per-row subvector explosion shared by the PQ paths: (idCol as
+    * `__id`, subspace `s`, subvector `sv` of `dim`/`m` components). */
+  private def pqSubvectors(df: DataFrame, vecCol: String, idCol: String,
+                           m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    require(m > 0 && dsub * m == dim, s"m=$m must divide dim=$dim")
+    df.select(col(idCol).as("__id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS s, slice($vecCol, s * $dsub + 1, $dsub) AS sv))")).as("e"))
+      .select(col("__id"), col("e.s").as("s"), col("e.sv").as("sv"))
+  }
+
+  /** Squared L2 distance between two equal-length double arrays, as a
+    * left-to-right fold (engine-portable like [[VectorFunctions.dot]]). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /**
+   * Train product-quantization codebooks (Jégou, Douze & Schmid,
+   * "Product quantization for nearest neighbor search", TPAMI 2011):
+   * split each vector into `m` subvectors of dim/m components and run
+   * k-means with `ksub` centroids PER SUBSPACE — all m subspaces train
+   * in ONE driver loop (the subspace id is just another grouping key),
+   * so the per-iteration cost is one broadcast-join assignment pass
+   * plus one map-side-combined mean agg, exactly [[trainCentroids]]'s
+   * shape with (s, j) keys instead of j. Deterministic: seeds are the
+   * `ksub` lowest-id vectors' subvectors, assignment ties break to the
+   * lowest code, iterations are fixed, and a code that wins no vectors
+   * carries its centroid forward unchanged (never silently shrinking
+   * the codebook). The corpus-side subvector table is checkpointed
+   * once and reused every round.
+   *
+   * Output: (s, j, sv) — `m`·`ksub` rows, the broadcastable codebook.
+   */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+                       m: Int, ksub: Int, dim: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val subs = pqSubvectors(corpus, vecCol, idCol, m, dim).localCheckpoint()
+    // seed codes j = 0..ksub-1 from the ksub lowest-id vectors (a
+    // ksub-row driver collect, the trainCentroids class)
+    val seedRows = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol)).collect()
+    val idType = corpus.schema(corpus.schema.fieldIndex(idCol)).dataType
+    val seedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedRows.zipWithIndex.map { case (r, j) =>
+          org.apache.spark.sql.Row(r.get(0), j)
+        }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__sid", idType),
+        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType))))
+    var books = subs.join(broadcast(seedDf), col("__id") === col("__sid"))
+      .select(col("s"), col("j"), col("sv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = subs
+        .join(broadcast(books.select(col("s"), col("j").as("__j"), col("sv").as("__cv"))),
+          Seq("s"))
+        .withColumn("__d", sqDist(col("sv"), col("__cv")))
+        .groupBy(col("__id"), col("s"))
+        .agg(min(struct(col("__d"), col("__j"), col("sv"))).as("mn"))
+        .select(col("s"), col("mn.__j").as("j"), col("mn.sv").as("sv"))
+      val next = assigned
+        .select(col("s"), col("j"), posexplode(col("sv")).as(Seq("__p", "__v")))
+        .groupBy(col("s"), col("j"), col("__p"))
+        .agg(sum(col("__v")).as("__sum"), count(lit(1)).as("__n"))
+        .groupBy(col("s"), col("j"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__p"), (col("__sum") / col("__n")).as("__mv")))),
+          x => x.getField("__mv")).as("sv"))
+      // codes that won nothing keep their old centroid (deterministic,
+      // codebook never shrinks)
+      val dead = books.join(next.select("s", "j"), Seq("s", "j"), "left_anti")
+      books = next.unionByName(dead).localCheckpoint()
+    }
+    books
+  }
+
+  /** PQ-encode the corpus: per vector, `codes[s]` = the code of the
+    * nearest (squared-L2, ties to the lowest code) subspace centroid.
+    * One broadcast join + one min-struct agg + one per-id reassembly —
+    * the corpus never shuffles on anything but its own id. At 100 TB
+    * the m uint8 codes are a 32–64× compression of float32 vectors:
+    * the whole encoded corpus scans from memory-speed storage while
+    * full vectors are touched only for re-rank survivors.
+    * Output: (idCol, codes array<int>). */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+               books: DataFrame, m: Int, dim: Int): DataFrame =
+    pqSubvectors(corpus, vecCol, idCol, m, dim)
+      .join(broadcast(books.select(col("s"), col("j").as("__j"), col("sv").as("__cv"))),
+        Seq("s"))
+      .withColumn("__d", sqDist(col("sv"), col("__cv")))
+      .groupBy(col("__id"), col("s"))
+      .agg(min(struct(col("__d"), col("__j"))).as("mn"))
+      .groupBy(col("__id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("mn.__j").as("j")))),
+        x => x.getField("j")).as("codes"))
+      .withColumnRenamed("__id", idCol)
+
+  /**
+   * PQ top-k by asymmetric distance computation (ADC) + exact re-rank:
+   * each query precomputes an m×ksub table of squared distances from
+   * its subvectors to every codebook centroid (tiny, broadcast), the
+   * encoded corpus is scored by m TABLE LOOKUPS per row — sum of
+   * dt[s][codes[s]], no vector arithmetic on the scan side — and the
+   * `rerank` closest candidates per query re-rank with the exact float
+   * cosine ([[int8TopK]]'s discipline: approximate pass to prune,
+   * exact pass to answer; ties total-order by neighbor id in both
+   * passes). Queries must be few (the broadcast side); the corpus side
+   * is one scan of the codes table.
+   * Output: query_id, neighbor_id, adist (double), sim, rank.
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, books: DataFrame,
+             vecCol: String, idCol: String, m: Int, dim: Int,
+             k: Int, rerank: Int): DataFrame = {
+    val codes = pqEncode(corpus, vecCol, idCol, books, m, dim)
+    val dt = pqSubvectors(queries, vecCol, idCol, m, dim)
+      .join(broadcast(books.select(col("s"), col("j"), col("sv").as("__cv"))), Seq("s"))
+      .select(col("__id").as("query_id"), col("s"), col("j"),
+        sqDist(col("sv"), col("__cv")).as("__dt"))
+    val exploded = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("s", "j")))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv2"),
+      l2Norm(col(vecCol)).as("__cn"))
+    exploded.join(broadcast(dt), Seq("s", "j"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__dt")).as("adist"))
+      .withColumn("__ar", row_number().over(wApprox))
+      .filter(col("__ar") <= rerank)
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv.hint("shuffle_hash"), Seq("neighbor_id"))
+      .withColumn("sim", dot(col("__qv"), col("__cv2")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "sim", "rank")
+  }
+
   /** Approximate kNN GRAPH over the whole corpus — every vector's top-k
     * cosine neighbors among its random-hyperplane LSH candidates
     * ([[Dedup.rhpCandidatePairs]]): the all-pairs precursor to

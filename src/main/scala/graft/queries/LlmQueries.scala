@@ -1620,6 +1620,65 @@ object LlmQueries {
         .toDF().orderBy("doc_id"),
       Some(graft.operators.ImageFixtures.oracleSql)),
 
+    // L79 — product-quantization ANN (Jégou et al. 2011), the
+    // memory-bounded scale path past l26's int8 scan: encode each
+    // vector as m=8 one-byte codes (nearest subspace centroid, squared
+    // L2, ties to the lowest code), score by asymmetric distance —
+    // per-query m×ksub lookup tables, the scan side does table sums,
+    // no vector arithmetic — and re-rank survivors with the exact
+    // cosine. The declared query drives the REAL operator path
+    // (Similarity.pqEncode/pqTopK) with FORMULA codebooks and
+    // 10⁶-quantized integer-valued doubles, so every distance and ADC
+    // sum is exactly representable and the oracle (same formula
+    // codebook, relational argmin/lookup) is rounding-free except the
+    // final cosine's documented ROUND(…, 6); TRAINED codebooks
+    // (trainPqCodebooks) are certified by recall + determinism specs
+    // in OperatorSpec, the l42 split.
+    "l79_ann_pq" -> QueryDef(
+      (s, d) => {
+        val m = 8; val dim = 64; val ksub = 16; val dsub = dim / m
+        val books = s.range(m.toLong * ksub).toDF("__i")
+          .select((col("__i") / ksub).cast("int").as("s"),
+            (col("__i") % ksub).cast("int").as("j"))
+          .withColumn("sv", expr(s"transform(sequence(0, ${dsub - 1}), " +
+            "t -> CAST(((j * 17 + t * 5 + s * 3) % 41 - 20) * 25000 AS DOUBLE))"))
+        val quant = Tables.embeddings(s, d).select(col("vec_id"), expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(floor(x * 1000000) AS DOUBLE))").as("__v"))
+        graft.operators.Similarity.pqTopK(
+            quant.filter(col("vec_id") < 5), quant, books,
+            "__v", "vec_id", m, dim, k = 5, rerank = 20)
+          .select(col("query_id"), col("neighbor_id"),
+            col("adist").cast("long").as("adist_l"),
+            round(col("sim"), 6).as("sim"), col("rank").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(FLOOR(x * 1000000) AS DOUBLE)) AS v FROM embeddings), " +
+        "cb AS (SELECT s, j, t, CAST(((j * 17 + t * 5 + s * 3) % 41 - 20) * 25000 AS DOUBLE) AS c " +
+        "FROM (SELECT UNNEST(range(8)) AS s), (SELECT UNNEST(range(16)) AS j), " +
+        "(SELECT UNNEST(range(8)) AS t)), " +
+        "sub AS (SELECT vec_id, s, t, v[s * 8 + t + 1] AS x FROM e, " +
+        "(SELECT UNNEST(range(8)) AS s), (SELECT UNNEST(range(8)) AS t)), " +
+        "d AS (SELECT vec_id, s, j, SUM((x - c) * (x - c)) AS dist FROM sub " +
+        "JOIN cb USING (s, t) GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, s, j FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d) WHERE rn = 1), " +
+        "dt AS (SELECT vec_id AS query_id, s, j, dist FROM d WHERE vec_id < 5), " +
+        "ad AS (SELECT dt.query_id, c2.vec_id AS neighbor_id, SUM(dt.dist) AS adist " +
+        "FROM codes c2 JOIN dt ON dt.s = c2.s AND dt.j = c2.j AND dt.query_id <> c2.vec_id " +
+        "GROUP BY 1, 2), " +
+        "cand AS (SELECT query_id, neighbor_id, adist FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS ar FROM ad) " +
+        "WHERE ar <= 20), " +
+        "sims AS (SELECT query_id, neighbor_id, adist, " +
+        cosSql("qa.v", "cb2.v") + " AS sim FROM cand " +
+        "JOIN e qa ON qa.vec_id = query_id JOIN e cb2 ON cb2.vec_id = neighbor_id) " +
+        "SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist_l, " +
+        "ROUND(sim, 6) AS sim, rnk FROM (SELECT *, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM sims) " +
+        "WHERE rnk <= 5 ORDER BY query_id, rnk")),
+
     // L70 — IP-literal URL canonicalization, cross-engine certified
     // (the l64 pattern over the address-shaped corner of the URL
     // space): bracketed IPv6 with default/non-default/no ports, an

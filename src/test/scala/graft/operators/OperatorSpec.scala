@@ -742,6 +742,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(metas(3L) == decodeStub(MediaFile(3L, "just text bytes, not an image".getBytes("UTF-8"))))
   }
 
+  test("Similarity PQ: training is deterministic; ADC+rerank recalls the true top-10") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("embedding"))
+      .limit(300).cache()
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    def train() = Similarity.trainPqCodebooks(embs, "embedding", "vec_id",
+      m = 8, ksub = 16, dim = dim, iters = 4)
+    val books = train()
+    // fixed seeds + fixed iterations + lowest-code tie-breaks => two
+    // runs produce the identical codebook
+    val b1 = books.orderBy("s", "j").collect().map(_.toSeq).toSeq
+    val b2 = train().orderBy("s", "j").collect().map(_.toSeq).toSeq
+    assert(b1 == b2)
+    assert(b1.size == 8 * 16) // never shrinks, even if some codes win nothing
+    val q = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, embs, books, "embedding", "vec_id",
+        m = 8, dim = dim, k = 10, rerank = 60)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    // 8x16 codes is a coarse quantizer; with rerank 60 of 300 the ADC
+    // pass must still steer the exact re-rank to most true neighbors
+    // (chance level for 60/300 candidates would be ~0.2)
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    embs.unpersist()
+  }
+
   test("Multimodal.imageNearDups banded pairs equal brute-force Hamming <= 3 over dHashes") {
     import graft.operators.Multimodal._
     val rnd = new scala.util.Random(19)
