@@ -15,7 +15,12 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 object PlanAudit {
 
   // t7 is the reference's own single-task global state (SURVEY §7.5.4).
-  private val allowPartitionlessWindow = Set("t7_global_state")
+  // l80's packing prefix sum runs through runningSumChunked with NO
+  // group key: the single-task window there is over the CHUNK-LEVEL
+  // sums table (rows = id-span / idChunk — thousands at billions of
+  // docs, never row-scale), the same span-bounded shape r23 uses
+  // per-key; the corpus-scale work shuffles only on the chunk key.
+  private val allowPartitionlessWindow = Set("t7_global_state", "l80_seq_pack")
   // Deliberately key-less broadcast joins whose small side is NOT a
   // provable 1-row scalar (those are recognized structurally by
   // [[isScalarBroadcast]] instead of by name): l3/l44 broadcast the

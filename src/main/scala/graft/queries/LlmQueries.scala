@@ -1679,6 +1679,32 @@ object LlmQueries {
         "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM sims) " +
         "WHERE rnk <= 5 ORDER BY query_id, rnk")),
 
+    // L80 — GPT-style training-sequence packing (Packing.sequencePack):
+    // the corpus's tokens concatenated in doc_id order and cut into
+    // fixed-128-token training sequences, documents split at the
+    // boundaries they straddle. The only global computation is the
+    // exclusive prefix sum of token counts, which runs through
+    // runningSumChunked (per-chunk sums + chunk-level offsets window —
+    // no partition-less window sees row-scale data); the rest is
+    // per-row arithmetic and a token-linear explode. The oracle
+    // recomputes the same layout with a plain window prefix sum —
+    // integer arithmetic end to end, no rounding anywhere.
+    "l80_seq_pack" -> QueryDef(
+      (s, d) => graft.operators.Packing.sequencePack(
+          Tables.documents(s, d), "text", "doc_id", seqLen = 128L)
+        .orderBy("seq_id", "doc_id"),
+      Some("WITH n AS (SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_tok " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, n_tok, " +
+        "CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS st FROM n), " +
+        "x AS (SELECT doc_id, n_tok, st, " +
+        "UNNEST(generate_series(st // 128, CAST((st + n_tok - 1) // 128 AS BIGINT))) AS seq_id " +
+        "FROM p WHERE n_tok > 0) " +
+        "SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, " +
+        "CAST(GREATEST(0, seq_id * 128 - st) AS BIGINT) AS tok_from, " +
+        "CAST(LEAST(n_tok, (seq_id + 1) * 128 - st) AS BIGINT) AS tok_to " +
+        "FROM x ORDER BY seq_id, doc_id")),
+
     // L70 — IP-literal URL canonicalization, cross-engine certified
     // (the l64 pattern over the address-shaped corner of the URL
     // space): bracketed IPv6 with default/non-default/no ports, an

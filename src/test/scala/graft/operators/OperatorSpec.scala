@@ -742,6 +742,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(metas(3L) == decodeStub(MediaFile(3L, "just text bytes, not an image".getBytes("UTF-8"))))
   }
 
+  test("Packing.sequencePack covers every token exactly once in full sequences") {
+    val docs = Seq(
+      (1L, "a b c"),                       // 3 tokens
+      (2L, (1 to 17).map("t" + _).mkString(" ")), // 17 — straddles with seqLen 8
+      (3L, "x"),                           // 1
+      (5L, (1 to 30).map("u" + _).mkString(" ")), // 30 — spans 4+ sequences
+      (9L, "p q")                          // 2 — trailing partial
+    ).toDF("doc_id", "text")
+    val packed = graft.operators.Packing.sequencePack(docs, "text", "doc_id",
+        seqLen = 8L, idChunk = 4L) // small chunk so the chunked prefix path is exercised
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val totalToks = 3 + 17 + 1 + 30 + 2 // 53 → 6 full sequences + 5-token tail
+    // every token of every doc lands exactly once
+    val perDoc = packed.groupBy(_._2).view.mapValues(_.map(r => r._4 - r._3).sum).toMap
+    assert(perDoc == Map(1L -> 3L, 2L -> 17L, 3L -> 1L, 5L -> 30L, 9L -> 2L), perDoc)
+    // doc-local segments are contiguous and ordered with the sequences
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3 && a._1 + 1 == b._1)
+        case _ => ()
+      }
+    }
+    // every sequence but the last holds exactly seqLen tokens
+    val perSeq = packed.groupBy(_._1).view.mapValues(_.map(r => r._4 - r._3).sum).toMap
+    val lastSeq = perSeq.keys.max
+    assert(perSeq.filterNot(_._1 == lastSeq).values.forall(_ == 8L), perSeq)
+    assert(perSeq(lastSeq) == totalToks % 8, perSeq)
+    assert(perSeq.keys.toSeq.sorted == (0L to lastSeq), "no empty sequences skipped")
+  }
+
   test("Similarity PQ: training is deterministic; ADC+rerank recalls the true top-10") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("embedding"))
