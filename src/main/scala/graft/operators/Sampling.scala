@@ -100,6 +100,28 @@ object Sampling {
    * dropped (the inner equi-join never matches null): assign a sentinel
    * stratum upstream if unlabeled rows should participate.
    */
+  /**
+   * Leakage-safe train/holdout split: assign by the md5 of a GROUP key
+   * (dedup-cluster representative, registrable domain, …), so every
+   * row of a group lands on the same side — the guard against the
+   * classic evaluation leak where near-duplicate documents straddle
+   * the split and the holdout scores memorization. A plain per-row
+   * `rand() < 0.9` split puts ~10% of every near-dup cluster in the
+   * holdout BY CONSTRUCTION; splitting on the group hash makes that
+   * impossible, and the md5 keeps the assignment bit-reproducible
+   * across runs and engines (the [[stratifiedSample]] discipline).
+   * `nTrain`/`nBuckets` set the ratio (default 9/10). Pure per-row
+   * projection over an already-grouped column; composing with
+   * [[Dedup.duplicateClusters]] is the caller's one extra join (l81).
+   */
+  def leakageSafeSplit(df: DataFrame, groupCol: String,
+                       nTrain: Int = 9, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0 && nTrain >= 0 && nTrain <= nBuckets)
+    df.withColumn("split",
+      when((conv(substring(md5(col(groupCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % nBuckets) < nTrain, "train").otherwise("holdout"))
+  }
+
   def temperatureMix(df: DataFrame, keyCol: String, idCol: String,
                      targetNum: Long = 3, targetDen: Long = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))

@@ -1121,6 +1121,41 @@ object LlmQueries {
         "SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id " +
         "ORDER BY doc_id")),
 
+    // L81 — leakage-safe train/holdout split
+    // (Sampling.leakageSafeSplit over l23's near-dup clusters): every
+    // document maps to a representative (its cluster label, itself when
+    // unclustered) and the split assigns by md5(rep) — so near-dup
+    // clusters NEVER straddle the split (the evaluation leak a per-row
+    // random split commits by construction). Both engines recompute
+    // the clusters (the l23 recursive oracle), the representative
+    // coalesce, and the identical 16-bit md5 bucket arithmetic.
+    "l81_leakage_split" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.duplicateClusters(docs, "text", "doc_id")
+          .select(col("id").as("doc_id"), col("cluster"))
+        graft.operators.Sampling.leakageSafeSplit(
+            docs.select(col("doc_id")).join(clusters.hint("shuffle_hash"), Seq("doc_id"), "left")
+              .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep")),
+            "rep")
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE ${minhashPairsCte()}, " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+        "reach(id, lab) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id), " +
+        "clu AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY id), " +
+        "rp AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep " +
+        "FROM documents d LEFT JOIN clu c USING (doc_id)) " +
+        "SELECT doc_id, rep, CASE WHEN (" +
+        "(strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)),1,1))-1)*4096 + " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)),2,1))-1)*256 + " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)),3,1))-1)*16 + " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)),4,1))-1)) % 10 < 9 " +
+        "THEN 'train' ELSE 'holdout' END AS split FROM rp ORDER BY doc_id")),
+
     // L24 — corpus length profile: exact per-language quartiles of
     // document length. Spark `percentile` and DuckDB `quantile_cont`
     // share the same linear-interpolation definition; the per-group sort

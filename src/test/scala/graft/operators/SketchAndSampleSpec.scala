@@ -195,6 +195,30 @@ class SketchAndSampleSpec extends AnyFunSuite {
     assert(BigInt(65536) * 3 * nn * w("big") > BigInt(Long.MaxValue))
   }
 
+  test("leakageSafeSplit: no near-dup cluster straddles the split; ratio near 9:1") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.duplicateClusters(docs, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val split = Sampling.leakageSafeSplit(
+      docs.select(col("doc_id")).join(clusters.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep")),
+      "rep")
+    // the leakage guarantee: every group is single-split
+    val mixed = split.groupBy("rep")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(mixed == 0L)
+    // and specifically every near-dup PAIR lands together (the property
+    // a per-row random split violates by construction)
+    val bySplit = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall(p => bySplit(p._1) == bySplit(p._2)))
+    // ratio within a loose band of the 9:1 target
+    val frac = bySplit.values.count(_ == "train").toDouble / bySplit.size
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+  }
+
   test("hashSample rate is approximately honored and deterministic") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
