@@ -78,6 +78,21 @@ object PipelineDemo {
       .filter(col("ratio_ppm").between(100000L, 900000L))
       .drop("ratio_ppm")
 
+    // 1b. model-assisted quality (the CCNet pattern): the heuristic
+    // gate's verdicts become SEED LABELS, the hashed linear classifier
+    // trains on them distributed (per-bucket gradient aggs, driver
+    // update), and the trained vector then scores every document —
+    // heuristics label, the model generalizes. Here the model's keep
+    // side is reported next to the heuristic gate; a production run
+    // would union the model's keeps back in or replace the gate.
+    val seed = docs.join(quality.select(col("doc_id"), lit(1).as("label")),
+        Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), lit(0)))
+    val weights = Scoring.trainLogisticHashed(
+      seed, "text", "doc_id", "label", buckets = 256, iters = 8, lr = 2.0)
+    val modelKeep = Scoring.hashedLinearScore(docs, "text", "doc_id", weights)
+      .filter(col("keep")).count()
+
     // 2. dedup cascade: exact (min id wins) + MinHash-LSH near-dups
     val deduped = Dedup.dedupCorpus(quality, "text", "doc_id", jaccardThreshold = 0.8)
 
@@ -119,7 +134,8 @@ object PipelineDemo {
 
     val kept = spark.read.parquet(s"$outDir/curated").count()
     val sampled = spark.read.parquet(s"$outDir/sample").count()
-    println(s"[pipeline-demo] $total docs -> quality ${quality.count()} -> " +
+    println(s"[pipeline-demo] $total docs -> quality ${quality.count()} " +
+      s"(trained-model keep $modelKeep) -> " +
       s"deduped $kept curated (+ $sampled sampled) -> $outDir")
     spark.stop()
   }
