@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Concat, Contains, Divide, EqualTo, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, Or, RegExpCount, RegExpExtract, RegExpReplace, RLike, Sqrt, StartsWith, StringReplace, StringTrim, Subtract}
 import org.apache.spark.sql.types.{IntegerType, LongType}
-import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr, TextFunctions}
+import graft.functions.{DotProductExpr, NfcNormalizeExpr, RollingHashExpr, ShinglesExpr, TextFunctions}
 
 /**
  * Session extension registering graft's custom Catalyst expressions as
@@ -36,6 +36,14 @@ object GraftFunctions {
     (args: Seq[Expression]) => {
       require(args.size == 1, "rolling_hash(text) takes exactly one argument")
       RollingHashExpr(args.head)
+    })
+
+  val nfcNormalize: FunctionDescription = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "nfc_normalize(text) takes exactly one argument")
+      NfcNormalizeExpr(args.head)
     })
 
   val wordShingles: FunctionDescription = (
@@ -206,7 +214,7 @@ object GraftFunctions {
   val all: Seq[FunctionDescription] =
     Seq(rollingHash, wordShingles, dotProduct,
       cosineSim, l2Norm, wsTokenCount, bpeishTokenCount, normalizeText,
-      urlHost, registrableDomain, normalizeUrl, htmlToText)
+      urlHost, registrableDomain, normalizeUrl, htmlToText, nfcNormalize)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -1156,6 +1156,44 @@ object LlmQueries {
         "(strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)),4,1))-1)) % 10 < 9 " +
         "THEN 'train' ELSE 'holdout' END AS split FROM rp ORDER BY doc_id")),
 
+    // L82 — Unicode NFC normalization (NfcNormalizeExpr, native
+    // codegen expression): composed (U+00E9) and decomposed
+    // (e + U+0301) forms of the same text are byte-different and
+    // render-identical, so without this pass exact dedup misses such
+    // duplicates and every md5-keyed operator treats them as distinct.
+    // Both engines build the same code-point sequences from doc_id
+    // (composed / fully decomposed / mixed combining marks), normalize
+    // with their OWN NFC implementation (java.text.Normalizer vs
+    // DuckDB nfc_normalize — independent code paths), and must agree
+    // on length and md5 of the result; the already-NFC branch pins the
+    // allocation-free fast path. Pure per-row projection.
+    "l82_nfc_normalize" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        val raw = concat(
+          when(id % 3 === 0, lit("caf\u00E9 r\u00E9sum\u00E9"))
+            .when(id % 3 === 1, lit("cafe\u0301 re\u0301sume\u0301"))
+            .otherwise(lit("man\u0303ana A\u030A o\u0308")),
+          lit(" "), (id % 7).cast("string"))
+        Tables.documents(s, d).select(id, raw.as("__raw"))
+          .select(id, length(col("__raw")).cast("long").as("raw_len"),
+            graft.functions.NfcNormalizeExpr(col("__raw")).as("__n"))
+          .select(id, col("raw_len"),
+            length(col("__n")).cast("long").as("nfc_len"),
+            md5(col("__n")).as("nfc_md5"),
+            (col("raw_len") =!= length(col("__n"))).as("changed"))
+          .orderBy("doc_id")
+      },
+      Some("WITH r AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN 'caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) " +
+        "WHEN doc_id % 3 = 1 THEN 'cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) " +
+        "ELSE 'man' || chr(771) || 'ana A' || chr(778) || ' o' || chr(776) END " +
+        "|| ' ' || CAST(doc_id % 7 AS VARCHAR) AS raw FROM documents), " +
+        "n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nn FROM r) " +
+        "SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len, " +
+        "CAST(length(nn) AS BIGINT) AS nfc_len, md5(nn) AS nfc_md5, " +
+        "length(raw) <> length(nn) AS changed FROM n ORDER BY doc_id")),
+
     // L24 — corpus length profile: exact per-language quartiles of
     // document length. Spark `percentile` and DuckDB `quantile_cont`
     // share the same linear-interpolation definition; the per-group sort

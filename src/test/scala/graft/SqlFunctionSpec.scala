@@ -116,6 +116,22 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(got == viaColumn)
   }
 
+  test("nfc_normalize composes decomposed forms, fast-paths NFC input, callable from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val decomposed = "cafe\u0301 man\u0303ana A\u030A"
+    val composed = "caf\u00E9 ma\u00F1ana \u00C5"
+    val viaColumn = Seq(decomposed).toDF("t")
+      .select(graft.functions.NfcNormalizeExpr(col("t"))).as[String].head()
+    assert(viaColumn == composed)
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$decomposed') AS n").as[String].head()
+    assert(viaSql == composed)
+    // already-NFC (incl. plain ASCII) passes through unchanged
+    assert(Seq(composed, "plain ascii", "").toDF("t")
+      .select(graft.functions.NfcNormalizeExpr(col("t"))).as[String].collect().toSeq ==
+      Seq(composed, "plain ascii", ""))
+  }
+
   test("rolling_hash is callable from SQL and matches the fold") {
     import spark.implicits._
     val got = spark.sql("SELECT rolling_hash('a b c d') AS fp").as[Long].head()
