@@ -387,7 +387,8 @@ object LlmQueries {
         "WHERE rnk <= 5 ORDER BY query_id, rnk")),
 
     // L9 — language ID: marker-stopword scoring with a fixed tie-break
-    // preference (en > de > fr > es).
+    // preference (en > de > fr > es). The cheap first-pass heuristic;
+    // the production-grade model is l75 (hashedMulticlassScore).
     "l9_lang_id" -> QueryDef(
       (s, d) => {
         val p = concat(lit(" "), lower(col("text")), lit(" "))

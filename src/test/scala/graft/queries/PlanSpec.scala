@@ -344,6 +344,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("l76: block boilerplate removal is projection-only below the sort") {
+    val p = planOf("l76_main_content")
+    // pure per-row pass: the only exchange is the final orderBy's range
+    // partitioning — any other exchange means the block scoring
+    // accidentally grew a shuffle
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l79: PQ corpus side never sort-merges; codebooks and tables broadcast") {
+    val p = planOf("l79_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l80: packing's only windows are over the chunk-level sums table") {
+    val p = planOf("l80_seq_pack")
+    // the corpus-scale data must reach the explode via the chunked
+    // prefix-sum join, never through a row-scale global window: the
+    // partition-less window in this plan is the CHUNK table's offsets
+    // pass (rows = id-span/idChunk), documented in PlanAudit
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // the token-linear explode is present
+  }
+
   test("t27: SCD-2 enrichment broadcasts the versioned dimension") {
     val p = planOf("t27_scd2_enrich")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
