@@ -128,15 +128,33 @@ object PipelineDemo {
     // 7. deterministic per-language sample for eval/inspection splits
     val sample = Sampling.stratifiedSample(enriched, "lang", "doc_id", 50)
 
+    // 8. leakage-safe split + training-sequence packing: holdout
+    // assignment by dedup-cluster representative (near-dups never
+    // straddle the split), then the train side packs into fixed
+    // 512-token training sequences across document boundaries
+    val clusters = Dedup.duplicateClusters(enriched, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val split = Sampling.leakageSafeSplit(
+      enriched.join(clusters.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster"), col("doc_id"))).drop("cluster"),
+      "rep")
+    val trainDocs = split.filter(col("split") === "train")
+    val packed = graft.operators.Packing.sequencePack(
+      trainDocs, "text", "doc_id", seqLen = 512L)
+    val nHoldout = split.filter(col("split") === "holdout").count()
+    val nSeqs = packed.agg(countDistinct(col("seq_id"))).head().getLong(0)
+
     enriched.write.mode("overwrite").parquet(s"$outDir/curated")
     sample.write.mode("overwrite").parquet(s"$outDir/sample")
     triage.write.mode("overwrite").parquet(s"$outDir/triage")
+    packed.write.mode("overwrite").parquet(s"$outDir/train_sequences")
 
     val kept = spark.read.parquet(s"$outDir/curated").count()
     val sampled = spark.read.parquet(s"$outDir/sample").count()
     println(s"[pipeline-demo] $total docs -> quality ${quality.count()} " +
       s"(trained-model keep $modelKeep) -> " +
-      s"deduped $kept curated (+ $sampled sampled) -> $outDir")
+      s"deduped $kept curated (+ $sampled sampled) -> " +
+      s"holdout $nHoldout, train packed into $nSeqs x 512-token sequences -> $outDir")
     spark.stop()
   }
 }
