@@ -167,6 +167,98 @@ object Multimodal {
       imageDHash(files).toDF().filter(col("decoded")),
       "doc_id", "dhash", maxHamming, maxBucketSize)
 
+  /** Per-audio perceptual hash row ([[ImageHash]]'s audio twin). */
+  final case class AudioHash(doc_id: Long, decoded: Boolean, ahash: Long)
+
+  /**
+   * Audio difference hash over 16-bit WAV PCM — [[dHash64]]'s audio
+   * twin: walk the RIFF chunks to the `fmt `/`data` pair, take channel
+   * 0's samples, area-average their ABSOLUTE amplitude onto 65
+   * floor-partitioned windows (the amplitude-envelope downsample — the
+   * part of a fingerprint that survives re-encoding and level-preserving
+   * edits), and set bit w when window w+1 is strictly louder than
+   * window w. 64 bits, integer arithmetic throughout (per-window mean
+   * = ⌊Σ|s|/n⌋), so constructed fixtures have hand-derivable hashes
+   * exactly as l78's ramps. Only canonical 16-bit PCM hashes
+   * (`None` otherwise — compressed or exotic layouts belong to a real
+   * codec at the same boundary); malformed payloads are data, never
+   * errors.
+   */
+  def audioAHash64(b: Array[Byte]): Option[Long] = {
+    try {
+      if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var off = 12
+      var channels = -1L
+      var bits = -1L
+      var align = -1L
+      var dataOff = -1
+      var dataSize = -1L
+      while (off + 8 <= b.length) {
+        val id = fourcc(b, off)
+        val sz = le32(b, off + 4)
+        val payloadEnd = off + 8 + sz
+        if (sz < 0 || payloadEnd > b.length) return None
+        if (id == "fmt " && sz >= 16) {
+          channels = le16(b, off + 8 + 2)
+          align = le16(b, off + 8 + 12)
+          bits = le16(b, off + 8 + 14)
+        }
+        if (id == "data") { dataOff = off + 8; dataSize = sz }
+        off = (payloadEnd + (sz % 2)).toInt
+      }
+      if (bits != 16 || channels < 1 || align != 2 * channels ||
+          dataOff < 0 || dataSize < align) return None
+      val frames = (dataSize / align).toInt
+      if (frames < 2) return None
+      def sample(f: Int): Long = {
+        val o = dataOff + f * align.toInt // channel 0 = first in the frame
+        val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+        math.abs(v)
+      }
+      val win = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val f0 = w * frames / 65
+        val f1 = math.max(f0 + 1, (w + 1) * frames / 65)
+        var sum = 0L
+        var n = 0L
+        var f = f0
+        while (f < f1 && f < frames) { sum += sample(f); n += 1; f += 1 }
+        win(w) = if (n == 0) 0L else sum / n
+        w += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (win(i + 1) > win(i)) hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-partition audio-hash extraction at the media decode boundary
+    * (binary in, (id, decoded, hash) out). */
+  def audioDHash(files: Dataset[MediaFile]): Dataset[AudioHash] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map { m =>
+      audioAHash64(m.payload) match {
+        case Some(h) => AudioHash(m.doc_id, decoded = true, h)
+        case None => AudioHash(m.doc_id, decoded = false, 0L)
+      }
+    })
+  }
+
+  /** Audio near-dup pairs: banded Hamming over the envelope hashes via
+    * [[Dedup.hammingPairs64]] (pigeonhole-complete for maxHamming ≤ 3,
+    * never all-pairs); undecodable payloads excluded. */
+  def audioNearDups(files: Dataset[MediaFile], maxHamming: Int = 3,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingPairs64(
+      audioDHash(files).toDF().filter(col("decoded")),
+      "doc_id", "ahash", maxHamming, maxBucketSize)
+
   /** Video metadata — real values for MP4 payloads, stub-derived for
     * everything else. Kept a separate case class from [[MediaMeta]] so
     * the declared metadata query's schema (and its oracle) is untouched. */

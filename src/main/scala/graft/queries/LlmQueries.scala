@@ -1195,6 +1195,24 @@ object LlmQueries {
         "CAST(length(nn) AS BIGINT) AS nfc_len, md5(nn) AS nfc_md5, " +
         "length(raw) <> length(nn) AS changed FROM n ORDER BY doc_id")),
 
+    // L83 — audio perceptual hashing for near-dup detection
+    // (Multimodal.audioAHash64, l78's audio twin): the 64-bit
+    // amplitude-envelope difference hash over 16-bit WAV PCM —
+    // channel-0 absolute amplitudes area-averaged onto 65
+    // floor-partitioned windows, bit w set when window w+1 is strictly
+    // louder. Integer arithmetic throughout, so the constructed
+    // fixtures' expected hashes are HAND-DERIVED
+    // (AudioHashFixtures' scaladoc: ramps → all-ones/zero, constant,
+    // 2-frames-per-window area-average twin, a silenced-window
+    // Hamming-1 neighbor, a stereo channel-0 pin, non-PCM rejects).
+    // Pair generation reuses Dedup.hammingPairs64; OperatorSpec pins
+    // banded ≡ brute force for the audio path too.
+    "l83_audio_ahash" -> QueryDef(
+      (s, _) => graft.operators.Multimodal.audioDHash(
+          graft.operators.AudioHashFixtures.dataset(s))
+        .toDF().orderBy("doc_id"),
+      Some(graft.operators.AudioHashFixtures.oracleSql)),
+
     // L24 — corpus length profile: exact per-language quartiles of
     // document length. Spark `percentile` and DuckDB `quantile_cont`
     // share the same linear-interpolation definition; the per-group sort

@@ -843,6 +843,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("Multimodal.audioNearDups banded pairs equal brute-force Hamming <= 3 over envelope hashes") {
+    import graft.operators.Multimodal._
+    // clusters: random envelopes + variants silencing 0-2 frames (each
+    // flips at most 2 difference bits), plus a non-audio distractor
+    val rnd = new scala.util.Random(23)
+    val files = scala.collection.mutable.ArrayBuffer.empty[MediaFile]
+    var id = 0L
+    def wav(samples: Array[Int]): Array[Byte] = {
+      def le16(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def tag(s: String) = s.getBytes("ISO-8859-1")
+      val fmt = tag("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      val data = tag("data") ++ le32(samples.length * 2L) ++
+        samples.flatMap(v => le16(v.toLong & 0xffffL))
+      val body = tag("WAVE") ++ fmt ++ data
+      tag("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+    (1 to 8).foreach { _ =>
+      val base = Array.fill(65)(rnd.nextInt(20000))
+      (0 until 3).foreach { v =>
+        val s = base.clone()
+        (0 until v).foreach(_ => s(rnd.nextInt(65)) = 0)
+        files += MediaFile(id, wav(s)); id += 1
+      }
+    }
+    files += MediaFile(id, "noise bytes".getBytes("UTF-8"))
+    val ds = spark.createDataset(files.toSeq)
+    val hashes = audioDHash(ds).collect().filter(_.decoded).map(h => h.doc_id -> h.ahash)
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture produced no close pairs — weak test")
+    val banded = audioNearDups(ds, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
   test("Multimodal.decodeVideo reads true MP4 dimensions/duration/frames; non-MP4 falls back to stub") {
     import graft.operators.Multimodal._
     // hand-assembled but fully valid ISO BMFF box tree — the same byte
