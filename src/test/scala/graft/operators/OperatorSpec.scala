@@ -883,6 +883,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
   }
 
+  test("audioAHash64 never throws on mutated, truncated, or garbage payloads") {
+    import graft.operators.Multimodal._
+    val rnd = new scala.util.Random(41)
+    val seeds = graft.operators.AudioHashFixtures.cases.map(_._2)
+    (1 to 400).foreach { i =>
+      val payload = rnd.nextInt(3) match {
+        case 0 =>
+          val s = seeds(rnd.nextInt(seeds.length))
+          s.take(1 + rnd.nextInt(s.length))
+        case 1 =>
+          val s = seeds(rnd.nextInt(seeds.length)).clone()
+          (0 until 1 + rnd.nextInt(6)).foreach(_ =>
+            s(rnd.nextInt(s.length)) = rnd.nextInt().toByte)
+          s
+        case _ => Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte)
+      }
+      audioAHash64(payload) // must not throw; None or Some are both data
+    }
+  }
+
+  test("trainPqCodebooks stays sane when the corpus holds fewer vectors than ksub") {
+    val tiny = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("embedding"))
+      .limit(5)
+    val dim = tiny.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val books = Similarity.trainPqCodebooks(tiny, "embedding", "vec_id",
+      m = 4, ksub = 16, dim = dim, iters = 2)
+    // only 5 seeds exist: the codebook has 4 subspaces x 5 live codes
+    // and never throws or duplicates (s, j) keys
+    val rows = books.select("s", "j").as[(Int, Int)].collect()
+    assert(rows.length == rows.toSet.size)
+    assert(rows.groupBy(_._1).values.forall(_.length == 5), rows.toSeq.sorted.take(10))
+    // and encoding with the partial codebook still covers every vector
+    val codes = Similarity.pqEncode(tiny, "embedding", "vec_id", books, 4, dim)
+    assert(codes.count() == 5)
+  }
+
   test("Multimodal.decodeVideo reads true MP4 dimensions/duration/frames; non-MP4 falls back to stub") {
     import graft.operators.Multimodal._
     // hand-assembled but fully valid ISO BMFF box tree — the same byte
