@@ -191,6 +191,69 @@ object Scoring {
     w
   }
 
+  /**
+   * Multiclass (softmax) twin of [[trainLogisticHashed]] — trains the
+   * per-class hashed weight vectors [[hashedMulticlassScore]] consumes,
+   * closing the language-ID loop end to end: label a seed corpus, train
+   * here, classify everywhere. Same scale shape: the corpus collapses
+   * ONCE to the checkpointed per-(doc, bucket) fraction table
+   * (partitioned by doc, so the per-iteration score windows need no
+   * exchange); each fixed iteration computes all k class scores in one
+   * windowed projection (one WindowExec, k aggregates), the per-row
+   * softmax residuals p_c − 1[y=c], and ONE map-side-combined
+   * per-bucket aggregation carrying k gradient sums — the driver
+   * collects k·buckets doubles and applies w_c ← w_c − lr·∇_c (mean
+   * cross-entropy gradient, max-subtracted softmax for stability).
+   *
+   * `labelCol` holds the class label string; rows whose label is not
+   * in `classes` are ignored. Returns `classes`-ordered
+   * (label, weights) pairs ready for [[hashedMulticlassScore]].
+   */
+  def trainSoftmaxHashed(docs: DataFrame, textCol: String, idCol: String,
+                         labelCol: String, classes: Seq[String], buckets: Int,
+                         iters: Int = 30, lr: Double = 2.0): Seq[(String, Array[Double])] = {
+    require(buckets > 0 && iters >= 0 && classes.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val k = classes.length
+    val bucket = (conv(substring(md5(col("__t")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val byDoc = Window.partitionBy("__id")
+    val tb = docs
+      .filter(col(labelCol).isin(classes: _*))
+      .select(col(idCol).as("__id"), col(labelCol).as("__y"),
+        explode(wsTokens(col(textCol))).as("__t"))
+      .select(col("__id"), col("__y"), bucket.as("__b"))
+      .groupBy("__id", "__y", "__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__f", col("__n").cast("double") / sum(col("__n")).over(byDoc))
+      .select("__id", "__y", "__b", "__f")
+      .localCheckpoint()
+    val nDocs = tb.select("__id").distinct().count()
+    val w = Array.fill(k)(new Array[Double](buckets))
+    if (nDocs == 0) return classes.zip(w.toSeq)
+    for (_ <- 1 to iters) {
+      val wls = w.map(wc => array(wc.map(lit(_)): _*))
+      var d = tb
+      for (c <- 0 until k)
+        d = d.withColumn(s"__s$c",
+          sum(col("__f") * element_at(wls(c), col("__b") + 1)).over(byDoc))
+      val mx = greatest((0 until k).map(c => col(s"__s$c")): _*)
+      for (c <- 0 until k)
+        d = d.withColumn(s"__e$c", exp(col(s"__s$c") - mx))
+      val z = (0 until k).map(c => col(s"__e$c")).reduce(_ + _)
+      val gradCols = (0 until k).map { c =>
+        sum(col("__f") * (col(s"__e$c") / z -
+          when(col("__y") === classes(c), 1.0).otherwise(0.0))).as(s"__g$c")
+      }
+      val grad = d.groupBy(col("__b")).agg(gradCols.head, gradCols.tail: _*)
+        .collect() // <= buckets rows x k gradient sums
+      grad.foreach { r =>
+        val b = r.getInt(0)
+        for (c <- 0 until k) w(c)(b) -= lr / nDocs * r.getDouble(c + 1)
+      }
+    }
+    classes.zip(w.toSeq)
+  }
+
   /** The l49 weight vector: 256 buckets, w_b = (b − 128)/256 — a fixed
     * deterministic stand-in for trained weights whose arithmetic a DuckDB
     * oracle can reproduce exactly (each weight is an exact multiple of

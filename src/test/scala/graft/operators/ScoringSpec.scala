@@ -157,6 +157,67 @@ class ScoringSpec extends AnyFunSuite {
     assert(agree >= docs.length * 95 / 100, s"agree=$agree of ${docs.length}")
   }
 
+  test("trainSoftmaxHashed matches a driver-side reference GD exactly") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    val b = 8
+    val classes = Seq("x", "y", "z")
+    val docs = (1 to 60).map { i =>
+      val toks = (1 to (3 + rnd.nextInt(8))).map(_ => s"t${rnd.nextInt(30)}")
+      (i.toLong, toks.mkString(" "), classes(rnd.nextInt(3)))
+    }
+    val got = Scoring.trainSoftmaxHashed(docs.toDF("doc_id", "text", "label"),
+      "text", "doc_id", "label", classes, b, iters = 4, lr = 3.0)
+    // driver reference: same features, same max-subtracted softmax
+    val feats = docs.map { case (_, text, y) =>
+      val toks = text.split(" ", -1)
+      val cnt = toks.groupBy(t => md5Bucket(t, b)).map { case (kk, v) => kk -> v.length }
+      (cnt.map { case (kk, n) => kk -> n.toDouble / toks.length }, y)
+    }
+    val w = Array.fill(3)(new Array[Double](b))
+    for (_ <- 1 to 4) {
+      val g = Array.fill(3)(new Array[Double](b))
+      feats.foreach { case (x, y) =>
+        val s = (0 until 3).map(c => x.map { case (kk, v) => w(c)(kk) * v }.sum)
+        val mx = s.max
+        val e = s.map(v => math.exp(v - mx))
+        val z = e.sum
+        for (c <- 0 until 3) {
+          val r = e(c) / z - (if (y == classes(c)) 1.0 else 0.0)
+          x.foreach { case (kk, v) => g(c)(kk) += v * r }
+        }
+      }
+      for (c <- 0 until 3; kk <- 0 until b) w(c)(kk) -= 3.0 / feats.length * g(c)(kk)
+    }
+    got.zip(classes.indices).foreach { case ((lab, gw), c) =>
+      assert(lab == classes(c))
+      gw.zip(w(c)).foreach { case (a, r) =>
+        assert(math.abs(a - r) < 1e-9, s"class $lab: ${gw.toSeq} vs ${w(c).toSeq}")
+      }
+    }
+  }
+
+  test("trainSoftmaxHashed weights drop into hashedMulticlassScore and classify") {
+    import org.apache.spark.sql.functions.col
+    // three classes with disjoint token vocabularies — separable, so
+    // the trained argmax must recover the labels on the training set
+    val rnd = new scala.util.Random(17)
+    val classes = Seq("aa", "bb", "cc")
+    val docs = (1 to 240).map { i =>
+      val c = i % 3
+      val toks = (1 to 12).map(_ => s"${classes(c)}_w${rnd.nextInt(40)}")
+      (i.toLong, toks.mkString(" "), classes(c))
+    }
+    val df = docs.toDF("doc_id", "text", "label")
+    val trained = Scoring.trainSoftmaxHashed(df, "text", "doc_id", "label",
+      classes, buckets = 64, iters = 30, lr = 10.0)
+    val pred = Scoring.hashedMulticlassScore(df.select("doc_id", "text"),
+        "text", "doc_id", trained)
+      .select(col("doc_id"), col("pred")).as[(Long, String)].collect().toMap
+    val acc = docs.count(d => pred(d._1) == d._3).toDouble / docs.length
+    assert(acc >= 0.95, s"training-set accuracy $acc")
+  }
+
   test("compressionRatio orders repetitive < prose < noise, deterministically") {
     val rnd = new scala.util.Random(3)
     val docs = Seq(
