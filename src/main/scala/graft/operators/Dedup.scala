@@ -44,6 +44,42 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** WITHIN-document repeated-line removal — the RefinedWeb/Dolma
+    * in-page repetition step between boilerplate block filtering
+    * ([[graft.functions.TextFunctions.mainContentBlocks]]) and the
+    * quality gates: crawl pages repeat nav crumbs, cookie banners and
+    * list boilerplate INSIDE one page, which [[passageDedup]]/[[
+    * exactKept]] (ACROSS documents) never touch. Splits `textCol` on
+    * newlines, keeps the FIRST occurrence of each line, drops later
+    * exact duplicates, rejoins with newlines into `outCol`.
+    * Whitespace-only lines are structure (paragraph separators), never
+    * deduped. With `normalizeKeys` the match key is
+    * [[graft.functions.TextFunctions.normalizeText]] of the line
+    * (case/punctuation/spacing-insensitive — "Cookie Notice!" ==
+    * "cookie notice"), and the ORIGINAL first line is what survives.
+    *
+    * Scale shape: a pure per-row projection — zero shuffles at any
+    * corpus size. The line and key arrays are materialized as staged
+    * columns once per row (the l64 staged-projection lesson:
+    * CollapseProject won't inline a non-cheap alias referenced more
+    * than once), so the first-occurrence test is one `array_position`
+    * over an in-row array per line — never a re-evaluated
+    * split/normalize chain per reference. */
+  def lineDedup(docs: DataFrame, textCol: String, outCol: String,
+                normalizeKeys: Boolean = false): DataFrame = {
+    val lines = col("__ld_lines"); val keys = col("__ld_keys")
+    docs
+      .withColumn("__ld_lines", split(col(textCol), "\n"))
+      .withColumn("__ld_keys",
+        if (normalizeKeys) transform(lines, l => normalizeText(l)) else lines)
+      .withColumn(outCol, array_join(
+        filter(lines, (_, i) => {
+          val k = element_at(keys, i + lit(1))
+          trim(k) === "" || array_position(keys, k) === (i + lit(1)).cast("long")
+        }), "\n"))
+      .drop("__ld_lines", "__ld_keys")
+  }
+
   /** Per-document MinHash signature columns sig0..sig{k-1} over distinct
     * word n-gram shingles: one explode + one grouped agg. The k `min`s
     * partial-aggregate map-side, so the shuffle carries k hashes per doc,

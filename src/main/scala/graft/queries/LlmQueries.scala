@@ -1213,6 +1213,59 @@ object LlmQueries {
         .toDF().orderBy("doc_id"),
       Some(graft.operators.AudioHashFixtures.oracleSql)),
 
+    // L84 — WITHIN-document repeated-line removal (Dedup.lineDedup):
+    // the RefinedWeb/Dolma in-page repetition step between the
+    // boilerplate block filter (l76) and the quality gates — nav
+    // crumbs, cookie banners and repeated list items recur INSIDE one
+    // page, which the cross-document passes (l1/l38/l43) never touch.
+    // Fixture = the l76 pattern: pages CONSTRUCTED from doc_id with a
+    // duplicated nav line, a duplicated cookie banner, and two blank
+    // lines (blanks are paragraph structure — kept, never deduped), so
+    // the expected cuts and keeps are derivable by hand; the oracle
+    // recomputes first-occurrence-wins span-for-span via a positional
+    // window. Pure per-row projection — zero shuffles at any scale.
+    "l84_line_dedup" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val nl = lit("\n")
+        val page = concat(
+          lit("Home | Cat "), str(id % 5), lit(" | Contact"), nl,
+          lit("the story of "), col("text"), nl,
+          lit("We use cookies "), str(id % 3), nl,
+          lit("Home | Cat "), str(id % 5), lit(" | Contact"), nl,
+          nl,
+          lit("tail words "), str(id % 7), nl,
+          nl,
+          lit("We use cookies "), str(id % 3))
+        val pages = Tables.documents(s, d).select(id, page.as("page"))
+        Dedup.lineDedup(pages, "page", "clean")
+          .select(id,
+            size(split(col("page"), "\n")).cast("long").as("n_lines_in"),
+            size(split(col("clean"), "\n")).cast("long").as("n_lines_out"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH pg AS (SELECT doc_id, " +
+        "'Home | Cat ' || CAST(doc_id % 5 AS VARCHAR) || ' | Contact' || chr(10) || " +
+        "'the story of ' || text || chr(10) || " +
+        "'We use cookies ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || " +
+        "'Home | Cat ' || CAST(doc_id % 5 AS VARCHAR) || ' | Contact' || chr(10) || " +
+        "chr(10) || " +
+        "'tail words ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || " +
+        "chr(10) || " +
+        "'We use cookies ' || CAST(doc_id % 3 AS VARCHAR) AS page FROM documents), " +
+        "lsp AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pg), " +
+        "u AS (SELECT doc_id, ls, UNNEST(generate_series(1, len(ls))) AS pos FROM lsp), " +
+        "v AS (SELECT doc_id, pos, ls[pos] AS line, len(ls) AS n_in FROM u), " +
+        "r AS (SELECT doc_id, pos, line, n_in, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM v), " +
+        "k AS (SELECT doc_id, pos, line, n_in FROM r WHERE trim(line) = '' OR rn = 1) " +
+        "SELECT doc_id, CAST(MAX(n_in) AS BIGINT) AS n_lines_in, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_lines_out, " +
+        "md5(COALESCE(string_agg(line, chr(10) ORDER BY pos), '')) AS clean_md5 " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id")),
+
     // L24 — corpus length profile: exact per-language quartiles of
     // document length. Spark `percentile` and DuckDB `quantile_cont`
     // share the same linear-interpolation definition; the per-group sort
@@ -1606,13 +1659,21 @@ object LlmQueries {
       (s, _) => {
         val recs = graft.sources.Warc.records(
           graft.sources.CascadeFixtures.dataset(s), headBytes = 1024).toDF()
-        val docs = recs
+        // mainContent blocks joined with NEWLINES (not spaces): the
+        // in-page line-dedup stage (l84) between the boilerplate pass
+        // and the dedup gates operates per line == per kept block.
+        // Each markup variant carries DIFFERENT link-dense chrome, and
+        // variant 1 repeats its prose block, so the exact-dedup stage
+        // converges only because the boilerplate pass drops the chrome
+        // AND lineDedup collapses the in-page repeat.
+        val pages = recs
           .filter(col("warc_type") === "response" && col("http_status") === 200)
-          // mainContent (not plain htmlToText): each markup variant
-          // carries DIFFERENT link-dense chrome, and the exact-dedup
-          // stage converges only because the boilerplate pass drops it
           .select((col("file_id") * 100 + col("rec_idx")).as("doc_id"),
-            normalizeText(mainContent(col("body_head"))).as("text"))
+            array_join(transform(filter(mainContentBlocks(col("body_head")),
+              b => b("keep")), b => b("t")), "\n").as("__main"))
+        val docs = Dedup.lineDedup(pages, "__main", "__lined")
+          .select(col("doc_id"),
+            normalizeText(replace(col("__lined"), lit("\n"), lit(" "))).as("text"))
         Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
           .select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),
@@ -1621,8 +1682,14 @@ object LlmQueries {
       },
       Some("WITH " + graft.sources.CascadeFixtures.valuesSql + ", " +
         mainContentCtes("raw") + ", " +
+        // in-page line dedup at block granularity: first occurrence
+        // (by document order) of each kept block's text wins
+        "lined AS (SELECT doc_id, ord, t, keep, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id, t, keep ORDER BY ord) AS rn FROM mck), " +
         "docs AS (SELECT doc_id, " +
-        normalizeTextSql("main") + " AS text FROM mc), " +
+        normalizeTextSql("COALESCE(string_agg(t, ' ' ORDER BY ord) " +
+          "FILTER (WHERE keep AND rn = 1), '')") +
+        " AS text FROM lined GROUP BY doc_id), " +
         "kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM docs) " +
         "WHERE rn = 1), " +

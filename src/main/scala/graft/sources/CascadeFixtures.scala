@@ -16,9 +16,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
  * Corpus design (36 HTTP-200 documents over 3 files):
  *  - 12 families × 3 HTML variants. A family's three variants carry
  *    the SAME words in structurally different markup (plain tags /
- *    style+script blocks to strip / uppercase tags + entities +
- *    comments), so exact dedup fires only BECAUSE extraction and
- *    normalization reduce them to one normal form.
+ *    style+script blocks to strip AND a repeated prose block that only
+ *    the in-page line-dedup stage collapses / uppercase tags +
+ *    entities + comments), so exact dedup fires only BECAUSE
+ *    extraction, line dedup and normalization reduce them to one
+ *    normal form.
  *  - families 0–7: identical text across variants → 8 exact-dup
  *    groups of 3.
  *  - families 8–11: base text of families 0–3 plus one variant-
@@ -68,7 +70,11 @@ object CascadeFixtures {
         s"<p>$t</p><footer>Copyright <a href=/p>privacy</a></footer></body></html>"
       case 1 => s"<html><head><style>p{color:red}</style></head><body>" +
         "<div class=menu><a href=/1>one</a> <a href=/2>two</a> <a href=/3>three</a></div>" +
-        s"<div>$t</div><script>var x=1;</script></body></html>"
+        // the prose block appears TWICE (the in-page repetition crawl
+        // pages actually carry): without the cascade's line-dedup
+        // stage this variant would extract to "t t" and never converge
+        // with variants 0/2 — lineDedup is load-bearing here
+        s"<div>$t</div><div>$t</div><script>var x=1;</script></body></html>"
       case _ => "<ul><li><a href=/x>archive</a></li><li><a href=/y>tags</a></li></ul>" +
         s"<P>$t &amp;&lt;&gt;</P><!-- note -->"
     }

@@ -44,6 +44,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L))
   }
 
+  test("Dedup.lineDedup drops later duplicate lines, keeps blanks and order") {
+    val docs = Seq(
+      (1L, "nav bar\nbody text one\nnav bar\n\nbody text two\n\nnav bar"),
+      (2L, ""),                      // empty text survives as-is
+      (3L, "\n\n\n"),                // all blanks kept (structure)
+      (4L, "only line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "clean")
+      .select("doc_id", "clean").as[(Long, String)].collect().toMap
+    assert(out(1L) == "nav bar\nbody text one\n\nbody text two\n")
+    assert(out(2L) == "")
+    assert(out(3L) == "\n\n\n")
+    assert(out(4L) == "only line")
+  }
+
+  test("Dedup.lineDedup normalizeKeys dedups case/punct variants, keeps the first ORIGINAL") {
+    val docs = Seq(
+      (1L, "Cookie Notice!\nreal content here\ncookie notice\nCOOKIE, notice\nmore content")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "clean", normalizeKeys = true)
+      .select("clean").as[String].head()
+    assert(out == "Cookie Notice!\nreal content here\nmore content")
+    // lines whose normalized key is empty (punctuation-only) are
+    // structure, never deduped against each other
+    val punct = Seq((1L, "***\nreal text\n---\nreal text")).toDF("doc_id", "text")
+    val out2 = Dedup.lineDedup(punct, "text", "clean", normalizeKeys = true)
+      .select("clean").as[String].head()
+    assert(out2 == "***\nreal text\n---")
+  }
+
   test("Dedup.minhashCandidatePairs finds near-identical docs, not disjoint ones") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "the quick brown fox jumps over the lazy dog again and again tonight"
