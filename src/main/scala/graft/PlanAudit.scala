@@ -15,23 +15,27 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 object PlanAudit {
 
   // t7 is the reference's own single-task global state (SURVEY §7.5.4).
-  // l80's packing prefix sum runs through runningSumChunked with NO
+  // l80/l89's packing prefix sums run through runningSumChunked with NO
   // group key: the single-task window there is over the CHUNK-LEVEL
   // sums table (rows = id-span / idChunk — thousands at billions of
   // docs, never row-scale), the same span-bounded shape r23 uses
   // per-key; the corpus-scale work shuffles only on the chunk key.
-  private val allowPartitionlessWindow = Set("t7_global_state", "l80_seq_pack")
+  // l86's window is the class-offset prefix over the length-class
+  // table — ≤ O(√seqLen) rows (distinct values of seqLen div n) at ANY
+  // corpus size.
+  private val allowPartitionlessWindow =
+    Set("t7_global_state", "l80_seq_pack", "l89_pack_bpe", "l86_pack_whole")
   // Deliberately key-less broadcast joins whose small side is NOT a
   // provable 1-row scalar (those are recognized structurally by
   // [[isScalarBroadcast]] instead of by name): l3/l44 broadcast the
   // query-vector table against the corpus; l26 adds the quantization
-  // scale; l8/l42 broadcast the k IVF centroids for assignment (the IVF
-  // contract: the corpus never shuffles); r11's scalar subquery plans
-  // its own BNLJ; t18's triangular prefix-offset join runs over the
-  // tiny bucket-count table.
+  // scale; l8/l42/l85 broadcast the k IVF centroids for assignment (the
+  // IVF contract: the corpus never shuffles); r11's scalar subquery
+  // plans its own BNLJ; t18's triangular prefix-offset join runs over
+  // the tiny bucket-count table.
   private val allowNestedLoop =
     Set("l3_cosine_topk", "r11_scalar_subquery", "l8_ann_ivf", "t18_global_state_scalable",
-      "l26_ann_int8", "l42_ivf_trained", "l44_sql_functions")
+      "l26_ann_int8", "l42_ivf_trained", "l44_sql_functions", "l85_ann_ivfadc")
   // r18 joins two co-bucketed, bucket-sorted tables: the sort-merge runs
   // directly over co-located sorted buckets with NO exchange on either
   // side (PlanSpec pins zero shuffles) — here SMJ IS the 100 TB shape,
@@ -70,23 +74,44 @@ object PlanAudit {
     * `LocalTableScan` of ≤ a handful of rows is a query constant. Both
     * are the 100 TB-safe "attach a scalar to every row" idiom, so the
     * audit recognizes the SHAPE instead of keeping a per-query name
-    * list that new queries silently bypass. Anything else nested-loop
-    * joined is still flagged. */
+    * list that new queries silently bypass. The proof walks ONLY the
+    * row-count-preserving/reducing spine of the broadcast subtree
+    * (exchanges, stages, codegen wrappers, projections, filters) down
+    * to the first real operator — an `exists` over ALL descendants
+    * would waive a build side that merely CONTAINS a scalar somewhere
+    * below a row-multiplying join (round-12 advice). Anything else
+    * nested-loop joined is still flagged. */
   private[graft] def isScalarBroadcast(b: BroadcastNestedLoopJoinExec): Boolean = {
     val build = b.buildSide match {
       case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
       case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
     }
-    flatten(build).exists {
-      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
-        a.groupingExpressions.isEmpty
-      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
-        a.groupingExpressions.isEmpty
-      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
-        a.groupingExpressions.isEmpty
-      case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.lengthCompare(8) <= 0
-      case _ => false
-    }
+    isScalarSubtree(build)
+  }
+
+  /** Descend through nodes that cannot INCREASE the row count of their
+    * child (wrappers, 1:1 projections, filters, single-partition
+    * exchanges) and judge the first operator that determines
+    * cardinality. */
+  private def isScalarSubtree(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      l.rows.lengthCompare(8) <= 0
+    case pr: org.apache.spark.sql.execution.ProjectExec => isScalarSubtree(pr.child)
+    case f: org.apache.spark.sql.execution.FilterExec => isScalarSubtree(f.child)
+    case a: AdaptiveSparkPlanExec => isScalarSubtree(a.executedPlan)
+    case q: QueryStageExec => isScalarSubtree(q.plan)
+    case s: InMemoryTableScanExec => isScalarSubtree(s.relation.cachedPlan)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => isScalarSubtree(w.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => isScalarSubtree(i.child)
+    case e: org.apache.spark.sql.execution.exchange.Exchange => isScalarSubtree(e.child)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => isScalarSubtree(r.child)
+    case _ => false
   }
 
   def main(args: Array[String]): Unit = {

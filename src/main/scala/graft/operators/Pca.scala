@@ -48,10 +48,13 @@ object Pca {
     * are the GLOBAL per-dimension sums — valid only because every row
     * contributes to every (i, j) pair; ragged or null-containing input
     * would silently skew `sum_qi`/`sum_qj` (and diverge from a per-pair
-    * oracle). `checkShape` (default on) fails fast with one cheap agg
-    * over just the size/null flags — one extra read of the vector
-    * column, negligible next to the dim²/2 explode; pass false only
-    * when the shape is already guaranteed upstream.
+    * oracle). `checkShape` (default on) folds the assertion INTO the
+    * returned plan — a one-row shape aggregate broadcast onto the
+    * output with an `assert_true` filter — so validation is LAZY
+    * (construction stays action-free; existing callers pay nothing
+    * until they evaluate the frame, and then one extra read of just
+    * the size/null flags, negligible next to the dim²/2 explode);
+    * pass false only when the shape is already guaranteed upstream.
     *
     * Cost shape: the vector quantizes ONCE per row (dim floors, not
     * dim²/2·2 — measured 1.8× on the warm path), the pair expansion
@@ -61,17 +64,6 @@ object Pca {
     * via broadcast joins instead of riding the 10⁷-row explode. */
   def covarianceStats(df: DataFrame, vecCol: String,
                       checkShape: Boolean = true): DataFrame = {
-    if (checkShape) {
-      val shape = df.agg(
-        countDistinct(size(col(vecCol))).as("nd"),
-        coalesce(max(when(col(vecCol).isNull, 1).otherwise(0)), lit(0)).as("nullVec"),
-        coalesce(max(when(exists(col(vecCol), x => x.isNull), 1).otherwise(0)), lit(0)).as("nullElem")
-      ).first()
-      require(shape.getLong(0) <= 1L && shape.getInt(1) == 0 && shape.getInt(2) == 0,
-        s"covarianceStats($vecCol) requires fixed-length, null-free vectors: " +
-          s"found ${shape.getLong(0)} distinct lengths, nullVec=${shape.getInt(1)}, " +
-          s"nullElem=${shape.getInt(2)}")
-    }
     val q = df.select(expr(
       s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
       .as("__q"))
@@ -83,13 +75,30 @@ object Pca {
           "struct(i AS i, j AS j, __q[i] * __q[j] AS p))))")).as("p"))
       .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
       .agg(count(lit(1)).as("n"), sum(col("p.p")).as("sum_qiqj"))
-    pairs
+    val stats = pairs
       .join(broadcast(firsts.select(col("d").cast("long").as("i"),
         col("s").as("sum_qi"))), Seq("i"))
       .join(broadcast(firsts.select(col("d").cast("long").as("j"),
         col("s").as("sum_qj"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
         col("sum_qi"), col("sum_qj"), col("sum_qiqj"))
+    if (!checkShape) stats
+    else {
+      // LAZY shape assertion: a one-row aggregate broadcast onto the
+      // output, checked by assert_true at evaluation time — frame
+      // construction stays action-free (no eager scan), and the guard
+      // rides any downstream plan the caller builds
+      val shape = df.agg(
+        (countDistinct(size(col(vecCol))) <= 1 &&
+          coalesce(max(when(col(vecCol).isNull, 1).otherwise(0)), lit(0)) === 0 &&
+          coalesce(max(when(exists(col(vecCol), x => x.isNull), 1).otherwise(0)), lit(0)) === 0
+        ).as("__shape_ok"))
+      stats.crossJoin(broadcast(shape))
+        .filter(assert_true(col("__shape_ok"),
+          lit(s"covarianceStats($vecCol) requires fixed-length, null-free vectors " +
+            "(ragged lengths, null vectors or null elements found)")).isNull)
+        .drop("__shape_ok")
+    }
   }
 
   /** Dense covariance matrix from [[covarianceStats]]' collected rows

@@ -102,9 +102,12 @@ object Windows {
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("__bkt"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = d.groupBy(gb: _*).agg(sum(col("__v")).as("__c"))
+    // internal alias must not shadow a CALLER's group-column name
+    // (a groupCol literally named "__c" made the offsets select
+    // ambiguous — found by packWholeDocs)
+    val offsets = d.groupBy(gb: _*).agg(sum(col("__v")).as("__bktsum"))
       .select((groupCols.map(col) :+ col("__bkt")) :+
-        coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"): _*)
+        coalesce(sum(col("__bktsum")).over(wOff), lit(0L)).as("__off"): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(gb: _*).orderBy(orderCols: _*)
     d.join(offsets.hint("shuffle_hash"), groupCols :+ "__bkt")

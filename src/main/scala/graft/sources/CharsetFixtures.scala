@@ -60,7 +60,24 @@ object CharsetFixtures {
         "wide text é", "utf-16le"),
       ("bom-utf16be", "text/html",
         bomBe ++ "big endian é".getBytes(cs("UTF-16BE")),
-        "big endian é", "utf-16be"))
+        "big endian é", "utf-16be"),
+      // a page that merely MENTIONS a charset label in prose (no <meta>
+      // tag, no HTTP label): the WHATWG prescan only honors labels
+      // inside a meta tag, so UTF-8 validity decides — trusting the
+      // prose mention would mojibake the é
+      ("prose-mention", "text/html",
+        "<p>configure charset=iso-8859-1 in your café server</p>".getBytes("UTF-8"),
+        "<p>configure charset=iso-8859-1 in your café server</p>", "utf-8"),
+      // a <meta charset=...> PAST the 1024-byte prescan window is
+      // ignored (WHATWG bounds the scan); UTF-8 validity decides. The
+      // expected text is the 256-byte head cut (l77 reads headBytes =
+      // 256): "café start " is 12 BYTES (é is 2), the ASCII padding
+      // fills the remaining 244 — the cut never lands inside a
+      // multibyte char
+      ("meta-too-late", "text/html",
+        ("café start " + "pad padding text " * 70 +
+          "<meta charset=\"iso-8859-1\">").getBytes("UTF-8"),
+        "café start " + ("pad padding text " * 70).take(244), "utf-8"))
   }
 
   lazy val file: WarcFile = WarcFile(7L,

@@ -187,8 +187,16 @@ object Warc {
     else if (body.length >= 2 && b(0) == 0xFF && b(1) == 0xFE) "utf-16le"
     else if (body.length >= 2 && b(0) == 0xFE && b(1) == 0xFF) "utf-16be"
     else {
+      // body-side labels come ONLY from a <meta …charset=…> tag inside
+      // the WHATWG 1024-byte prescan window — a page that merely
+      // MENTIONS "charset=iso-8859-1" in prose, script or a comment
+      // must not outrank its own UTF-8 validity (it used to: that
+      // mojibake'd valid UTF-8 pages, the exact corruption this sniff
+      // exists to stop)
+      val prescan = new String(body, 0, math.min(body.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
       val label = charsetLabel(httpHeaders)
-        .orElse(charsetLabel(new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        .orElse(metaCharsetLabel(prescan))
         .flatMap(canonicalCharset)
       label.getOrElse(if (isValidUtf8(body)) "utf-8" else "windows-1252")
     }
@@ -197,8 +205,20 @@ object Warc {
   private val CharsetLabelRe =
     java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)")
 
+  /** `<meta charset=…>` / `<meta http-equiv=… content="…; charset=…">`:
+    * the label must sit INSIDE a meta tag (before its `>`), per the
+    * WHATWG meta prescan. */
+  private val MetaCharsetRe =
+    java.util.regex.Pattern.compile(
+      "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)")
+
   private def charsetLabel(s: String): Option[String] = {
     val m = CharsetLabelRe.matcher(s)
+    if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)) else None
+  }
+
+  private def metaCharsetLabel(s: String): Option[String] = {
+    val m = MetaCharsetRe.matcher(s)
     if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)) else None
   }
 
@@ -213,25 +233,37 @@ object Warc {
     case _ => None
   }
 
-  /** Structural UTF-8 validation (lead-byte ranges + continuation
-    * count). A multibyte sequence cut by the PREFIX boundary counts as
-    * VALID — the sniff sees a bounded prefix of long documents, and a
-    * consistent-until-the-cut stream is UTF-8 evidence, not noise. */
+  /** Structural UTF-8 validation per the WHATWG/Unicode table: lead
+    * bytes constrain the FIRST continuation byte (E0: A0–BF, ED: 80–9F,
+    * F0: 90–BF, F4: 80–8F), which rejects overlong forms (E0 80 80),
+    * UTF-16 surrogates (ED A0 80) and code points above U+10FFFF
+    * (F4 90 80 80) — byte salads that would otherwise classify as
+    * utf-8 and decode to U+FFFD instead of taking the windows-1252
+    * fallback. A multibyte sequence cut by the PREFIX boundary counts
+    * as VALID — the sniff sees a bounded prefix of long documents, and
+    * a consistent-until-the-cut stream is UTF-8 evidence, not noise. */
   private[sources] def isValidUtf8(body: Array[Byte]): Boolean = {
     var i = 0
     while (i < body.length) {
       val c = body(i) & 0xff
-      val n =
-        if (c < 0x80) 0
-        else if (c >= 0xC2 && c <= 0xDF) 1
-        else if (c >= 0xE0 && c <= 0xEF) 2
-        else if (c >= 0xF0 && c <= 0xF4) 3
-        else return false
+      var n = 0; var lo1 = 0x80; var hi1 = 0xBF
+      if (c < 0x80) n = 0
+      else if (c >= 0xC2 && c <= 0xDF) n = 1
+      else if (c == 0xE0) { n = 2; lo1 = 0xA0 }
+      else if (c >= 0xE1 && c <= 0xEC) n = 2
+      else if (c == 0xED) { n = 2; hi1 = 0x9F }
+      else if (c >= 0xEE && c <= 0xEF) n = 2
+      else if (c == 0xF0) { n = 3; lo1 = 0x90 }
+      else if (c >= 0xF1 && c <= 0xF3) n = 3
+      else if (c == 0xF4) { n = 3; hi1 = 0x8F }
+      else return false
       var j = 1
       while (j <= n) {
         if (i + j >= body.length) return true // cut mid-sequence by the prefix
         val cc = body(i + j) & 0xff
-        if (cc < 0x80 || cc > 0xBF) return false
+        val lo = if (j == 1) lo1 else 0x80
+        val hi = if (j == 1) hi1 else 0xBF
+        if (cc < lo || cc > hi) return false
         j += 1
       }
       i += n + 1

@@ -26,6 +26,22 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(cov(1)(1) - 8.0 / 3) < 1e-6)
   }
 
+  test("covarianceStats shape guard is LAZY: construction is action-free, evaluation raises on ragged input") {
+    val ragged = Seq(Seq(1f, 2f), Seq(2f, 4f, 6f)).map(Tuple1(_)).toDF("embedding")
+    // construction must NOT run a Spark action (the round-12 advice:
+    // the eager check scanned the corpus before any action on the result)
+    val frame = Pca.covarianceStats(ragged, "embedding")
+    // ...but evaluating the frame must still fail fast with the message
+    val e = intercept[Exception] { frame.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fixed-length")), e.toString)
+    // clean input sails through the same guarded plan
+    val ok = Pca.covarianceStats(
+      Seq(Seq(1f, 2f), Seq(2f, 4f)).map(Tuple1(_)).toDF("embedding"), "embedding")
+    assert(ok.count() == 3) // dim 2 -> 3 (i <= j) pairs
+  }
+
   test("power iteration recovers a planted principal direction") {
     // 8-d vectors: strong variance along u (normalized ones in dims
     // 0..3), small deterministic noise elsewhere

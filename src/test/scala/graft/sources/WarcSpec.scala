@@ -42,7 +42,7 @@ class WarcSpec extends AnyFunSuite {
     // string under the expected charset (the l77 oracle in miniature)
     val recs = Warc.parseFile(CharsetFixtures.file.file_id,
       CharsetFixtures.file.payload, headBytes = 256)
-    assert(recs.length == 7)
+    assert(recs.length == 9)
     val bySlug = recs.map(r => r.target_uri.split("/").last -> r).toMap
     assert(bySlug("plain-utf8").charset == "utf-8" &&
       bySlug("plain-utf8").body_head == "café résumé naïve")
@@ -58,6 +58,25 @@ class WarcSpec extends AnyFunSuite {
       bySlug("bom-utf16le").body_head == "wide text é")
     assert(bySlug("bom-utf16be").charset == "utf-16be" &&
       bySlug("bom-utf16be").body_head == "big endian é")
+    // prose "charset=" mention (no <meta> tag) must NOT outrank UTF-8
+    // validity; a meta tag past the 1024-byte prescan window is ignored
+    assert(bySlug("prose-mention").charset == "utf-8" &&
+      bySlug("prose-mention").body_head.contains("café"))
+    assert(bySlug("meta-too-late").charset == "utf-8" &&
+      bySlug("meta-too-late").body_head.startsWith("café start "))
+  }
+
+  test("isValidUtf8 rejects overlong forms, surrogates and >U+10FFFF; accepts boundary sequences") {
+    def v(bs: Int*) = Warc.isValidUtf8(bs.map(_.toByte).toArray)
+    assert(!v(0xE0, 0x80, 0x80))       // overlong NUL
+    assert(!v(0xED, 0xA0, 0x80))       // UTF-16 high surrogate
+    assert(!v(0xF4, 0x90, 0x80, 0x80)) // > U+10FFFF
+    assert(!v(0xF0, 0x80, 0x80, 0x80)) // overlong
+    assert(v(0xE0, 0xA0, 0x80))        // U+0800 — smallest legal 3-byte
+    assert(v(0xED, 0x9F, 0xBF))        // U+D7FF — just below surrogates
+    assert(v(0xEE, 0x80, 0x80))        // U+E000 — just above surrogates
+    assert(v(0xF0, 0x90, 0x80, 0x80))  // U+10000 — smallest legal 4-byte
+    assert(v(0xF4, 0x8F, 0xBF, 0xBF))  // U+10FFFF — the ceiling
   }
 
   test("sniff details: unknown labels fall through; prefix-cut UTF-8 stays UTF-8") {
