@@ -52,11 +52,21 @@ object PipelineDemo {
     // mainContent, not plain htmlToText: the nav/footer chrome above is
     // exactly what a real crawl page carries, and the block-level
     // boilerplate pass (link density + stopword density + length) is
-    // the step that sheds it before quality filtering
-    val extracted = crawled.select(col("doc_id"), col("lang"), col("source"),
+    // the step that sheds it before quality filtering. Upstream of it,
+    // fixMojibake (l88) reverses windows-1252-of-UTF-8 double encoding
+    // that the charset sniff cannot catch; downstream, the kept blocks
+    // join with NEWLINES so in-page line dedup (l84) can drop repeated
+    // nav crumbs/banners before the quality gates — the l68 cascade's
+    // order, demonstrated on the full pipeline
+    val pages = crawled.select(col("doc_id"), col("lang"), col("source"),
       col("url"),
-      TextFunctions.mainContent(col("html")).as("text"),
+      array_join(transform(filter(TextFunctions.mainContentBlocks(
+        TextFunctions.fixMojibake(col("html"))), b => b("keep")), b => b("t")),
+        "\n").as("__main"),
       TextFunctions.normalizeUrl(col("url")).as("norm_url"))
+    val extracted = Dedup.lineDedup(pages, "__main", "__lined")
+      .withColumn("text", replace(col("__lined"), lit("\n"), lit(" ")))
+      .drop("__main", "__lined")
     // PSL-exact per-domain capping key (last-two-labels would collapse
     // every *.co.uk site into one key): longest-suffix match against a
     // caller-supplied public-suffix table, broadcast joins only

@@ -97,6 +97,68 @@ object TextFunctions {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), "  +", " "))
 
+  // --------------------------------------------------- mojibake repair
+
+  /** The 27 printable code points windows-1252 places in 0x80–0x9F
+    * (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ), paired
+    * with those byte values as chars — `translate` between the two
+    * turns a windows-1252 mis-decode into an ISO-8859-1 mis-decode,
+    * which [[fixMojibake]] can reverse with the engine's ISO-8859-1
+    * encoder. */
+  private val Cp1252Specials =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030" +
+      "\u0160\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022" +
+      "\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+  private val Cp1252Controls =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089" +
+      "\u008A\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095" +
+      "\u0096\u0097\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+
+  /** One UTF-8 lead char followed by the right number of
+    * continuation-range chars — the double-encoding signature ("Ã©"
+    * for "é"): present in corrupted text, vanishingly rare in clean
+    * prose (legit "NÃO" has Ã followed by ASCII, which does not
+    * match). Evaluated AFTER the cp1252-specials translate, so € ' –
+    * etc. sit at their byte values. */
+  private val MojibakeSignature =
+    "[\\u00C2-\\u00DF][\\u0080-\\u00BF]|[\\u00E0-\\u00EF][\\u0080-\\u00BF]{2}|" +
+      "[\\u00F0-\\u00F4][\\u0080-\\u00BF]{3}"
+
+  /** Repair windows-1252-of-UTF-8 double encoding — the single most
+    * common crawl corruption ("Ã©" where the page meant "é"): UTF-8
+    * bytes were decoded as windows-1252 somewhere upstream and
+    * re-encoded, which passes every UTF-8 validity check
+    * ([[graft.sources.Warc.sniffCharset]] cannot catch it) and then
+    * flows through every downstream text operator uncorrected. One
+    * pass maps each char back to its windows-1252 byte (the specials
+    * via `translate`, the rest via the ISO-8859-1 encoder — identical
+    * on every other mappable char) and re-decodes the bytes as UTF-8.
+    *
+    * GUARDED: the pass applies only when (a) the double-encoding
+    * signature is present, (b) every char is cp1252-mappable (after
+    * the specials translate, all ≤ U+00FF), and (c) the re-decode
+    * produces no U+FFFD replacement char — otherwise the input passes
+    * through untouched, so clean text (including legit "São", "NÃO",
+    * "price € 5") is never altered, and text MIXING mojibake with
+    * unmappable chars is conservatively left alone rather than half
+    * repaired. `passes` bounds repeated application (text re-corrupted
+    * at each hop needs one pass per hop; the guard makes extra passes
+    * no-ops). Pure per-row projection, zero shuffles at any scale —
+    * sits between [[graft.sources.Warc.decodeBody]] and
+    * [[htmlToText]]. */
+  def fixMojibake(text: Column, passes: Int = 2): Column =
+    (1 to passes).foldLeft(text)((t, _) => fixMojibakeOnce(t))
+
+  private def fixMojibakeOnce(text: Column): Column = {
+    val t = translate(text, Cp1252Specials, Cp1252Controls)
+    val bytes = encode(t, "ISO-8859-1")
+    // guard order matters: `encode` raises on unmappable chars under
+    // Spark's strict coding-error action, so the mappability test
+    // short-circuits before `bytes` is ever evaluated, and the strict
+    // UTF-8 validity test runs before `decode` can see malformed bytes
+    when(t.rlike(MojibakeSignature) && t.rlike("^[\\u0000-\\u00FF]*$") &&
+      is_valid_utf8(bytes), decode(bytes, "UTF-8")).otherwise(text)
+  }
   /** HTML-to-text extraction — the CommonCrawl step between WARC bodies
     * and every text operator in this library: drop script/style blocks
     * and comments wholesale (their content is code, not text), strip

@@ -34,9 +34,16 @@ import graft.functions.TextFunctions.wsTokenCount
 object Packing {
 
   def sequencePack(docs: DataFrame, textCol: String, idCol: String,
-                   seqLen: Long, idChunk: Long = 1L << 16): DataFrame = {
+                   seqLen: Long, idChunk: Long = 1L << 16): DataFrame =
+    packLayout(docs.select(col(idCol), wsTokenCount(col(textCol)).as("__n")),
+      idCol, seqLen, idChunk)
+
+  /** The concat-and-cut layout over a precomputed (idCol, __n
+    * token-count) frame — [[sequencePack]]'s tail, shared with the
+    * BPE-budgeted front-end [[sequencePackBpe]]. */
+  private def packLayout(withN: DataFrame, idCol: String,
+                         seqLen: Long, idChunk: Long): DataFrame = {
     require(seqLen > 0 && idChunk > 0)
-    val withN = docs.select(col(idCol), wsTokenCount(col(textCol)).as("__n"))
     val pre = Windows.runningSumChunked(withN, Seq.empty,
       expr(s"CAST($idCol AS BIGINT) div ${idChunk}L"), Seq(col(idCol)),
       col("__n"), "__cum")
@@ -49,5 +56,102 @@ object Packing {
       .select(col("seq_id"), col(idCol),
         greatest(lit(0L), col("seq_id") * seqLen - col("__start")).as("tok_from"),
         least(col("__n"), (col("seq_id") + 1) * seqLen - col("__start")).as("tok_to"))
+  }
+
+  /**
+   * BPE-token-budgeted packing (l89): [[sequencePack]]'s layout with
+   * the budget counted in REAL tokenizer tokens instead of whitespace
+   * words — a production dataloader's sequence budget is BPE tokens,
+   * and whitespace counts misprice long words (many BPE tokens) and
+   * CJK-ish scripts (one "word" = many tokens). Per-document counts
+   * come from [[Bpe.encodeWordsFast]]'s encoding of the DISTINCT-word
+   * vocabulary (broadcast rank map, one narrow pass over |vocab|)
+   * joined back to per-(doc, word) multiplicities — the corpus-scale
+   * work is two map-side-combined aggs and one shuffle-hash join on
+   * the word; token offsets then flow through the same chunked prefix
+   * sum as l80. With EMPTY merges a word encodes to its code points,
+   * so the budget degenerates to the non-space character count — the
+   * oracle-expressible form the declared query certifies; trained
+   * merge tables are golden-pinned in the spec (PackingBpeSpec cases),
+   * including full-merge tables under which the layout is IDENTICAL
+   * to [[sequencePack]]'s.
+   * Output: (seq_id, idCol, tok_from, tok_to) — BPE-token offsets,
+   * same contract as [[sequencePack]].
+   */
+  def sequencePackBpe(docs: DataFrame, textCol: String, idCol: String,
+                      merges: Seq[(String, String)], seqLen: Long,
+                      idChunk: Long = 1L << 16): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val dw = docs.select(col(idCol), explode(wsTokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__m"))
+    val wl = Bpe.encodeWordsFast(docs, textCol, merges)
+      .select(col("w").as("__w"), size(col("syms")).cast("long").as("__len"))
+    val withN = dw.join(wl.hint("shuffle_hash"), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m") * col("__len")).as("__n"))
+    packLayout(withN, idCol, seqLen, idChunk)
+  }
+
+  /**
+   * Split-AVERSE whole-document packing (l86) — the Llama-class layout
+   * that keeps attention within documents: every document ≤ `seqLen`
+   * tokens is placed WHOLE into exactly one `seqLen`-token bin (never
+   * split, unlike [[sequencePack]]'s boundary cuts); documents longer
+   * than `seqLen` are TRUNCATED to `seqLen` (the explicit overflow
+   * policy) and fill a bin alone.
+   *
+   * Sequential best-fit-decreasing does not distribute, so this is the
+   * deterministic distributed greedy in its place — LENGTH-CLASS SHELF
+   * packing (the l30 prefix-offset pattern per length class): a
+   * document of nt tokens belongs to class c = seqLen div nt, and any
+   * c documents of that class fit one bin (each has nt ≤ seqLen/c).
+   * Documents are ranked within their class by id, binned c at a time,
+   * and class bin-ranges are laid out contiguously by ascending c —
+   * largest documents' bins first, the "decreasing" order across
+   * classes. Intra-class order cannot affect feasibility or the waste
+   * bound (all members share the capacity c), which is what lets the
+   * rank run through [[Windows.runningSumChunked]] — per-(class, id
+   * chunk) windows, so a skewed length distribution (a billion
+   * same-length docs = one class) never becomes one window task.
+   * GUARANTEE: every full bin of class c holds > c·seqLen/(c+1) ≥
+   * seqLen/2 tokens (class members exceed seqLen/(c+1)), the classic
+   * harmonic-shelf utilization floor; only the last bin of each class
+   * can be emptier.
+   *
+   * Output: one row per document — (bin_id, idCol, n_tok, tok_kept,
+   * truncated), integer-exact and order-free (the oracle recomputes
+   * the same greedy relationally). Shuffles: the rank's chunked
+   * windows + one broadcast join of the tiny class-offset table
+   * (≤ O(√seqLen) distinct classes).
+   */
+  def packWholeDocs(docs: DataFrame, textCol: String, idCol: String,
+                    seqLen: Long, idChunk: Long = 1L << 16): DataFrame = {
+    require(seqLen > 0 && idChunk > 0)
+    import org.apache.spark.sql.expressions.Window
+    val classed = docs
+      .select(col(idCol), wsTokenCount(col(textCol)).as("__n"))
+      .withColumn("__nt", least(col("__n"), lit(seqLen)))
+      .withColumn("__c", expr(s"${seqLen}L div __nt"))
+    val ranked = Windows.runningSumChunked(classed, Seq("__c"),
+        expr(s"CAST($idCol AS BIGINT) div ${idChunk}L"), Seq(col(idCol)),
+        lit(1L), "__rk")
+      .withColumn("__r", col("__rk") - 1)
+    // class bin-count prefix offsets: ≤ O(√seqLen) rows (distinct
+    // values of seqLen div nt), the bounded partition-less-window
+    // shape t18/l80 use
+    // renamed key: offsets shares lineage with `ranked` (both derive
+    // from `classed`), so a same-name equi-join would be ambiguous
+    val offsets = classed.groupBy(col("__c")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__c").as("__oc"),
+        coalesce(sum(expr("(__cnt + __c - 1) div __c"))
+          .over(Window.orderBy(col("__c"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    ranked.join(broadcast(offsets), col("__c") === col("__oc"))
+      .select(
+        (col("__off") + expr("__r div __c")).as("bin_id"),
+        col(idCol),
+        col("__n").as("n_tok"),
+        col("__nt").as("tok_kept"),
+        (col("__n") > lit(seqLen)).as("truncated"))
   }
 }

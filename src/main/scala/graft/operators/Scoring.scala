@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -134,6 +134,76 @@ object Scoring {
   }
 
   /**
+   * Per-block language segmentation (l87) — the multilingual-page
+   * handler document-level language ID (l75) cannot be: a crawl page
+   * routinely mixes languages block by block, and classifying the
+   * whole document assigns every block the majority language. This is
+   * the natural composition of the boilerplate block filter
+   * ([[graft.functions.TextFunctions.mainContentBlocks]], l76) with
+   * [[hashedMulticlassScore]] (l75): explode the KEPT blocks, classify
+   * each block independently (the block id rides the same collapsed
+   * (block, bucket) shuffle — cost identical to classifying documents
+   * of block size), then merge ADJACENT same-label blocks into spans
+   * (the gaps-and-islands `ord − row_number` trick — one window keyed
+   * by (page, label)) and attach each page's majority label (most
+   * blocks; ties to the earliest class in `classes`, the l75
+   * discipline).
+   *
+   * Output: one row per span — (idCol, span_from, span_to [1-based
+   * original block indexes, inclusive], span_blocks, span_tokens,
+   * lang, doc_majority). Shuffles: the classifier's two aggs, the
+   * span/majority windows, one shuffle-hash join of the per-page
+   * majority — all keyed by page or (page, label); nothing quadratic.
+   */
+  def blockLanguageSpans(pages: DataFrame, htmlCol: String, idCol: String,
+                         classes: Seq[(String, Array[Double])],
+                         stopMarkers: Seq[String] = Seq("the", "a", "of", "and"),
+                         minChars: Int = 40, maxLinkPct: Int = 34,
+                         tokensPerStop: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.mainContentBlocks
+    val blocks = pages
+      .select(col(idCol), posexplode(mainContentBlocks(col(htmlCol), stopMarkers,
+        minChars, maxLinkPct, tokensPerStop)).as(Seq("__ord", "__blk")))
+      .filter(col("__blk")("keep"))
+      // 1-based original block index (counting dropped chrome blocks
+      // too — spans address positions in the PAGE, not the kept list)
+      .select(struct(col(idCol).as("id"), (col("__ord") + 1).cast("long").as("ord"))
+        .as("__bid"), col("__blk")("t").as("__bt"))
+    val perBlock = hashedMulticlassScore(blocks, "__bt", "__bid", classes)
+      .select(col("__bid.id").as(idCol), col("__bid.ord").as("ord"),
+        col("n_tokens"), col("pred"))
+    def classIdx(c: Column): Column =
+      classes.zipWithIndex.tail.foldLeft(when(c === classes.head._1, 0)) {
+        case (acc, ((lab, _), i)) => acc.when(c === lab, i)
+      }
+    // islands over the KEPT-block sequence (original ordinals are not
+    // consecutive — dropped chrome and the empty segments between
+    // adjacent block tags sit between kept blocks): two same-label
+    // blocks merge iff no OTHER kept block separates them, while
+    // span_from/span_to still report original page positions
+    val wSeq = Window.partitionBy(col(idCol)).orderBy(col("ord"))
+    val wIsl = Window.partitionBy(col(idCol), col("pred")).orderBy(col("ord"))
+    val spans = perBlock
+      .withColumn("__isl", row_number().over(wSeq) - row_number().over(wIsl))
+      .groupBy(col(idCol), col("pred"), col("__isl"))
+      .agg(min(col("ord")).as("span_from"), max(col("ord")).as("span_to"),
+        count(lit(1)).as("span_blocks"), sum(col("n_tokens")).as("span_tokens"))
+    val wMaj = Window.partitionBy(col("__mid"))
+      .orderBy(col("__cnt").desc, classIdx(col("__mlang")))
+    // renamed keys: majority shares lineage with spans (both derive
+    // from perBlock) — same-name joins would be ambiguous
+    val majority = perBlock.groupBy(col(idCol).as("__mid"), col("pred").as("__mlang"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rk", row_number().over(wMaj)).filter(col("__rk") === 1)
+      .select(col("__mid"), col("__mlang").as("doc_majority"))
+    spans.join(majority.hint("shuffle_hash"), col(idCol) === col("__mid"))
+      .select(col(idCol), col("span_from"), col("span_to"),
+        col("span_blocks"), col("span_tokens"),
+        col("pred").as("lang"), col("doc_majority"))
+  }
+
+  /**
    * Distributed trainer for the hashed linear classifier — batch
    * logistic regression by gradient descent, so pipelines can FIT the
    * quality/language filter on their own seed data instead of
@@ -231,20 +301,7 @@ object Scoring {
     val w = Array.fill(k)(new Array[Double](buckets))
     if (nDocs == 0) return classes.zip(w.toSeq)
     for (_ <- 1 to iters) {
-      val wls = w.map(wc => array(wc.map(lit(_)): _*))
-      var d = tb
-      for (c <- 0 until k)
-        d = d.withColumn(s"__s$c",
-          sum(col("__f") * element_at(wls(c), col("__b") + 1)).over(byDoc))
-      val mx = greatest((0 until k).map(c => col(s"__s$c")): _*)
-      for (c <- 0 until k)
-        d = d.withColumn(s"__e$c", exp(col(s"__s$c") - mx))
-      val z = (0 until k).map(c => col(s"__e$c")).reduce(_ + _)
-      val gradCols = (0 until k).map { c =>
-        sum(col("__f") * (col(s"__e$c") / z -
-          when(col("__y") === classes(c), 1.0).otherwise(0.0))).as(s"__g$c")
-      }
-      val grad = d.groupBy(col("__b")).agg(gradCols.head, gradCols.tail: _*)
+      val grad = softmaxGradFrame(tb, w, classes)
         .collect() // <= buckets rows x k gradient sums
       grad.foreach { r =>
         val b = r.getInt(0)
@@ -252,6 +309,35 @@ object Scoring {
       }
     }
     classes.zip(w.toSeq)
+  }
+
+  /** One softmax-GD iteration's per-bucket gradient frame over the
+    * (doc, label, bucket, fraction) table: ONE select builds all k
+    * score windows and softmax columns (Catalyst extracts the k
+    * identical-per-class window aggregates into a single WindowExec,
+    * and `greatest` over the same window trees reuses them via
+    * subexpression extraction), then one map-side-combined per-bucket
+    * agg. Plan NODE COUNT is independent of k — the former 2k chained
+    * `withColumn`s grew the plan O(k) and re-ran the analyzer per
+    * column (round-12 advice; SoftmaxPlanSpec pins the node count at
+    * k = 5 vs k = 50). Exposed for that spec. */
+  private[operators] def softmaxGradFrame(tb: DataFrame, w: Array[Array[Double]],
+                                          classes: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = classes.length
+    val byDoc = Window.partitionBy("__id")
+    val wls = w.map(wc => array(wc.map(lit(_)): _*))
+    def score(c: Int) =
+      sum(col("__f") * element_at(wls(c), col("__b") + 1)).over(byDoc)
+    val mx = if (k == 1) score(0) else greatest((0 until k).map(score): _*)
+    val expCols = (0 until k).map(c => exp(score(c) - mx).as(s"__e$c"))
+    val d = tb.select(Seq(col("__y"), col("__b"), col("__f")) ++ expCols: _*)
+    val z = (0 until k).map(c => col(s"__e$c")).reduce(_ + _)
+    val gradCols = (0 until k).map { c =>
+      sum(col("__f") * (col(s"__e$c") / z -
+        when(col("__y") === classes(c), 1.0).otherwise(0.0))).as(s"__g$c")
+    }
+    d.groupBy(col("__b")).agg(gradCols.head, gradCols.tail: _*)
   }
 
   /** The l49 weight vector: 256 buckets, w_b = (b − 128)/256 — a fixed

@@ -352,6 +352,127 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "sim", "rank")
   }
 
+  // ------------------------------------------------- IVFADC (IVF × PQ)
+
+  /** Corpus rows with their coarse cell and the RESIDUAL vector
+    * (vector − cell centroid) — the quantity IVFADC PQ-encodes (Jégou,
+    * Douze & Schmid, TPAMI 2011 §IV: residuals carry far less variance
+    * than raw vectors once the coarse quantizer has removed the
+    * between-cell component, so the same codebook budget quantizes them
+    * more accurately). Cell assignment is [[assignCells]]' cosine rule
+    * (ties to the lowest cell id); centroids broadcast twice (assign +
+    * centroid re-attach) — the corpus never shuffles.
+    * Output: idCol, cell, `residCol`. */
+  def cellResiduals(corpus: DataFrame, centroids: DataFrame, vecCol: String,
+                    idCol: String, centroidIdCol: String,
+                    residCol: String = "__resid"): DataFrame =
+    assignCells(corpus, centroids, vecCol, idCol, centroidIdCol)
+      .join(broadcast(centroids.select(col(centroidIdCol).as("cell"),
+        col(vecCol).as("__ctr"))), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("__ctr"), (x, y) => x - y).as(residCol))
+
+  /** Build the IVFADC inverted index: PQ-encode each corpus vector's
+    * residual against `books` (a codebook trained ON residuals —
+    * compose [[cellResiduals]] + [[trainPqCodebooks]] for the trained
+    * path). Same plan shape as [[pqEncode]] with `cell` riding the
+    * grouping keys — one broadcast codebook join, two map-side-combined
+    * aggs, the corpus shuffles only on its own id.
+    *
+    * Output: (idCol, cell, codes array<int>). AT REST, partition or
+    * bucket this table BY CELL: a query probing `nprobe` of `ncells`
+    * cells then reads exactly that fraction of the codes from storage
+    * (the [[ivfadcTopK]] cell semi-join becomes partition pruning). */
+  def ivfadcEncode(corpus: DataFrame, centroids: DataFrame, books: DataFrame,
+                   vecCol: String, idCol: String, centroidIdCol: String,
+                   m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    require(m > 0 && dsub * m == dim, s"m=$m must divide dim=$dim")
+    cellResiduals(corpus, centroids, vecCol, idCol, centroidIdCol)
+      .select(col(idCol).as("__id"), col("cell"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS s, slice(__resid, s * $dsub + 1, $dsub) AS sv))")).as("e"))
+      .select(col("__id"), col("cell"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .join(broadcast(books.select(col("s"), col("j").as("__j"), col("sv").as("__cv"))),
+        Seq("s"))
+      .withColumn("__d", sqDist(col("sv"), col("__cv")))
+      .groupBy(col("__id"), col("cell"), col("s"))
+      .agg(min(struct(col("__d"), col("__j"))).as("mn"))
+      .groupBy(col("__id"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("mn.__j").as("j")))),
+        x => x.getField("j")).as("codes"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /**
+   * IVFADC top-k — the FAISS-layout composition of the coarse IVF
+   * quantizer with PQ residual codes (Jégou et al. TPAMI 2011 §IV),
+   * the honest 100 TB ANN: [[pqTopK]] ADC-scans the WHOLE encoded
+   * corpus per query batch; here each query coarse-probes its `nprobe`
+   * nearest cells, builds a PER-(query, cell) m×ksub lookup table of
+   * squared distances from the query's residual IN THAT CELL to the
+   * residual codebook, and scores only the probed cells' codes — a
+   * (cell, s, j) broadcast-lookup join, table sums on the scan side,
+   * no vector arithmetic. Scanned-code volume is nprobe/ncells of the
+   * corpus (exactly, when the codes table is partitioned by cell; the
+   * cell semi-join below carries the prune to any layout). The
+   * `rerank` closest candidates per query re-rank with the exact float
+   * cosine ([[int8TopK]]'s discipline; ties total-order by neighbor id
+   * in both passes). Queries must be few (the broadcast side).
+   * Output: query_id, neighbor_id, adist (double), sim, rank.
+   */
+  def ivfadcTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                 books: DataFrame, vecCol: String, idCol: String,
+                 centroidIdCol: String, m: Int, dim: Int,
+                 k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val dsub = dim / m
+    require(m > 0 && dsub * m == dim, s"m=$m must divide dim=$dim")
+    val codes = ivfadcEncode(corpus, centroids, books, vecCol, idCol,
+      centroidIdCol, m, dim)
+    // query side: nprobe cells per query, the query's residual AGAINST
+    // EACH probed cell's centroid (the ADC table is per (query, cell))
+    val probed = probeCells(queries, centroids, vecCol, idCol, centroidIdCol, nprobe)
+      .join(broadcast(centroids.select(col(centroidIdCol).as("cell"),
+        col(vecCol).as("__ctr"))), Seq("cell"))
+      .select(col(idCol).as("query_id"), col("cell"),
+        zip_with(col(vecCol), col("__ctr"), (x, y) => x - y).as("__qr"))
+    val dt = probed
+      .select(col("query_id"), col("cell"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS s, slice(__qr, s * $dsub + 1, $dsub) AS sv))")).as("e"))
+      .select(col("query_id"), col("cell"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .join(broadcast(books.select(col("s"), col("j"), col("sv").as("__cv"))), Seq("s"))
+      .select(col("query_id"), col("cell"), col("s"), col("j"),
+        sqDist(col("sv"), col("__cv")).as("__dt"))
+    // scan ONLY the probed cells' codes: the cell semi-join is the
+    // partition prune (nprobe/ncells of the corpus), then the
+    // (cell, s, j) lookup join scores survivors by table sums
+    val exploded = codes
+      .join(broadcast(dt.select(col("cell")).distinct()), Seq("cell"), "left_semi")
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("s", "j")))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv2"),
+      l2Norm(col(vecCol)).as("__cn"))
+    exploded.join(broadcast(dt), Seq("cell", "s", "j"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__dt")).as("adist"))
+      .withColumn("__ar", row_number().over(wApprox))
+      .filter(col("__ar") <= rerank)
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv.hint("shuffle_hash"), Seq("neighbor_id"))
+      .withColumn("sim", dot(col("__qv"), col("__cv2")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "sim", "rank")
+  }
+
   /** Approximate kNN GRAPH over the whole corpus — every vector's top-k
     * cosine neighbors among its random-hyperplane LSH candidates
     * ([[Dedup.rhpCandidatePairs]]): the all-pairs precursor to

@@ -165,6 +165,35 @@ object LlmQueries {
   // Language-ID marker stopwords (scored over ' '||lower(text)||' ').
   private val langMarkers = Seq("en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
 
+  /** l88 fixture rows (doc_id, input, expected): inputs built by
+    * MECHANICALLY corrupting clean strings (UTF-8 bytes decoded as
+    * windows-1252 — the JVM charset machinery, ground truth independent
+    * of the operator under test); expected = the clean original for
+    * repair cases, the input itself where the guard must hold fire. */
+  private lazy val mojibakeCases: Seq[(Long, String, String)] = {
+    def corrupt(t: String) = new String(t.getBytes("UTF-8"),
+      java.nio.charset.Charset.forName("windows-1252"))
+    val latin = "café résumé naïve – obviously"
+    val curly = "curly ‘quotes’ cost €9 — so…"
+    // NB: bytes must avoid cp1252's UNDEFINED slots (0x81 0x8D 0x8F
+    // 0x90 0x9D — e.g. の is E3 81 AE): the JVM decodes those to
+    // U+FFFD, i.e. the corruption itself is lossy and unrepairable
+    // (the guard then correctly holds fire — see the spec)
+    val cjk = "日本語テスト"
+    val plain = "plain ascii stays exactly"
+    val legit = "São Paulo é ótimo, NÃO?"
+    val euro = "price € 5 – now"
+    val mixed = corrupt("café au lait") + " → unmappable arrow"
+    Seq(
+      (1L, corrupt(latin), latin),           // one hop -> restored
+      (2L, corrupt(curly), curly),           // cp1252 specials path
+      (3L, corrupt(corrupt(cjk)), cjk),      // two hops -> two passes
+      (4L, plain, plain),                    // ASCII untouched
+      (5L, legit, legit),                    // legit accents untouched
+      (6L, euro, euro),                      // legit € / – untouched
+      (7L, mixed, mixed))                    // mixed: guard holds fire
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // L1 — exact dedup profile: content-hash group with multiplicity +
@@ -1838,6 +1867,117 @@ object LlmQueries {
         "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM sims) " +
         "WHERE rnk <= 5 ORDER BY query_id, rnk")),
 
+    // L85 — IVFADC (Jégou et al. 2011 §IV, the FAISS layout): the
+    // composition l79 lacks — l79's ADC pass scans the WHOLE encoded
+    // corpus per query batch; here the coarse IVF quantizer (l8/l42's
+    // cell machinery) routes each query to nprobe=2 of 4 cells, PQ
+    // codes are trained/looked-up on RESIDUALS (vector − cell
+    // centroid), and the ADC scan touches only the probed cells' codes
+    // (the cell semi-join; partition-by-cell at rest makes it a storage
+    // prune). Drives the REAL operator path (Similarity.ivfadcTopK)
+    // with FORMULA coarse centroids + FORMULA residual codebooks over
+    // 10⁶-quantized integer-valued doubles — every dot, residual,
+    // squared distance and ADC sum is an exact integer (< 2⁵³, so
+    // engine fold order is irrelevant), the oracle recomputes the same
+    // assignment/encode/probe/lookup relationally, and the only
+    // rounding anywhere is the final cosine's documented ROUND(…, 6).
+    // TRAINED residual codebooks are certified by the recall spec in
+    // OperatorSpec (the l42 split).
+    "l85_ann_ivfadc" -> QueryDef(
+      (s, d) => {
+        val m = 8; val dim = 64; val ksub = 16; val dsub = dim / m
+        val cents = s.range(4L).toDF("cell")
+          .withColumn("__v", expr("transform(sequence(0, 63), " +
+            "t -> CAST(((cell * 13 + t * 7) % 23 - 11) * 50000 AS DOUBLE))"))
+        val books = s.range(m.toLong * ksub).toDF("__i")
+          .select((col("__i") / ksub).cast("int").as("s"),
+            (col("__i") % ksub).cast("int").as("j"))
+          .withColumn("sv", expr(s"transform(sequence(0, ${dsub - 1}), " +
+            "t -> CAST(((j * 17 + t * 5 + s * 3) % 41 - 20) * 25000 AS DOUBLE))"))
+        val quant = Tables.embeddings(s, d).select(col("vec_id"), expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(floor(x * 1000000) AS DOUBLE))").as("__v"))
+        graft.operators.Similarity.ivfadcTopK(
+            quant.filter(col("vec_id") < 5), quant, cents, books,
+            "__v", "vec_id", "cell", m, dim, k = 5, nprobe = 2, rerank = 20)
+          .select(col("query_id"), col("neighbor_id"),
+            col("adist").cast("long").as("adist_l"),
+            round(col("sim"), 6).as("sim"), col("rank").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(FLOOR(x * 1000000) AS DOUBLE)) AS v FROM embeddings), " +
+        "cc AS (SELECT cell, t, CAST(((cell * 13 + t * 7) % 23 - 11) * 50000 AS DOUBLE) AS c " +
+        "FROM (SELECT UNNEST(range(4)) AS cell), (SELECT UNNEST(range(64)) AS t)), " +
+        // cosine vec→cell over exact-integer dots (order-free sums)
+        "vc AS (SELECT e.vec_id, cc.cell, SUM(e.v[cc.t + 1] * cc.c) AS dp, " +
+        "SUM(e.v[cc.t + 1] * e.v[cc.t + 1]) AS vn2, SUM(cc.c * cc.c) AS cn2 " +
+        "FROM e, cc GROUP BY 1, 2), " +
+        "cs AS (SELECT vec_id, cell, dp / (sqrt(vn2) * sqrt(cn2)) AS csim FROM vc), " +
+        "asn AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM cs) WHERE rn = 1), " +
+        "res AS (SELECT a.vec_id, a.cell, cc.t, e.v[cc.t + 1] - cc.c AS x " +
+        "FROM asn a JOIN e ON e.vec_id = a.vec_id JOIN cc ON cc.cell = a.cell), " +
+        "cb AS (SELECT s, j, t, CAST(((j * 17 + t * 5 + s * 3) % 41 - 20) * 25000 AS DOUBLE) AS c " +
+        "FROM (SELECT UNNEST(range(8)) AS s), (SELECT UNNEST(range(16)) AS j), " +
+        "(SELECT UNNEST(range(8)) AS t)), " +
+        "rsub AS (SELECT vec_id, cell, t // 8 AS s, t % 8 AS st, x FROM res), " +
+        "d AS (SELECT vec_id, cell, rsub.s, j, SUM((x - c) * (x - c)) AS dist " +
+        "FROM rsub JOIN cb ON cb.s = rsub.s AND cb.t = rsub.st GROUP BY 1, 2, 3, 4), " +
+        "codes AS (SELECT vec_id, cell, s, j FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d) WHERE rn = 1), " +
+        // query side: nprobe=2 cells each, residual PER probed cell
+        "qp AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn " +
+        "FROM cs WHERE vec_id < 5) WHERE rn <= 2), " +
+        "qres AS (SELECT q.query_id, q.cell, cc.t, e.v[cc.t + 1] - cc.c AS x " +
+        "FROM qp q JOIN e ON e.vec_id = q.query_id JOIN cc ON cc.cell = q.cell), " +
+        "qsub AS (SELECT query_id, cell, t // 8 AS s, t % 8 AS st, x FROM qres), " +
+        "dtq AS (SELECT query_id, cell, qsub.s, j, SUM((x - c) * (x - c)) AS dist " +
+        "FROM qsub JOIN cb ON cb.s = qsub.s AND cb.t = qsub.st GROUP BY 1, 2, 3, 4), " +
+        "ad AS (SELECT dtq.query_id, codes.vec_id AS neighbor_id, SUM(dtq.dist) AS adist " +
+        "FROM codes JOIN dtq ON dtq.cell = codes.cell AND dtq.s = codes.s " +
+        "AND dtq.j = codes.j AND dtq.query_id <> codes.vec_id GROUP BY 1, 2), " +
+        "cand AS (SELECT query_id, neighbor_id, adist FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY adist, neighbor_id) AS ar FROM ad) WHERE ar <= 20), " +
+        "sims AS (SELECT query_id, neighbor_id, adist, " +
+        cosSql("qa.v", "cb2.v") + " AS sim FROM cand " +
+        "JOIN e qa ON qa.vec_id = query_id JOIN e cb2 ON cb2.vec_id = neighbor_id) " +
+        "SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist_l, " +
+        "ROUND(sim, 6) AS sim, rnk FROM (SELECT *, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM sims) " +
+        "WHERE rnk <= 5 ORDER BY query_id, rnk")),
+
+    // L88 — mojibake repair (TextFunctions.fixMojibake): windows-1252-
+    // of-UTF-8 double encoding ("Ã©" for "é") passes every UTF-8
+    // validity check — l77's sniff CANNOT catch it — and flows through
+    // every downstream text operator uncorrected; this is the single
+    // most common crawl corruption. The fixture is the l77 philosophy
+    // inverted to the char domain: inputs are BUILT by mechanically
+    // corrupting known strings with the JVM's charset machinery
+    // (UTF-8 bytes decoded as windows-1252 — ground truth independent
+    // of the operator), the oracle is a VALUES relation of the
+    // ORIGINAL clean strings (or the input itself where the guard
+    // must hold fire), so a hash match proves the round trip restores
+    // exactly the intended text AND that clean text — legit "NÃO",
+    // "São", a real € price, mixed mojibake+unmappable — is never
+    // altered. Two passes handle twice-corrupted text. Pure per-row
+    // projection, zero shuffles at any scale.
+    "l88_mojibake_repair" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        mojibakeCases.map { case (id, input, _) => (id, input) }
+          .toDF("doc_id", "raw")
+          .select(col("doc_id"), fixMojibake(col("raw")).as("fixed"))
+          .withColumn("fixed_md5", md5(col("fixed")))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, fixed, md5(fixed) AS fixed_md5 FROM (VALUES " +
+        mojibakeCases.map { case (id, _, expected) =>
+          s"(CAST($id AS BIGINT), '${expected.replace("'", "''")}')"
+        }.mkString(", ") +
+        ") AS t(doc_id, fixed) ORDER BY doc_id")),
+
     // L80 — GPT-style training-sequence packing (Packing.sequencePack):
     // the corpus's tokens concatenated in doc_id order and cut into
     // fixed-128-token training sequences, documents split at the
@@ -1863,6 +2003,145 @@ object LlmQueries {
         "CAST(GREATEST(0, seq_id * 128 - st) AS BIGINT) AS tok_from, " +
         "CAST(LEAST(n_tok, (seq_id + 1) * 128 - st) AS BIGINT) AS tok_to " +
         "FROM x ORDER BY seq_id, doc_id")),
+
+    // L86 — split-AVERSE whole-document packing (Packing.packWholeDocs):
+    // the Llama-class layout l80 is not — l80 concatenates and cuts at
+    // sequence boundaries (documents straddle them), this places every
+    // doc ≤ 128 tokens WHOLE into one 128-token bin (attention never
+    // crosses documents) and truncates longer docs to a bin of their
+    // own. Sequential best-fit-decreasing does not distribute, so the
+    // operator is the deterministic distributed greedy: length-class
+    // shelf packing (class c = 128 div n_tok holds c docs per bin, >
+    // 50% fill in every full bin), classes laid out by the l30
+    // prefix-offset pattern. Integer arithmetic end to end; the oracle
+    // recomputes the identical greedy with plain windows.
+    "l86_pack_whole" -> QueryDef(
+      (s, d) => graft.operators.Packing.packWholeDocs(
+          Tables.documents(s, d), "text", "doc_id", seqLen = 128L)
+        .orderBy("bin_id", "doc_id"),
+      Some("WITH n AS (SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_tok " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, n_tok, LEAST(n_tok, 128) AS nt FROM n), " +
+        "c AS (SELECT doc_id, n_tok, nt, 128 // nt AS cl FROM t), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cl ORDER BY doc_id) - 1 AS rk FROM c), " +
+        "o AS (SELECT cl, COALESCE(SUM((cnt + cl - 1) // cl) OVER " +
+        "(ORDER BY cl ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "FROM (SELECT cl, COUNT(*) AS cnt FROM c GROUP BY cl)) " +
+        "SELECT CAST(o.off + r.rk // r.cl AS BIGINT) AS bin_id, r.doc_id, " +
+        "CAST(n_tok AS BIGINT) AS n_tok, CAST(nt AS BIGINT) AS tok_kept, " +
+        "n_tok > 128 AS truncated " +
+        "FROM r JOIN o USING (cl) ORDER BY bin_id, doc_id")),
+
+    // L89 — BPE-token-budgeted packing (Packing.sequencePackBpe): the
+    // l80 layout with the sequence budget counted in REAL tokenizer
+    // tokens (Bpe.encodeWordsFast over the distinct vocabulary joined
+    // back to per-doc word multiplicities) instead of whitespace
+    // words. The declared run uses the EMPTY merge table, under which
+    // a word encodes to its code points and the budget degenerates to
+    // the non-space character count — relationally expressible, so the
+    // oracle certifies the whole live path (vocab encode, multiplicity
+    // join, count agg, chunked prefix sum, explode) with zero
+    // BPE-specific arithmetic left unchecked; TRAINED tables are
+    // golden-pinned in OperatorSpec (full-merge identity with l80 +
+    // hand-computed partial-merge counts, the l73 pattern).
+    "l89_pack_bpe" -> QueryDef(
+      (s, d) => graft.operators.Packing.sequencePackBpe(
+          Tables.documents(s, d), "text", "doc_id", Seq.empty, seqLen = 512L)
+        .orderBy("seq_id", "doc_id"),
+      Some("WITH n AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_tok " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, n_tok, " +
+        "CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS st FROM n), " +
+        "x AS (SELECT doc_id, n_tok, st, " +
+        "UNNEST(generate_series(st // 512, CAST((st + n_tok - 1) // 512 AS BIGINT))) AS seq_id " +
+        "FROM p WHERE n_tok > 0) " +
+        "SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, " +
+        "CAST(GREATEST(0, seq_id * 512 - st) AS BIGINT) AS tok_from, " +
+        "CAST(LEAST(n_tok, (seq_id + 1) * 512 - st) AS BIGINT) AS tok_to " +
+        "FROM x ORDER BY seq_id, doc_id")),
+
+    // L87 — per-block language segmentation
+    // (Scoring.blockLanguageSpans): l75 classifies whole documents,
+    // but crawl pages mix languages BLOCK BY BLOCK — this composes
+    // l76's boilerplate block filter with l75's hashed multiclass
+    // classifier: classify each kept block, merge adjacent same-label
+    // blocks into spans (gaps-and-islands), attach the page's majority
+    // label (most blocks, ties to the earliest class). The fixture is
+    // l76's page construction with THREE classifiable prose blocks
+    // whose content varies per doc (text, id%7, id%3), so block
+    // predictions — and therefore span shapes and majorities — vary
+    // across the corpus; the oracle recomputes the whole composition
+    // (block cuts → per-block bucket sums ×256 as exact integers →
+    // argmax → islands → majority) from the same constructed HTML.
+    "l87_block_lang" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val html = concat(
+          lit("<html><head><title>T"), str(id), lit("</title></head><body>"),
+          lit("<nav><ul><li><a href=/h>Home</a></li><li><a href=/c"), str(id % 5),
+          lit(">Cat "), str(id % 5), lit("</a></li><li><a href=/c>Contact</a></li></ul></nav>"),
+          lit("<p>the story of "), col("text"), lit(" and the rest of a tale</p>"),
+          lit("<p>the report of a chapter "), str(id % 7),
+          lit(" and the sum of all the parts</p>"),
+          lit("<p>short "), str(id % 5), lit("</p>"),
+          lit("<p>the account of a ledger "), str(id % 3),
+          lit(" and the tale of all the sums</p>"),
+          lit("<footer>Copyright 20"), str(id % 10),
+          lit(" <a href=/p>privacy</a> <a href=/t>terms</a></footer>"),
+          lit("</body></html>"))
+        val classes = Seq("en", "de", "fr", "es").zipWithIndex.map { case (lang, c) =>
+          lang -> Array.tabulate(256)(b => (((b + 37 * c) % 256) - 128) / 256.0)
+        }
+        graft.operators.Scoring.blockLanguageSpans(
+            Tables.documents(s, d).select(id, html.as("page")), "page", "doc_id", classes)
+          .orderBy("doc_id", "span_from")
+      },
+      Some {
+        val h16 = (e: String) =>
+          s"((strpos('0123456789abcdef', substr(md5($e),1,1))-1)*4096 + " +
+            s"(strpos('0123456789abcdef', substr(md5($e),2,1))-1)*256 + " +
+            s"(strpos('0123456789abcdef', substr(md5($e),3,1))-1)*16 + " +
+            s"(strpos('0123456789abcdef', substr(md5($e),4,1))-1)) % 256"
+        "WITH h AS (SELECT doc_id, '<html><head><title>T' || CAST(doc_id AS VARCHAR) || " +
+          "'</title></head><body>' || " +
+          "'<nav><ul><li><a href=/h>Home</a></li><li><a href=/c' || CAST(doc_id % 5 AS VARCHAR) || " +
+          "'>Cat ' || CAST(doc_id % 5 AS VARCHAR) || '</a></li><li><a href=/c>Contact</a></li></ul></nav>' || " +
+          "'<p>the story of ' || text || ' and the rest of a tale</p>' || " +
+          "'<p>the report of a chapter ' || CAST(doc_id % 7 AS VARCHAR) || " +
+          "' and the sum of all the parts</p>' || " +
+          "'<p>short ' || CAST(doc_id % 5 AS VARCHAR) || '</p>' || " +
+          "'<p>the account of a ledger ' || CAST(doc_id % 3 AS VARCHAR) || " +
+          "' and the tale of all the sums</p>' || " +
+          "'<footer>Copyright 20' || CAST(doc_id % 10 AS VARCHAR) || " +
+          "' <a href=/p>privacy</a> <a href=/t>terms</a></footer>' || " +
+          "'</body></html>' AS html FROM documents), " +
+          mainContentCtes("h") + ", " +
+          "btok AS (SELECT doc_id, ord, UNNEST(string_split(t, ' ')) AS tkn FROM mck WHERE keep), " +
+          s"bh AS (SELECT doc_id, ord, ${h16("tkn")} AS b FROM btok), " +
+          "bg AS (SELECT doc_id, ord, b, COUNT(*) AS n FROM bh GROUP BY 1, 2, 3), " +
+          "bs AS (SELECT doc_id, ord, CAST(SUM(n) AS BIGINT) AS n_tokens, " +
+          "CAST(SUM(n * (((b + 0) % 256) - 128)) AS BIGINT) AS s0, " +
+          "CAST(SUM(n * (((b + 37) % 256) - 128)) AS BIGINT) AS s1, " +
+          "CAST(SUM(n * (((b + 74) % 256) - 128)) AS BIGINT) AS s2, " +
+          "CAST(SUM(n * (((b + 111) % 256) - 128)) AS BIGINT) AS s3 FROM bg GROUP BY 1, 2), " +
+          "lab AS (SELECT doc_id, ord, n_tokens, " +
+          "CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'en' " +
+          "WHEN s1 >= s2 AND s1 >= s3 THEN 'de' " +
+          "WHEN s2 >= s3 THEN 'fr' ELSE 'es' END AS lang FROM bs), " +
+          "isl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) " +
+          "- ROW_NUMBER() OVER (PARTITION BY doc_id, lang ORDER BY ord) AS i FROM lab), " +
+          "sp AS (SELECT doc_id, lang, i, CAST(MIN(ord) AS BIGINT) AS span_from, " +
+          "CAST(MAX(ord) AS BIGINT) AS span_to, COUNT(*) AS span_blocks, " +
+          "CAST(SUM(n_tokens) AS BIGINT) AS span_tokens FROM isl GROUP BY 1, 2, 3), " +
+          "cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM lab GROUP BY 1, 2), " +
+          "maj AS (SELECT doc_id, lang AS doc_majority FROM (SELECT *, " +
+          "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, " +
+          "CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2 ELSE 3 END) AS rk " +
+          "FROM cnt) WHERE rk = 1) " +
+          "SELECT sp.doc_id, span_from, span_to, span_blocks, span_tokens, lang, doc_majority " +
+          "FROM sp JOIN maj USING (doc_id) ORDER BY doc_id, span_from"
+      }),
 
     // L70 — IP-literal URL canonicalization, cross-engine certified
     // (the l64 pattern over the address-shaped corner of the URL

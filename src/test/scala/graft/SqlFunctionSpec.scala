@@ -167,4 +167,45 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(rows(1) == ("call <PHONE> now", 1L))
     assert(rows(2) == ("no pii here just words 42 and x@y (not an email)", 0L))
   }
+
+  test("fixMojibake repairs constructed double encodings and never touches clean text (fuzz)") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def corrupt(t: String) = new String(t.getBytes("UTF-8"), cp1252)
+    val rnd = new scala.util.Random(67)
+    // clean corpus: ASCII + latin accents + specials + CJK + emoji —
+    // 400 random mixes, none may be altered
+    val pieces = Array("plain words", "café", "NÃO", "São", "résumé",
+      "€9 – now", "“curly”", "naïve", "日本語", "emoji 😀", "Ω≠π", "l'élève")
+    val clean = (1 to 400).map(_ =>
+      (1 to 1 + rnd.nextInt(6)).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(" "))
+    val untouched = clean.toDF("t")
+      .select(col("t"), TextFunctions.fixMojibake(col("t")).as("f"))
+      .as[(String, String)].collect()
+    untouched.foreach { case (t, f) => assert(f == t, s"clean text altered: $t -> $f") }
+    // corrupted corpus: the same mixes double-encoded, EXCLUDING pieces
+    // whose UTF-8 bytes hit cp1252's undefined slots (the JVM decodes
+    // those to U+FFFD — the corruption itself is lossy) and the legit-
+    // high-latin pieces whose corruption survives a re-encode; one hop
+    // must restore the original exactly
+    def lossless(t: String) =
+      !corrupt(t).contains('�')
+    val repairable = clean.filter(lossless).filter(t => t.exists(_ > 'ÿ') || "éïàãç".exists(t.contains(_)))
+    assert(repairable.size > 100, s"fuzz corpus too small: ${repairable.size}")
+    val repaired = repairable.map(t => (t, corrupt(t))).toDF("orig", "bad")
+      .select(col("orig"), TextFunctions.fixMojibake(col("bad")).as("f"))
+      .as[(String, String)].collect()
+    repaired.foreach { case (orig, f) => assert(f == orig, s"not repaired to original") }
+    // twice-corrupted text needs (and gets) exactly two passes — where
+    // the SECOND hop is itself lossless (hop-1 output can contain chars
+    // like Ï whose UTF-8 bytes land on cp1252's undefined slots)
+    val twice = repairable.filter(t => lossless(corrupt(t))).take(50)
+      .map(t => (t, corrupt(corrupt(t)))).toDF("orig", "bad")
+      .select(col("orig"), TextFunctions.fixMojibake(col("bad"), passes = 2).as("f"))
+      .as[(String, String)].collect()
+    twice.foreach { case (orig, f) => assert(f == orig) }
+  }
 }

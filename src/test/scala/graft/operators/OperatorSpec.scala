@@ -804,6 +804,63 @@ class OperatorSpec extends AnyFunSuite {
     assert(perSeq.keys.toSeq.sorted == (0L to lastSeq), "no empty sequences skipped")
   }
 
+  test("Packing.packWholeDocs: zero splits, exact coverage, >50% fill in full bins, truncate-only overflow") {
+    // token counts 1..40 across many length classes; seqLen = 32 so
+    // some docs overflow and must be truncated into solo bins
+    val docs = (1 to 200).map(i => (i.toLong, ("w " * (1 + (i * 7) % 40)).trim))
+      .toDF("doc_id", "text")
+    val out = Packing.packWholeDocs(docs, "text", "doc_id", seqLen = 32L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    // one row per document — zero split docs, structurally
+    assert(out.length == 200 && out.map(_._2).toSet.size == 200)
+    out.foreach { case (_, _, n, kept, tr) =>
+      if (n <= 32) assert(kept == n && !tr) else assert(kept == 32 && tr)
+    }
+    // bins never overflow; FULL bins (c = 32 div kept members) exceed
+    // half capacity — the harmonic-shelf utilization floor
+    out.groupBy(_._1).foreach { case (bin, members) =>
+      val fill = members.map(_._4).sum
+      assert(fill <= 32, s"bin $bin overfull: $fill")
+      val c = 32L / members.head._4
+      assert(members.forall(m => 32L / m._4 == c), s"bin $bin mixes classes")
+      if (members.length == c.toInt)
+        assert(fill > 16, s"full bin $bin under half fill: $fill")
+    }
+    // the contrast with l80: sequencePack SPLITS documents at sequence
+    // boundaries on the same corpus; packWholeDocs never does
+    val splitDocs = Packing.sequencePack(docs, "text", "doc_id", seqLen = 32L)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(splitDocs > 0, "corpus too easy: sequencePack split nothing")
+    // chunked rank form is chunk-size-invariant (the l30/l80 discipline)
+    val out2 = Packing.packWholeDocs(docs, "text", "doc_id", seqLen = 32L, idChunk = 7L)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == out2.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("Packing.sequencePackBpe: full-merge identity with sequencePack, hand-pinned partial merges, char-level empty table") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "cd cd cd ab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select("seq_id", "doc_id", "tok_from", "tok_to")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // a FULL merge table (every word collapses to one symbol) prices a
+    // word at exactly 1 token — the layout must be sequencePack's,
+    // row for row
+    val full = Seq(("a", "b"), ("c", "d"))
+    assert(rows(Packing.sequencePackBpe(docs, "text", "doc_id", full, 4L)) ==
+      rows(Packing.sequencePack(docs, "text", "doc_id", 4L)))
+    // partial merges, hand-derived: with only (a,b), "abc" -> [ab, c]
+    // = 2 tokens; "abc abc" = 4 tokens; seqLen 3 cuts [0,3) + [3,4)
+    val partial = Seq((10L, "abc abc")).toDF("doc_id", "text")
+    assert(rows(Packing.sequencePackBpe(partial, "text", "doc_id", Seq(("a", "b")), 3L)) ==
+      Seq((0L, 10L, 0L, 3L), (1L, 10L, 3L, 4L)))
+    // EMPTY table: a word prices at its code-point count — "ab c" is
+    // 3 tokens (the l89 oracle's non-space character budget)
+    val charLevel = Seq((20L, "ab c")).toDF("doc_id", "text")
+    assert(rows(Packing.sequencePackBpe(charLevel, "text", "doc_id", Seq.empty, 2L)) ==
+      Seq((0L, 20L, 0L, 2L), (1L, 20L, 2L, 3L)))
+  }
+
   test("Similarity PQ: training is deterministic; ADC+rerank recalls the true top-10") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("embedding"))
@@ -830,6 +887,48 @@ class OperatorSpec extends AnyFunSuite {
     // pass must still steer the exact re-rank to most true neighbors
     // (chance level for 60/300 candidates would be ~0.2)
     assert(recall >= 0.5, s"recall@10 = $recall")
+    embs.unpersist()
+  }
+
+  test("Similarity IVFADC: residual-trained codes recall the true top-10; nprobe widens monotonically") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("embedding"))
+      .limit(300).cache()
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val cents = Similarity.trainCentroids(embs, "embedding", "vec_id", k = 4, iters = 3)
+    // the residual corpus IS the training input (Jégou §IV): codebooks
+    // quantize vector − cell centroid, not the raw vectors
+    val resid = Similarity.cellResiduals(embs, cents, "embedding", "vec_id", "cell")
+      .select(col("vec_id"), col("__resid").as("embedding"))
+    val books = Similarity.trainPqCodebooks(resid, "embedding", "vec_id",
+      m = 8, ksub = 16, dim = dim, iters = 4)
+    val q = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, embs, "embedding", "vec_id", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfadcTopK(q, embs, cents, books, "embedding", "vec_id",
+          "cell", m = 8, dim = dim, k = 10, nprobe = nprobe, rerank = 60)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val r1 = recall(1); val rAll = recall(4)
+    info(f"IVFADC recall@10: nprobe=1 $r1%.2f, nprobe=4 $rAll%.2f")
+    // nprobe = ncells scans every cell — the pqTopK regime with FINER
+    // (residual) quantization, so the same 0.5 floor must hold
+    assert(rAll >= 0.5, s"recall@10 at nprobe=4 = $rAll")
+    assert(rAll >= r1, s"widening the probe lost recall: $r1 -> $rAll")
+    // the scan is confined to probed cells: with nprobe=1 every
+    // returned neighbor shares the query's nearest cell
+    val cellOf = Similarity.assignCells(embs, cents, "embedding", "vec_id", "cell")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val got1 = Similarity.ivfadcTopK(q, embs, cents, books, "embedding", "vec_id",
+        "cell", m = 8, dim = dim, k = 10, nprobe = 1, rerank = 60)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got1.nonEmpty)
+    got1.foreach { case (qid, nid) =>
+      assert(cellOf(nid) == cellOf(qid), s"neighbor $nid outside query $qid's probed cell")
+    }
     embs.unpersist()
   }
 

@@ -197,6 +197,23 @@ class ScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("softmaxGradFrame plan node count is independent of the class count") {
+    // the round-12 advice: the former 2k chained withColumns grew the
+    // plan O(k); the one-select form must plan the same OPERATOR tree
+    // at k = 5 and k = 50 (expressions widen, node count must not)
+    import org.apache.spark.sql.functions.col
+    val tb = Seq((1L, "c0", 0, 0.5), (1L, "c1", 1, 0.5), (2L, "c1", 1, 1.0))
+      .toDF("__id", "__y", "__b", "__f")
+    def nodes(k: Int): Int = {
+      val classes = (0 until k).map(c => s"c$c")
+      val w = Array.fill(k)(new Array[Double](4))
+      Scoring.softmaxGradFrame(tb, w, classes)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    val n5 = nodes(5); val n50 = nodes(50)
+    assert(n5 == n50, s"plan grew with k: $n5 nodes at k=5, $n50 at k=50")
+  }
+
   test("trainSoftmaxHashed weights drop into hashedMulticlassScore and classify") {
     import org.apache.spark.sql.functions.col
     // three classes with disjoint token vocabularies — separable, so
@@ -216,6 +233,42 @@ class ScoringSpec extends AnyFunSuite {
       .select(col("doc_id"), col("pred")).as[(Long, String)].collect().toMap
     val acc = docs.count(d => pred(d._1) == d._3).toDouble / docs.length
     assert(acc >= 0.95, s"training-set accuracy $acc")
+  }
+
+  test("blockLanguageSpans segments constructed mixed-language pages; adjacent blocks merge; majority wins") {
+    import org.apache.spark.sql.functions.col
+    // two "languages" with disjoint vocabularies (plus shared function
+    // words so the boilerplate stopword gate passes), classifier
+    // TRAINED on them — the l75-to-l87 path end to end
+    val rnd = new scala.util.Random(29)
+    val classes = Seq("aa", "bb")
+    def sentence(cls: String): String =
+      (1 to 9).map(_ => s"${cls}_word${rnd.nextInt(30)}").mkString(" ") + " the a of"
+    val train = (1 to 240).map { i =>
+      val c = classes(i % 2); (i.toLong, sentence(c), c)
+    }
+    val trained = Scoring.trainSoftmaxHashed(train.toDF("doc_id", "text", "label"),
+      "text", "doc_id", "label", classes, buckets = 64, iters = 30, lr = 10.0)
+    // pages: two adjacent aa blocks then one bb block -> two spans,
+    // majority aa; the reverse page checks the other direction
+    def page(blocks: Seq[String]): String =
+      "<html><body>" + blocks.map(b => s"<p>$b</p>").mkString + "</body></html>"
+    val pages = Seq(
+      (1L, page(Seq(sentence("aa"), sentence("aa"), sentence("bb")))),
+      (2L, page(Seq(sentence("bb"), sentence("bb"), sentence("aa"), sentence("bb"))))
+    ).toDF("doc_id", "page")
+    val out = Scoring.blockLanguageSpans(pages, "page", "doc_id", trained)
+      .select("doc_id", "span_from", "span_blocks", "lang", "doc_majority")
+      .as[(Long, Long, Long, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    val p1 = out(1L)
+    assert(p1.map(_._4) == Seq("aa", "bb"), p1.toString)
+    assert(p1.map(_._3) == Seq(2L, 1L), p1.toString)   // adjacent aa blocks merged
+    assert(p1.forall(_._5 == "aa"))                    // majority
+    val p2 = out(2L)
+    assert(p2.map(_._4) == Seq("bb", "aa", "bb"), p2.toString)
+    assert(p2.map(_._3) == Seq(2L, 1L, 1L), p2.toString)
+    assert(p2.forall(_._5 == "bb"))
   }
 
   test("compressionRatio orders repetitive < prose < noise, deterministically") {
