@@ -425,18 +425,67 @@ object Similarity {
                  books: DataFrame, vecCol: String, idCol: String,
                  centroidIdCol: String, m: Int, dim: Int,
                  k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    val dsub = dim / m
-    require(m > 0 && dsub * m == dim, s"m=$m must divide dim=$dim")
     val codes = ivfadcEncode(corpus, centroids, books, vecCol, idCol,
       centroidIdCol, m, dim)
-    // query side: nprobe cells per query, the query's residual AGAINST
-    // EACH probed cell's centroid (the ADC table is per (query, cell))
-    val probed = probeCells(queries, centroids, vecCol, idCol, centroidIdCol, nprobe)
+    val dt = ivfadcQueryTables(queries, centroids, books, vecCol, idCol,
+      centroidIdCol, m, dim, nprobe)
+    // scan ONLY the probed cells' codes: the cell semi-join is the
+    // in-memory prune (nprobe/ncells of the corpus); against a
+    // persisted index use [[ivfadcTopKIndexed]], where the same prune
+    // is a STATIC partition filter the parquet scan skips files by
+    val pruned = codes
+      .join(broadcast(dt.select(col("cell")).distinct()), Seq("cell"), "left_semi")
+    ivfadcAdcRerank(pruned, dt, queries, corpus, vecCol, idCol, k, rerank)
+  }
+
+  /** Persist the IVFADC inverted index PARTITIONED BY CELL — the
+    * at-rest layout of a 100 TB deployment: each coarse cell's codes
+    * live in their own directory, so probing `nprobe` of `ncells`
+    * cells reads exactly that fraction of the (already 32-64x
+    * compressed) index bytes via ordinary parquet partition pruning —
+    * no scan of unprobed cells ever starts. */
+  def writeIvfadcIndex(corpus: DataFrame, centroids: DataFrame, books: DataFrame,
+                       vecCol: String, idCol: String, centroidIdCol: String,
+                       m: Int, dim: Int, path: String): Unit =
+    ivfadcEncode(corpus, centroids, books, vecCol, idCol, centroidIdCol, m, dim)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** [[ivfadcTopK]] against a PERSISTED index ([[writeIvfadcIndex]]):
+    * the probed cell ids are collected (<= |queries|*nprobe values —
+    * the few-queries contract makes this the k-row driver-collect
+    * class) and pushed as a STATIC `IN` filter on the partition
+    * column, so the parquet scan plans with a partition filter and
+    * reads only the probed cells' files — the storage-level prune the
+    * in-memory semi-join can only simulate (spec-pinned: the scan's
+    * PartitionFilters carry the cells, results row-identical to
+    * [[ivfadcTopK]]). */
+  def ivfadcTopKIndexed(queries: DataFrame, indexPath: String, corpus: DataFrame,
+                        centroids: DataFrame, books: DataFrame, vecCol: String,
+                        idCol: String, centroidIdCol: String, m: Int, dim: Int,
+                        k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val dt = ivfadcQueryTables(queries, centroids, books, vecCol, idCol,
+      centroidIdCol, m, dim, nprobe)
+    val cells = dt.select(col("cell")).distinct().collect().map(_.get(0))
+    val pruned = corpus.sparkSession.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+    ivfadcAdcRerank(pruned, dt, queries, corpus, vecCol, idCol, k, rerank)
+  }
+
+  /** Query side of IVFADC: nprobe cells per query, the query's
+    * residual AGAINST EACH probed cell's centroid (the ADC table is
+    * per (query, cell)), expanded into the m x ksub table of squared
+    * distances to the residual codebook. */
+  private def ivfadcQueryTables(queries: DataFrame, centroids: DataFrame,
+                                books: DataFrame, vecCol: String, idCol: String,
+                                centroidIdCol: String, m: Int, dim: Int,
+                                nprobe: Int): DataFrame = {
+    val dsub = dim / m
+    require(m > 0 && dsub * m == dim, s"m=$m must divide dim=$dim")
+    probeCells(queries, centroids, vecCol, idCol, centroidIdCol, nprobe)
       .join(broadcast(centroids.select(col(centroidIdCol).as("cell"),
         col(vecCol).as("__ctr"))), Seq("cell"))
       .select(col(idCol).as("query_id"), col("cell"),
         zip_with(col(vecCol), col("__ctr"), (x, y) => x - y).as("__qr"))
-    val dt = probed
       .select(col("query_id"), col("cell"), explode(expr(
         s"transform(sequence(0, ${m - 1}), " +
           s"s -> struct(s AS s, slice(__qr, s * $dsub + 1, $dsub) AS sv))")).as("e"))
@@ -444,11 +493,16 @@ object Similarity {
       .join(broadcast(books.select(col("s"), col("j"), col("sv").as("__cv"))), Seq("s"))
       .select(col("query_id"), col("cell"), col("s"), col("j"),
         sqDist(col("sv"), col("__cv")).as("__dt"))
-    // scan ONLY the probed cells' codes: the cell semi-join is the
-    // partition prune (nprobe/ncells of the corpus), then the
-    // (cell, s, j) lookup join scores survivors by table sums
-    val exploded = codes
-      .join(broadcast(dt.select(col("cell")).distinct()), Seq("cell"), "left_semi")
+  }
+
+  /** Scan side of IVFADC over an already-pruned codes frame: the
+    * (cell, s, j) lookup join scores rows by table sums, the `rerank`
+    * closest candidates re-rank with the exact float cosine. */
+  private def ivfadcAdcRerank(prunedCodes: DataFrame, dt: DataFrame,
+                              queries: DataFrame, corpus: DataFrame,
+                              vecCol: String, idCol: String,
+                              k: Int, rerank: Int): DataFrame = {
+    val exploded = prunedCodes
       .select(col(idCol).as("neighbor_id"), col("cell"),
         posexplode(col("codes")).as(Seq("s", "j")))
     val wApprox = Window.partitionBy(col("query_id"))

@@ -932,6 +932,41 @@ class OperatorSpec extends AnyFunSuite {
     embs.unpersist()
   }
 
+  test("IVFADC persisted index: results identical to in-memory; scan plans a cell partition filter") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("embedding"))
+      .limit(200).cache()
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val cents = Similarity.trainCentroids(embs, "embedding", "vec_id", k = 4, iters = 2)
+    val resid = Similarity.cellResiduals(embs, cents, "embedding", "vec_id", "cell")
+      .select(col("vec_id"), col("__resid").as("embedding"))
+    val books = Similarity.trainPqCodebooks(resid, "embedding", "vec_id",
+      m = 8, ksub = 8, dim = dim, iters = 2)
+    val q = embs.filter(col("vec_id") < 3)
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc").toString + "/index"
+    Similarity.writeIvfadcIndex(embs, cents, books, "embedding", "vec_id", "cell",
+      m = 8, dim = dim, path = idx)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val mem = run(Similarity.ivfadcTopK(q, embs, cents, books, "embedding",
+      "vec_id", "cell", 8, dim, k = 5, nprobe = 2, rerank = 30))
+    val indexed = Similarity.ivfadcTopKIndexed(q, idx, embs, cents, books,
+      "embedding", "vec_id", "cell", 8, dim, k = 5, nprobe = 2, rerank = 30)
+    assert(run(indexed) == mem, "persisted-index results diverge from in-memory")
+    // the parquet scan must carry the probed cells as a PARTITION
+    // filter (file skipping), not a post-scan data filter
+    val scans = graft.PlanAudit.flatten(indexed.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in the indexed plan")
+    val withPartFilter = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "cell")))
+    assert(withPartFilter.nonEmpty,
+      s"no cell partition filter; scans: ${scans.map(_.partitionFilters).mkString(" | ")}")
+    embs.unpersist()
+  }
+
   test("Multimodal.imageNearDups banded pairs equal brute-force Hamming <= 3 over dHashes") {
     import graft.operators.Multimodal._
     val rnd = new scala.util.Random(19)
