@@ -192,15 +192,24 @@ object Scoring {
     val wMaj = Window.partitionBy(col("__mid"))
       .orderBy(col("__cnt").desc, classIdx(col("__mlang")))
     // renamed keys: majority shares lineage with spans (both derive
-    // from perBlock) — same-name joins would be ambiguous
-    val majority = perBlock.groupBy(col(idCol).as("__mid"), col("pred").as("__mlang"))
+    // from perBlock) — same-name joins would be ambiguous. The margin
+    // is the majority's block-count lead over the runner-up label
+    // (fastText's confidence signal at the page level; a page with one
+    // label keeps its full count — no runner-up to subtract)
+    val ranked = perBlock.groupBy(col(idCol).as("__mid"), col("pred").as("__mlang"))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__rk", row_number().over(wMaj)).filter(col("__rk") === 1)
-      .select(col("__mid"), col("__mlang").as("doc_majority"))
+      .withColumn("__rk", row_number().over(wMaj))
+    val majority = ranked.filter(col("__rk") === 1)
+      .select(col("__mid"), col("__mlang").as("doc_majority"), col("__cnt").as("__c1"))
+      .join(ranked.filter(col("__rk") === 2)
+        .select(col("__mid").as("__mid2"), col("__cnt").as("__c2")).hint("shuffle_hash"),
+        col("__mid") === col("__mid2"), "left")
+      .select(col("__mid"), col("doc_majority"),
+        (col("__c1") - coalesce(col("__c2"), lit(0L))).as("majority_margin"))
     spans.join(majority.hint("shuffle_hash"), col(idCol) === col("__mid"))
       .select(col(idCol), col("span_from"), col("span_to"),
         col("span_blocks"), col("span_tokens"),
-        col("pred").as("lang"), col("doc_majority"))
+        col("pred").as("lang"), col("doc_majority"), col("majority_margin"))
   }
 
   /**

@@ -2135,11 +2135,15 @@ object LlmQueries {
           "CAST(MAX(ord) AS BIGINT) AS span_to, COUNT(*) AS span_blocks, " +
           "CAST(SUM(n_tokens) AS BIGINT) AS span_tokens FROM isl GROUP BY 1, 2, 3), " +
           "cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM lab GROUP BY 1, 2), " +
-          "maj AS (SELECT doc_id, lang AS doc_majority FROM (SELECT *, " +
-          "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, " +
+          "rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, " +
           "CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2 ELSE 3 END) AS rk " +
-          "FROM cnt) WHERE rk = 1) " +
-          "SELECT sp.doc_id, span_from, span_to, span_blocks, span_tokens, lang, doc_majority " +
+          "FROM cnt), " +
+          "maj AS (SELECT m1.doc_id, m1.lang AS doc_majority, " +
+          "CAST(m1.c - COALESCE(m2.c, 0) AS BIGINT) AS majority_margin " +
+          "FROM (SELECT * FROM rkd WHERE rk = 1) m1 " +
+          "LEFT JOIN (SELECT * FROM rkd WHERE rk = 2) m2 ON m1.doc_id = m2.doc_id) " +
+          "SELECT sp.doc_id, span_from, span_to, span_blocks, span_tokens, lang, " +
+          "doc_majority, majority_margin " +
           "FROM sp JOIN maj USING (doc_id) ORDER BY doc_id, span_from"
       }),
 

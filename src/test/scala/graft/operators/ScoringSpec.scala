@@ -258,17 +258,19 @@ class ScoringSpec extends AnyFunSuite {
       (2L, page(Seq(sentence("bb"), sentence("bb"), sentence("aa"), sentence("bb"))))
     ).toDF("doc_id", "page")
     val out = Scoring.blockLanguageSpans(pages, "page", "doc_id", trained)
-      .select("doc_id", "span_from", "span_blocks", "lang", "doc_majority")
-      .as[(Long, Long, Long, String, String)].collect()
+      .select("doc_id", "span_from", "span_blocks", "lang", "doc_majority", "majority_margin")
+      .as[(Long, Long, Long, String, String, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
     val p1 = out(1L)
     assert(p1.map(_._4) == Seq("aa", "bb"), p1.toString)
     assert(p1.map(_._3) == Seq(2L, 1L), p1.toString)   // adjacent aa blocks merged
     assert(p1.forall(_._5 == "aa"))                    // majority
+    assert(p1.forall(_._6 == 1L))                      // 2 aa - 1 bb
     val p2 = out(2L)
     assert(p2.map(_._4) == Seq("bb", "aa", "bb"), p2.toString)
     assert(p2.map(_._3) == Seq(2L, 1L, 1L), p2.toString)
     assert(p2.forall(_._5 == "bb"))
+    assert(p2.forall(_._6 == 2L))                      // 3 bb - 1 aa
   }
 
   test("compressionRatio orders repetitive < prose < noise, deterministically") {

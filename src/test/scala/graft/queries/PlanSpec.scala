@@ -388,4 +388,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("l84: line dedup is projection-only below the sort — no joins, no hash shuffle") {
+    val p = planOf("l84_line_dedup")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("l85: IVFADC joins broadcast; the corpus never sort-merges or cartesians") {
+    val p = planOf("l85_ann_ivfadc")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l86: whole-doc packing windows are chunk-bounded; class offsets broadcast") {
+    val p = planOf("l86_pack_whole")
+    // the per-class rank must ride runningSumChunked's (class, chunk)
+    // windows; the ONLY coarser window is the class-offset prefix over
+    // the O(sqrt(seqLen))-row class table
+    // the executed-plan dump repeats reused subtrees — count DISTINCT
+    // window specs
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .map(_.trim.replaceAll("^[:+\\- ]+", "")).toSeq.distinct
+    assert(windows.nonEmpty, p.take(3000))
+    assert(windows.count(!_.contains("__bkt")) <= 1, windows.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l87: block langid rides the collapsed (block, bucket) aggs — no Expand, no sort-merge") {
+    val p = planOf("l87_block_lang")
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000)) // the majority attach
+  }
+
+  test("l88: mojibake repair is projection-only below the sort") {
+    val p = planOf("l88_mojibake_repair")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("l89: BPE packing word join is shuffled-hash; prefix sum stays chunk-keyed") {
+    val p = planOf("l89_pack_bpe")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
