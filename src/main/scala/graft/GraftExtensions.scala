@@ -211,10 +211,35 @@ object GraftFunctions {
       StringTrim(RegExpReplace(decoded, Literal("  +"), Literal(" ")))
     })
 
+  val fixMojibake: FunctionDescription = (
+    FunctionIdentifier("fix_mojibake"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "fix_mojibake"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "fix_mojibake(text) takes exactly one argument")
+      // pure catalyst mirror of TextFunctions.fixMojibake (2 passes) —
+      // a Column-built tree would leave unresolved column nodes in the
+      // registry output; the literals are shared so the twins can't
+      // drift on the character tables or guard patterns
+      import org.apache.spark.sql.catalyst.expressions.{And, Encode, IsValidUTF8, StringDecode, StringTranslate}
+      def once(text: Expression): Expression = {
+        val t = StringTranslate(text,
+          Literal(TextFunctions.Cp1252Specials), Literal(TextFunctions.Cp1252Controls))
+        val bytes = new Encode(t, Literal("ISO-8859-1"), false, false)
+        val cond = And(And(
+          RLike(t, Literal(TextFunctions.MojibakeSignature)),
+          RLike(t, Literal(TextFunctions.Cp1252Mappable))),
+          IsValidUTF8(bytes))
+        CaseWhen(Seq((cond, new StringDecode(bytes, Literal("UTF-8"), false, false))),
+          Some(text))
+      }
+      once(once(args.head))
+    })
+
   val all: Seq[FunctionDescription] =
     Seq(rollingHash, wordShingles, dotProduct,
       cosineSim, l2Norm, wsTokenCount, bpeishTokenCount, normalizeText,
-      urlHost, registrableDomain, normalizeUrl, htmlToText, nfcNormalize)
+      urlHost, registrableDomain, normalizeUrl, htmlToText, nfcNormalize,
+      fixMojibake)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -168,6 +168,22 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(rows(2) == ("no pii here just words 42 and x@y (not an email)", 0L))
   }
 
+  test("fix_mojibake is callable from SQL and matches the Column form") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def corrupt(t: String) = new String(t.getBytes("UTF-8"), cp1252)
+    Seq(corrupt("café résumé"), "plain text", "São NÃO").toDF("t")
+      .createOrReplaceTempView("moji_v")
+    val viaSql = spark.sql(
+      "SELECT t, fix_mojibake(t) AS f FROM moji_v").as[(String, String)].collect()
+    val viaCol = spark.table("moji_v")
+      .select(col("t"), graft.functions.TextFunctions.fixMojibake(col("t")).as("f"))
+      .as[(String, String)].collect()
+    assert(viaSql.toSet == viaCol.toSet)
+    assert(viaSql.toMap.apply(corrupt("café résumé")) == "café résumé")
+  }
+
   test("fixMojibake repairs constructed double encodings and never touches clean text (fuzz)") {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.functions.col
