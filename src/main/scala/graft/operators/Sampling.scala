@@ -157,6 +157,46 @@ object Sampling {
   }
 
   /**
+   * Token-BUDGET mixture sampling (l90) — the dataloader-facing mixing
+   * knob the rate/temperature forms are not: a training recipe
+   * specifies a TARGET MIXTURE (per-stratum weights, ppm) and a global
+   * TOKEN budget, and each stratum d should contribute ≈ w_d·B tokens.
+   * Keep rate r_d = min(1, w_d·B / T_d) over the stratum's token mass
+   * T_d — an under-massed stratum keeps everything and the mix
+   * under-fills HONESTLY (report and re-weight; never oversample
+   * duplicates to hit a quota). Thresholds are exact integers in
+   * DECIMAL(38,0) (the [[temperatureMix]] discipline — BIGINT would
+   * wrap silently at 10¹⁸-token strata): __thr = 65536·w_ppm·B DIV
+   * (10⁶·T_d), capped at 65536; a row keeps iff the first 4 md5 hex
+   * digits of its id sort below the threshold (the
+   * [[rateStratifiedSample]] hash semantics, so the draw is
+   * bit-reproducible across engines and runs). Strata absent from
+   * `weightsPpm` weigh 0 and drop. Plan shape: one map-side-combined
+   * token-sum agg over the keys, a broadcast threshold join, a pure
+   * per-row hash filter — no per-row state, nothing quadratic.
+   */
+  def tokenBudgetMix(df: DataFrame, keyCol: String, idCol: String,
+                     tokenCol: String, weightsPpm: Map[String, Long],
+                     budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0 && weightsPpm.values.forall(_ >= 0),
+      "budget and weights must be >= 0")
+    val wExpr = weightsPpm.foldLeft(lit(0L)) { case (acc, (k, w)) =>
+      when(col(keyCol) === k, lit(w)).otherwise(acc)
+    }
+    val thr = df.groupBy(col(keyCol)).agg(sum(col(tokenCol)).as("__tt"))
+      .withColumn("__w", wExpr)
+      .withColumn("__thr",
+        least(lit(65536L),
+          expr(s"(CAST(65536 AS DECIMAL(38,0)) * __w * ${budgetTokens}L)" +
+            " DIV (CAST(1000000 AS DECIMAL(38,0)) * __tt)")))
+      .select(col(keyCol), col("__thr"))
+    df.join(broadcast(thr), Seq(keyCol))
+      .filter(col("__thr") >= 65536L ||
+        substring(md5(col(idCol).cast("string")), 1, 4) < format_string("%04x", col("__thr")))
+      .drop("__thr")
+  }
+
+  /**
    * Deterministic weighted sampling WITHOUT replacement — priority
    * sampling (Duffield, Lund & Thorup, "Priority sampling for estimating
    * arbitrary subset sums", JACM 54(6), 2007): row i draws a fixed

@@ -2060,6 +2060,39 @@ object LlmQueries {
         "CAST(LEAST(n_tok, (seq_id + 1) * 512 - st) AS BIGINT) AS tok_to " +
         "FROM x ORDER BY seq_id, doc_id")),
 
+    // L90 — token-budget mixture sampling (Sampling.tokenBudgetMix):
+    // the dataloader-facing mixing knob — a training recipe says "B
+    // tokens at mixture w" and each language should contribute
+    // ≈ w_d·B tokens; keep rate min(1, w_d·B/T_d) over the stratum's
+    // token mass, thresholds exact DECIMAL(38,0) integers (the l47
+    // discipline), rows kept by the md5-hash draw so the sample is
+    // bit-reproducible cross-engine. Strata absent from the weight map
+    // (es here) weigh 0 and drop; under-massed strata cap at
+    // keep-everything and under-fill honestly. The oracle recomputes
+    // thresholds in HUGEINT and replays the identical hash rule.
+    "l90_token_budget_mix" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__tok", wsTokenCount(col("text")))
+        graft.operators.Sampling.tokenBudgetMix(docs, "lang", "doc_id", "__tok",
+            Map("en" -> 500000L, "de" -> 300000L, "fr" -> 200000L),
+            budgetTokens = 20000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("kept_tokens"))
+          .orderBy("lang")
+      },
+      Some("WITH n AS (SELECT doc_id, lang, " +
+        "length(text) - length(replace(text, ' ', '')) + 1 AS tok FROM documents), " +
+        "t AS (SELECT lang, SUM(tok) AS tt FROM n GROUP BY lang), " +
+        "w AS (SELECT lang, tt, CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 300000 " +
+        "WHEN 'fr' THEN 200000 ELSE 0 END AS wppm FROM t), " +
+        "th AS (SELECT lang, CAST(LEAST(65536, (CAST(65536 AS HUGEINT) * wppm * 20000) // " +
+        "(CAST(1000000 AS HUGEINT) * tt)) AS BIGINT) AS thr FROM w), " +
+        "k AS (SELECT n.lang, n.doc_id, n.tok FROM n JOIN th USING (lang) " +
+        "WHERE thr >= 65536 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS kept_tokens " +
+        "FROM k GROUP BY lang ORDER BY lang")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

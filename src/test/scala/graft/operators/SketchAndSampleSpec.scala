@@ -150,6 +150,44 @@ class SketchAndSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetMix hits per-stratum token targets, caps at keep-all, drops unweighted strata") {
+    // three strata with known token masses: "big" ~5000 tokens, "mid"
+    // ~1000, "tiny" ~40 — budget 2000 at weights 50/40/10% targets
+    // big 1000 (rate ~0.2), mid 800 (rate ~0.8), tiny 200 > mass 40
+    // (rate caps at 1: keep everything, under-fill honestly)
+    val docs = (
+      (1 to 500).map(i => (i.toLong, "big", ("w " * 10).trim)) ++
+      (1 to 100).map(i => (1000L + i, "mid", ("w " * 10).trim)) ++
+      (1 to 4).map(i => (2000L + i, "tiny", ("w " * 10).trim)) ++
+      (1 to 50).map(i => (3000L + i, "unweighted", ("w " * 10).trim))
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("tok", graft.functions.TextFunctions.wsTokenCount(col("text")))
+    val kept = Sampling.tokenBudgetMix(docs, "lang", "doc_id", "tok",
+      Map("big" -> 500000L, "mid" -> 400000L, "tiny" -> 100000L), budgetTokens = 2000L)
+    val toks = kept.groupBy("lang").agg(org.apache.spark.sql.functions.sum("tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets: big 1000, mid 800 — hash-draw tolerance ~25% on these sizes
+    assert(math.abs(toks("big") - 1000.0) / 1000.0 < 0.25, toks.toString)
+    assert(math.abs(toks("mid") - 800.0) / 800.0 < 0.25, toks.toString)
+    assert(toks("tiny") == 40L, toks.toString)          // capped: keeps ALL its mass
+    assert(!toks.contains("unweighted"))                // weight 0 -> dropped
+    // bit-reproducible: the same call keeps the same rows
+    assert(Sampling.tokenBudgetMix(docs, "lang", "doc_id", "tok",
+        Map("big" -> 500000L, "mid" -> 400000L, "tiny" -> 100000L), 2000L)
+      .select("doc_id").as[Long].collect().toSet ==
+      kept.select("doc_id").as[Long].collect().toSet)
+    // exact threshold semantics: replay the md5 rule driver-side
+    val expectBig = (1 to 500).map(_.toLong).filter { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      // thr = 65536*500000*2000 div (1000000*5000) = 13107
+      h < f"${13107}%04x"
+    }.toSet
+    assert(kept.filter(col("lang") === "big").select("doc_id").as[Long].collect().toSet
+      == expectBig)
+  }
+
   test("temperatureMix up-weights small strata and honors the overall target") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val kept = Sampling.temperatureMix(docs, "lang", "doc_id")
