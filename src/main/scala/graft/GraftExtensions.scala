@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Concat, Contains, Divide, EqualTo, Expression, ExpressionInfo, Length, Literal, Lower, Multiply, Or, RegExpCount, RegExpExtract, RegExpReplace, RLike, Sqrt, StartsWith, StringReplace, StringTrim, Subtract}
 import org.apache.spark.sql.types.{IntegerType, LongType}
-import graft.functions.{DotProductExpr, NfcNormalizeExpr, RollingHashExpr, ShinglesExpr, TextFunctions}
+import graft.functions.{DotProductExpr, NfcNormalizeExpr, RollingHashExpr, ScriptProfileExpr, ShinglesExpr, TextFunctions}
 
 /**
  * Session extension registering graft's custom Catalyst expressions as
@@ -235,11 +235,19 @@ object GraftFunctions {
       once(once(args.head))
     })
 
+  val scriptProfile: FunctionDescription = (
+    FunctionIdentifier("script_profile"),
+    new ExpressionInfo(classOf[ScriptProfileExpr].getName, "script_profile"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "script_profile(text) takes exactly one argument")
+      ScriptProfileExpr(args.head)
+    })
+
   val all: Seq[FunctionDescription] =
     Seq(rollingHash, wordShingles, dotProduct,
       cosineSim, l2Norm, wsTokenCount, bpeishTokenCount, normalizeText,
       urlHost, registrableDomain, normalizeUrl, htmlToText, nfcNormalize,
-      fixMojibake)
+      fixMojibake, scriptProfile)
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

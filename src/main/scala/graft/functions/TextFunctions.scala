@@ -273,6 +273,29 @@ object TextFunctions {
         s => s("t")),
       " ")
 
+  /** C4-style LINE-quality filtering (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020, §2.2 — the rule set every crawl pipeline
+    * runs between boilerplate removal and the document-level gates):
+    * a line survives iff it has at least `minWords` whitespace words,
+    * ends in terminal punctuation (`. ! ? " '`), and does not mention
+    * "javascript" (the enable-JS interstitial marker). Whitespace-only
+    * lines are paragraph structure and always survive (the
+    * [[graft.operators.Dedup.lineDedup]] convention — l84's sibling:
+    * that op cuts REPEATED lines, this one cuts LOW-QUALITY lines;
+    * the cascade wants both).
+    *
+    * Scale shape: a pure per-row projection (split → HOF filter →
+    * rejoin), zero shuffles at any corpus size. */
+  def lineQualityFilter(text: Column, minWords: Int = 5): Column =
+    array_join(
+      filter(split(text, "\n"), l =>
+        trim(l) === "" || (
+          size(filter(split(l, " "), w => w =!= "")) >= minWords &&
+            rtrim(l).rlike("[.!?\"']$") &&
+            !lower(l).contains("javascript"))),
+      "\n")
+
   // ------------------------------------------------------------ URLs
 
   /** The authority segment of a URL (host[:port]), raw case. */

@@ -73,4 +73,45 @@ object Domains {
       .drop("__labels" +: "__n" +:
         (1 to maxSuffixLabels).flatMap(k => Seq(s"__c$k", s"__m$k")): _*)
   }
+
+  /**
+   * URL blocklist filtering — the FineWeb/RefinedWeb curation step
+   * that runs BEFORE any content is fetched or scored: kill URLs whose
+   * host is on an exact blocklist (UT1-style lists run to millions of
+   * hosts), whose REGISTRABLE DOMAIN is blocked (covers every
+   * subdomain of a blocked site), or whose path starts with a blocked
+   * prefix (`/ads/`, `/tracker/` — these lists are short). Adds `out`
+   * = 'host' | 'domain' | 'path' (first match in that priority) or
+   * NULL for clean rows; filter on `out IS NULL` for the kept set.
+   *
+   * 100 TB shape: host/domain rule tables join as BROADCAST hash joins
+   * (a 4M-host list is ~100 MB — fine; beyond that drop the hint and
+   * Spark picks a shuffle join on the same plan). The URL side parses
+   * ONCE via [[TextFunctions.withUrlParts]]' staged projection (the
+   * l64 lesson), and path prefixes fold into one per-row predicate.
+   * Zero shuffles of the URL side, no explode.
+   */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+                      blockedHosts: DataFrame, blockedDomains: DataFrame,
+                      pathPrefixes: Seq[String] = Nil,
+                      out: String = "block_reason"): DataFrame = {
+    val hosts = blockedHosts.select(
+      lower(col(blockedHosts.columns.head)).as("__bh")).distinct()
+    val doms = blockedDomains.select(
+      lower(col(blockedDomains.columns.head)).as("__bd")).distinct()
+    val parts = TextFunctions.withUrlParts(df, urlCol,
+      hostCol = "__lh", domainCol = "__ld", normCol = "__ln")
+      .withColumn("__lp", coalesce(regexp_extract(col(urlCol),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1), lit("")))
+    val pathHit = pathPrefixes.map(p => col("__lp").startsWith(lit(p)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    parts
+      .join(broadcast(hosts), col("__lh") === col("__bh"), "left")
+      .join(broadcast(doms), col("__ld") === col("__bd"), "left")
+      .withColumn(out,
+        when(col("__bh").isNotNull, lit("host"))
+          .when(col("__bd").isNotNull, lit("domain"))
+          .when(pathHit, lit("path")))
+      .drop("__lh", "__ld", "__ln", "__lp", "__bh", "__bd")
+  }
 }

@@ -414,6 +414,77 @@ object Scoring {
       .toDF(idCol, "raw_len", "deflate_len", "ratio_ppm")
   }
 
+  /**
+   * Gopher repetition signals (Rae et al., "Scaling Language Models:
+   * Methods, Analysis & Insights from Training Gopher", 2021, Table A1)
+   * beyond l22's top-token / dup-n-gram pair — the three highest-cut
+   * remaining ones every MassiveText-descendant pipeline gates on:
+   *
+   *  - `dup_line_frac`       — duplicate lines / non-blank lines
+   *  - `dup_line_char_frac`  — chars inside lines whose value occurs
+   *                            more than once (ALL occurrences count,
+   *                            the Gopher definition) / chars in all
+   *                            non-blank lines
+   *  - `top_ngram_char_frac` — chars covered by occurrences of the most
+   *                            frequent word n-gram (count × gram
+   *                            length; ties → lexicographically
+   *                            smallest gram) / chars of the text
+   *
+   * All three are PURE PER-ROW: lines/grams/counts are staged as array
+   * columns once (HOF lambdas re-evaluate non-attribute references per
+   * element — the l84 lesson), then scanned with higher-order
+   * functions; zero shuffles at any corpus size. The in-row count scans
+   * are O(L²)/(G²) in lines/grams PER DOCUMENT — the right trade for
+   * crawl docs (bounded pages); an unbounded-document corpus would use
+   * l22's two-level (doc, gram) agg form instead.
+   *
+   * Fractions are ×1e6 integer ppm (exact integer division — no
+   * float rounding boundary to disagree across engines); 0 when the
+   * denominator is 0.
+   */
+  def repetitionSignals(docs: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    val lines = col("__rs_lines"); val toks = col("__rs_toks")
+    val grams = col("__rs_grams"); val gcnt = col("__rs_gcnt")
+    def chars(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    // exact integer ppm: stage (num, den) as named columns, `div` via
+    // expr (integral division is not a Column method)
+    def ppm(num: String, den: String): Column =
+      expr(s"CASE WHEN $den > 0L THEN ($num * 1000000L) div $den ELSE 0L END")
+    docs
+      .withColumn("__rs_lines",
+        filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= ""))
+      // whitespace-run tokens (NOT the single-space convention: grams
+      // must not glue the last word of one line to the first of the next)
+      .withColumn("__rs_toks",
+        filter(split(col(textCol), "[ \n\t\r]+"), w => w =!= ""))
+      .withColumn("__rs_grams",
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("__rs_gcnt",
+        transform(grams, g => size(filter(grams, x => x === g)).cast("long")))
+      .withColumn("__rs_ln", size(lines).cast("long"))
+      .withColumn("__rs_ldup", (size(lines) - size(array_distinct(lines))).cast("long"))
+      .withColumn("__rs_lc", chars(lines))
+      .withColumn("__rs_lcdup",
+        chars(filter(lines, l => size(filter(lines, x => x === l)) > 1)))
+      .withColumn("__rs_tchars", length(col(textCol)).cast("long"))
+      .withColumn("__rs_topn",
+        when(size(grams) > 0, {
+          val maxc = array_max(gcnt)
+          val top = array_min(filter(grams,
+            (_, i) => element_at(gcnt, i + lit(1)) === maxc))
+          maxc * length(top).cast("long")
+        }).otherwise(lit(0L)))
+      .withColumn("dup_line_frac_ppm", ppm("__rs_ldup", "__rs_ln"))
+      .withColumn("dup_line_char_frac_ppm", ppm("__rs_lcdup", "__rs_lc"))
+      .withColumn("top_ngram_char_frac_ppm", ppm("__rs_topn", "__rs_tchars"))
+      .drop("__rs_lines", "__rs_toks", "__rs_grams", "__rs_gcnt",
+        "__rs_ln", "__rs_ldup", "__rs_lc", "__rs_lcdup", "__rs_tchars", "__rs_topn")
+  }
+
   def kneserNeyBigram(docs: DataFrame, textCol: String, idCol: String,
                       d: Double = 0.75): DataFrame = {
     val big = docs

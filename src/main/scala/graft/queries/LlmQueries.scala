@@ -2093,6 +2093,369 @@ object LlmQueries {
         "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS kept_tokens " +
         "FROM k GROUP BY lang ORDER BY lang")),
 
+    // L91 — C4-style line-quality filtering
+    // (TextFunctions.lineQualityFilter): the Raffel et al. §2.2 rule
+    // set — keep a line iff ≥5 words AND terminal punctuation AND no
+    // "javascript" — l84's sibling (that one cuts REPEATED lines, this
+    // one cuts LOW-QUALITY lines). Pages constructed from doc_id mix
+    // keep/drop lines of every rule class, including the blank
+    // structure lines both engines must preserve; the oracle replays
+    // the predicate per line and reassembles.
+    "l91_line_quality" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val nl = lit("\n")
+        val page = concat(
+          lit("She said the story of "), col("text"), lit(" ends well."), nl,
+          lit("Click here"), nl,
+          lit("Please enable javascript to view page "), str(id % 5), lit("."), nl,
+          nl,
+          lit("Menu Home About Contact Privacy Terms"), nl,
+          lit("It was told again by narrator "), str(id % 7), lit("."), nl,
+          lit("Short tail."))
+        Tables.documents(s, d).select(id, page.as("page"))
+          // stage the cleaned text once: both readers below reference
+          // it, and CollapseProject won't re-inline a non-cheap alias
+          .select(id, col("page"), lineQualityFilter(col("page")).as("__clean"))
+          .select(id,
+            size(split(col("page"), "\n")).cast("long").as("n_lines_in"),
+            size(split(col("__clean"), "\n")).cast("long").as("n_lines_out"),
+            md5(col("__clean")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH pg AS (SELECT doc_id, " +
+        "'She said the story of ' || text || ' ends well.' || chr(10) || " +
+        "'Click here' || chr(10) || " +
+        "'Please enable javascript to view page ' || CAST(doc_id % 5 AS VARCHAR) || '.' || chr(10) || " +
+        "chr(10) || " +
+        "'Menu Home About Contact Privacy Terms' || chr(10) || " +
+        "'It was told again by narrator ' || CAST(doc_id % 7 AS VARCHAR) || '.' || chr(10) || " +
+        "'Short tail.' AS page FROM documents), " +
+        "lsp AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pg), " +
+        "u AS (SELECT doc_id, ls, UNNEST(generate_series(1, len(ls))) AS pos FROM lsp), " +
+        "v AS (SELECT doc_id, pos, ls[pos] AS line, len(ls) AS n_in FROM u), " +
+        "k AS (SELECT doc_id, pos, line, n_in FROM v WHERE trim(line) = '' OR " +
+        "(len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5 " +
+        "AND regexp_matches(rtrim(line), '[.!?\"'']$') " +
+        "AND NOT contains(lower(line), 'javascript'))) " +
+        "SELECT doc_id, CAST(MAX(n_in) AS BIGINT) AS n_lines_in, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_lines_out, " +
+        "md5(COALESCE(string_agg(line, chr(10) ORDER BY pos), '')) AS clean_md5 " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id")),
+
+    // L92 — Unicode script profiling (ScriptProfileExpr): one native
+    // code-point pass per row → counts per writing system + dominant
+    // script — the crawl pre-filter that flags mixed-script /
+    // mis-encoded pages before any language model runs. The class
+    // definitions are explicit code-point ranges precisely so the
+    // oracle can restate them as independent regex character classes
+    // (the l82 cross-engine certification discipline). Fixtures mix
+    // Latin, Cyrillic, Greek and CJK in doc_id-driven proportions.
+    "l92_script_profile" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val page = concat(
+          lit("Data pipeline number "), str(id % 9), lit(" "),
+          repeat(lit("привет мир "), (id % 4).cast("int")),
+          repeat(lit("数据管道"), (id % 3).cast("int")),
+          when(id % 2 === 0, lit("αβγδ")).otherwise(lit("")))
+        val prof = graft.functions.ScriptProfileExpr(col("page"))
+        Tables.documents(s, d).select(id, page.as("page"))
+          .select(id, prof.as("__p"))
+          .select(id,
+            element_at(col("__p"), 1).as("n_latin"),
+            element_at(col("__p"), 2).as("n_cyrillic"),
+            element_at(col("__p"), 3).as("n_greek"),
+            element_at(col("__p"), 7).as("n_cjk"),
+            element_at(col("__p"), 10).as("n_digit"),
+            element_at(col("__p"), 11).as("n_space"),
+            graft.functions.ScriptProfileExpr.dominantScript(col("__p")).as("dominant"))
+          .orderBy("doc_id")
+      },
+      Some("WITH pg AS (SELECT doc_id, " +
+        "'Data pipeline number ' || CAST(doc_id % 9 AS VARCHAR) || ' ' || " +
+        "repeat('привет мир ', CAST(doc_id % 4 AS INTEGER)) || " +
+        "repeat('数据管道', CAST(doc_id % 3 AS INTEGER)) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'αβγδ' ELSE '' END AS page FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "CAST(length(page) - length(regexp_replace(page, " +
+        "'[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]', '', 'g')) AS BIGINT) AS n_latin, " +
+        "CAST(length(page) - length(regexp_replace(page, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic, " +
+        "CAST(length(page) - length(regexp_replace(page, '[\\x{0370}-\\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek, " +
+        "CAST(length(page) - length(regexp_replace(page, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk, " +
+        "CAST(length(page) - length(regexp_replace(page, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+        "CAST(length(page) - length(regexp_replace(page, '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_space " +
+        "FROM pg) " +
+        "SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_digit, n_space, " +
+        "CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk) = 0 THEN 'none' " +
+        "WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_cjk) THEN 'latin' " +
+        "WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_cjk) THEN 'cyrillic' " +
+        "WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_cjk) THEN 'greek' " +
+        "ELSE 'cjk' END AS dominant " +
+        "FROM c ORDER BY doc_id")),
+
+    // L93 — URL blocklist filtering (Domains.blocklistFilter): the
+    // FineWeb/UT1 curation gate — exact-host block, registrable-domain
+    // block (kills every subdomain), path-prefix block, in that
+    // priority. Rule tables join broadcast; the URL side parses once
+    // (withUrlParts staged projection) and never shuffles. The oracle
+    // restates host/domain extraction with the l64/l71 SQL fragments
+    // and replays the same IN/LIKE priority.
+    "l93_url_blocklist" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(lit("https://"),
+          when(id % 5 === 0, lit("ads.example.com"))
+            .when(id % 5 === 1, concat(lit("shop"), str(id % 3), lit(".badsite.org")))
+            .when(id % 5 === 2, lit("www.goodsite.com"))
+            .when(id % 5 === 3, concat(lit("sub"), str(id % 4), lit(".goodsite.com")))
+            .otherwise(lit("GOODsite.com")),
+          when(id % 5 === 2, concat(lit("/ads/banner/"), str(id)))
+            .otherwise(concat(lit("/p/"), str(id))))
+        val hosts = Seq("ads.example.com", "tracker.net").toDF("host")
+        val doms = Seq("badsite.org", "spam.example").toDF("domain")
+        graft.operators.Domains.blocklistFilter(
+            Tables.documents(s, d).select(id, url.as("url")), "url",
+            hosts, doms, pathPrefixes = Seq("/ads/"))
+          .select(id, col("url"),
+            coalesce(col("block_reason"), lit("clean")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("WITH u AS (SELECT doc_id, 'https://' || " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'ads.example.com' " +
+        "WHEN doc_id % 5 = 1 THEN 'shop' || CAST(doc_id % 3 AS VARCHAR) || '.badsite.org' " +
+        "WHEN doc_id % 5 = 2 THEN 'www.goodsite.com' " +
+        "WHEN doc_id % 5 = 3 THEN 'sub' || CAST(doc_id % 4 AS VARCHAR) || '.goodsite.com' " +
+        "ELSE 'GOODsite.com' END || " +
+        "CASE WHEN doc_id % 5 = 2 THEN '/ads/banner/' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS url FROM documents), " +
+        "p AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host, " +
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path " +
+        "FROM u), " +
+        "q AS (SELECT doc_id, url, host, path, " +
+        "regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS dom FROM p) " +
+        "SELECT doc_id, url, " +
+        "CASE WHEN host IN ('ads.example.com', 'tracker.net') THEN 'host' " +
+        "WHEN dom IN ('badsite.org', 'spam.example') THEN 'domain' " +
+        "WHEN path LIKE '/ads/%' THEN 'path' ELSE 'clean' END AS verdict " +
+        "FROM q ORDER BY doc_id")),
+
+    // L94 — tokenizer fertility by language: chars per 1k tokens and
+    // tokens per 100 words under the BPE-ish regex tokenizer — the
+    // observability readout that tells a tokenizer team which
+    // languages are over-paying tokens (fertility guides vocab
+    // allocation). Integer sufficient statistics end-to-end; both
+    // engines run the identical regex.
+    "l94_token_fertility" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(wsTokenCount(col("text"))).as("n_words"),
+          sum(bpeishTokenCount(col("text"))).as("n_bpeish"))
+        .withColumn("chars_per_1k_tok",
+          expr("(1000 * n_chars) DIV n_bpeish"))
+        .withColumn("tok_per_100_words",
+          expr("(100 * n_bpeish) DIV n_words"))
+        .orderBy("lang"),
+      Some("WITH t AS (SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_words, " +
+        s"CAST(SUM(len(regexp_extract_all(lower(text), '$BpePattern'))) AS BIGINT) AS n_bpeish " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT lang, n_docs, n_chars, n_words, n_bpeish, " +
+        "CAST((1000 * n_chars) // n_bpeish AS BIGINT) AS chars_per_1k_tok, " +
+        "CAST((100 * n_bpeish) // n_words AS BIGINT) AS tok_per_100_words " +
+        "FROM t ORDER BY lang")),
+
+    // L95 — unigram-LM tokenizer golden pin (Unigram.trainUnigram +
+    // viterbiEncode): the SentencePiece algorithm trained by
+    // distributed EM with EXACT integer sufficient statistics (×2^20
+    // fixed-point expected counts summed in DECIMAL — bit-identical at
+    // any cpu count, spec-pinned to the driver-side reference loop),
+    // then Viterbi-decoded. Same fixture-corpus discipline as the l73
+    // BPE pin: the oracle is the hand-captured segmentation table —
+    // any drift in seeding, EM rounding, pruning order, or decode
+    // tie-breaks shows up as a differing row.
+    "l95_unigram_pin" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val bases = Seq(
+          "the quick brown fox jumps over the lazy dog by the river",
+          "pack my box with five dozen liquor jugs for the long trip",
+          "a stitch in time saves nine when the cloth begins to fray",
+          "all that glitters is not gold said the old miner at dawn",
+          "every good boy deserves fruit after the long practice session",
+          "the rain in spain falls mainly on the wide open plain",
+          "still waters run deep where the old stone bridge crosses over",
+          "many hands make light work when the harvest moon rises early")
+        val docs = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val vocab = graft.operators.Unigram.trainUnigram(docs, "text",
+          vocabSize = 40, seedSize = 80, maxPieceLen = 4, emRounds = 2)
+        graft.operators.Unigram.viterbiEncode(docs, "text", vocab, maxPieceLen = 4)
+          .select(col("w"), array_join(col("pieces"), "|").as("pieces"),
+            size(col("pieces")).cast("long").as("n_pieces"))
+          .orderBy("w")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "('a', 'a', CAST(1 AS BIGINT)), ('after', 'a|f|t|e|r', CAST(5 AS BIGINT)), " +
+        "('all', 'a|l|l', CAST(3 AS BIGINT)), ('at', 'a|t', CAST(2 AS BIGINT)), " +
+        "('begins', 'b|e|g|in|s', CAST(5 AS BIGINT)), ('box', 'b|o|x', CAST(3 AS BIGINT)), " +
+        "('boy', 'b|o|y', CAST(3 AS BIGINT)), ('bridge', 'b|r|id|g|e', CAST(5 AS BIGINT)), " +
+        "('brown', 'b|r|o|w|n', CAST(5 AS BIGINT)), ('by', 'b|y', CAST(2 AS BIGINT)), " +
+        "('cloth', 'c|l|o|th', CAST(4 AS BIGINT)), ('crosses', 'c|r|o|s|ses', CAST(5 AS BIGINT)), " +
+        "('dawn', 'd|a|w|n', CAST(4 AS BIGINT)), ('deep', 'd|e|e|p', CAST(4 AS BIGINT)), " +
+        "('deserves', 'd|e|s|e|r|v|e|s', CAST(8 AS BIGINT)), ('dog', 'd|o|g', CAST(3 AS BIGINT)), " +
+        "('dozen', 'd|o|z|e|n', CAST(5 AS BIGINT)), ('early', 'e|a|r|l|y', CAST(5 AS BIGINT)), " +
+        "('every', 'e|ver|y', CAST(3 AS BIGINT)), ('falls', 'f|a|l|l|s', CAST(5 AS BIGINT)), " +
+        "('five', 'f|i|v|e', CAST(4 AS BIGINT)), ('for', 'f|or', CAST(2 AS BIGINT)), " +
+        "('fox', 'f|o|x', CAST(3 AS BIGINT)), ('fray', 'f|r|a|y', CAST(4 AS BIGINT)), " +
+        "('fruit', 'f|r|u|i|t', CAST(5 AS BIGINT)), ('glitters', 'g|li|t|t|e|r|s', CAST(7 AS BIGINT)), " +
+        "('gold', 'g|old', CAST(2 AS BIGINT)), ('good', 'g|o|o|d', CAST(4 AS BIGINT)), " +
+        "('hands', 'ha|n|d|s', CAST(4 AS BIGINT)), ('harvest', 'ha|r|v|e|s|t', CAST(6 AS BIGINT)), " +
+        "('in', 'in', CAST(1 AS BIGINT)), ('is', 'i|s', CAST(2 AS BIGINT)), " +
+        "('jugs', 'j|u|g|s', CAST(4 AS BIGINT)), ('jumps', 'j|u|m|p|s', CAST(5 AS BIGINT)), " +
+        "('lazy', 'l|a|z|y', CAST(4 AS BIGINT)), ('light', 'li|g|h|t', CAST(4 AS BIGINT)), " +
+        "('liquor', 'li|q|u|or', CAST(4 AS BIGINT)), ('long', 'l|on|g', CAST(3 AS BIGINT)), " +
+        "('mainly', 'm|ain|l|y', CAST(4 AS BIGINT)), ('make', 'ma|k|e', CAST(3 AS BIGINT)), " +
+        "('many', 'ma|n|y', CAST(3 AS BIGINT)), ('miner', 'm|in|e|r', CAST(4 AS BIGINT)), " +
+        "('moon', 'm|o|on', CAST(3 AS BIGINT)), ('my', 'm|y', CAST(2 AS BIGINT)), " +
+        "('nine', 'n|in|e', CAST(3 AS BIGINT)), ('not', 'n|o|t', CAST(3 AS BIGINT)), " +
+        "('old', 'old', CAST(1 AS BIGINT)), ('on', 'on', CAST(1 AS BIGINT)), " +
+        "('open', 'o|p|e|n', CAST(4 AS BIGINT)), ('over', 'o|ver', CAST(2 AS BIGINT)), " +
+        "('pack', 'p|a|c|k', CAST(4 AS BIGINT)), ('plain', 'p|l|ain', CAST(3 AS BIGINT)), " +
+        "('practice', 'p|r|a|c|t|i|c|e', CAST(8 AS BIGINT)), ('quick', 'q|u|i|c|k', CAST(5 AS BIGINT)), " +
+        "('rain', 'r|ain', CAST(2 AS BIGINT)), ('rises', 'ri|ses', CAST(2 AS BIGINT)), " +
+        "('river', 'ri|ver', CAST(2 AS BIGINT)), ('run', 'r|u|n', CAST(3 AS BIGINT)), " +
+        "('said', 's|a|id', CAST(3 AS BIGINT)), ('saves', 's|a|v|e|s', CAST(5 AS BIGINT)), " +
+        "('session', 'ses|s|i|on', CAST(4 AS BIGINT)), ('spain', 's|p|ain', CAST(3 AS BIGINT)), " +
+        "('still', 's|t|i|l|l', CAST(5 AS BIGINT)), ('stitch', 's|t|i|t|c|h', CAST(6 AS BIGINT)), " +
+        "('stone', 's|t|on|e', CAST(4 AS BIGINT)), ('that', 't|ha|t', CAST(3 AS BIGINT)), " +
+        "('the', 'the', CAST(1 AS BIGINT)), ('time', 't|i|m|e', CAST(4 AS BIGINT)), " +
+        "('to', 't|o', CAST(2 AS BIGINT)), ('trip', 't|ri|p', CAST(3 AS BIGINT)), " +
+        "('waters', 'w|a|t|e|r|s', CAST(6 AS BIGINT)), ('when', 'w|h|e|n', CAST(4 AS BIGINT)), " +
+        "('where', 'w|h|e|r|e', CAST(5 AS BIGINT)), ('wide', 'w|id|e', CAST(3 AS BIGINT)), " +
+        "('with', 'w|i|th', CAST(3 AS BIGINT)), ('work', 'w|or|k', CAST(3 AS BIGINT))" +
+        ") AS t(w, pieces, n_pieces) ORDER BY w")),
+
+    // L96 — Gopher repetition signals (Scoring.repetitionSignals):
+    // the three highest-cut MassiveText gates beyond l22's pair —
+    // duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    // top-2-gram character coverage — exact integer ppm, pure per-row.
+    // Pages constructed from doc_id repeat a nav line 2-3×, carry one
+    // spammy repeated-gram line and two unique prose lines, so all
+    // three signals take non-trivial doc-dependent values; the oracle
+    // recomputes via (doc, line)/(doc, gram) count relations.
+    "l96_repetition_gopher" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val page = concat(
+          lit("Home | Products | About"), lit("\n"),
+          lit("The study of item "), str(id % 7),
+          lit(" continues with new results today."), lit("\n"),
+          lit("Home | Products | About"), lit("\n"),
+          when(id % 3 === 0, lit("Home | Products | About\n")).otherwise(lit("")),
+          lit("Buy now buy now buy now buy now."), lit("\n"),
+          lit("A unique closing remark numbered "), str(id % 11), lit("."))
+        graft.operators.Scoring.repetitionSignals(
+            Tables.documents(s, d).select(id, page.as("page")), "page", n = 2)
+          .select(id, col("dup_line_frac_ppm"), col("dup_line_char_frac_ppm"),
+            col("top_ngram_char_frac_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("WITH pg AS (SELECT doc_id, " +
+        "'Home | Products | About' || chr(10) || " +
+        "'The study of item ' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "' continues with new results today.' || chr(10) || " +
+        "'Home | Products | About' || chr(10) || " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'Home | Products | About' || chr(10) ELSE '' END || " +
+        "'Buy now buy now buy now buy now.' || chr(10) || " +
+        "'A unique closing remark numbered ' || CAST(doc_id % 11 AS VARCHAR) || '.' AS page " +
+        "FROM documents), " +
+        "raw AS (SELECT doc_id, UNNEST(string_split(page, chr(10))) AS l FROM pg), " +
+        "lc AS (SELECT doc_id, trim(l) AS line, COUNT(*) AS c, length(trim(l)) AS len " +
+        "FROM raw WHERE trim(l) <> '' GROUP BY doc_id, trim(l)), " +
+        "la AS (SELECT doc_id, SUM(c) AS n_l, COUNT(*) AS n_d, SUM(c * len) AS ch, " +
+        "SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dch FROM lc GROUP BY doc_id), " +
+        "tk AS (SELECT doc_id, list_filter(string_split_regex(page, '[ \\t\\n\\r]+'), x -> x <> '') AS t FROM pg), " +
+        "gr AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM " +
+        "(SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM tk WHERE len(t) >= 2)), " +
+        "gc AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY doc_id, g), " +
+        "tp AS (SELECT doc_id, c * length(g) AS topn FROM " +
+        "(SELECT doc_id, g, c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM gc) WHERE rn = 1), " +
+        "base AS (SELECT doc_id, length(page) AS plen FROM pg) " +
+        "SELECT b.doc_id, " +
+        "CAST(CASE WHEN COALESCE(n_l, 0) > 0 THEN ((n_l - n_d) * 1000000) // n_l ELSE 0 END AS BIGINT) AS dup_line_frac_ppm, " +
+        "CAST(CASE WHEN COALESCE(ch, 0) > 0 THEN (dch * 1000000) // ch ELSE 0 END AS BIGINT) AS dup_line_char_frac_ppm, " +
+        "CAST(CASE WHEN COALESCE(topn, 0) > 0 AND plen > 0 THEN (topn * 1000000) // plen ELSE 0 END AS BIGINT) AS top_ngram_char_frac_ppm " +
+        "FROM base b LEFT JOIN la USING (doc_id) LEFT JOIN tp USING (doc_id) " +
+        "ORDER BY doc_id")),
+
+    // L97 — benchmark decontamination (Decontaminate.flagContaminated):
+    // the GPT-3 appendix-C scrub — a training doc sharing any
+    // normalized word 8-gram with the eval benchmark is contaminated.
+    // The benchmark here is the doc_id % 37 slice of the corpus itself
+    // (so hits are guaranteed and any cross-doc template repetition in
+    // the synthetic corpus is exercised too); grams broadcast, the
+    // corpus explodes once and never shuffles for the match.
+    "l97_decontamination" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 37 === 0)
+        val grams = graft.operators.Decontaminate.benchGrams(bench, "text", n = 8)
+        graft.operators.Decontaminate.flagContaminated(docs, "text", "doc_id", grams, n = 8)
+          .select(col("doc_id"), col("n_hit_grams"), col("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("WITH nb AS (SELECT doc_id, " + normalizeTextSql("text") + " AS text FROM documents), " +
+        shinglesCteN(8, "nb") + ", " +
+        "bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0), " +
+        "hits AS (SELECT sh.doc_id, COUNT(*) AS n FROM sh JOIN bg USING (s) GROUP BY sh.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams, " +
+        "COALESCE(h.n, 0) > 0 AS contaminated " +
+        "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id ORDER BY d.doc_id")),
+
+    // L98 — sentence-boundary token-budget chunking with overlap
+    // (Chunking.sentenceChunks): the RAG/embedding front-end — chunks
+    // of ≤32 ws-tokens cut only at sentence boundaries, tail sentences
+    // within 8 tokens of a boundary repeated at the next chunk's head.
+    // The assignment rule (home = running-sum div budget; overlap
+    // re-emit when end > boundary − overlap and the next chunk exists)
+    // is replayed verbatim by the oracle: window cumsum → // bucket →
+    // UNION ALL of the overlap rows → per-chunk agg with ordered
+    // string_agg.
+    "l98_sentence_chunks" -> QueryDef(
+      (s, d) => graft.operators.Chunking.sentenceChunks(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id", maxTokens = 32, overlapTokens = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_sentences"),
+          col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("WITH sp AS (SELECT doc_id, string_split(" +
+        "regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)) AS ss FROM documents), " +
+        "se AS (SELECT doc_id, UNNEST(ss) AS sent, " +
+        "UNNEST(generate_series(0, len(ss) - 1)) AS pos FROM sp), " +
+        "tt AS (SELECT doc_id, pos, sent, " +
+        "CAST(length(sent) - length(replace(sent, ' ', '')) + 1 AS BIGINT) AS nt FROM se), " +
+        "st AS (SELECT doc_id, pos, sent, nt, COALESCE(SUM(nt) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM tt), " +
+        "ck AS (SELECT *, strt // 32 AS home FROM st), " +
+        "mx AS (SELECT doc_id, MAX(strt) AS mxs FROM ck GROUP BY doc_id), " +
+        "em AS (SELECT doc_id, pos, sent, nt, home AS chunk_id FROM ck " +
+        "UNION ALL SELECT c.doc_id, pos, sent, nt, home + 1 FROM ck c JOIN mx USING (doc_id) " +
+        "WHERE strt + nt > (home + 1) * 32 - 8 AND mxs >= (home + 1) * 32) " +
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_sentences, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5 " +
+        "FROM em GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

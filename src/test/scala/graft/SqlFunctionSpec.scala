@@ -224,4 +224,41 @@ class SqlFunctionSpec extends AnyFunSuite {
       .as[(String, String)].collect()
     twice.foreach { case (orig, f) => assert(f == orig) }
   }
+
+  test("script_profile counts code points per script class, callable from SQL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // "ab Ж 日本 7 😀" — 2 latin, 1 cyrillic, 2 cjk, 1 digit, 4 spaces,
+    // 1 other (the emoji is ONE code point: the loop must step by
+    // Character.charCount, not by UTF-16 units)
+    val got = spark.sql("SELECT script_profile('ab Ж 日本 7 😀') AS p")
+      .select(col("p")).as[Seq[Long]].head()
+    assert(got == Seq(2L, 1L, 0L, 0L, 0L, 0L, 2L, 0L, 0L, 1L, 4L, 1L))
+    // SQL and Column forms agree
+    val viaCol = Seq(Tuple1("ab Ж 日本 7 😀")).toDF("t")
+      .select(graft.functions.ScriptProfileExpr(col("t")).as("p"))
+      .as[Seq[Long]].head()
+    assert(viaCol == got)
+  }
+
+  test("dominantScript picks the max writing-system slot, first on ties, none when absent") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ScriptProfileExpr
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "hello мир"),        // 5 latin vs 3 cyrillic → latin
+      (2L, "привет hi"),        // 6 cyrillic vs 2 latin → cyrillic
+      (3L, "αβ 日本語"),         // 2 greek vs 3 cjk → cjk
+      (4L, "ab жи"),            // 2 vs 2 tie → first slot (latin)
+      (5L, "123 !!! ,,,"),      // no script chars at all
+      (6L, "한국어 테스트"))      // hangul
+    val out = rows.toDF("id", "t")
+      .select(col("id"),
+        ScriptProfileExpr.dominantScript(ScriptProfileExpr(col("t"))).as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "latin" && out(2L) == "cyrillic" && out(3L) == "cjk")
+    assert(out(4L) == "latin")
+    assert(out(5L) == "none")
+    assert(out(6L) == "hangul")
+  }
 }

@@ -195,6 +195,36 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3)._2 == "no pii here at all" && out(3)._3 == 0L)
   }
 
+  test("lineQualityFilter applies each C4 rule; blank structure lines survive") {
+    val page = Seq(
+      "This is a perfectly fine sentence with enough words.", // kept
+      "Click here",                                           // < 5 words
+      "",                                                     // blank — kept (structure)
+      "Menu Home About Contact Privacy Terms",                // no terminal punct
+      "Please enable javascript to continue reading this.",   // javascript
+      "He asked where the old bridge crossed the river?",     // kept (?)
+      "She shouted the answer across the crowded noisy room!", // kept (!)
+      "The sign read \"closed for the winter season now.\"",  // kept (ends ")
+      "Short tail.").mkString("\n")                           // < 5 words
+    val out = Seq(Tuple1(page)).toDF("t")
+      .select(TextFunctions.lineQualityFilter(col("t")).as("c"))
+      .as[String].head()
+    assert(out == Seq(
+      "This is a perfectly fine sentence with enough words.",
+      "",
+      "He asked where the old bridge crossed the river?",
+      "She shouted the answer across the crowded noisy room!",
+      "The sign read \"closed for the winter season now.\"").mkString("\n"))
+  }
+
+  test("lineQualityFilter: minWords is tunable and an all-kept page is unchanged") {
+    val page = "One two three keep this line.\nAnd another good line survives here."
+    val out = Seq(Tuple1(page)).toDF("t")
+      .select(TextFunctions.lineQualityFilter(col("t"), minWords = 3).as("c"))
+      .as[String].head()
+    assert(out == page)
+  }
+
   test("normalizeText canonicalizes case, punctuation, and whitespace runs") {
     val rows = Seq(
       (1L, "Hello,   World!"),

@@ -65,4 +65,47 @@ class DomainsSpec extends AnyFunSuite {
       l.contains("Exchange") && !l.contains("BroadcastExchange"))
     assert(shuffles <= 4, s"unexpected shuffle count $shuffles in:\n$plan")
   }
+
+  private val blockedHosts = Seq("ads.example.com", "tracker.net").toDF("h")
+  private val blockedDoms = Seq("badsite.org", "spam.example").toDF("d")
+
+  test("blocklistFilter: host > domain > path priority, case-insensitive, NULL when clean") {
+    val cases = Seq(
+      ("https://ads.example.com/p/1", "host"),        // exact host
+      ("https://ADS.EXAMPLE.COM/p/2", "host"),        // case-folded host
+      ("https://shop.badsite.org/p/3", "domain"),     // subdomain of blocked domain
+      ("https://badsite.org/p/4", "domain"),          // apex of blocked domain
+      ("https://www.goodsite.com/ads/banner/5", "path"), // path prefix
+      ("https://www.goodsite.com/p/6", null),         // clean
+      ("https://sub.goodsite.com/padsx", null),       // prefix must anchor at /ads/
+      // host rule outranks a domain rule that would also fire
+      ("https://ads.example.com/ads/x", "host"))
+    val out = Domains.blocklistFilter(cases.map(_._1).toDF("url"), "url",
+        blockedHosts, blockedDoms, pathPrefixes = Seq("/ads/"))
+      .select("block_reason").as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("blocklistFilter: no path rules means path never fires; helper columns are dropped") {
+    val df = Domains.blocklistFilter(
+      Seq("https://x.goodsite.com/ads/1").toDF("url"), "url",
+      blockedHosts, blockedDoms)
+    assert(df.columns.toSeq == Seq("url", "block_reason"))
+    assert(df.select("block_reason").as[String].collect().toSeq == Seq(null))
+  }
+
+  test("plan: blocklist rule tables join broadcast; the URL side never shuffles") {
+    val urls = spark.range(200)
+      .select(concat(lit("https://sub"), col("id") % 10,
+        lit(".site"), col("id") % 7, lit(".com/p/"), col("id")).as("url"))
+    val plan = Domains.blocklistFilter(urls, "url", blockedHosts, blockedDoms,
+        pathPrefixes = Seq("/ads/"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    val shuffles = plan.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    // only the two tiny rule-table distincts may shuffle
+    assert(shuffles <= 2, s"unexpected shuffle count $shuffles in:\n$plan")
+  }
 }

@@ -361,4 +361,39 @@ class ScoringSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(1L, 3L)) // doc 2 has no bigrams
     assert(got.forall(_._3 >= 0.0)) // −ln P ≥ 0 since every P ≤ 1
   }
+
+  test("repetitionSignals: hand-computed ppm fractions on a constructed page") {
+    // lines (non-blank, trimmed): "nav bar" ×3, "real prose here" ×1 →
+    //   dup_line_frac      = 2/4
+    //   dup_line_char_frac = 21/36   (3×7 dup chars / (21+15))
+    val page = "nav bar\nreal prose here\nnav bar\n\n  nav bar  "
+    // 2-grams of the 11 tokens (blank line splits nothing — tokens come
+    // from the RAW text): most frequent 2-gram "bar nav" ... count by hand:
+    // tokens: nav bar real prose here nav bar nav bar
+    // grams: "nav bar"×3, "bar real", "prose here", "here nav",
+    //        "bar nav"×2, "real prose" → top = "nav bar" (3) len 7
+    val out = Scoring.repetitionSignals(
+        Seq((1L, page)).toDF("doc_id", "text"), "text", n = 2)
+      .select("dup_line_frac_ppm", "dup_line_char_frac_ppm",
+        "top_ngram_char_frac_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(out._1 == 2000000L / 4)
+    assert(out._2 == 21000000L / 36)
+    assert(out._3 == 3L * 7 * 1000000L / page.length)
+  }
+
+  test("repetitionSignals: clean prose scores low, degenerate repetition high, empty is 0") {
+    val rows = Seq(
+      (1L, "each line is different.\nand says something new.\nno repeats anywhere."),
+      (2L, "buy now\nbuy now\nbuy now\nbuy now"),
+      (3L, ""))
+    val out = Scoring.repetitionSignals(rows.toDF("doc_id", "text"), "text", n = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_line_frac_ppm", "dup_line_char_frac_ppm",
+        "top_ngram_char_frac_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0)._2 == 0L && out(0)._3 == 0L)       // no duplicate lines
+    assert(out(1)._2 == 750000L && out(1)._3 == 1000000L) // 3/4 lines, all chars dup
+    assert(out(2)._2 == 0L && out(2)._3 == 0L && out(2)._4 == 0L)
+  }
 }

@@ -440,4 +440,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("l91: line-quality filtering is projection-only below the sort") {
+    val p = planOf("l91_line_quality")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("l92: script profiling is one native pass — no joins, no hash shuffle, no regex") {
+    val p = planOf("l92_script_profile")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // the point of the native expression: the per-script counts must
+    // NOT lower to a stack of regexp_replace scans
+    assert(p.contains("script_profile"), p.take(3000))
+    assert(!p.contains("regexp_replace"), p.take(3000))
+  }
+
+  test("l93: blocklist rule tables broadcast; the URL side never shuffles or sort-merges") {
+    val p = planOf("l93_url_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l96: repetition signals are projection-only below the sort — no joins, no hash shuffle") {
+    val p = planOf("l96_repetition_gopher")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("l97: benchmark grams broadcast; corpus explode never sort-merges") {
+    val p = planOf("l97_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l98: chunking windows partition by the document id; no joins") {
+    val p = planOf("l98_sentence_chunks")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("l94: token fertility is one two-phase agg — partial combine, no Expand, one scan") {
+    val p = planOf("l94_token_fertility")
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000)) // map-side combine
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.split("Scan parquet").length - 1 == 1, p.take(3000))
+  }
 }
