@@ -1669,9 +1669,10 @@ object LlmQueries {
         "FROM tc GROUP BY doc_id ORDER BY doc_id")),
 
     // L68 — the end-to-end crawl cascade, COMPOSED: WARC bytes →
-    // record walk → HTTP-200 filter → HTML-to-text → normalize →
-    // exact dedup → banded-MinHash near dedup → kept set. l50, l66,
-    // l60 and l28 certify each stage alone; this is the first pipeline
+    // record walk → HTTP-200 filter → boilerplate blocks → line dedup
+    // → C4 line quality → normalize → exact dedup → banded-MinHash
+    // near dedup → kept set. l50, l66, l60, l84, l91 and l28 certify
+    // each stage alone; this is the first pipeline
     // a new user actually builds, certified as one dataflow. Fixture =
     // graft.sources.CascadeFixtures (36 HTTP-200 docs over 3 WARC
     // files incl. a gzip multi-member one; warcinfo/404/request/
@@ -1700,9 +1701,15 @@ object LlmQueries {
           .select((col("file_id") * 100 + col("rec_idx")).as("doc_id"),
             array_join(transform(filter(mainContentBlocks(col("body_head")),
               b => b("keep")), b => b("t")), "\n").as("__main"))
+        // C4 line-quality gate (l91) between line dedup and the dedup
+        // stages: variant 2 carries an enable-javascript interstitial
+        // the boilerplate verdicts keep — only this stage removes it,
+        // so exact dedup converges only when it runs (load-bearing,
+        // like lineDedup for variant 1's repeated block)
         val docs = Dedup.lineDedup(pages, "__main", "__lined")
           .select(col("doc_id"),
-            normalizeText(replace(col("__lined"), lit("\n"), lit(" "))).as("text"))
+            normalizeText(replace(
+              lineQualityFilter(col("__lined")), lit("\n"), lit(" "))).as("text"))
         Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
           .select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),
@@ -1715,9 +1722,14 @@ object LlmQueries {
         // (by document order) of each kept block's text wins
         "lined AS (SELECT doc_id, ord, t, keep, " +
         "ROW_NUMBER() OVER (PARTITION BY doc_id, t, keep ORDER BY ord) AS rn FROM mck), " +
+        // the C4 line-quality predicate (l91's rules) applied per kept
+        // first-occurrence block line
         "docs AS (SELECT doc_id, " +
         normalizeTextSql("COALESCE(string_agg(t, ' ' ORDER BY ord) " +
-          "FILTER (WHERE keep AND rn = 1), '')") +
+          "FILTER (WHERE keep AND rn = 1 " +
+          "AND len(list_filter(string_split(t, ' '), x -> x <> '')) >= 5 " +
+          "AND regexp_matches(rtrim(t), '[.!?\"'']$') " +
+          "AND NOT contains(lower(t), 'javascript')), '')") +
         " AS text FROM lined GROUP BY doc_id), " +
         "kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM docs) " +

@@ -5,7 +5,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /**
  * Deterministic WARC corpus for the l68 end-to-end crawl cascade —
  * the first pipeline a new user builds: WARC bytes → record walk →
- * HTML-to-text → normalize → exact dedup → near dedup → kept set.
+ * boilerplate blocks → line dedup → C4 line quality → normalize →
+ * exact dedup → near dedup → kept set.
  * l50/l66/l60/l28 certify each stage ALONE; this fixture certifies
  * them COMPOSED, on the l48/l50 ground-truth pattern: the DuckDB
  * oracle is a VALUES relation of the construction-side (doc_id, html)
@@ -61,22 +62,34 @@ object CascadeFixtures {
     * DIFFERENT link-dense chrome (nav bar / menu div / link list):
     * under plain htmlToText the variants would keep their distinct
     * boilerplate and never converge, so the dedup outcomes downstream
-    * prove mainContent is doing real work inside the composition. */
+    * prove mainContent is doing real work inside the composition.
+    * Every prose block ends in a '.' (normalization strips it, so the
+    * normal forms are unchanged) because the cascade's C4 line-quality
+    * stage requires terminal punctuation; variant 2 additionally
+    * carries an enable-javascript interstitial that the BOILERPLATE
+    * pass keeps (long, link-free, stopword-dense — jusText has no
+    * reason to cut it) and only the line-quality stage removes — so
+    * exact dedup converges only when THAT stage runs too. */
   def htmlOf(r: Int): String = {
     val t = textOf(r)
     (r / 12) match {
       case 0 => "<html><body><nav><a href=/h>Home</a> <a href=/b>Blog</a> " +
         "<a href=/c>Contact</a></nav>" +
-        s"<p>$t</p><footer>Copyright <a href=/p>privacy</a></footer></body></html>"
+        s"<p>$t.</p><footer>Copyright <a href=/p>privacy</a></footer></body></html>"
       case 1 => s"<html><head><style>p{color:red}</style></head><body>" +
         "<div class=menu><a href=/1>one</a> <a href=/2>two</a> <a href=/3>three</a></div>" +
         // the prose block appears TWICE (the in-page repetition crawl
         // pages actually carry): without the cascade's line-dedup
         // stage this variant would extract to "t t" and never converge
         // with variants 0/2 — lineDedup is load-bearing here
-        s"<div>$t</div><div>$t</div><script>var x=1;</script></body></html>"
+        s"<div>$t.</div><div>$t.</div><script>var x=1;</script></body></html>"
       case _ => "<ul><li><a href=/x>archive</a></li><li><a href=/y>tags</a></li></ul>" +
-        s"<P>$t &amp;&lt;&gt;</P><!-- note -->"
+        // kept by the boilerplate verdicts (long, link-free,
+        // stopword-dense), terminal-punctuated and 13 words — ONLY the
+        // C4 javascript rule removes it
+        "<div>please enable javascript to view the full story and the " +
+        "gallery of images.</div>" +
+        s"<P>$t &amp;&lt;&gt;.</P><!-- note -->"
     }
   }
 

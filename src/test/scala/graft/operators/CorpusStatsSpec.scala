@@ -217,6 +217,27 @@ class CorpusStatsSpec extends AnyFunSuite {
       "The sign read \"closed for the winter season now.\"").mkString("\n"))
   }
 
+  test("cascade fixture: the javascript interstitial survives boilerplate and dies ONLY to the C4 rule") {
+    // non-vacuity pin for l68's line-quality stage: if jusText dropped
+    // the trap block itself, wiring lineQualityFilter into the cascade
+    // would be symmetric dead code on both engine sides
+    val html = graft.sources.CascadeFixtures.htmlOf(24) // variant 2
+    val blocks = Seq(Tuple1(html)).toDF("h")
+      .select(TextFunctions.mainContentBlocks(col("h")).as("bs"))
+      .select(explode(col("bs")).as("b"))
+      .select(col("b.t").as("t"), col("b.keep").as("keep"))
+      .as[(String, Boolean)].collect().toSeq
+    val kept = blocks.filter(_._2).map(_._1)
+    val trap = kept.filter(_.contains("javascript"))
+    assert(trap.nonEmpty, s"trap block not kept by boilerplate: $blocks")
+    // 13 words, terminal '.', link-free — only the javascript rule fires
+    val afterC4 = Seq(Tuple1(kept.mkString("\n"))).toDF("t")
+      .select(TextFunctions.lineQualityFilter(col("t")).as("c"))
+      .as[String].head()
+    assert(!afterC4.contains("javascript"))
+    assert(afterC4.nonEmpty) // the prose block itself survives the rules
+  }
+
   test("lineQualityFilter: minWords is tunable and an all-kept page is unchanged") {
     val page = "One two three keep this line.\nAnd another good line survives here."
     val out = Seq(Tuple1(page)).toDF("t")
