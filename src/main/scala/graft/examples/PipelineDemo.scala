@@ -9,11 +9,14 @@ import graft.operators.{Dedup, Sampling, Scoring}
  * End-to-end training-data curation pipeline assembled from the graft
  * operators — the workload this engine is built for at 100 TB:
  *
- *   documents (as crawled HTML) → text extraction → URL canonicalization
- *   → quality + repetition + LM-perplexity filters → exact+near dedup
- *   cascade (normalized keys) → benchmark decontamination → domain
- *   reweighting → token stats enrichment → stratified sample →
- *   curated parquet
+ *   documents (as crawled HTML) → URL blocklist → text extraction
+ *   (boilerplate blocks → line dedup → C4 line quality) → URL
+ *   canonicalization → script-mix gate → quality + repetition +
+ *   LM-perplexity filters → per-language percentile gate → exact+near
+ *   dedup cascade (normalized keys) → benchmark decontamination →
+ *   domain reweighting → token stats enrichment → drift report →
+ *   stratified sample → leakage-safe split → training sequences +
+ *   retrieval chunks → curated parquet
  *
  * Every stage is a declarative DataFrame transform, so the whole
  * pipeline is ONE Catalyst plan per output: pushdown reaches the scan,
@@ -42,9 +45,11 @@ object PipelineDemo {
     // html_to_text recovers the text, normalize_url collapses revisit
     // variants (per-URL exact dedup), both pure projections
     val crawled = raw.select(col("doc_id"), col("lang"), col("source"),
+      // the prose block is terminal-punctuated, as real sentences are —
+      // the C4 line-quality stage downstream requires it
       concat(lit("<html><body><nav><a href=/h>Home</a> <a href=/b>Blog</a></nav><p>"),
         col("text"),
-        lit("</p><script>var x=1;</script>" +
+        lit(".</p><script>var x=1;</script>" +
           "<footer>Copyright <a href=/p>privacy</a></footer></body></html>")).as("html"),
       concat(lit("https://www.site"), (col("doc_id") % 11).cast("string"),
         lit(".com:443/p/"), col("doc_id").cast("string"),
@@ -58,15 +63,32 @@ object PipelineDemo {
     // join with NEWLINES so in-page line dedup (l84) can drop repeated
     // nav crumbs/banners before the quality gates — the l68 cascade's
     // order, demonstrated on the full pipeline
-    val pages = crawled.select(col("doc_id"), col("lang"), col("source"),
+    // 0a. URL blocklist (l93) — the cheapest gate runs FIRST, before
+    // any text is touched: rule tables broadcast, the URL side never
+    // shuffles
+    val blockedHosts = Seq("www.site3.com").toDF("host")
+    val blockedDoms = Seq("spamfarm.biz").toDF("domain")
+    val allowed = graft.operators.Domains.blocklistFilter(
+        crawled, "url", blockedHosts, blockedDoms, pathPrefixes = Seq("/ads/"))
+      .filter(col("block_reason").isNull).drop("block_reason")
+    val pages = allowed.select(col("doc_id"), col("lang"), col("source"),
       col("url"),
       array_join(transform(filter(TextFunctions.mainContentBlocks(
         TextFunctions.fixMojibake(col("html"))), b => b("keep")), b => b("t")),
         "\n").as("__main"),
       TextFunctions.normalizeUrl(col("url")).as("norm_url"))
+    // line dedup (l84) then the C4 line-quality rules (l91) — the l68
+    // cascade's order — before lines flatten back to running text
     val extracted = Dedup.lineDedup(pages, "__main", "__lined")
-      .withColumn("text", replace(col("__lined"), lit("\n"), lit(" ")))
+      .withColumn("text", replace(
+        TextFunctions.lineQualityFilter(col("__lined"), minWords = 3),
+        lit("\n"), lit(" ")))
       .drop("__main", "__lined")
+      // script-mix gate (l92): one native code-point pass; pages whose
+      // dominant writing system is "none" (digit/symbol soup) drop here
+      .withColumn("__script", graft.functions.ScriptProfileExpr.dominantScript(
+        graft.functions.ScriptProfileExpr(col("text"))))
+      .filter(col("__script") =!= "none").drop("__script")
     // PSL-exact per-domain capping key (last-two-labels would collapse
     // every *.co.uk site into one key): longest-suffix match against a
     // caller-supplied public-suffix table, broadcast joins only
@@ -122,11 +144,25 @@ object PipelineDemo {
     // + Kneser-Ney bigram perplexity (the KenLM-family quality score)
     val kn = Scoring.kneserNeyBigram(mixed, "text", "doc_id")
       .select(col("doc_id"), col("avg_neg_logprob").as("kn_score"))
-    val enriched = mixed
+    val counted = mixed
       .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")))
       .withColumn("n_bpeish", TextFunctions.bpeishTokenCount(col("text")))
       .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
       .join(kn.hint("shuffle_hash"), Seq("doc_id"), "left")
+    // 5b. per-language percentile gate (l100): drop the shortest decile
+    // within each language — EXACT chunk-bounded ranks, no quantile
+    // sketch, stratum counts broadcast
+    val enriched = Sampling.percentileGate(
+        counted, "lang", "n_tokens", "doc_id", dropBelowPpm = 100000L)
+      .filter(col("kept")).drop("score_rank", "kept")
+    // 5c. drift report (l101): token-distribution JSD between the two
+    // doc_id-parity halves per language — the snapshot-over-snapshot
+    // observability readout, here proving the curated halves stayed
+    // distributionally close
+    val drift = Scoring.unigramJsd(
+        enriched.withColumn("in_a", col("doc_id") % 2 === 0),
+        "text", "lang", "in_a")
+      .agg(max(col("jsd"))).head().getDouble(0)
 
     // 6. decontamination triage the other way around: BM25-score the
     // kept corpus against an eval-style query and surface the top hits
@@ -153,18 +189,25 @@ object PipelineDemo {
       trainDocs, "text", "doc_id", seqLen = 512L)
     val nHoldout = split.filter(col("split") === "holdout").count()
     val nSeqs = packed.agg(countDistinct(col("seq_id"))).head().getLong(0)
+    // 9. retrieval chunks (l98): the same curated corpus sliced for a
+    // RAG index — sentence-aligned 128-token chunks with 16-token
+    // overlap, next to the training sequences
+    val chunks = graft.operators.Chunking.sentenceChunks(
+      enriched, "text", "doc_id", maxTokens = 128, overlapTokens = 16)
 
     enriched.write.mode("overwrite").parquet(s"$outDir/curated")
     sample.write.mode("overwrite").parquet(s"$outDir/sample")
     triage.write.mode("overwrite").parquet(s"$outDir/triage")
     packed.write.mode("overwrite").parquet(s"$outDir/train_sequences")
+    chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
 
     val kept = spark.read.parquet(s"$outDir/curated").count()
     val sampled = spark.read.parquet(s"$outDir/sample").count()
     println(s"[pipeline-demo] $total docs -> quality ${quality.count()} " +
       s"(trained-model keep $modelKeep) -> " +
-      s"deduped $kept curated (+ $sampled sampled) -> " +
-      s"holdout $nHoldout, train packed into $nSeqs x 512-token sequences -> $outDir")
+      s"deduped $kept curated (+ $sampled sampled, max parity-JSD $drift) -> " +
+      s"holdout $nHoldout, train packed into $nSeqs x 512-token sequences " +
+      s"+ ${spark.read.parquet(s"$outDir/chunks").count()} retrieval chunks -> $outDir")
     spark.stop()
   }
 }

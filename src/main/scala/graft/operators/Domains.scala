@@ -114,4 +114,43 @@ object Domains {
           .when(pathHit, lit("path")))
       .drop("__lh", "__ld", "__ln", "__lp", "__bh", "__bd")
   }
+
+  /**
+   * MEASURED domain-level quality gating — the FineWeb curation step a
+   * static blocklist ([[blocklistFilter]]) cannot do: aggregate a
+   * per-document quality signal (an integer ppm — e.g.
+   * [[Scoring.repetitionSignals]]' duplicate-line fraction) by
+   * REGISTRABLE DOMAIN and condemn domains whose aggregate behavior is
+   * spammy. Content farms publish thousands of individually-borderline
+   * pages; the domain-level average is the separating signal.
+   *
+   * Adds `domain`, `domain_docs`, `domain_avg_ppm` (exact integer
+   * `div`), and `out` = 'spam_domain' when the domain has at least
+   * `minDocs` pages AND average signal ≥ `maxAvgPpm`, else NULL (keep
+   * via `out IS NULL`).
+   *
+   * 100 TB shape: URLs parse ONCE ([[TextFunctions.withUrlParts]]'
+   * staged projection); the per-domain agg partial-aggregates map-side
+   * (associative count/sum — a skewed mega-domain combines before the
+   * exchange); the stats table is ~one row per distinct domain (1e8 at
+   * crawl scale — too big to assume broadcastable, unlike l93's RULE
+   * tables), so it joins back SHUFFLE-HASH on the domain key.
+   */
+  def domainQualityGate(docs: DataFrame, urlCol: String, signalCol: String,
+                        minDocs: Long, maxAvgPpm: Long,
+                        out: String = "domain_verdict"): DataFrame = {
+    val parts = TextFunctions.withUrlParts(docs, urlCol,
+      hostCol = "__dqh", domainCol = "domain", normCol = "__dqn")
+      .drop("__dqh", "__dqn")
+    val stats = parts.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"),
+        sum(col(signalCol).cast("long")).as("__dqs"))
+      .withColumn("domain_avg_ppm", expr("__dqs div domain_docs"))
+      .drop("__dqs")
+    parts
+      .join(stats.hint("shuffle_hash"), Seq("domain"))
+      .withColumn(out,
+        when(col("domain_docs") >= minDocs &&
+          col("domain_avg_ppm") >= maxAvgPpm, lit("spam_domain")))
+  }
 }

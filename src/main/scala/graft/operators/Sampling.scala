@@ -229,4 +229,42 @@ object Sampling {
         k, pmod(xxhash64(col(idCol)), lit(16)), "__rk")
       .select(df.columns.map(col): _*)
   }
+
+  /**
+   * EXACT per-stratum percentile gating — the curation step after a
+   * quality signal is computed (CCNet keeps the best perplexity
+   * tertiles; FineWeb-Edu keeps scores above a percentile): within
+   * each `keyCol` stratum, drop the lowest `dropBelowPpm`/1e6 fraction
+   * of rows by `scoreCol` (ascending; `idCol` breaks exact score ties,
+   * so the kept set is deterministic and cross-engine reproducible —
+   * NO approximate-quantile sketch whose cutoffs depend on merge
+   * order).
+   *
+   * The rank is EXACT but never windows a whole stratum in one task:
+   * [[Windows.runningSumChunked]] over (score, id-chunk) buckets — the
+   * l64 two-pass form — so a stratum of a billion rows ranks as
+   * bounded per-bucket sorts plus a bucket-offset prefix sum, even
+   * when every row carries the SAME score (the id-chunk component
+   * bounds bucket size under total ties). Stratum row-counts join
+   * back BROADCAST (strata are languages/sources — small by
+   * construction of a stratified gate).
+   *
+   * Adds `out` (rank, 1-based in (score, id) order) and `kept` =
+   * rank > ⌊n·dropBelowPpm/1e6⌋ — exact integer threshold arithmetic.
+   */
+  def percentileGate(df: DataFrame, keyCol: String, scoreCol: String,
+                     idCol: String, dropBelowPpm: Long,
+                     out: String = "score_rank", idChunk: Long = 65536L): DataFrame = {
+    require(dropBelowPpm >= 0 && dropBelowPpm < 1000000L,
+      s"dropBelowPpm must be in [0, 1e6), got $dropBelowPpm")
+    val ranked = Windows.runningSumChunked(df, Seq(keyCol),
+      struct(col(scoreCol), expr(s"CAST(`$idCol` AS BIGINT) div ${idChunk}L")),
+      Seq(col(scoreCol), col(idCol)), lit(1L), out)
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__pg_n"))
+    ranked
+      .join(broadcast(counts), Seq(keyCol))
+      .withColumn("kept",
+        col(out) > expr(s"(__pg_n * ${dropBelowPpm}L) div 1000000L"))
+      .drop("__pg_n")
+  }
 }

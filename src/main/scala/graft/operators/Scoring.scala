@@ -485,6 +485,53 @@ object Scoring {
         "__rs_ln", "__rs_ldup", "__rs_lc", "__rs_lcdup", "__rs_tchars", "__rs_topn")
   }
 
+  /**
+   * Unigram-distribution drift between two corpus slices — the
+   * observability readout a data team watches across crawl snapshots,
+   * dedup-parameter changes, or mixture re-weights: Jensen–Shannon
+   * divergence (in NATS; symmetric, bounded by ln 2, defined even when
+   * supports differ — unlike raw KL) between the token distributions
+   * of slice A (`sliceACol` true) and slice B, per `keyCol` stratum.
+   *
+   * Determinism discipline (the l33/kneserNey pattern): per-token
+   * contributions are doubles computed from EXACT integer (key, token,
+   * side) counts in a fixed expression shape, ROUNDED to 9 decimals and
+   * summed as DECIMAL(20,9) — the cross-partition sum is integer-exact,
+   * so the result is bit-stable at any partitioning and restatable by
+   * an independent engine running the same expression.
+   *
+   * Shuffle shape: one (key, token) agg (map-side combined — the only
+   * corpus-sized exchange), per-key totals BROADCAST back (keys are
+   * strata — languages/sources — small by construction), one final
+   * per-key agg. No joins keyed by anything row-scale.
+   */
+  def unigramJsd(docs: DataFrame, textCol: String, keyCol: String,
+                 sliceACol: String): DataFrame = {
+    val tc = docs
+      .select(col(keyCol), col(sliceACol).as("__ja"),
+        explode(wsTokens(col(textCol))).as("__jt"))
+      .groupBy(col(keyCol), col("__jt"))
+      .agg(sum(when(col("__ja"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__ja"), 0L).otherwise(1L)).as("__cb"))
+    val totals = tc.groupBy(col(keyCol))
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val p = col("__ca").cast("double") / col("__na")
+    val q = col("__cb").cast("double") / col("__nb")
+    val m = (p + q) / lit(2.0)
+    // 0·ln(0/m) terms are 0 by continuity: each side contributes only
+    // where its count is positive (this also keeps the expression
+    // defined when a token is absent from one slice)
+    val contrib =
+      when(col("__ca") > 0, p * log(p / m) * lit(0.5)).otherwise(lit(0.0)) +
+        when(col("__cb") > 0, q * log(q / m) * lit(0.5)).otherwise(lit(0.0))
+    tc.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("__na"), col("__nb"),
+        round(contrib, 9).cast("decimal(20,9)").as("__jc"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__na")).as("n_tokens_a"), max(col("__nb")).as("n_tokens_b"),
+        round(sum(col("__jc")).cast("double"), 6).as("jsd"))
+  }
+
   def kneserNeyBigram(docs: DataFrame, textCol: String, idCol: String,
                       d: Double = 0.75): DataFrame = {
     val big = docs

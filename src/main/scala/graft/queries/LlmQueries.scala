@@ -2468,6 +2468,137 @@ object LlmQueries {
         "md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5 " +
         "FROM em GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id")),
 
+    // L99 — measured domain-level quality gating
+    // (Domains.domainQualityGate ∘ Scoring.repetitionSignals): the
+    // FineWeb content-farm kill a static blocklist (l93) cannot do —
+    // per-page duplicate-line-char ppm (l96's signal) aggregated by
+    // registrable domain; domains with ≥20 pages averaging ≥400000 ppm
+    // are condemned, subdomains pooling into the apex. Spam-farm pages
+    // (doc_id%5 ∈ {0,1}, spread over 3 subdomains) repeat their lines;
+    // clean domains carry unique prose. The oracle re-derives the
+    // per-page signal from (doc, line) counts, the domain from the l64
+    // host/domain fragments, and the same floor-div average + CASE.
+    "l99_domain_gate" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(lit("https://"),
+          when(id % 5 <= 1, concat(lit("shard"), str(id % 3), lit(".spamfarm.biz")))
+            .when(id % 5 === 2, lit("www.goodsite.com"))
+            .when(id % 5 === 3, concat(lit("sub"), str(id % 4), lit(".goodsite.com")))
+            .otherwise(lit("cleanblog.org")),
+          lit("/p/"), str(id))
+        val page = when(id % 5 <= 1, concat(
+            lit("Buy cheap pills now\nBuy cheap pills now\nBuy cheap pills now\n"),
+            lit("Unique filler line number "), str(id)))
+          .otherwise(concat(
+            lit("Article "), str(id), lit(" opens with a thought.\n"),
+            lit("A different idea follows in the second line.\n"),
+            lit("Closing remark numbered "), str(id % 7), lit(".")))
+        val sig = graft.operators.Scoring.repetitionSignals(
+            Tables.documents(s, d).select(id, url.as("url"), page.as("page")),
+            "page", n = 2)
+          .select(id, col("url"), col("dup_line_char_frac_ppm").as("sig"))
+        graft.operators.Domains.domainQualityGate(sig, "url", "sig",
+            minDocs = 20, maxAvgPpm = 400000L)
+          .select(id, col("domain"), col("domain_docs"), col("domain_avg_ppm"),
+            coalesce(col("domain_verdict"), lit("clean")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("WITH pg AS (SELECT doc_id, 'https://' || " +
+        "CASE WHEN doc_id % 5 <= 1 THEN 'shard' || CAST(doc_id % 3 AS VARCHAR) || '.spamfarm.biz' " +
+        "WHEN doc_id % 5 = 2 THEN 'www.goodsite.com' " +
+        "WHEN doc_id % 5 = 3 THEN 'sub' || CAST(doc_id % 4 AS VARCHAR) || '.goodsite.com' " +
+        "ELSE 'cleanblog.org' END || '/p/' || CAST(doc_id AS VARCHAR) AS url, " +
+        "CASE WHEN doc_id % 5 <= 1 THEN " +
+        "'Buy cheap pills now' || chr(10) || 'Buy cheap pills now' || chr(10) || " +
+        "'Buy cheap pills now' || chr(10) || 'Unique filler line number ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'Article ' || CAST(doc_id AS VARCHAR) || ' opens with a thought.' || chr(10) || " +
+        "'A different idea follows in the second line.' || chr(10) || " +
+        "'Closing remark numbered ' || CAST(doc_id % 7 AS VARCHAR) || '.' END AS page " +
+        "FROM documents), " +
+        "raw AS (SELECT doc_id, UNNEST(string_split(page, chr(10))) AS l FROM pg), " +
+        "lc AS (SELECT doc_id, trim(l) AS line, COUNT(*) AS c, length(trim(l)) AS len " +
+        "FROM raw WHERE trim(l) <> '' GROUP BY doc_id, trim(l)), " +
+        "sg AS (SELECT doc_id, CASE WHEN SUM(c * len) > 0 THEN " +
+        "(SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) * 1000000) // SUM(c * len) " +
+        "ELSE 0 END AS sig FROM lc GROUP BY doc_id), " +
+        "dm AS (SELECT p.doc_id, p.url, COALESCE(s.sig, 0) AS sig, " +
+        "regexp_extract(lower(regexp_extract(p.url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), " +
+        "'([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain FROM pg p LEFT JOIN sg s ON s.doc_id = p.doc_id), " +
+        "st AS (SELECT domain, COUNT(*) AS n, SUM(sig) AS ssum FROM dm GROUP BY domain) " +
+        "SELECT dm.doc_id, dm.domain, CAST(st.n AS BIGINT) AS domain_docs, " +
+        "CAST(ssum // n AS BIGINT) AS domain_avg_ppm, " +
+        "CASE WHEN st.n >= 20 AND ssum // n >= 400000 THEN 'spam_domain' ELSE 'clean' END AS verdict " +
+        "FROM dm JOIN st USING (domain) ORDER BY dm.doc_id")),
+
+    // L100 — exact per-stratum percentile gating
+    // (Sampling.percentileGate): the CCNet/FineWeb-Edu keep-the-best
+    // step — within each language, drop the lowest quarter by
+    // type-token-ratio ppm (l67's integer statistics). The rank is
+    // EXACT (no quantile sketch: a sketch's cutoff depends on merge
+    // order and can't be oracle-certified) yet never windows a whole
+    // stratum in one task — runningSumChunked over (score, id-chunk)
+    // buckets, stratum counts broadcast. The oracle is the plain
+    // ROW_NUMBER restatement of the same (score, id) order and the
+    // same floor-threshold arithmetic.
+    "l100_percentile_gate" -> QueryDef(
+      (s, d) => {
+        val ttr = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(wsTokens(col("text"))).as("t"))
+          .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("__tc"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("__tc")).as("__nt"), count(lit(1)).as("__nd"))
+          .withColumn("ttr_ppm", expr("(__nd * 1000000L) div __nt"))
+          .select(col("doc_id"), col("lang"), col("ttr_ppm"))
+        graft.operators.Sampling.percentileGate(ttr, "lang", "ttr_ppm",
+            "doc_id", dropBelowPpm = 250000L)
+          .select(col("doc_id"), col("lang"), col("ttr_ppm"),
+            col("score_rank"), col("kept"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "tc AS (SELECT doc_id, lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3), " +
+        "ttr AS (SELECT doc_id, lang, (COUNT(*) * 1000000) // SUM(c) AS ttr_ppm " +
+        "FROM tc GROUP BY doc_id, lang), " +
+        "rk AS (SELECT doc_id, lang, ttr_ppm, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ttr_ppm, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM ttr) " +
+        "SELECT doc_id, lang, CAST(ttr_ppm AS BIGINT) AS ttr_ppm, " +
+        "CAST(rn AS BIGINT) AS score_rank, " +
+        "rn > (n * 250000) // 1000000 AS kept FROM rk ORDER BY doc_id")),
+
+    // L101 — unigram-distribution drift (Scoring.unigramJsd): the
+    // snapshot-over-snapshot observability readout — Jensen–Shannon
+    // divergence (nats) between the token distributions of two corpus
+    // slices (here doc_id parity) per language. Per-token double
+    // contributions from exact integer counts, rounded to 9 decimals
+    // and summed as DECIMAL(20,9) (the l33/l65 discipline: the
+    // cross-partition sum is order-independent), totals broadcast.
+    "l101_unigram_drift" -> QueryDef(
+      (s, d) => graft.operators.Scoring.unigramJsd(
+          Tables.documents(s, d)
+            .withColumn("in_a", col("doc_id") % 2 === 0),
+          "text", "lang", "in_a")
+        .orderBy("lang"),
+      Some("WITH tok AS (SELECT lang, doc_id % 2 = 0 AS ina, " +
+        "UNNEST(string_split(text, ' ')) AS t FROM documents), " +
+        "tc AS (SELECT lang, t, SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS ca, " +
+        "SUM(CASE WHEN ina THEN 0 ELSE 1 END) AS cb FROM tok GROUP BY lang, t), " +
+        "tot AS (SELECT lang, SUM(ca) AS na, SUM(cb) AS nb FROM tc GROUP BY lang), " +
+        "c AS (SELECT lang, na, nb, CAST(ROUND(" +
+        "CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na) * " +
+        "LN((CAST(ca AS DOUBLE) / na) / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / CAST(2.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END + " +
+        "CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb) * " +
+        "LN((CAST(cb AS DOUBLE) / nb) / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / CAST(2.0 AS DOUBLE))) * CAST(0.5 AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END, 9) AS DECIMAL(20,9)) AS jc " +
+        "FROM tc JOIN tot USING (lang)) " +
+        "SELECT lang, CAST(MAX(na) AS BIGINT) AS n_tokens_a, " +
+        "CAST(MAX(nb) AS BIGINT) AS n_tokens_b, " +
+        "ROUND(CAST(SUM(jc) AS DOUBLE), 6) AS jsd " +
+        "FROM c GROUP BY lang ORDER BY lang")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

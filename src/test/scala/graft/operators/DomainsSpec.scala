@@ -94,6 +94,36 @@ class DomainsSpec extends AnyFunSuite {
     assert(df.select("block_reason").as[String].collect().toSeq == Seq(null))
   }
 
+  test("domainQualityGate condemns domains by aggregate signal; subdomains pool; small domains are spared") {
+    // spamfarm.biz: 12 pages across 3 subdomains, avg 800000 ppm → spam
+    // tinyspam.net: 2 pages at 900000 ppm but below minDocs → spared
+    // goodsite.com: 12 pages, avg 50000 ppm → clean
+    val rows =
+      (0 until 12).map(i => (s"https://shard$i.spamfarm.biz/p/$i", 800000L)) ++
+        (0 until 2).map(i => (s"https://tinyspam.net/p/$i", 900000L)) ++
+        (0 until 12).map(i => (s"https://www.goodsite.com/a/$i", 50000L))
+    val out = Domains.domainQualityGate(
+        rows.toDF("url", "sig"), "url", "sig", minDocs = 10, maxAvgPpm = 300000L)
+      .select("domain", "domain_docs", "domain_avg_ppm", "domain_verdict")
+      .distinct()
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("spamfarm.biz") == ((12L, 800000L, "spam_domain")))
+    assert(out("tinyspam.net") == ((2L, 900000L, null)))
+    assert(out("goodsite.com") == ((12L, 50000L, null)))
+  }
+
+  test("domainQualityGate: the average is exact integer div of mixed signals") {
+    val rows = Seq(
+      ("https://mixed.org/a", 100000L),
+      ("https://mixed.org/b", 100001L),
+      ("https://mixed.org/c", 100001L))
+    val avg = Domains.domainQualityGate(
+        rows.toDF("url", "sig"), "url", "sig", minDocs = 1, maxAvgPpm = 999999L)
+      .select("domain_avg_ppm").distinct().as[Long].head()
+    assert(avg == 300002L / 3) // floor(100000.666…) = 100000
+  }
+
   test("plan: blocklist rule tables join broadcast; the URL side never shuffles") {
     val urls = spark.range(200)
       .select(concat(lit("https://sub"), col("id") % 10,

@@ -362,6 +362,67 @@ class ScoringSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0.0)) // −ln P ≥ 0 since every P ≤ 1
   }
 
+  test("unigramJsd: identical slices → 0, disjoint vocabularies → ln 2, symmetric") {
+    val same = Seq(
+      (1L, "en", true, "alpha beta gamma"),
+      (2L, "en", false, "alpha beta gamma"))
+      .toDF("doc_id", "lang", "in_a", "text")
+    val z = Scoring.unigramJsd(same, "text", "lang", "in_a")
+      .select("jsd").as[Double].head()
+    assert(z == 0.0)
+    val disjoint = Seq(
+      (1L, "en", true, "alpha beta gamma"),
+      (2L, "en", false, "delta epsilon zeta"))
+      .toDF("doc_id", "lang", "in_a", "text")
+    val d = Scoring.unigramJsd(disjoint, "text", "lang", "in_a")
+      .select("jsd").as[Double].head()
+    assert(math.abs(d - math.log(2)) < 1e-6, s"disjoint JSD $d")
+    // symmetry: flip the slice membership
+    val flipped = disjoint.withColumn("in_a",
+      !org.apache.spark.sql.functions.col("in_a"))
+    val d2 = Scoring.unigramJsd(flipped, "text", "lang", "in_a")
+      .select("jsd").as[Double].head()
+    assert(d == d2)
+  }
+
+  test("unigramJsd matches a driver-side reference on a mixed two-key corpus") {
+    val docs = Seq(
+      (1L, "en", true, "the cat sat on the mat"),
+      (2L, "en", true, "the dog ran to the log"),
+      (3L, "en", false, "the cat ran on the rug"),
+      (4L, "en", false, "a bird flew over the mat"),
+      (5L, "de", true, "der hund lief zum haus"),
+      (6L, "de", false, "der hund schlief im haus"))
+      .toDF("doc_id", "lang", "in_a", "text")
+    val got = Scoring.unigramJsd(docs, "text", "lang", "in_a")
+      .select("lang", "n_tokens_a", "n_tokens_b", "jsd")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // driver reference: same contribution expression, same rounding
+    def ref(rows: Seq[(Boolean, String)]): (Long, Long, Double) = {
+      val a = rows.filter(_._1).flatMap(_._2.split(" "))
+      val b = rows.filterNot(_._1).flatMap(_._2.split(" "))
+      val (na, nb) = (a.size.toLong, b.size.toLong)
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong)
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong)
+      val sum = (ca.keySet ++ cb.keySet).toSeq.map { t =>
+        val p = ca.getOrElse(t, 0L).toDouble / na
+        val q = cb.getOrElse(t, 0L).toDouble / nb
+        val m = (p + q) / 2.0
+        val c = (if (ca.getOrElse(t, 0L) > 0) p * math.log(p / m) * 0.5 else 0.0) +
+          (if (cb.getOrElse(t, 0L) > 0) q * math.log(q / m) * 0.5 else 0.0)
+        BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (na, nb, sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val en = ref(Seq((true, "the cat sat on the mat"), (true, "the dog ran to the log"),
+      (false, "the cat ran on the rug"), (false, "a bird flew over the mat")))
+    val de = ref(Seq((true, "der hund lief zum haus"), (false, "der hund schlief im haus")))
+    assert(got("en") == en, s"en: got ${got("en")} want $en")
+    assert(got("de") == de, s"de: got ${got("de")} want $de")
+    assert(got.values.forall(v => v._3 >= 0.0 && v._3 <= math.log(2) + 1e-9))
+  }
+
   test("repetitionSignals: hand-computed ppm fractions on a constructed page") {
     // lines (non-blank, trimmed): "nav bar" ×3, "real prose here" ×1 →
     //   dup_line_frac      = 2/4

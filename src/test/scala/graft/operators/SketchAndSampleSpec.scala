@@ -286,6 +286,46 @@ class SketchAndSampleSpec extends AnyFunSuite {
       docs.filter(col("lang") =!= langs.head).count())
   }
 
+  test("percentileGate: exact per-stratum cutoff, id tie-break, chunked rank ≡ plain row_number") {
+    val rows = (0L until 200L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      (i, lang, (i * 37 % 100) + (if (lang == "en") 0L else 50L))
+    }
+    val df = rows.toDF("doc_id", "lang", "score")
+    val out = Sampling.percentileGate(df, "lang", "score", "doc_id",
+        dropBelowPpm = 250000L, idChunk = 16L)
+      .select("doc_id", "lang", "score", "score_rank", "kept")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    // reference: plain per-stratum sort
+    val ref = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      val cut = sorted.size * 250000L / 1000000L
+      sorted.zipWithIndex.map { case (r, i) => r._1 -> ((i + 1).toLong, i + 1 > cut) }
+    }
+    out.foreach { case (id, _, _, rk, kept) =>
+      assert((rk, kept) == ref(id), s"doc $id: got ($rk,$kept) want ${ref(id)}")
+    }
+    // exactly 25% dropped per stratum (200/3→67; floor arithmetic)
+    val dropped = out.filterNot(_._5).groupBy(_._2).view.mapValues(_.size).toMap
+    assert(dropped("en") == 67 * 250000 / 1000000)
+    assert(dropped("de") == 133 * 250000 / 1000000)
+  }
+
+  test("percentileGate ranks under TOTAL score ties stay bucket-bounded and id-ordered") {
+    val df = (0L until 100L).map(i => (i, "en", 42L)).toDF("doc_id", "lang", "score")
+    val out = Sampling.percentileGate(df, "lang", "score", "doc_id",
+        dropBelowPpm = 100000L, idChunk = 8L)
+      .select("doc_id", "score_rank").as[(Long, Long)].collect().toMap
+    (0L until 100L).foreach(i => assert(out(i) == i + 1))
+    // the plan's data-sized windows are all (lang, __bkt)-partitioned
+    val plan = Sampling.percentileGate(df, "lang", "score", "doc_id", 100000L, idChunk = 8L)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .map(_.trim.replaceAll("^[:+\\- ]+", "")).toSeq.distinct
+    assert(windows.nonEmpty)
+    assert(windows.count(!_.contains("__bkt")) == 0, windows.mkString("\n"))
+  }
+
   test("EventMonoidAggregator sums with max-timestamp propagation (typed path)") {
     import graft.api.{Event, EventMonoidAggregator}
     import java.sql.Timestamp

@@ -488,6 +488,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("l99: domain stats join shuffled-hash; nothing sort-merges or cartesians") {
+    val p = planOf("l99_domain_gate")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("l100: percentile rank windows are all (key, bucket)-partitioned; counts broadcast") {
+    val p = planOf("l100_percentile_gate")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .map(_.trim.replaceAll("^[:+\\- ]+", "")).toSeq.distinct
+    assert(windows.nonEmpty, p.take(3000))
+    assert(windows.forall(_.contains("__bkt")), windows.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("l101: drift rides one (key, token) agg — totals broadcast, its exchange reused, no Expand") {
+    val p = planOf("l101_unigram_drift")
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the (key, token) count table feeds both the totals agg and the
+    // join probe: the shuffle must be computed once and reused, not
+    // re-scanned from parquet
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.split("Scan parquet").length - 1 == 1, p.take(4000))
+  }
+
   test("l94: token fertility is one two-phase agg — partial combine, no Expand, one scan") {
     val p = planOf("l94_token_fertility")
     assert(!p.contains("Expand"), p.take(3000))
