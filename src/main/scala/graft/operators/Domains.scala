@@ -136,6 +136,31 @@ object Domains {
    * crawl scale — too big to assume broadcastable, unlike l93's RULE
    * tables), so it joins back SHUFFLE-HASH on the domain key.
    */
+  /**
+   * Host-level link-graph edges from crawled HTML — the raw material of
+   * every link-based quality signal (PageRank-family centrality, spam
+   * neighborhoods, hub/authority detection): one `href` extraction
+   * pass per page, absolute http(s) targets only (relative links stay
+   * on-host and carry no cross-host signal), self-loops dropped,
+   * DISTINCT (src_host, dst_host) out.
+   *
+   * 100 TB shape: the href explode is link-linear; host extraction is
+   * the same one-pass regex chain as [[TextFunctions.urlHost]] (the
+   * l64-certified fragment); the only exchange is the edge `distinct`,
+   * which map-side combines (a host linking to the same host from a
+   * million pages collapses per partition before the shuffle).
+   */
+  def hostLinkEdges(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    pages
+      .select(TextFunctions.urlHost(col(urlCol)).as("src_host"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?i)href=[\"']?([^\"' >]+)"), lit(1))).as("__lk_href"))
+      .filter(col("__lk_href").rlike("(?i)^https?://"))
+      .select(col("src_host"),
+        TextFunctions.urlHost(col("__lk_href")).as("dst_host"))
+      .filter(col("dst_host") =!= col("src_host") && col("dst_host") =!= "")
+      .distinct()
+
   def domainQualityGate(docs: DataFrame, urlCol: String, signalCol: String,
                         minDocs: Long, maxAvgPpm: Long,
                         out: String = "domain_verdict"): DataFrame = {

@@ -2599,6 +2599,111 @@ object LlmQueries {
         "ROUND(CAST(SUM(jc) AS DOUBLE), 6) AS jsd " +
         "FROM c GROUP BY lang ORDER BY lang")),
 
+    // L102 — host link-graph extraction (Domains.hostLinkEdges): hrefs
+    // pulled from page HTML in one regex pass, absolute http(s)
+    // cross-host targets only, distinct edges, then per-host in/out
+    // degree — the raw material of link-based quality signals. Pages
+    // constructed from doc_id: 20 hosts in a ring (K → K+1), a
+    // tripling chord (K → 3K mod 20), a relative link and a self link
+    // both engines must DROP, and an occasional hub link so one host
+    // concentrates in-degree. The oracle re-extracts with its own
+    // regex engine and replays the filters.
+    "l102_link_graph" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(lit("https://site"), str(id % 20),
+          lit(".example/p/"), str(id))
+        val html = concat(
+          lit("<html><body><a href=\"https://site"), str((id % 20 + 1) % 20),
+          lit(".example/p/1\">next</a> <a href=/about>rel</a> "),
+          lit("<a href=\"https://site"), str((id * 3) % 20),
+          lit(".example/x\">chord</a> "),
+          lit("<a href=\"https://site"), str(id % 20),
+          lit(".example/self\">me</a>"),
+          when(expr("(doc_id div 20) % 3 = 0"),
+            lit(" <a href=\"https://hub.example/h\">hub</a>")).otherwise(lit("")),
+          lit("</body></html>"))
+        val edges = graft.operators.Domains.hostLinkEdges(
+          Tables.documents(s, d).select(id, url.as("url"), html.as("html")),
+          "url", "html")
+        val ind = edges.groupBy(col("dst_host").as("host"))
+          .agg(count(lit(1)).as("in_hosts"))
+        val outd = edges.groupBy(col("src_host").as("host"))
+          .agg(count(lit(1)).as("out_hosts"))
+        ind.join(outd.hint("shuffle_hash"), Seq("host"), "full_outer")
+          .select(col("host"),
+            coalesce(col("in_hosts"), lit(0L)).as("in_hosts"),
+            coalesce(col("out_hosts"), lit(0L)).as("out_hosts"))
+          .orderBy("host")
+      },
+      Some("WITH pg AS (SELECT doc_id, " +
+        "'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url, " +
+        "'<html><body><a href=\"https://site' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR) || " +
+        "'.example/p/1\">next</a> <a href=/about>rel</a> ' || " +
+        "'<a href=\"https://site' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example/x\">chord</a> ' || " +
+        "'<a href=\"https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/self\">me</a>' || " +
+        "CASE WHEN (doc_id // 20) % 3 = 0 THEN ' <a href=\"https://hub.example/h\">hub</a>' ELSE '' END || " +
+        "'</body></html>' AS html FROM documents), " +
+        "lk AS (SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host, " +
+        "UNNEST(regexp_extract_all(html, '(?i)href=[\"'']?([^\"'' >]+)', 1)) AS href FROM pg), " +
+        "ed AS (SELECT DISTINCT src_host, " +
+        "lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host " +
+        "FROM lk WHERE regexp_matches(href, '(?i)^https?://')), " +
+        "e2 AS (SELECT * FROM ed WHERE dst_host <> src_host AND dst_host <> ''), " +
+        "ind AS (SELECT dst_host AS host, COUNT(*) AS n_in FROM e2 GROUP BY 1), " +
+        "outd AS (SELECT src_host AS host, COUNT(*) AS n_out FROM e2 GROUP BY 1) " +
+        "SELECT COALESCE(i.host, o.host) AS host, " +
+        "CAST(COALESCE(n_in, 0) AS BIGINT) AS in_hosts, " +
+        "CAST(COALESCE(n_out, 0) AS BIGINT) AS out_hosts " +
+        "FROM ind i FULL JOIN outd o ON i.host = o.host ORDER BY host")),
+
+    // L103 — spam-neighborhood propagation (hostLinkEdges ∘
+    // Graph.reachMinHops): hosts within 2 link-hops of condemned seed
+    // hosts — the guilt-by-association pass run after a domain gate
+    // (l99) condemns the seeds; link proximity to spam is itself a
+    // quality signal (spam farms interlink). Same constructed graph as
+    // l102; the oracle is DuckDB's native recursive CTE with
+    // MIN(dist), the r26 cross-strategy pattern.
+    "l103_spam_neighborhood" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(lit("https://site"), str(id % 20),
+          lit(".example/p/"), str(id))
+        val html = concat(
+          lit("<html><body><a href=\"https://site"), str((id % 20 + 1) % 20),
+          lit(".example/p/1\">next</a> "),
+          lit("<a href=\"https://site"), str((id * 3) % 20),
+          lit(".example/x\">chord</a></body></html>"))
+        val edges = graft.operators.Domains.hostLinkEdges(
+          Tables.documents(s, d).select(id, url.as("url"), html.as("html")),
+          "url", "html")
+        val seeds = Seq("site0.example", "site5.example").toDF("host")
+        graft.operators.Graph.reachMinHops(
+            edges, seeds, "src_host", "dst_host", "host", 2)
+          .orderBy("host")
+      },
+      Some("WITH RECURSIVE pg AS (SELECT doc_id, " +
+        "'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url, " +
+        "'<html><body><a href=\"https://site' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR) || " +
+        "'.example/p/1\">next</a> ' || " +
+        "'<a href=\"https://site' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example/x\">chord</a></body></html>' AS html " +
+        "FROM documents), " +
+        "lk AS (SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host, " +
+        "UNNEST(regexp_extract_all(html, '(?i)href=[\"'']?([^\"'' >]+)', 1)) AS href FROM pg), " +
+        "ed AS (SELECT DISTINCT src_host, " +
+        "lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host " +
+        "FROM lk WHERE regexp_matches(href, '(?i)^https?://')), " +
+        "e2 AS (SELECT * FROM ed WHERE dst_host <> src_host AND dst_host <> ''), " +
+        "reach(host, dist) AS (" +
+        "SELECT * FROM (VALUES ('site0.example', 0), ('site5.example', 0)) AS s(host, dist) " +
+        "UNION SELECT e.dst_host, r.dist + 1 FROM reach r " +
+        "JOIN e2 e ON e.src_host = r.host WHERE r.dist < 2) " +
+        "SELECT host, CAST(MIN(dist) AS BIGINT) AS dist FROM reach " +
+        "GROUP BY host ORDER BY host")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

@@ -94,6 +94,24 @@ class DomainsSpec extends AnyFunSuite {
     assert(df.select("block_reason").as[String].collect().toSeq == Seq(null))
   }
 
+  test("hostLinkEdges: absolute cross-host links only, self/relative dropped, distinct, case-folded") {
+    val pages = Seq(
+      ("https://a.example/p/1",
+        "<a href=\"https://b.example/x\">b</a> <a href=/rel>r</a> " +
+          "<a href='HTTPS://C.EXAMPLE/y'>c</a> <a href=\"https://a.example/self\">me</a>"),
+      ("https://a.example/p/2", // same target again — edges are distinct
+        "<a href=\"https://b.example/other\">b2</a>"),
+      ("https://b.example/p/1",
+        "<A HREF=\"https://a.example/back\">back</A> <a href=\"ftp://f.example/z\">ftp</a>"))
+      .toDF("url", "html")
+    val edges = Domains.hostLinkEdges(pages, "url", "html")
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(
+      ("a.example", "b.example"),
+      ("a.example", "c.example"),
+      ("b.example", "a.example")))
+  }
+
   test("domainQualityGate condemns domains by aggregate signal; subdomains pool; small domains are spared") {
     // spamfarm.biz: 12 pages across 3 subdomains, avg 800000 ppm → spam
     // tinyspam.net: 2 pages at 900000 ppm but below minDocs → spared

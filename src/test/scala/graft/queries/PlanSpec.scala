@@ -518,6 +518,22 @@ class PlanSpec extends AnyFunSuite {
       finalPlan.split("Scan parquet").length - 1 == 1, p.take(4000))
   }
 
+  test("l102: link graph scans pages once (edge exchange reused); degree join shuffled-hash") {
+    val p = planOf("l102_link_graph")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.split("Scan parquet").length - 1 == 1, p.take(4000))
+  }
+
+  test("l103: spam-neighborhood BFS plan is checkpoint-flat — no cartesian, no sort-merge") {
+    val p = planOf("l103_spam_neighborhood")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("l94: token fertility is one two-phase agg — partial combine, no Expand, one scan") {
     val p = planOf("l94_token_fertility")
     assert(!p.contains("Expand"), p.take(3000))
