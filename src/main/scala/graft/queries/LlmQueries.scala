@@ -2704,6 +2704,50 @@ object LlmQueries {
         "SELECT host, CAST(MIN(dist) AS BIGINT) AS dist FROM reach " +
         "GROUP BY host ORDER BY host")),
 
+    // L104 — robots.txt compliance filtering (Robots.disallowRules +
+    // disallowedUrls): the retroactive-consent pass (C4 re-filtered
+    // CommonCrawl this way) — parse each host's robots.txt into
+    // per-agent Disallow groups, flag URLs the agent may not fetch.
+    // Fixture: 6 hosts alternate between a star group (/private/,
+    // /tmp/) + an evilbot group, and a (graftbot, *) group (/ads/) +
+    // an inapplicable 'other' group; URLs cycle /private/, /ads/,
+    // /public/ paths. The oracle is the l48 ground-truth pattern: the
+    // verdict derived from the CONSTRUCTION parameters (even host →
+    // blocked iff /private/ path; odd host → blocked iff /ads/), so a
+    // match proves the whole parse → group → agent-match → prefix
+    // chain read back exactly what the construction wrote.
+    "l104_robots_compliance" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val docs = Tables.documents(s, d).select(id,
+          concat(lit("https://site"), str(id % 6), lit(".example"),
+            when(id % 4 === 0, concat(lit("/private/p"), str(id)))
+              .when(id % 4 === 1, concat(lit("/ads/b"), str(id)))
+              .otherwise(concat(lit("/public/a"), str(id)))).as("url"))
+        val hosts = Tables.documents(s, d).select((id % 6).as("k")).distinct()
+          .select(
+            concat(lit("site"), col("k").cast("string"), lit(".example")).as("host"),
+            when(col("k") % 2 === 0,
+              lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n\n" +
+                "User-agent: evilbot\nDisallow: /"))
+              .otherwise(
+                lit("User-agent: graftbot\nUser-agent: *\nDisallow: /ads/\n\n" +
+                  "User-agent: other\nDisallow: /everything/")).as("body"))
+        val rules = graft.operators.Robots.disallowRules(
+          hosts, "host", "body", agent = "graftbot")
+        graft.operators.Robots.disallowedUrls(docs, "url", rules, "host")
+          .select(id, col("url"), col("robots_disallowed"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, 'https://site' || CAST(doc_id % 6 AS VARCHAR) || '.example' || " +
+        "CASE WHEN doc_id % 4 = 0 THEN '/private/p' || CAST(doc_id AS VARCHAR) " +
+        "WHEN doc_id % 4 = 1 THEN '/ads/b' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '/public/a' || CAST(doc_id AS VARCHAR) END AS url, " +
+        "CASE WHEN (doc_id % 6) % 2 = 0 THEN doc_id % 4 = 0 " +
+        "ELSE doc_id % 4 = 1 END AS robots_disallowed " +
+        "FROM documents ORDER BY doc_id")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

@@ -534,6 +534,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("l104: robots parse windows partition by host; rule join shuffled-hash; no sort-merge") {
+    val p = planOf("l104_robots_compliance")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("host")), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("l94: token fertility is one two-phase agg — partial combine, no Expand, one scan") {
     val p = planOf("l94_token_fertility")
     assert(!p.contains("Expand"), p.take(3000))
