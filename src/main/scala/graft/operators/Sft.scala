@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * SFT (instruction-tuning) data preparation — the post-pretraining
+ * pipeline surface: long-format conversation turns (one row per turn)
+ * validated and rendered into the single training string a chat
+ * template defines. North-star extension: the reference
+ * (/root/reference/src/lib.rs:1-957) has no text surface.
+ *
+ * Semantics: turns order by POSITION within the conversation (the sort
+ * key column renumbers to 0..n−1 — gaps in the raw key don't matter);
+ * a conversation is `valid_alternation` iff position-even turns are
+ * `user` and position-odd turns are `assistant` (the
+ * user-starts-strict-alternation contract most chat templates
+ * require); rendering emits `tag \n content \n endTag \n` per turn in
+ * order regardless of validity (the flag is the filter, the render is
+ * total).
+ *
+ * 100 TB shape: ONE groupBy(conversation) — collect_list partials
+ * merge map-side and conversations are bounded (chat-length), so no
+ * task ever holds more than one conversation's turns; everything
+ * downstream (sort, alternation check, render, per-role token sums)
+ * is in-row array work on the collected struct array.
+ */
+object Sft {
+
+  /**
+   * One row per conversation: `n_turns`, `valid_alternation`,
+   * `user_tokens` / `assistant_tokens` (whitespace counts),
+   * `rendered` (the template string).
+   */
+  def renderConversations(turns: DataFrame, convCol: String, idxCol: String,
+                          roleCol: String, contentCol: String,
+                          userTag: String = "<|user|>",
+                          asstTag: String = "<|assistant|>",
+                          endTag: String = "<|end|>"): DataFrame = {
+    def wsTok(c: Column): Column =
+      (length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long")
+    val sorted = array_sort(collect_list(struct(
+      col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
+    turns
+      .groupBy(col(convCol))
+      .agg(sorted.as("__sft_t"))
+      .withColumn("n_turns", size(col("__sft_t")).cast("long"))
+      .withColumn("valid_alternation",
+        forall(zip_with(col("__sft_t"),
+            sequence(lit(0), size(col("__sft_t")) - 1),
+            (t, i) => t("r") === when(i % 2 === 0, "user").otherwise("assistant")),
+          x => x))
+      .withColumn("user_tokens",
+        aggregate(filter(col("__sft_t"), t => t("r") === "user"),
+          lit(0L), (acc, t) => acc + wsTok(t("c"))))
+      .withColumn("assistant_tokens",
+        aggregate(filter(col("__sft_t"), t => t("r") === "assistant"),
+          lit(0L), (acc, t) => acc + wsTok(t("c"))))
+      .withColumn("rendered",
+        aggregate(col("__sft_t"), lit(""), (acc, t) => concat(acc,
+          when(t("r") === "user", lit(userTag)).otherwise(lit(asstTag)),
+          lit("\n"), t("c"), lit("\n"), lit(endTag), lit("\n"))))
+      .drop("__sft_t")
+  }
+}

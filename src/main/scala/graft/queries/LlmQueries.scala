@@ -2748,6 +2748,50 @@ object LlmQueries {
         "ELSE doc_id % 4 = 1 END AS robots_disallowed " +
         "FROM documents ORDER BY doc_id")),
 
+    // L105 — SFT conversation rendering (Sft.renderConversations): the
+    // instruction-tuning prep step — long-format (conv, turn, role,
+    // content) rows validated for strict user-first alternation and
+    // flattened into the chat-template training string, with per-role
+    // token budgets. Conversations constructed from doc_id (6 turns
+    // each, roles by parity, every 17th doc's role flipped so some
+    // conversations fail validation); the oracle re-renders with an
+    // ordered string_agg and re-checks parity per position.
+    "l105_sft_render" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val turns = Tables.documents(s, d).select(
+          expr("doc_id div 6").as("conv_id"),
+          (id % 6).as("turn_idx"),
+          when(id % 17 === 0,
+            when(id % 2 === 0, lit("assistant")).otherwise(lit("user")))
+            .otherwise(
+              when(id % 2 === 0, lit("user")).otherwise(lit("assistant"))).as("role"),
+          concat(lit("turn "), str(id), lit(": "),
+            substring(col("text"), 1, 40)).as("content"))
+        graft.operators.Sft.renderConversations(
+            turns, "conv_id", "turn_idx", "role", "content")
+          .select(col("conv_id"), col("n_turns"), col("valid_alternation"),
+            col("user_tokens"), col("assistant_tokens"),
+            md5(col("rendered")).as("rendered_md5"))
+          .orderBy("conv_id")
+      },
+      Some("WITH t AS (SELECT doc_id // 6 AS conv_id, doc_id % 6 AS pos, " +
+        "CASE WHEN doc_id % 17 = 0 THEN " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'assistant' ELSE 'user' END) " +
+        "ELSE (CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END) END AS role, " +
+        "'turn ' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 40) AS content " +
+        "FROM documents) " +
+        "SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, " +
+        "BOOL_AND(role = CASE WHEN pos % 2 = 0 THEN 'user' ELSE 'assistant' END) AS valid_alternation, " +
+        "CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN " +
+        "length(content) - length(replace(content, ' ', '')) + 1 END), 0) AS BIGINT) AS user_tokens, " +
+        "CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN " +
+        "length(content) - length(replace(content, ' ', '')) + 1 END), 0) AS BIGINT) AS assistant_tokens, " +
+        "md5(string_agg(CASE WHEN role = 'user' THEN '<|user|>' ELSE '<|assistant|>' END || " +
+        "chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY pos)) AS rendered_md5 " +
+        "FROM t GROUP BY conv_id ORDER BY conv_id")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

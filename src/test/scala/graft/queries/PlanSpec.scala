@@ -543,6 +543,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("l105: SFT render is one conversation agg — no joins, no windows, no Expand") {
+    val p = planOf("l105_sft_render")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("windowspecdefinition"), p.take(3000))
+    assert(!p.contains("Expand"), p.take(3000))
+  }
+
   test("l94: token fertility is one two-phase agg — partial combine, no Expand, one scan") {
     val p = planOf("l94_token_fertility")
     assert(!p.contains("Expand"), p.take(3000))
