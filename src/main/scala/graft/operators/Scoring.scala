@@ -532,6 +532,49 @@ object Scoring {
         round(sum(col("__jc")).cast("double"), 6).as("jsd"))
   }
 
+  /**
+   * Classifier calibration — the QC readout run before a quality
+   * classifier's scores gate real data (an over-confident model at
+   * p≈0.9 silently biases the kept corpus): reliability bins over a
+   * ppm-integer predicted probability vs observed positive rate, plus
+   * the expected calibration error. ALL integer arithmetic (`div`): a
+   * probability arrives as ppm (the l47/l90 convention for
+   * cross-engine-exact rates), bins are ppm ranges, and observed rates
+   * are exact integer ratios — no float binning boundary to disagree
+   * across engines.
+   *
+   * Output per non-empty bin: `bin` (0-based), `n`, `positives`,
+   * `avg_pred_ppm` (Σprob div n), `obs_ppm` (positives·1e6 div n),
+   * `abs_gap_ppm`. One map-side-combined agg; bin count is the only
+   * output cardinality.
+   */
+  def calibrationBins(scored: DataFrame, probPpmCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val width = 1000000L / bins
+    scored
+      .withColumn("__cb_bin",
+        least(expr(s"CAST(`$probPpmCol` AS BIGINT) div ${width}L"),
+          lit(bins - 1L)))
+      .groupBy(col("__cb_bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("positives"),
+        sum(col(probPpmCol).cast("long")).as("__cb_sp"))
+      .withColumn("avg_pred_ppm", expr("__cb_sp div n"))
+      .withColumn("obs_ppm", expr("(positives * 1000000L) div n"))
+      .withColumn("abs_gap_ppm", abs(col("avg_pred_ppm") - col("obs_ppm")))
+      .drop("__cb_sp")
+  }
+
+  /** Expected calibration error in ppm: Σ n_b·gap_b div N — the single
+    * number a model card reports, exact from [[calibrationBins]]. */
+  def expectedCalibrationErrorPpm(binsDf: DataFrame): Long = {
+    val r = binsDf.agg(
+      sum(col("n") * col("abs_gap_ppm")).as("w"), sum(col("n")).as("t"))
+      .head()
+    r.getLong(0) / r.getLong(1)
+  }
+
   def kneserNeyBigram(docs: DataFrame, textCol: String, idCol: String,
                       d: Double = 0.75): DataFrame = {
     val big = docs

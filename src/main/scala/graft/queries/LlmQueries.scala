@@ -2792,6 +2792,35 @@ object LlmQueries {
         "chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY pos)) AS rendered_md5 " +
         "FROM t GROUP BY conv_id ORDER BY conv_id")),
 
+    // L106 — classifier calibration (Scoring.calibrationBins): the QC
+    // readout run before a quality model's scores gate real data —
+    // reliability bins (predicted ppm vs observed positive rate) in
+    // EXACT integer arithmetic, no float binning boundary. Synthetic
+    // scorer from doc_id: prob = (37·id mod 1000) permille, label
+    // drawn against an independent (7919·id mod 1000) permille
+    // pseudo-uniform — calibrated by construction up to discreteness,
+    // so bins carry small non-zero gaps both engines must agree on.
+    "l106_calibration" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        val prob = (id * 37 % 1000) * 1000
+        val label = when((id * 7919 % 1000) * 1000 < prob, 1L).otherwise(0L)
+        graft.operators.Scoring.calibrationBins(
+            Tables.documents(s, d).select(prob.as("prob_ppm"), label.as("label")),
+            "prob_ppm", "label", bins = 10)
+          .orderBy("bin")
+      },
+      Some("WITH p AS (SELECT ((doc_id * 37) % 1000) * 1000 AS prob, " +
+        "CASE WHEN ((doc_id * 7919) % 1000) * 1000 < ((doc_id * 37) % 1000) * 1000 " +
+        "THEN 1 ELSE 0 END AS label FROM documents), " +
+        "b AS (SELECT LEAST(prob // 100000, 9) AS bin, COUNT(*) AS n, " +
+        "SUM(label) AS pos, SUM(prob) AS sp FROM p GROUP BY 1) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
+        "CAST(pos AS BIGINT) AS positives, CAST(sp // n AS BIGINT) AS avg_pred_ppm, " +
+        "CAST((pos * 1000000) // n AS BIGINT) AS obs_ppm, " +
+        "CAST(ABS(sp // n - (pos * 1000000) // n) AS BIGINT) AS abs_gap_ppm " +
+        "FROM b ORDER BY bin")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

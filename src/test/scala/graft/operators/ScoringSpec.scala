@@ -362,6 +362,36 @@ class ScoringSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0.0)) // −ln P ≥ 0 since every P ≤ 1
   }
 
+  test("calibrationBins: exact integer bins, top clamp, hand-computed gaps and ECE") {
+    val rows = Seq(
+      (50000L, 0L), (90000L, 0L),      // bin 0: n=2, pos=0, avg 70000, obs 0
+      (150000L, 1L),                   // bin 1: n=1, pos=1, avg 150000, obs 1e6
+      (999999L, 1L), (1000000L, 1L))   // bin 9 (clamped): n=2, pos=2
+      .toDF("prob_ppm", "label")
+    val bins = Scoring.calibrationBins(rows, "prob_ppm", "label", bins = 10)
+    val got = bins.orderBy("bin")
+      .select("bin", "n", "positives", "avg_pred_ppm", "obs_ppm", "abs_gap_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 70000L, 0L, 70000L),
+      (1L, 1L, 1L, 150000L, 1000000L, 850000L),
+      (9L, 2L, 2L, 999999L, 1000000L, 1L)))
+    // ECE = (2·70000 + 1·850000 + 2·1) div 5 = 990002 div 5
+    assert(Scoring.expectedCalibrationErrorPpm(bins) == 990002L / 5)
+  }
+
+  test("calibrationBins: a well-calibrated synthetic scorer has small gaps in every bin") {
+    val df = (0L until 20000L).map { i =>
+      val p = (i * 37 % 1000) * 1000
+      (p, if ((i * 7919 % 1000) * 1000 < p) 1L else 0L)
+    }.toDF("prob_ppm", "label")
+    val bins = Scoring.calibrationBins(df, "prob_ppm", "label", bins = 10)
+    val gaps = bins.select("abs_gap_ppm").as[Long].collect()
+    assert(gaps.length == 10)
+    assert(gaps.forall(_ < 60000L), gaps.mkString(","))
+    assert(Scoring.expectedCalibrationErrorPpm(bins) < 30000L)
+  }
+
   test("unigramJsd: identical slices → 0, disjoint vocabularies → ln 2, symmetric") {
     val same = Seq(
       (1L, "en", true, "alpha beta gamma"),

@@ -550,6 +550,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p.take(3000))
   }
 
+  test("l106: calibration is one two-phase agg — partial combine, no joins, no Expand") {
+    val p = planOf("l106_calibration")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
   test("l94: token fertility is one two-phase agg — partial combine, no Expand, one scan") {
     val p = planOf("l94_token_fertility")
     assert(!p.contains("Expand"), p.take(3000))
