@@ -575,6 +575,46 @@ object Scoring {
     r.getLong(0) / r.getLong(1)
   }
 
+  /**
+   * Inter-annotator agreement — the labeled-data QC step before
+   * classifier training or SFT ingestion trusts a label set: Cohen's
+   * kappa per stratum between two label columns (two annotators, or
+   * annotator vs model). Chance agreement uses the per-class marginal
+   * products (Cohen 1960).
+   *
+   * Exactness: observed/expected agreement are ppm INTEGERS from exact
+   * counts (`po_ppm` = agree·1e6 div n, `pe_ppm` = Σ_c na_c·nb_c·1e6
+   * div n²); kappa itself is the double (po−pe)/(1−pe) computed from
+   * the same exact integers in a fixed expression shape, rounded to 6
+   * — both engines restate it identically.
+   *
+   * Shape: three map-side-combined aggs — (key) totals, (key, class)
+   * marginals per side joined shuffle-hash on (key, class) — output
+   * cardinality is the stratum count. Nothing row-scale crosses a
+   * broadcast.
+   */
+  def cohensKappa(df: DataFrame, keyCol: String,
+                  aCol: String, bCol: String): DataFrame = {
+    val tot = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("n_agree"))
+    val ma = df.groupBy(col(keyCol), col(aCol).as("__ck_c"))
+      .agg(count(lit(1)).as("__ck_na"))
+    val mb = df.groupBy(col(keyCol), col(bCol).as("__ck_c"))
+      .agg(count(lit(1)).as("__ck_nb"))
+    val pe = ma.join(mb.hint("shuffle_hash"), Seq(keyCol, "__ck_c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__ck_na") * col("__ck_nb")).as("__ck_s"))
+    tot.join(pe.hint("shuffle_hash"), Seq(keyCol))
+      .withColumn("po_ppm", expr("(n_agree * 1000000L) div n"))
+      .withColumn("pe_ppm", expr("(__ck_s * 1000000L) div (n * n)"))
+      .withColumn("kappa", round(
+        (col("n_agree").cast("double") / col("n") -
+          col("__ck_s").cast("double") / (col("n") * col("n"))) /
+          (lit(1.0) - col("__ck_s").cast("double") / (col("n") * col("n"))), 6))
+      .drop("__ck_s")
+  }
+
   def kneserNeyBigram(docs: DataFrame, textCol: String, idCol: String,
                       d: Double = 0.75): DataFrame = {
     val big = docs

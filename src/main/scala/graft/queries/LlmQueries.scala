@@ -2821,6 +2821,44 @@ object LlmQueries {
         "CAST(ABS(sp // n - (pos * 1000000) // n) AS BIGINT) AS abs_gap_ppm " +
         "FROM b ORDER BY bin")),
 
+    // L107 — inter-annotator agreement (Scoring.cohensKappa): the
+    // labeled-data QC step before a label set is trusted for training —
+    // Cohen's kappa per language between two annotators. Annotator A
+    // labels by a doc_id hash; B agrees except every 13th doc (a
+    // systematic disagreement both engines replay), so kappa is high
+    // but below 1. po/pe are exact ppm integers; kappa is the double
+    // ratio of the same exact counts, rounded to 6 in an identical
+    // expression shape.
+    "l107_annotator_kappa" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        val aLab = when(id * 37 % 10 < 7, lit("keep")).otherwise(lit("drop"))
+        val flip = when(id * 37 % 10 < 7, lit("drop")).otherwise(lit("keep"))
+        val bLab = when(id % 13 === 0, flip).otherwise(aLab)
+        graft.operators.Scoring.cohensKappa(
+            Tables.documents(s, d).select(col("lang"),
+              aLab.as("a"), bLab.as("b")),
+            "lang", "a", "b")
+          .orderBy("lang")
+      },
+      Some("WITH lab AS (SELECT lang, " +
+        "CASE WHEN (doc_id * 37) % 10 < 7 THEN 'keep' ELSE 'drop' END AS a, " +
+        "CASE WHEN doc_id % 13 = 0 THEN " +
+        "(CASE WHEN (doc_id * 37) % 10 < 7 THEN 'drop' ELSE 'keep' END) " +
+        "ELSE (CASE WHEN (doc_id * 37) % 10 < 7 THEN 'keep' ELSE 'drop' END) END AS b " +
+        "FROM documents), " +
+        "tot AS (SELECT lang, COUNT(*) AS n, " +
+        "SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS ag FROM lab GROUP BY lang), " +
+        "ma AS (SELECT lang, a AS c, COUNT(*) AS na FROM lab GROUP BY 1, 2), " +
+        "mb AS (SELECT lang, b AS c, COUNT(*) AS nb FROM lab GROUP BY 1, 2), " +
+        "pe AS (SELECT lang, SUM(na * nb) AS s FROM ma JOIN mb USING (lang, c) GROUP BY lang) " +
+        "SELECT t.lang, CAST(n AS BIGINT) AS n, CAST(ag AS BIGINT) AS n_agree, " +
+        "CAST((ag * 1000000) // n AS BIGINT) AS po_ppm, " +
+        "CAST((s * 1000000) // (n * n) AS BIGINT) AS pe_ppm, " +
+        "ROUND((CAST(ag AS DOUBLE) / n - CAST(s AS DOUBLE) / (n * n)) / " +
+        "(CAST(1.0 AS DOUBLE) - CAST(s AS DOUBLE) / (n * n)), 6) AS kappa " +
+        "FROM tot t JOIN pe USING (lang) ORDER BY lang")),
+
     // L87 — per-block language segmentation
     // (Scoring.blockLanguageSpans): l75 classifies whole documents,
     // but crawl pages mix languages BLOCK BY BLOCK — this composes

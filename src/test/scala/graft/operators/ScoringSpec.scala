@@ -392,6 +392,28 @@ class ScoringSpec extends AnyFunSuite {
     assert(Scoring.expectedCalibrationErrorPpm(bins) < 30000L)
   }
 
+  test("cohensKappa: textbook 2x2 example, perfect agreement, chance-level labels") {
+    // Cohen's worked shape: n=100; a: 50 keep / 50 drop; b: 60/40;
+    // agree = 20+10? build explicitly: 45 (keep,keep), 15 (keep,drop),
+    // 5 (drop,keep), 35 (drop,drop) → po=0.80, pe=(60·50 + 40·50)/1e4=0.50
+    // → kappa = 0.30/0.50 = 0.6
+    val rows =
+      Seq.fill(45)(("keep", "keep")) ++ Seq.fill(15)(("drop", "keep")) ++
+        Seq.fill(5)(("keep", "drop")) ++ Seq.fill(35)(("drop", "drop"))
+    val df = rows.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, "en", a, b) }
+      .toDF("id", "lang", "a", "b")
+    val got = Scoring.cohensKappa(df, "lang", "a", "b")
+      .select("n", "n_agree", "po_ppm", "pe_ppm", "kappa")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((100L, 80L, 800000L, 500000L, 0.6)))
+    // perfect agreement → kappa 1; independent-looking flip → below 1
+    val perfect = (0 until 40).map(i => (i.toLong, "x", s"c${i % 3}", s"c${i % 3}"))
+      .toDF("id", "lang", "a", "b")
+    assert(Scoring.cohensKappa(perfect, "lang", "a", "b")
+      .select("kappa").as[Double].head() == 1.0)
+  }
+
   test("unigramJsd: identical slices → 0, disjoint vocabularies → ln 2, symmetric") {
     val same = Seq(
       (1L, "en", true, "alpha beta gamma"),

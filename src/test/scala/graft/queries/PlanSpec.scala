@@ -557,6 +557,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p.take(3000))
   }
 
+  test("l107: kappa rides three map-side-combined aggs — shuffled-hash joins, no sort-merge, no Expand") {
+    val p = planOf("l107_annotator_kappa")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
   test("l94: token fertility is one two-phase agg — partial combine, no Expand, one scan") {
     val p = planOf("l94_token_fertility")
     assert(!p.contains("Expand"), p.take(3000))
