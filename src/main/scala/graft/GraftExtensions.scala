@@ -224,12 +224,16 @@ object GraftFunctions {
       def once(text: Expression): Expression = {
         val t = StringTranslate(text,
           Literal(TextFunctions.Cp1252Specials), Literal(TextFunctions.Cp1252Controls))
-        val bytes = new Encode(t, Literal("ISO-8859-1"), false, false)
+        // 2-arg constructors read the session's legacyJavaCharsets /
+        // legacyCodingErrorAction confs at build time — the same path
+        // the Column twin's functions.encode/decode resolves through,
+        // so the two forms share error-action semantics under any conf
+        val bytes = new Encode(t, Literal("ISO-8859-1"))
         val cond = And(And(
           RLike(t, Literal(TextFunctions.MojibakeSignature)),
           RLike(t, Literal(TextFunctions.Cp1252Mappable))),
           IsValidUTF8(bytes))
-        CaseWhen(Seq((cond, new StringDecode(bytes, Literal("UTF-8"), false, false))),
+        CaseWhen(Seq((cond, new StringDecode(bytes, Literal("UTF-8")))),
           Some(text))
       }
       once(once(args.head))

@@ -20,8 +20,11 @@ import graft.functions.TextFunctions._
  * running sum; its HOME chunk is `start div maxTokens`, and it is ALSO
  * emitted to chunk c+1 when it ends within `overlapTokens` of that
  * chunk's budget boundary (`end > (c+1)·maxTokens − overlapTokens`)
- * and chunk c+1 exists (some sentence STARTS at or past
- * `(c+1)·maxTokens`). Budget is soft at the boundary (a sentence
+ * and chunk c+1 exists AS A HOME chunk (some sentence's home IS c+1 —
+ * not merely some sentence starting past the boundary: a sentence
+ * longer than maxTokens makes home ids jump, and re-emitting into a
+ * skipped id would mint a chunk whose only content is the duplicated
+ * overlap sentence). Budget is soft at the boundary (a sentence
  * crossing it stays whole in its home chunk — sentences never split),
  * which is the standard sentence-aligned layout.
  *
@@ -57,16 +60,17 @@ object Chunking {
         coalesce(sum(col("__ck_nt"))
           .over(order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__ck_home", expr(s"__ck_start div ${maxTokens}L"))
-      // chunk c+1 exists iff the doc's LAST sentence starts at/past its
-      // budget base — max(start) over the doc, same window partition
-      .withColumn("__ck_maxstart", max(col("__ck_start")).over(byDoc))
+      // chunk c+1 exists iff some sentence's HOME is exactly c+1 —
+      // the doc's home set, same window partition (small: ≤ one id
+      // per maxTokens tokens of the doc)
+      .withColumn("__ck_homes", collect_set(col("__ck_home")).over(byDoc))
     val emitted = sents
       .withColumn("chunk_id",
         explode(when(
           lit(overlapTokens > 0) &&
             col("__ck_start") + col("__ck_nt") >
               (col("__ck_home") + 1) * maxTokens - overlapTokens &&
-            col("__ck_maxstart") >= (col("__ck_home") + 1) * maxTokens,
+            array_contains(col("__ck_homes"), col("__ck_home") + 1),
           array(col("__ck_home"), col("__ck_home") + 1))
           .otherwise(array(col("__ck_home")))))
     emitted

@@ -116,27 +116,6 @@ object Domains {
   }
 
   /**
-   * MEASURED domain-level quality gating — the FineWeb curation step a
-   * static blocklist ([[blocklistFilter]]) cannot do: aggregate a
-   * per-document quality signal (an integer ppm — e.g.
-   * [[Scoring.repetitionSignals]]' duplicate-line fraction) by
-   * REGISTRABLE DOMAIN and condemn domains whose aggregate behavior is
-   * spammy. Content farms publish thousands of individually-borderline
-   * pages; the domain-level average is the separating signal.
-   *
-   * Adds `domain`, `domain_docs`, `domain_avg_ppm` (exact integer
-   * `div`), and `out` = 'spam_domain' when the domain has at least
-   * `minDocs` pages AND average signal ≥ `maxAvgPpm`, else NULL (keep
-   * via `out IS NULL`).
-   *
-   * 100 TB shape: URLs parse ONCE ([[TextFunctions.withUrlParts]]'
-   * staged projection); the per-domain agg partial-aggregates map-side
-   * (associative count/sum — a skewed mega-domain combines before the
-   * exchange); the stats table is ~one row per distinct domain (1e8 at
-   * crawl scale — too big to assume broadcastable, unlike l93's RULE
-   * tables), so it joins back SHUFFLE-HASH on the domain key.
-   */
-  /**
    * Host-level link-graph edges from crawled HTML — the raw material of
    * every link-based quality signal (PageRank-family centrality, spam
    * neighborhoods, hub/authority detection): one `href` extraction
@@ -161,6 +140,27 @@ object Domains {
       .filter(col("dst_host") =!= col("src_host") && col("dst_host") =!= "")
       .distinct()
 
+  /**
+   * MEASURED domain-level quality gating — the FineWeb curation step a
+   * static blocklist ([[blocklistFilter]]) cannot do: aggregate a
+   * per-document quality signal (an integer ppm — e.g.
+   * [[Scoring.repetitionSignals]]' duplicate-line fraction) by
+   * REGISTRABLE DOMAIN and condemn domains whose aggregate behavior is
+   * spammy. Content farms publish thousands of individually-borderline
+   * pages; the domain-level average is the separating signal.
+   *
+   * Adds `domain`, `domain_docs`, `domain_avg_ppm` (exact integer
+   * `div`), and `out` = 'spam_domain' when the domain has at least
+   * `minDocs` pages AND average signal ≥ `maxAvgPpm`, else NULL (keep
+   * via `out IS NULL`).
+   *
+   * 100 TB shape: URLs parse ONCE ([[TextFunctions.withUrlParts]]'
+   * staged projection); the per-domain agg partial-aggregates map-side
+   * (associative count/sum — a skewed mega-domain combines before the
+   * exchange); the stats table is ~one row per distinct domain (1e8 at
+   * crawl scale — too big to assume broadcastable, unlike l93's RULE
+   * tables), so it joins back SHUFFLE-HASH on the domain key.
+   */
   def domainQualityGate(docs: DataFrame, urlCol: String, signalCol: String,
                         minDocs: Long, maxAvgPpm: Long,
                         out: String = "domain_verdict"): DataFrame = {

@@ -9,30 +9,40 @@ import graft.functions.TextFunctions
  * robots.txt compliance filtering — the retroactive-consent pass
  * curation pipelines run over already-fetched corpora (C4 re-filtered
  * CommonCrawl against robots rules; opt-out audits do the same): parse
- * each host's robots.txt into per-agent Disallow prefixes, then flag
- * URLs a given agent was not permitted to fetch. North-star extension:
- * the reference (/root/reference/src/lib.rs:1-957) has no web surface.
+ * each host's robots.txt into per-agent Allow/Disallow prefix rules,
+ * then flag URLs a given agent was not permitted to fetch. North-star
+ * extension: the reference (/root/reference/src/lib.rs:1-957) has no
+ * web surface.
  *
  * Grammar subset (RFC 9309's core, the fields curation uses):
- * consecutive `User-agent:` lines open a group; the `Disallow:` lines
- * after them attach to that group; a later `User-agent:` line after
- * rules opens a NEW group. A group applies to `agent` when it names it
- * (case-insensitive) or `*`. Empty `Disallow:` (allow-all) contributes
- * no rule. `Allow:` precedence and `$`/`*` wildcards are out of scope
- * — the conservative reading (any matching Disallow prefix blocks) is
- * the audit-side convention.
+ * consecutive `User-agent:` lines open a group; the `Allow:` /
+ * `Disallow:` lines after them attach to that group; a later
+ * `User-agent:` line after rules opens a NEW group. A group applies to
+ * `agent` when it names it (case-insensitive) or `*`. Empty rule paths
+ * (bare `Disallow:` = allow-all) contribute no rule.
+ *
+ * Decision (RFC 9309 §2.2.2): the MOST SPECIFIC matching rule wins —
+ * longest prefix in octets; an Allow and Disallow of equal length tie
+ * in favor of Allow; no matching rule means allowed. `Disallow: /` +
+ * `Allow: /public/` carve-outs therefore resolve correctly. The URL is
+ * matched on its path INCLUDING the query string (RFC 9309 §2.2.3),
+ * with the empty path of a bare-host URL read as `/`. `$`/`*`
+ * wildcards inside rule paths remain out of scope (the plain-prefix
+ * reading — the overwhelmingly common grammar in the wild).
  *
  * 100 TB shape: the parse explodes robots BODIES line-linearly and
  * windows PARTITION BY HOST (robots files are KB-sized — bounded
- * tasks); the rule table is one row per (host, prefix) and joins the
- * URL side SHUFFLE-HASH on host after collapsing to (host, prefixes[])
- * — one array per host, so the per-URL check is an in-row `exists`,
- * never a rules×urls join.
+ * tasks); the rule table is one row per (host, prefix, allow) and
+ * joins the URL side SHUFFLE-HASH on host after collapsing to
+ * (host, rules[]) — one array per host, so the per-URL decision is an
+ * in-row filter + argmax over a KB-bounded array, never a rules×urls
+ * join.
  */
 object Robots {
 
-  /** (host, prefix) Disallow rules applying to `agent`, parsed from
-    * (hostCol, bodyCol) robots.txt rows. */
+  /** (host, prefix, allow) rules applying to `agent`, parsed from
+    * (hostCol, bodyCol) robots.txt rows. `allow` = false for
+    * `Disallow:` lines, true for `Allow:` carve-outs. */
   def disallowRules(robots: DataFrame, hostCol: String, bodyCol: String,
                     agent: String = "*"): DataFrame = {
     val byHost = Window.partitionBy(col(hostCol)).orderBy(col("__rb_pos"))
@@ -43,8 +53,10 @@ object Robots {
         lower(regexp_extract(col("__rb_line"), "(?i)^\\s*user-agent:\\s*(\\S+)", 1)))
       .withColumn("__rb_isdis",
         col("__rb_line").rlike("(?i)^\\s*disallow:"))
-      .withColumn("__rb_dis",
-        regexp_extract(col("__rb_line"), "(?i)^\\s*disallow:\\s*(\\S*)", 1))
+      .withColumn("__rb_isallow",
+        col("__rb_line").rlike("(?i)^\\s*allow:"))
+      .withColumn("__rb_path",
+        regexp_extract(col("__rb_line"), "(?i)^\\s*(?:dis)?allow:\\s*(\\S*)", 1))
     // a user-agent line whose PREVIOUS line was not one starts a group
     val grouped = lines
       .withColumn("__rb_isua", col("__rb_ua") =!= "")
@@ -60,32 +72,48 @@ object Robots {
         max(when(col("__rb_isua") &&
           (col("__rb_ua") === wanted || col("__rb_ua") === "*"), true)
           .otherwise(false)).as("__rb_match"),
-        collect_list(when(col("__rb_isdis") && col("__rb_dis") =!= "",
-          col("__rb_dis"))).as("__rb_rules"))
+        collect_list(when(
+          (col("__rb_isdis") || col("__rb_isallow")) && col("__rb_path") =!= "",
+          struct(col("__rb_path").as("prefix"),
+            col("__rb_isallow").as("allow")))).as("__rb_rules"))
       .filter(col("__rb_match") && size(col("__rb_rules")) > 0)
     applies
-      .select(col(hostCol), explode(col("__rb_rules")).as("prefix"))
+      .select(col(hostCol), explode(col("__rb_rules")).as("__rb_r"))
+      .select(col(hostCol), col("__rb_r.prefix").as("prefix"),
+        col("__rb_r.allow").as("allow"))
       .distinct()
   }
 
-  /** Adds `robots_disallowed`: true when the URL's path starts with any
-    * of its host's applicable Disallow prefixes. `rules` is
-    * [[disallowRules]] output (host column name must match the URL
-    * side's parsed host — pass the same name). */
+  /** Adds `robots_disallowed`: true when the most specific (longest)
+    * rule prefixing the URL's path+query is a Disallow — equal-length
+    * Allow/Disallow ties go to Allow, no match means allowed (RFC 9309
+    * §2.2.2). `rules` is [[disallowRules]] output (host column name
+    * must match the URL side's parsed host — pass the same name). */
   def disallowedUrls(docs: DataFrame, urlCol: String,
                      rules: DataFrame, rulesHostCol: String): DataFrame = {
     val parts = TextFunctions.withUrlParts(docs, urlCol,
       hostCol = "__rb_h", domainCol = "__rb_d", normCol = "__rb_n")
       .drop("__rb_d", "__rb_n")
-      .withColumn("__rb_path", coalesce(regexp_extract(col(urlCol),
-        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1), lit("")))
+      // path + query, fragment excluded; a bare-host URL's empty path
+      // reads as '/' per RFC 9309 (so 'Disallow: /' blocks the root),
+      // and a bare host with only a query gets the implied '/' back
+      .withColumn("__rb_raw", regexp_extract(col(urlCol),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1))
+      .withColumn("__rb_path",
+        when(col("__rb_raw").startsWith("/"), col("__rb_raw"))
+          .otherwise(concat(lit("/"), col("__rb_raw"))))
     val perHost = rules.groupBy(col(rulesHostCol).as("__rb_h"))
-      .agg(collect_list(col("prefix")).as("__rb_pre"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rb_pre"))
+    // most specific match = lexicographic max of (prefix length,
+    // allow-bit) over matching rules — struct comparison orders field
+    // by field, so longest wins and an exact-length tie favors Allow
+    val best = array_max(transform(
+      filter(col("__rb_pre"), r => col("__rb_path").startsWith(r("prefix"))),
+      r => struct(length(r("prefix")).as("l"), r("allow").as("a"))))
     parts
       .join(perHost.hint("shuffle_hash"), Seq("__rb_h"), "left")
       .withColumn("robots_disallowed",
-        coalesce(exists(col("__rb_pre"),
-          p => col("__rb_path").startsWith(p)), lit(false)))
-      .drop("__rb_h", "__rb_path", "__rb_pre")
+        coalesce(!best("a"), lit(false)))
+      .drop("__rb_h", "__rb_raw", "__rb_path", "__rb_pre")
   }
 }

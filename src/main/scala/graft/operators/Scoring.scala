@@ -569,10 +569,13 @@ object Scoring {
   /** Expected calibration error in ppm: Σ n_b·gap_b div N — the single
     * number a model card reports, exact from [[calibrationBins]]. */
   def expectedCalibrationErrorPpm(binsDf: DataFrame): Long = {
+    // Zero bins (empty scored set) is a defined 0, not an NPE on the
+    // null sums of an ungrouped agg over no rows.
     val r = binsDf.agg(
-      sum(col("n") * col("abs_gap_ppm")).as("w"), sum(col("n")).as("t"))
+      coalesce(sum(col("n") * col("abs_gap_ppm")), lit(0L)).as("w"),
+      coalesce(sum(col("n")), lit(0L)).as("t"))
       .head()
-    r.getLong(0) / r.getLong(1)
+    if (r.getLong(1) == 0L) 0L else r.getLong(0) / r.getLong(1)
   }
 
   /**
@@ -587,6 +590,13 @@ object Scoring {
    * div n²); kappa itself is the double (po−pe)/(1−pe) computed from
    * the same exact integers in a fixed expression shape, rounded to 6
    * — both engines restate it identically.
+   *
+   * Degenerate stratum: pe = 1 exactly iff both annotators are
+   * constant on the SAME single class (Cauchy–Schwarz: Σ na_c·nb_c =
+   * n² forces one class carrying all of both marginals), which also
+   * forces po = 1. The (po−pe)/(1−pe) form is 0/0 there; we report
+   * the conventional κ = 1.0 (perfect trivial agreement) instead of
+   * NaN so downstream gates see a defined value.
    *
    * Shape: three map-side-combined aggs — (key) totals, (key, class)
    * marginals per side joined shuffle-hash on (key, class) — output
@@ -608,10 +618,12 @@ object Scoring {
     tot.join(pe.hint("shuffle_hash"), Seq(keyCol))
       .withColumn("po_ppm", expr("(n_agree * 1000000L) div n"))
       .withColumn("pe_ppm", expr("(__ck_s * 1000000L) div (n * n)"))
-      .withColumn("kappa", round(
-        (col("n_agree").cast("double") / col("n") -
-          col("__ck_s").cast("double") / (col("n") * col("n"))) /
-          (lit(1.0) - col("__ck_s").cast("double") / (col("n") * col("n"))), 6))
+      .withColumn("kappa",
+        when(col("__ck_s") === col("n") * col("n"), lit(1.0))
+          .otherwise(round(
+            (col("n_agree").cast("double") / col("n") -
+              col("__ck_s").cast("double") / (col("n") * col("n"))) /
+              (lit(1.0) - col("__ck_s").cast("double") / (col("n") * col("n"))), 6)))
       .drop("__ck_s")
   }
 

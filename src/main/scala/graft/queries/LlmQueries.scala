@@ -2459,10 +2459,11 @@ object LlmQueries {
         "st AS (SELECT doc_id, pos, sent, nt, COALESCE(SUM(nt) OVER " +
         "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM tt), " +
         "ck AS (SELECT *, strt // 32 AS home FROM st), " +
-        "mx AS (SELECT doc_id, MAX(strt) AS mxs FROM ck GROUP BY doc_id), " +
+        "hm AS (SELECT DISTINCT doc_id, home FROM ck), " +
         "em AS (SELECT doc_id, pos, sent, nt, home AS chunk_id FROM ck " +
-        "UNION ALL SELECT c.doc_id, pos, sent, nt, home + 1 FROM ck c JOIN mx USING (doc_id) " +
-        "WHERE strt + nt > (home + 1) * 32 - 8 AND mxs >= (home + 1) * 32) " +
+        "UNION ALL SELECT c.doc_id, pos, sent, nt, c.home + 1 FROM ck c " +
+        "JOIN hm h ON h.doc_id = c.doc_id AND h.home = c.home + 1 " +
+        "WHERE strt + nt > (c.home + 1) * 32 - 8) " +
         "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_sentences, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
         "md5(string_agg(sent, ' ' ORDER BY pos)) AS chunk_md5 " +
@@ -2707,15 +2708,19 @@ object LlmQueries {
     // L104 — robots.txt compliance filtering (Robots.disallowRules +
     // disallowedUrls): the retroactive-consent pass (C4 re-filtered
     // CommonCrawl this way) — parse each host's robots.txt into
-    // per-agent Disallow groups, flag URLs the agent may not fetch.
-    // Fixture: 6 hosts alternate between a star group (/private/,
-    // /tmp/) + an evilbot group, and a (graftbot, *) group (/ads/) +
-    // an inapplicable 'other' group; URLs cycle /private/, /ads/,
-    // /public/ paths. The oracle is the l48 ground-truth pattern: the
-    // verdict derived from the CONSTRUCTION parameters (even host →
-    // blocked iff /private/ path; odd host → blocked iff /ads/), so a
-    // match proves the whole parse → group → agent-match → prefix
-    // chain read back exactly what the construction wrote.
+    // per-agent Allow/Disallow groups, flag URLs the agent may not
+    // fetch by RFC 9309 longest-match (an Allow carve-out wins inside
+    // a Disallow: / full block). Fixture: hosts k=id%6 cycle 3 shapes —
+    // k%3==2 the carve-out (Disallow: / + Allow: /public/); else even
+    // k a star group (/private/, /tmp/) + an evilbot group; else odd k
+    // a (graftbot, *) group (/ads/) + an inapplicable 'other' group.
+    // URLs cycle /private/, /ads/, BARE HOST (path reads as '/'),
+    // /public/. The oracle is the l48 ground-truth pattern: the
+    // verdict derived from the CONSTRUCTION parameters (carve-out host
+    // → blocked unless /public/; even host → blocked iff /private/;
+    // odd host → blocked iff /ads/), so a match proves the whole parse
+    // → group → agent-match → longest-prefix-argmax chain read back
+    // exactly what the construction wrote.
     "l104_robots_compliance" -> QueryDef(
       (s, d) => {
         val id = col("doc_id")
@@ -2724,13 +2729,16 @@ object LlmQueries {
           concat(lit("https://site"), str(id % 6), lit(".example"),
             when(id % 4 === 0, concat(lit("/private/p"), str(id)))
               .when(id % 4 === 1, concat(lit("/ads/b"), str(id)))
+              .when(id % 4 === 2, lit(""))
               .otherwise(concat(lit("/public/a"), str(id)))).as("url"))
         val hosts = Tables.documents(s, d).select((id % 6).as("k")).distinct()
           .select(
             concat(lit("site"), col("k").cast("string"), lit(".example")).as("host"),
-            when(col("k") % 2 === 0,
-              lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n\n" +
-                "User-agent: evilbot\nDisallow: /"))
+            when(col("k") % 3 === 2,
+              lit("User-agent: *\nDisallow: /\nAllow: /public/"))
+              .when(col("k") % 2 === 0,
+                lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n\n" +
+                  "User-agent: evilbot\nDisallow: /"))
               .otherwise(
                 lit("User-agent: graftbot\nUser-agent: *\nDisallow: /ads/\n\n" +
                   "User-agent: other\nDisallow: /everything/")).as("body"))
@@ -2743,8 +2751,10 @@ object LlmQueries {
       Some("SELECT doc_id, 'https://site' || CAST(doc_id % 6 AS VARCHAR) || '.example' || " +
         "CASE WHEN doc_id % 4 = 0 THEN '/private/p' || CAST(doc_id AS VARCHAR) " +
         "WHEN doc_id % 4 = 1 THEN '/ads/b' || CAST(doc_id AS VARCHAR) " +
+        "WHEN doc_id % 4 = 2 THEN '' " +
         "ELSE '/public/a' || CAST(doc_id AS VARCHAR) END AS url, " +
-        "CASE WHEN (doc_id % 6) % 2 = 0 THEN doc_id % 4 = 0 " +
+        "CASE WHEN (doc_id % 6) % 3 = 2 THEN doc_id % 4 <> 3 " +
+        "WHEN (doc_id % 6) % 2 = 0 THEN doc_id % 4 = 0 " +
         "ELSE doc_id % 4 = 1 END AS robots_disallowed " +
         "FROM documents ORDER BY doc_id")),
 
@@ -2828,17 +2838,21 @@ object LlmQueries {
     // systematic disagreement both engines replay), so kappa is high
     // but below 1. po/pe are exact ppm integers; kappa is the double
     // ratio of the same exact counts, rounded to 6 in an identical
-    // expression shape.
+    // expression shape. A synthetic 'zz' stratum is constant-'keep' on
+    // BOTH sides — the pe = 1 degenerate case, reported as the
+    // conventional kappa = 1.0 by the guard in both engines.
     "l107_annotator_kappa" -> QueryDef(
       (s, d) => {
         val id = col("doc_id")
         val aLab = when(id * 37 % 10 < 7, lit("keep")).otherwise(lit("drop"))
         val flip = when(id * 37 % 10 < 7, lit("drop")).otherwise(lit("keep"))
         val bLab = when(id % 13 === 0, flip).otherwise(aLab)
-        graft.operators.Scoring.cohensKappa(
-            Tables.documents(s, d).select(col("lang"),
-              aLab.as("a"), bLab.as("b")),
-            "lang", "a", "b")
+        val labeled = Tables.documents(s, d)
+          .select(col("lang"), aLab.as("a"), bLab.as("b"))
+          .union(Tables.documents(s, d).filter(id % 97 === 0)
+            .select(lit("zz").as("lang"),
+              lit("keep").as("a"), lit("keep").as("b")))
+        graft.operators.Scoring.cohensKappa(labeled, "lang", "a", "b")
           .orderBy("lang")
       },
       Some("WITH lab AS (SELECT lang, " +
@@ -2846,7 +2860,9 @@ object LlmQueries {
         "CASE WHEN doc_id % 13 = 0 THEN " +
         "(CASE WHEN (doc_id * 37) % 10 < 7 THEN 'drop' ELSE 'keep' END) " +
         "ELSE (CASE WHEN (doc_id * 37) % 10 < 7 THEN 'keep' ELSE 'drop' END) END AS b " +
-        "FROM documents), " +
+        "FROM documents " +
+        "UNION ALL SELECT 'zz' AS lang, 'keep' AS a, 'keep' AS b " +
+        "FROM documents WHERE doc_id % 97 = 0), " +
         "tot AS (SELECT lang, COUNT(*) AS n, " +
         "SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS ag FROM lab GROUP BY lang), " +
         "ma AS (SELECT lang, a AS c, COUNT(*) AS na FROM lab GROUP BY 1, 2), " +
@@ -2855,8 +2871,9 @@ object LlmQueries {
         "SELECT t.lang, CAST(n AS BIGINT) AS n, CAST(ag AS BIGINT) AS n_agree, " +
         "CAST((ag * 1000000) // n AS BIGINT) AS po_ppm, " +
         "CAST((s * 1000000) // (n * n) AS BIGINT) AS pe_ppm, " +
+        "CASE WHEN s = n * n THEN CAST(1.0 AS DOUBLE) ELSE " +
         "ROUND((CAST(ag AS DOUBLE) / n - CAST(s AS DOUBLE) / (n * n)) / " +
-        "(CAST(1.0 AS DOUBLE) - CAST(s AS DOUBLE) / (n * n)), 6) AS kappa " +
+        "(CAST(1.0 AS DOUBLE) - CAST(s AS DOUBLE) / (n * n)), 6) END AS kappa " +
         "FROM tot t JOIN pe USING (lang) ORDER BY lang")),
 
     // L87 — per-block language segmentation

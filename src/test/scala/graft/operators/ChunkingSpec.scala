@@ -81,6 +81,24 @@ class ChunkingSpec extends AnyFunSuite {
     chunks.unpersist()
   }
 
+  test("over-budget sentence skips home ids without minting a duplicate-only chunk") {
+    // 2 + 14 + 3 tokens, budget 4, overlap 2: the 14-token sentence has
+    // home 0 (starts at 2) and ends at 16, far past chunk 1's boundary;
+    // the next sentence starts at 16 → home 4. Chunk ids jump 0 → 4 —
+    // chunk 1 must NOT appear as a chunk containing only the re-emitted
+    // long sentence (no sentence's home is 1).
+    val doc = "one two. a b c d e f g h i j k l m n. x y z."
+    val out = Chunking.sentenceChunks(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text", "doc_id",
+        maxTokens = 4, overlapTokens = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_sentences", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, "one two. a b c d e f g h i j k l m n."),
+      (4L, 1L, "x y z.")))
+  }
+
   test("overlapTokens must stay below maxTokens") {
     intercept[IllegalArgumentException] {
       Chunking.sentenceChunks(Seq((1L, "x.")).toDF("doc_id", "text"),

@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** robots.txt subset parse: user-agent group boundaries, agent/star
-  * applicability, empty-Disallow drop, and URL prefix flagging. */
+  * applicability, empty-Disallow drop, Allow carve-out precedence
+  * (RFC 9309 longest-match), and URL prefix flagging. */
 class RobotsSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -25,17 +26,18 @@ class RobotsSpec extends AnyFunSuite {
 
   test("disallowRules: group boundaries, multi-agent groups, star fallback, empty rule dropped") {
     val got = Robots.disallowRules(robots, "host", "body", agent = "graftbot")
-      .as[(String, String)].collect().toSet
+      .as[(String, String, Boolean)].collect().toSet
     assert(got == Set(
-      ("a.example", "/private/"), // star group applies to graftbot
-      ("a.example", "/tmp/"),
-      ("b.example", "/ads/")))    // named in the two-agent group; 'other' group not
+      ("a.example", "/private/", false), // star group applies to graftbot
+      ("a.example", "/tmp/", false),
+      ("b.example", "/ads/", false)))    // named in the two-agent group; 'other' group not
     // evilbot gets ITS group plus the star group; b.example names
     // neither evilbot nor * in any group, so contributes nothing
     val evil = Robots.disallowRules(robots, "host", "body", agent = "evilbot")
-      .as[(String, String)].collect().toSet
+      .as[(String, String, Boolean)].collect().toSet
     assert(evil == Set(
-      ("a.example", "/private/"), ("a.example", "/tmp/"), ("a.example", "/")))
+      ("a.example", "/private/", false), ("a.example", "/tmp/", false),
+      ("a.example", "/", false)))
   }
 
   test("disallowedUrls flags matching paths only; unknown hosts pass") {
@@ -58,5 +60,69 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("https://b.example/ads/banner"))
     assert(!got("https://b.example/all/page"))
     assert(!got("https://zzz.example/private/x"))
+  }
+
+  test("Allow carve-out: longest match wins, regardless of in-group rule order") {
+    // disallow-then-allow and allow-then-disallow must decide the same
+    // (RFC 9309 is order-independent: specificity, not position)
+    val carve = Seq(
+      ("e.example", "User-agent: *\nDisallow: /\nAllow: /public/"),
+      ("f.example", "User-agent: *\nAllow: /public/\nDisallow: /"),
+      // deeper disallow nested inside an allow carve-out
+      ("g.example", "User-agent: *\nDisallow: /\nAllow: /public/\nDisallow: /public/secret/"))
+      .toDF("host", "body")
+    val rules = Robots.disallowRules(carve, "host", "body")
+    val urls = Seq(
+      "https://e.example/anything",        // Disallow: / wins
+      "https://e.example/public/ok",       // Allow: /public/ longer → allowed
+      "https://f.example/anything",
+      "https://f.example/public/ok",
+      "https://g.example/public/ok",
+      "https://g.example/public/secret/x") // deepest rule is a Disallow
+      .toDF("url")
+    val got = Robots.disallowedUrls(urls, "url", rules, "host")
+      .select("url", "robots_disallowed").as[(String, Boolean)].collect().toMap
+    assert(got("https://e.example/anything"))
+    assert(!got("https://e.example/public/ok"))
+    assert(got("https://f.example/anything"))
+    assert(!got("https://f.example/public/ok"))
+    assert(!got("https://g.example/public/ok"))
+    assert(got("https://g.example/public/secret/x"))
+  }
+
+  test("equal-length Allow/Disallow tie goes to Allow; bare-host path reads as '/'") {
+    val tied = Seq(
+      ("h.example", "User-agent: *\nDisallow: /p/\nAllow: /p/"),
+      ("i.example", "User-agent: *\nDisallow: /"))
+      .toDF("host", "body")
+    val rules = Robots.disallowRules(tied, "host", "body")
+    val urls = Seq(
+      "https://h.example/p/x",    // tie at length 3 → Allow
+      "https://i.example",        // bare host: empty path = '/' → blocked
+      "https://i.example/",       // explicit root → blocked
+      "https://i.example?q=1")    // bare host with query → implied '/?q=1'
+      .toDF("url")
+    val got = Robots.disallowedUrls(urls, "url", rules, "host")
+      .select("url", "robots_disallowed").as[(String, Boolean)].collect().toMap
+    assert(!got("https://h.example/p/x"))
+    assert(got("https://i.example"))
+    assert(got("https://i.example/"))
+    assert(got("https://i.example?q=1"))
+  }
+
+  test("query string participates in matching") {
+    val qr = Seq(("j.example", "User-agent: *\nDisallow: /search?page="))
+      .toDF("host", "body")
+    val rules = Robots.disallowRules(qr, "host", "body")
+    val urls = Seq(
+      "https://j.example/search?page=2",  // query matched → blocked
+      "https://j.example/search",         // no query → allowed
+      "https://j.example/search?page=2#f") // fragment excluded from the path
+      .toDF("url")
+    val got = Robots.disallowedUrls(urls, "url", rules, "host")
+      .select("url", "robots_disallowed").as[(String, Boolean)].collect().toMap
+    assert(got("https://j.example/search?page=2"))
+    assert(!got("https://j.example/search"))
+    assert(got("https://j.example/search?page=2#f"))
   }
 }

@@ -414,6 +414,23 @@ class ScoringSpec extends AnyFunSuite {
       .select("kappa").as[Double].head() == 1.0)
   }
 
+  test("cohensKappa: degenerate stratum (both sides constant, same class) reports kappa 1.0") {
+    // pe = 1 exactly — the (po−pe)/(1−pe) form is 0/0; the guard
+    // reports the conventional 1.0 instead of NaN/null
+    val df = (0 until 7).map(i => (i.toLong, "zz", "keep", "keep"))
+      .toDF("id", "lang", "a", "b")
+    val got = Scoring.cohensKappa(df, "lang", "a", "b")
+      .select("n", "po_ppm", "pe_ppm", "kappa")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((7L, 1000000L, 1000000L, 1.0)))
+  }
+
+  test("expectedCalibrationErrorPpm: empty bins is a defined 0") {
+    val empty = Scoring.calibrationBins(
+      Seq.empty[(Long, Long)].toDF("prob_ppm", "label"), "prob_ppm", "label")
+    assert(Scoring.expectedCalibrationErrorPpm(empty) == 0L)
+  }
+
   test("unigramJsd: identical slices → 0, disjoint vocabularies → ln 2, symmetric") {
     val same = Seq(
       (1L, "en", true, "alpha beta gamma"),
