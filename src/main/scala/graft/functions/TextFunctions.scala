@@ -62,21 +62,77 @@ object TextFunctions {
     * optional leading +. */
   val PhonePattern = "\\+?[0-9]([0-9()\\- ]{5,}[0-9]|[0-9]{5,})"
 
-  /** PII scrubbing for training corpora: replace emails and phone-like
-    * digit runs with typed placeholder tags. Order matters — emails
-    * first, so a phone match can't eat an address's digits. A pure
-    * per-row projection (two regexp passes), zero shuffles at any
-    * scale. */
-  def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, EmailPattern, "<EMAIL>"),
-      PhonePattern, "<PHONE>")
+  /** SSN-style national-ID pattern (3-2-4 dashed digit groups). Runs
+    * BEFORE the phone pass, which would otherwise eat the digits. */
+  val IdPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
-  /** How many PII spans [[redactPii]] would redact (audit metric). */
-  def piiCount(text: Column): Column =
+  /** IPv4 literal (conservative: any dotted digit quad — a scrubber
+    * over-redacts rather than leaks). */
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Credit-card CANDIDATE shapes: 4-4-4-4 with space/dash separators,
+    * or a plain 13-19 digit run. A candidate is only redacted as a
+    * card when it passes the Luhn checksum ([[luhnValid]]) — a random
+    * 16-digit id is not a card. */
+  val CcPattern =
+    "\\b(?:[0-9]{4}[ -]){3}[0-9]{4}\\b|\\b[0-9]{13,19}\\b"
+
+  /** Luhn checksum over a candidate span (separators stripped in
+    * here): doubling every second digit from the right, folding >9
+    * back by −9, total ≡ 0 (mod 10), length 13–19. Pure in-row integer
+    * arithmetic over `sequence` — the identical fold is restatable in
+    * DuckDB as list_sum ∘ list_transform ∘ generate_series. */
+  def luhnValid(cand: Column): Column = {
+    val ds = regexp_replace(cand, "[ -]", "")
+    val n = length(ds)
+    val total = aggregate(
+      sequence(lit(1), n), lit(0),
+      (acc, i) => {
+        val d = ds.substr(i, lit(1)).cast("int")
+        val dd = when((n - i) % 2 === 1, d * 2).otherwise(d)
+        acc + when(dd > 9, dd - 9).otherwise(dd)
+      })
+    n >= 13 && n <= 19 && total % 10 === 0
+  }
+
+  /** The Luhn-valid card spans [[redactPii]] will redact. */
+  def ccSpans(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CcPattern), lit(0)), luhnValid _)
+
+  /** PII scrubbing for training corpora: replace emails, national-ID
+    * patterns, Luhn-valid card numbers, IPv4 literals, and phone-like
+    * digit runs with typed placeholder tags. Order matters — each
+    * narrower class runs before the broad phone pass so a phone match
+    * can't eat its digits; a Luhn-FAILING card-shaped run is not a
+    * card (stays for the phone pass like any other digit run). A pure
+    * per-row projection (regexp passes + one card-count-bounded fold),
+    * zero shuffles at any scale. */
+  def redactPii(text: Column): Column = {
+    val e1 = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val e2 = regexp_replace(e1, IdPattern, "<ID>")
+    // fold the (rare, per-doc-bounded) validated card spans through a
+    // literal replace — regex can't carry the checksum
+    val e3 = aggregate(ccSpans(e2), e2,
+      (acc, c) => replace(acc, c, lit("<CC>")))
+    val e4 = regexp_replace(e3, Ipv4Pattern, "<IP>")
+    regexp_replace(e4, PhonePattern, "<PHONE>")
+  }
+
+  /** How many PII spans [[redactPii]] would redact (audit metric),
+    * staged class-by-class on the same redaction order. */
+  def piiCount(text: Column): Column = {
+    val e1 = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val e2 = regexp_replace(e1, IdPattern, "<ID>")
+    val cc = ccSpans(e2)
+    val e3 = aggregate(cc, e2, (acc, c) => replace(acc, c, lit("<CC>")))
+    val e4 = regexp_replace(e3, Ipv4Pattern, "<IP>")
     (regexp_count(text, lit(EmailPattern)) +
-      regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"), lit(PhonePattern)))
+      regexp_count(e1, lit(IdPattern)) +
+      size(cc) +
+      regexp_count(e3, lit(Ipv4Pattern)) +
+      regexp_count(e4, lit(PhonePattern)))
       .cast("long")
+  }
 
   /** BPE-ish token count: runs of lowercase letters, runs of digits, or a
     * single non-alphanumeric non-space byte, over the lowercased text.

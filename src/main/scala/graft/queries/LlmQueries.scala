@@ -940,15 +940,19 @@ object LlmQueries {
       Some(graft.sources.WarcFixtures.oracleSql)),
 
     // L51 — PII scrubbing (TextFunctions.redactPii / piiCount), oracle-
-    // certified. The synthetic corpus carries no PII (no digits at all),
-    // so — following the l48/l50 fixture pattern — deterministic
-    // email/phone spans derived from doc_id are appended IN THE QUERY,
-    // identically on both engine sides; the oracle then proves the two
-    // regex dialects (Java in Spark codegen, RE2 in DuckDB) agree span-
-    // for-span: counts, redacted length, and the md5 of the redacted
-    // text all match. Docs split 3 ways (email only / phone only /
-    // both-or-neither) so zero-count rows are covered too. The operator
-    // is a pure per-row projection — zero shuffles at any scale.
+    // certified across FIVE classes: emails, SSN-style ids, Luhn-valid
+    // credit cards, IPv4 literals, phone-like digit runs. The synthetic
+    // corpus carries no PII (no digits at all), so — following the
+    // l48/l50 fixture pattern — deterministic spans derived from doc_id
+    // are appended IN THE QUERY, identically on both engine sides; the
+    // oracle then proves the regex dialects (Java in Spark codegen, RE2
+    // in DuckDB) agree span-for-span AND certifies the Luhn gate by
+    // ground truth: the appended VALID card (a known-checksum literal
+    // chosen by doc_id) is replaced by construction, while the appended
+    // Luhn-FAILING 16-digit string is NOT card-redacted on either side
+    // (it falls through to the phone pass like any digit run).
+    // Counts/length/md5 of the full redacted text all match. Pure
+    // per-row projection — zero shuffles at any scale.
     "l51_pii_redact" -> QueryDef(
       (s, d) => {
         val id = col("doc_id")
@@ -958,28 +962,62 @@ object LlmQueries {
             .otherwise(lit("")),
           when(id % 4 === 0, concat(lit(" call +1"),
             lpad(((id * 7919) % 10000000).cast("string"), 7, "0")))
+            .otherwise(lit("")),
+          when(id % 9 === 0, concat(lit(" ssn 123-45-"),
+            lpad(((id * 13) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(id % 5 === 0, concat(lit(" ip 10."), (id % 256).cast("string"),
+            lit("."), ((id * 7) % 256).cast("string"),
+            lit("."), (id % 100).cast("string")))
+            .otherwise(lit("")),
+          when(id % 6 === 0,
+            when(id % 12 === 0, lit(" card 4111 1111 1111 1111"))
+              .otherwise(lit(" card 5555555555554444")))
+            .otherwise(lit("")),
+          when(id % 7 === 0, lit(" ref 4111 1111 1111 1112"))
             .otherwise(lit("")))
         Tables.documents(s, d)
           .select(id, aug.as("__t"))
-          .select(id,
+          .select(id, col("__t"),
             piiCount(col("__t")).as("n_pii"),
             regexp_count(col("__t"), lit(EmailPattern)).cast("long")
               .as("n_emails"),
-            length(redactPii(col("__t"))).cast("long").as("red_len"),
-            md5(redactPii(col("__t"))).as("red_md5"))
+            size(ccSpans(col("__t"))).cast("long").as("n_cards"),
+            redactPii(col("__t")).as("__r"))
+          .select(col("doc_id"), col("n_pii"), col("n_emails"), col("n_cards"),
+            length(col("__r")).cast("long").as("red_len"),
+            md5(col("__r")).as("red_md5"))
           .orderBy("doc_id")
       },
       Some("WITH aug AS (SELECT doc_id, text || " +
         "CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@ex' || (doc_id % 10) || '.org' ELSE '' END || " +
-        "CASE WHEN doc_id % 4 = 0 THEN ' call +1' || lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0') ELSE '' END AS t " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' call +1' || lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 9 = 0 THEN ' ssn 123-45-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 100) ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 0 THEN (CASE WHEN doc_id % 12 = 0 " +
+        "THEN ' card 4111 1111 1111 1111' ELSE ' card 5555555555554444' END) ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' ref 4111 1111 1111 1112' ELSE '' END AS t " +
         "FROM documents), " +
-        s"red AS (SELECT doc_id, " +
-        s"regexp_replace(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'), '$PhonePattern', '<PHONE>', 'g') AS r, " +
+        // the Luhn stage is certified by GROUND TRUTH: the valid card
+        // literal (known by construction) is replaced; the invalid one
+        // is left for the phone pass — if the Spark-side checksum
+        // mis-judged either, the md5s diverge
+        s"red AS (SELECT doc_id, t, " +
+        s"regexp_replace(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'), '$IdPattern', '<ID>', 'g') AS e2 FROM aug), " +
+        "cc AS (SELECT doc_id, t, CASE WHEN doc_id % 6 = 0 THEN replace(e2, " +
+        "CASE WHEN doc_id % 12 = 0 THEN '4111 1111 1111 1111' ELSE '5555555555554444' END, '<CC>') " +
+        "ELSE e2 END AS e3 FROM red), " +
+        s"fin AS (SELECT doc_id, t, e3, regexp_replace(e3, '$Ipv4Pattern', '<IP>', 'g') AS e4 FROM cc), " +
+        s"cnt AS (SELECT doc_id, t, e3, e4, " +
+        s"regexp_replace(e4, '$PhonePattern', '<PHONE>', 'g') AS r, " +
         s"len(regexp_extract_all(t, '$EmailPattern')) AS ne, " +
-        s"len(regexp_extract_all(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'), '$PhonePattern')) AS np " +
-        "FROM aug) " +
-        "SELECT doc_id, CAST(ne + np AS BIGINT) AS n_pii, CAST(ne AS BIGINT) AS n_emails, " +
-        "CAST(length(r) AS BIGINT) AS red_len, md5(r) AS red_md5 FROM red ORDER BY doc_id")),
+        s"len(regexp_extract_all(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'), '$IdPattern')) AS ni, " +
+        "CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS nc, " +
+        s"len(regexp_extract_all(e3, '$Ipv4Pattern')) AS nip, " +
+        s"len(regexp_extract_all(e4, '$PhonePattern')) AS np FROM fin) " +
+        "SELECT doc_id, CAST(ne + ni + nc + nip + np AS BIGINT) AS n_pii, " +
+        "CAST(ne AS BIGINT) AS n_emails, CAST(nc AS BIGINT) AS n_cards, " +
+        "CAST(length(r) AS BIGINT) AS red_len, md5(r) AS red_md5 FROM cnt ORDER BY doc_id")),
 
     // L52 — corpus-diversity growth curve (CorpusStats.ngramNovelty):
     // distinct 3-grams first contributed per document plus the running

@@ -195,6 +195,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3)._2 == "no pii here at all" && out(3)._3 == 0L)
   }
 
+  test("redactPii: ids, IPv4, and Luhn-gated cards; a failing checksum is not a card") {
+    val rows = Seq(
+      (1L, "ssn 123-45-6789 on file"),
+      (2L, "from 192.168.1.254 at night"),
+      (3L, "pay 4111 1111 1111 1111 visa"),       // Luhn-valid (spaced)
+      (4L, "pay 5555555555554444 mc"),            // Luhn-valid (plain)
+      (5L, "ref 4111 1111 1111 1112 code"),       // Luhn-FAILS → not a card
+      (6L, "amex 378282246310005 ok"),            // 15-digit plain run, valid
+      (7L, "order 1234567890123 num"))            // 13 digits, Luhn-fails
+      .toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t")).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 == "ssn <ID> on file" && out(0)._3 == 1L)
+    assert(out(1)._2 == "from <IP> at night" && out(1)._3 == 1L)
+    assert(out(2)._2 == "pay <CC> visa" && out(2)._3 == 1L)
+    assert(out(3)._2 == "pay <CC> mc" && out(3)._3 == 1L)
+    // checksum failure: no <CC>; the digit run falls to the phone class
+    assert(!out(4)._2.contains("<CC>"))
+    assert(out(4)._2 == "ref <PHONE> code" && out(4)._3 == 1L)
+    assert(out(5)._2 == "amex <CC> ok" && out(5)._3 == 1L)
+    assert(!out(6)._2.contains("<CC>") && out(6)._2 == "order <PHONE> num")
+  }
+
   test("lineQualityFilter applies each C4 rule; blank structure lines survive") {
     val page = Seq(
       "This is a perfectly fine sentence with enough words.", // kept
