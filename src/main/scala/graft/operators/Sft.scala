@@ -30,7 +30,17 @@ object Sft {
   /**
    * One row per conversation: `n_turns`, `valid_alternation`,
    * `user_tokens` / `assistant_tokens` (whitespace counts),
-   * `rendered` (the template string).
+   * `rendered` (the template string), `turn_spans` (per-turn
+   * `(role, start, end)` CONTENT offsets into `rendered`, 0-based
+   * half-open [start, end) in characters), and `assistant_spans`
+   * (`(start, end)` filtered to assistant turns — the loss-mask input
+   * an SFT trainer needs: mask loss to exactly these slices).
+   *
+   * The offsets are a pure in-row fold over the same sorted struct
+   * array (integer-exact running sum of
+   * `len(tag) + 1 + len(content) + 1 + len(endTag) + 1` segments), so
+   * by construction `substring(rendered, start+1, end−start)` is the
+   * turn's verbatim content — no re-parsing of the template.
    */
   def renderConversations(turns: DataFrame, convCol: String, idxCol: String,
                           roleCol: String, contentCol: String,
@@ -41,6 +51,9 @@ object Sft {
       (length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long")
     val sorted = array_sort(collect_list(struct(
       col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
+    def tagLen(t: Column): Column =
+      when(t("r") === "user", lit(userTag.length.toLong))
+        .otherwise(lit(asstTag.length.toLong))
     turns
       .groupBy(col(convCol))
       .agg(sorted.as("__sft_t"))
@@ -60,6 +73,24 @@ object Sft {
         aggregate(col("__sft_t"), lit(""), (acc, t) => concat(acc,
           when(t("r") === "user", lit(userTag)).otherwise(lit(asstTag)),
           lit("\n"), t("c"), lit("\n"), lit(endTag), lit("\n"))))
+      // running character offset + per-turn content spans in one fold:
+      // the accumulator carries (next segment start, spans so far)
+      .withColumn("turn_spans",
+        aggregate(col("__sft_t"),
+          struct(lit(0L).as("o"),
+            array().cast("array<struct<r:string,s:bigint,e:bigint>>").as("sp")),
+          (acc, t) => {
+            val cs = acc("o") + tagLen(t) + 1L
+            val ce = cs + length(t("c")).cast("long")
+            struct(
+              (ce + lit(endTag.length.toLong) + 2L).as("o"),
+              concat(acc("sp"), array(struct(
+                t("r").as("r"), cs.as("s"), ce.as("e")))).as("sp"))
+          },
+          acc => acc("sp")))
+      .withColumn("assistant_spans",
+        transform(filter(col("turn_spans"), s => s("r") === "assistant"),
+          s => struct(s("s").as("s"), s("e").as("e"))))
       .drop("__sft_t")
   }
 }

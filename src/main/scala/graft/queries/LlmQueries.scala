@@ -2840,6 +2840,62 @@ object LlmQueries {
         "chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY pos)) AS rendered_md5 " +
         "FROM t GROUP BY conv_id ORDER BY conv_id")),
 
+    // L108 — SFT loss-mask spans (Sft.renderConversations
+    // `assistant_spans`): the input every SFT trainer needs next to
+    // l105's rendered string — per-assistant-turn [start, end)
+    // character offsets into `rendered`, so loss is masked to exactly
+    // the assistant slices without re-parsing the template. Spark
+    // computes the spans with an in-row fold and EXTRACTS each slice
+    // from `rendered` via substring(start+1, end−start); the oracle
+    // recomputes the offsets independently from cumulative
+    // tag/content/newline lengths (user tag 8, assistant tag 13, end
+    // tag 7, three newlines per turn) and md5s the turn's CONTENT —
+    // a hash match proves the spans slice the rendered string back to
+    // the verbatim content. Same single conversation-bounded agg as
+    // l105; the explode is turn-linear.
+    "l108_sft_spans" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val turns = Tables.documents(s, d).select(
+          expr("doc_id div 6").as("conv_id"),
+          (id % 6).as("turn_idx"),
+          when(id % 17 === 0,
+            when(id % 2 === 0, lit("assistant")).otherwise(lit("user")))
+            .otherwise(
+              when(id % 2 === 0, lit("user")).otherwise(lit("assistant"))).as("role"),
+          concat(lit("turn "), str(id), lit(": "),
+            substring(col("text"), 1, 40)).as("content"))
+        graft.operators.Sft.renderConversations(
+            turns, "conv_id", "turn_idx", "role", "content")
+          .select(col("conv_id"), col("rendered"),
+            posexplode(col("assistant_spans")).as(Seq("span_idx", "__sp")))
+          .select(col("conv_id"), col("span_idx").cast("long").as("span_idx"),
+            col("__sp.s").as("span_start"), col("__sp.e").as("span_end"),
+            md5(col("rendered").substr((col("__sp.s") + 1).cast("int"),
+              (col("__sp.e") - col("__sp.s")).cast("int"))).as("slice_md5"))
+          .orderBy("conv_id", "span_idx")
+      },
+      Some("WITH t AS (SELECT doc_id // 6 AS conv_id, doc_id % 6 AS pos, " +
+        "CASE WHEN doc_id % 17 = 0 THEN " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'assistant' ELSE 'user' END) " +
+        "ELSE (CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END) END AS role, " +
+        "'turn ' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 40) AS content " +
+        "FROM documents), " +
+        "sg AS (SELECT conv_id, pos, role, content, " +
+        "CASE WHEN role = 'user' THEN 8 ELSE 13 END AS tl, " +
+        "CASE WHEN role = 'user' THEN 8 ELSE 13 END + 1 + length(content) + 1 + 7 + 1 AS seg " +
+        "FROM t), " +
+        "o AS (SELECT conv_id, pos, role, content, " +
+        "COALESCE(SUM(seg) OVER (PARTITION BY conv_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tl + 1 AS st FROM sg) " +
+        "SELECT conv_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY pos) - 1 AS BIGINT) AS span_idx, " +
+        "CAST(st AS BIGINT) AS span_start, " +
+        "CAST(st + length(content) AS BIGINT) AS span_end, " +
+        "md5(content) AS slice_md5 " +
+        "FROM o WHERE role = 'assistant' ORDER BY conv_id, span_idx")),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in

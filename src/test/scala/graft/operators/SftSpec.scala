@@ -29,6 +29,30 @@ class SftSpec extends AnyFunSuite {
         "<|user|>\nthanks a lot\n<|end|>\n")
   }
 
+  test("turn_spans/assistant_spans slice the rendered string back to each turn's content") {
+    val turns = Seq(
+      (1L, 0L, "user", "hello there"),
+      (1L, 1L, "assistant", "hi how can i help"),
+      (1L, 2L, "user", "thanks a lot"),
+      (1L, 3L, "assistant", "you are welcome"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val row = Sft.renderConversations(turns, "conv_id", "turn_idx", "role", "content")
+      .select("rendered", "turn_spans", "assistant_spans")
+      .as[(String, Seq[(String, Long, Long)], Seq[(Long, Long)])].head()
+    val (rendered, spans, aSpans) = row
+    // every turn's [start, end) slice is exactly its content
+    val contents = Seq("hello there", "hi how can i help", "thanks a lot", "you are welcome")
+    assert(spans.map(_._1) == Seq("user", "assistant", "user", "assistant"))
+    spans.zip(contents).foreach { case ((_, s, e), c) =>
+      assert(rendered.substring(s.toInt, e.toInt) == c,
+        s"[$s,$e) sliced '${rendered.substring(s.toInt, e.toInt)}' != '$c'")
+    }
+    // assistant_spans = the assistant subset, same offsets
+    assert(aSpans == spans.filter(_._1 == "assistant").map(t => (t._2, t._3)))
+    // hand-check the first span: "<|user|>\n" is 9 chars
+    assert(spans.head._2 == 9L && spans.head._3 == 9L + 11L)
+  }
+
   test("alternation violations flag false but still render") {
     val turns = Seq(
       (1L, 0L, "assistant", "i speak first"),   // assistant at position 0
