@@ -93,4 +93,56 @@ object Sft {
           s => struct(s("s").as("s"), s("e").as("e"))))
       .drop("__sft_t")
   }
+
+  /**
+   * Preference-pair (DPO/RLHF) data preparation — the standard
+   * post-training step after SFT prep: validate (prompt, chosen,
+   * rejected) triples and flag prompts that collide with an evaluation
+   * benchmark, so reward-model / DPO training neither learns from
+   * degenerate pairs nor leaks eval data.
+   *
+   * Adds per pair: `has_fields` (all three present and non-blank),
+   * `distinct_responses` (chosen ≠ rejected under
+   * [[graft.functions.TextFunctions.normalizeText]] — a pair differing
+   * only in case/punctuation/spacing carries no preference signal),
+   * `n_hit_grams` / `prompt_contaminated` (the prompt shares a
+   * normalized word `n`-gram with `grams` —
+   * [[Decontaminate.benchGrams]] output, composing the l97 scrub), and
+   * `keep` = valid ∧ distinct ∧ clean.
+   *
+   * 100 TB shape: the validity checks are pure per-row projections;
+   * contamination is the [[Decontaminate.flagContaminated]] geometry —
+   * token-linear explode, BROADCAST benchmark-gram semi-join (eval
+   * suites are small by definition), per-pair count agg and attach
+   * join both keyed by the pair id. Nothing row-scale broadcasts.
+   */
+  def preferencePairs(pairs: DataFrame, idCol: String, promptCol: String,
+                      chosenCol: String, rejectedCol: String,
+                      grams: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, wordShingles}
+    val gramTable = grams.select(col(grams.columns.head).as("__pp_gram"))
+    val hits = pairs
+      .select(col(idCol),
+        explode(wordShingles(normalizeText(col(promptCol)), n)).as("__pp_gram"))
+      .join(broadcast(gramTable), "__pp_gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__pp_hits"))
+    pairs
+      .join(hits.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("has_fields",
+        col(promptCol).isNotNull && col(chosenCol).isNotNull &&
+          col(rejectedCol).isNotNull &&
+          trim(col(promptCol)) =!= "" && trim(col(chosenCol)) =!= "" &&
+          trim(col(rejectedCol)) =!= "")
+      .withColumn("distinct_responses",
+        coalesce(
+          normalizeText(col(chosenCol)) =!= normalizeText(col(rejectedCol)),
+          lit(false)))
+      .withColumn("n_hit_grams", coalesce(col("__pp_hits"), lit(0L)))
+      .withColumn("prompt_contaminated", col("n_hit_grams") > 0L)
+      .withColumn("keep",
+        col("has_fields") && col("distinct_responses") &&
+          !col("prompt_contaminated"))
+      .drop("__pp_hits")
+  }
 }

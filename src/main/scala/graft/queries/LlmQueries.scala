@@ -2896,6 +2896,65 @@ object LlmQueries {
         "md5(content) AS slice_md5 " +
         "FROM o WHERE role = 'assistant' ORDER BY conv_id, span_idx")),
 
+    // L109 — preference-pair (DPO/RLHF) prep (Sft.preferencePairs):
+    // the post-training step after SFT — validate (prompt, chosen,
+    // rejected) triples and decontaminate prompts against the eval
+    // benchmark (composing l97's gram scrub). Constructed fixture
+    // classes: every 23rd doc's rejected is NULL (has_fields false),
+    // every 13th doc's rejected IS the chosen (distinct false), every
+    // 19th doc's rejected is the chosen's uppercased-plus-punctuation
+    // twin (the l60 mutation — distinct false ONLY under the
+    // normalized compare, proving the compare normalizes), else a
+    // genuine distinct pair; the benchmark is the doc_id % 37 prompt
+    // slice (guaranteed hits, l97's pattern). The oracle replays every
+    // check and the gram join from the same construction.
+    "l109_preference_pairs" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val chosenE = concat(lit("the helpful answer "), str(id),
+          lit(" says "), substring(col("text"), 5, 40))
+        val triples = Tables.documents(s, d).select(id,
+          concat(lit("question "), str(id), lit(" about "),
+            substring(col("text"), 1, 60)).as("prompt"),
+          chosenE.as("chosen"),
+          when(id % 23 === 0, lit(null).cast("string"))
+            .when(id % 13 === 0, chosenE)
+            .when(id % 19 === 0, concat(upper(chosenE), lit(" !!")))
+            .otherwise(concat(lit("the poor answer "), str(id),
+              lit(" says nothing useful"))).as("rejected"))
+        val bench = triples.filter(id % 37 === 0).select(col("prompt"))
+        val grams = graft.operators.Decontaminate.benchGrams(bench, "prompt", n = 8)
+        graft.operators.Sft.preferencePairs(
+            triples, "doc_id", "prompt", "chosen", "rejected", grams, n = 8)
+          .select(id, col("has_fields"), col("distinct_responses"),
+            col("n_hit_grams"), col("prompt_contaminated"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tri AS (SELECT doc_id, " +
+        "'question ' || doc_id || ' about ' || substr(text, 1, 60) AS prompt, " +
+        "'the helpful answer ' || doc_id || ' says ' || substr(text, 5, 40) AS chosen, " +
+        "CASE WHEN doc_id % 23 = 0 THEN NULL " +
+        "WHEN doc_id % 13 = 0 THEN 'the helpful answer ' || doc_id || ' says ' || substr(text, 5, 40) " +
+        "WHEN doc_id % 19 = 0 THEN upper('the helpful answer ' || doc_id || ' says ' || substr(text, 5, 40)) || ' !!' " +
+        "ELSE 'the poor answer ' || doc_id || ' says nothing useful' END AS rejected " +
+        "FROM documents), " +
+        "pr AS (SELECT doc_id, " + normalizeTextSql("prompt") + " AS text FROM tri), " +
+        shinglesCteN(8, "pr") + ", " +
+        "bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0), " +
+        "hits AS (SELECT sh.doc_id, COUNT(*) AS n FROM sh JOIN bg USING (s) GROUP BY sh.doc_id) " +
+        "SELECT t.doc_id, " +
+        "(prompt IS NOT NULL AND chosen IS NOT NULL AND rejected IS NOT NULL " +
+        "AND trim(prompt) <> '' AND trim(chosen) <> '' AND trim(rejected) <> '') AS has_fields, " +
+        "COALESCE(" + normalizeTextSql("chosen") + " <> " + normalizeTextSql("rejected") + ", FALSE) AS distinct_responses, " +
+        "CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams, " +
+        "COALESCE(h.n, 0) > 0 AS prompt_contaminated, " +
+        "(prompt IS NOT NULL AND chosen IS NOT NULL AND rejected IS NOT NULL " +
+        "AND trim(prompt) <> '' AND trim(chosen) <> '' AND trim(rejected) <> '' " +
+        "AND COALESCE(" + normalizeTextSql("chosen") + " <> " + normalizeTextSql("rejected") + ", FALSE) " +
+        "AND NOT (COALESCE(h.n, 0) > 0)) AS keep " +
+        "FROM tri t LEFT JOIN hits h ON h.doc_id = t.doc_id ORDER BY t.doc_id")),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in

@@ -53,6 +53,33 @@ class SftSpec extends AnyFunSuite {
     assert(spans.head._2 == 9L && spans.head._3 == 9L + 11L)
   }
 
+  test("preferencePairs: null/blank, identical, normalized-twin, and contaminated pairs all flagged") {
+    val pairs = Seq(
+      (1L, "what is the capital of france today tell me now please",
+        "the capital is paris", "the capital is lyon"),          // keep
+      (2L, "how do magnets work in simple terms for a child",
+        "magnets attract iron", null),                           // null rejected
+      (3L, "why is the sky blue during the day every day",
+        "rayleigh scattering", "rayleigh scattering"),           // identical
+      (4L, "when did the war end and who signed the treaty",
+        "it ended in 1945", "It ended in 1945!!"),               // normalized twin
+      (5L, "name a big ocean on the planet earth right now",
+        "the pacific ocean", "   "))                             // blank rejected
+      .toDF("id", "prompt", "chosen", "rejected")
+    // benchmark contains pair 1's prompt → its 8-grams collide
+    val bench = Seq("what is the capital of france today tell me now please").toDF("q")
+    val grams = Decontaminate.benchGrams(bench, "q", n = 8)
+    val got = Sft.preferencePairs(pairs, "id", "prompt", "chosen", "rejected", grams, n = 8)
+      .select("id", "has_fields", "distinct_responses", "prompt_contaminated", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((true, true, true, false)))   // valid but contaminated
+    assert(got(2L) == ((false, false, false, false)))
+    assert(got(3L) == ((true, false, false, false)))
+    assert(got(4L) == ((true, false, false, false))) // twin dies to the NORMALIZED compare
+    assert(got(5L) == ((false, true, false, false)))
+  }
+
   test("alternation violations flag false but still render") {
     val turns = Seq(
       (1L, 0L, "assistant", "i speak first"),   // assistant at position 0
