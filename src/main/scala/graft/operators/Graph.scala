@@ -64,6 +64,83 @@ object Graph {
     }
   }
 
+  /**
+   * Fixed-iteration PageRank over an edge list — the link-based
+   * quality prior next to content-side gates ([[Domains]]' l99): run
+   * on [[Domains.hostLinkEdges]] output, a host's rank is the classic
+   * "how much does the web vouch for this host" signal (Page et al.
+   * 1999). Power iteration, NOT run to convergence: `iters` rounds so
+   * the computation is deterministic and oracle-unrollable.
+   *
+   * EXACT integer arithmetic (the l42 unrolled-training discipline):
+   * ranks are parts-per-billion BIGINTs; each round computes
+   * `contrib = rank div outdeg`, `sum_v = Σ contrib over in-edges`,
+   * `rank' = (1e9 − dampingPpb) div N + (dampingPpb·sum_v) div 1e9` —
+   * every operation a floor `div` both engines restate identically,
+   * so iteration k's table is bit-equal under any partitioning.
+   * Dangling-node mass leaks (the simple variant): rank totals shrink
+   * slightly per round, which preserves ORDER — the signal a gate
+   * consumes. Node set = distinct endpoints; N collected to the
+   * driver as one scalar (bounded by definition).
+   *
+   * 100 TB shape: out-degrees agg once; each round is one
+   * shuffle-hash join of the rank table to the PRE-JOINED
+   * (edge, degree) table keyed by source + one dst-keyed sum agg +
+   * one left attach to the node table — all keyed by node id, nothing
+   * row-scale broadcasts, and `localCheckpoint` truncates per-round
+   * lineage exactly like [[reachMinHops]] (same constraint-propagation
+   * guard, same concurrency note).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPpb: Long = 850000000L): DataFrame = {
+    require(iters >= 1 && dampingPpb >= 0L && dampingPpb <= 1000000000L,
+      s"need iters >= 1 and dampingPpb in [0, 1e9], got $iters / $dampingPpb")
+    val spark = edges.sparkSession
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try pageRankLoop(edges, srcCol, dstCol, iters, dampingPpb)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int, dampingPpb: Long): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct().localCheckpoint()
+    // one driver-side scalar — the node COUNT, not node data
+    val n = nodes.count()
+    val base = (1000000000L - dampingPpb) / n
+    // (edge, out-degree) joined once and checkpointed: every round
+    // reuses it instead of re-aggregating degrees
+    val eDeg = e.join(
+        e.groupBy(col("__src")).agg(count(lit(1)).as("__pr_deg"))
+          .hint("shuffle_hash"),
+        Seq("__src"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank_ppb", lit(1000000000L / n))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = eDeg
+        .join(ranks.hint("shuffle_hash"), col("__src") === col("node"))
+        .select(col("__dst"), expr("rank_ppb div __pr_deg").as("__pr_c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__pr_c")).as("__pr_s"))
+      ranks = nodes
+        .join(sums.hint("shuffle_hash"), col("node") === col("__dst"), "left")
+        .withColumn("__pr_s0", coalesce(col("__pr_s"), lit(0L)))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(${dampingPpb}L * __pr_s0) div 1000000000L")).as("rank_ppb"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   private def reachLoop(edges: DataFrame, seeds: DataFrame,
                         srcCol: String, dstCol: String, nodeCol: String,
                         maxHops: Int): DataFrame = {

@@ -2955,6 +2955,62 @@ object LlmQueries {
         "AND NOT (COALESCE(h.n, 0) > 0)) AS keep " +
         "FROM tri t LEFT JOIN hits h ON h.doc_id = t.doc_id ORDER BY t.doc_id")),
 
+    // L110 — PageRank over the host link graph (Graph.pageRank ∘
+    // Domains.hostLinkEdges): the link-based quality prior next to
+    // l99's content-side gate — 5 power-iteration rounds in EXACT
+    // parts-per-billion integer arithmetic (every step a floor div),
+    // over l102/l103's constructed 20-host graph. The oracle unrolls
+    // the SAME five iterations as chained CTEs (the l42
+    // unrolled-training pattern): any divergence in node set, degree,
+    // damping base, or a single div boundary breaks the hash.
+    "l110_host_pagerank" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val url = concat(lit("https://site"), str(id % 20),
+          lit(".example/p/"), str(id))
+        val html = concat(
+          lit("<html><body><a href=\"https://site"), str((id % 20 + 1) % 20),
+          lit(".example/p/1\">next</a> "),
+          lit("<a href=\"https://site"), str((id * 3) % 20),
+          lit(".example/x\">chord</a></body></html>"))
+        val edges = graft.operators.Domains.hostLinkEdges(
+          Tables.documents(s, d).select(id, url.as("url"), html.as("html")),
+          "url", "html")
+        graft.operators.Graph.pageRank(edges, "src_host", "dst_host", iters = 5)
+          .select(col("node").as("host"), col("rank_ppb"))
+          .orderBy("host")
+      },
+      Some {
+        val iterCtes = (1 to 5).map { k =>
+          s"s$k AS (SELECT dst_host AS node, SUM(r // d) AS s " +
+            s"FROM e2 JOIN deg USING (src_host) JOIN r${k - 1} ON r${k - 1}.node = e2.src_host " +
+            "GROUP BY dst_host), " +
+            s"r$k AS (SELECT nodes.node, (1000000000 - 850000000) // nn + " +
+            s"(850000000 * COALESCE(s, 0)) // 1000000000 AS r " +
+            s"FROM nodes LEFT JOIN s$k USING (node), n)"
+        }.mkString(", ")
+        "WITH pg AS (SELECT doc_id, " +
+          "'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url, " +
+          "'<html><body><a href=\"https://site' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR) || " +
+          "'.example/p/1\">next</a> ' || " +
+          "'<a href=\"https://site' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example/x\">chord</a></body></html>' AS html " +
+          "FROM documents), " +
+          "lk AS (SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host, " +
+          "UNNEST(regexp_extract_all(html, '(?i)href=[\"'']?([^\"'' >]+)', 1)) AS href FROM pg), " +
+          "ed AS (SELECT DISTINCT src_host, " +
+          "lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host " +
+          "FROM lk WHERE regexp_matches(href, '(?i)^https?://')), " +
+          "e2 AS (SELECT * FROM ed WHERE dst_host <> src_host AND dst_host <> ''), " +
+          "nodes AS (SELECT DISTINCT node FROM " +
+          "(SELECT src_host AS node FROM e2 UNION SELECT dst_host FROM e2)), " +
+          "n AS (SELECT COUNT(*) AS nn FROM nodes), " +
+          "deg AS (SELECT src_host, COUNT(*) AS d FROM e2 GROUP BY src_host), " +
+          "r0 AS (SELECT node, 1000000000 // nn AS r FROM nodes, n), " +
+          iterCtes + " " +
+          "SELECT node AS host, CAST(r AS BIGINT) AS rank_ppb FROM r5 ORDER BY host"
+      }),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in

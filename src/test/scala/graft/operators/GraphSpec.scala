@@ -40,6 +40,45 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("pageRank: integer recurrence matches a local reference fold exactly; order pinned") {
+    // 1→{2,3}, 2→3, 3→1, 4→1: node 1 collects from 3 and 4 (top rank),
+    // node 4 has no in-edges (stays at base)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val got = Graph.pageRank(edges(pairs: _*), "src", "dst", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // the same div recurrence folded locally (Scala Long / == floor
+    // div on the non-negative ranks)
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val n = nodes.size
+    val deg = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 5) {
+      val sums = pairs.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(p => r(p._1) / deg(p._1)).sum
+      }
+      r = nodes.map(v => v ->
+        ((1000000000L - 850000000L) / n +
+          850000000L * sums.getOrElse(v, 0L) / 1000000000L)).toMap
+    }
+    assert(got == r)
+    assert(got(4L) == (1000000000L - 850000000L) / n) // no in-edges → base only
+    assert(got(1L) > got(3L) && got(3L) > got(2L) && got(2L) > got(4L))
+    // conf restored after the loop
+    assert(spark.conf.get("spark.sql.constraintPropagation.enabled") != "false")
+  }
+
+  test("pageRank: per-round plans stay flat across iterations") {
+    val ids = spark.range(300).toDF("u")
+    val e1 = ids.filter(col("u") >= 1)
+      .select((col("u") - 1).as("src"), col("u").as("dst"))
+    val e2 = ids.select(col("u").as("src"), ((col("u") * 7) % 300).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val out = Graph.pageRank(e1.unionAll(e2), "src", "dst", iters = 8)
+    // each round checkpoints: the final plan is a scan, not 8 stacked joins
+    assert(out.queryExecution.executedPlan.toString.length < 20000)
+    assert(out.count() == 300)
+  }
+
   test("per-round plans stay flat (constraint propagation guarded)") {
     // the r26-shaped fixture at 500 nodes: without the guard the
     // round-8 physical plan is ~250k chars (measured); with it the
