@@ -3011,6 +3011,79 @@ object LlmQueries {
           "SELECT node AS host, CAST(r AS BIGINT) AS rank_ppb FROM r5 ORDER BY host"
       }),
 
+    // L111 — WordPiece train + encode golden pin (the l73 pattern
+    // applied to the third tokenizer family): trainVocab learns 30
+    // likelihood-scored merges over the SAME fixed 8-sentence corpus
+    // as l73 (so the two families' merge choices are directly
+    // comparable in the dumps), encodeWordsFast (broadcast-vocab
+    // mapPartitions, greedy longest-match with ## continuations)
+    // encodes every distinct word, and the oracle is a VALUES relation
+    // of the frozen (word -> pieces) rows. Like l73 this is a
+    // regression pin, not a semantic oracle -- the greedy matcher has
+    // no DuckDB form; the semantic guarantees are WordPieceSpec
+    // (likelihood-vs-count objective pinned on a disagreeing corpus,
+    // [UNK] whole-word fallback, distributed == driver encode).
+    "l111_wordpiece_pin" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val bases = Seq(
+          "the quick brown fox jumps over the lazy dog by the river",
+          "pack my box with five dozen liquor jugs for the long trip",
+          "a stitch in time saves nine when the cloth begins to fray",
+          "all that glitters is not gold said the old miner at dawn",
+          "every good boy deserves fruit after the long practice session",
+          "the rain in spain falls mainly on the wide open plain",
+          "still waters run deep where the old stone bridge crosses over",
+          "many hands make light work when the harvest moon rises early")
+        val docs = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val vocab = graft.operators.WordPiece.trainVocab(docs, "text", 30)
+        graft.operators.WordPiece.encodeWordsFast(docs, "text", vocab)
+          .select(col("w"), array_join(col("pieces"), "|").as("pieces"),
+            size(col("pieces")).cast("long").as("n_pieces"))
+          .orderBy("w")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "('a', 'a', CAST(1 AS BIGINT)), ('after', 'a|##f|##t|##e|##r', CAST(5 AS BIGINT)), " +
+        "('all', 'a|##l|##l', CAST(3 AS BIGINT)), ('at', 'a|##t', CAST(2 AS BIGINT)), " +
+        "('begins', 'b|##e|##g|##i|##n|##s', CAST(6 AS BIGINT)), ('box', 'b|##ox', CAST(2 AS BIGINT)), " +
+        "('boy', 'b|##o|##y', CAST(3 AS BIGINT)), ('bridge', 'b|##r|##i|##d|##g|##e', CAST(6 AS BIGINT)), " +
+        "('brown', 'b|##r|##o|##wn', CAST(4 AS BIGINT)), ('by', 'b|##y', CAST(2 AS BIGINT)), " +
+        "('cloth', 'c|##l|##o|##th', CAST(4 AS BIGINT)), ('crosses', 'c|##r|##o|##s|##s|##e|##s', CAST(7 AS BIGINT)), " +
+        "('dawn', 'd|##a|##wn', CAST(3 AS BIGINT)), ('deep', 'de|##e|##p', CAST(3 AS BIGINT)), " +
+        "('deserves', 'de|##s|##e|##rves', CAST(4 AS BIGINT)), ('dog', 'do|##g', CAST(2 AS BIGINT)), " +
+        "('dozen', 'do|##z|##e|##n', CAST(4 AS BIGINT)), ('early', 'e|##a|##r|##l|##y', CAST(5 AS BIGINT)), " +
+        "('every', 'e|##ver|##y', CAST(3 AS BIGINT)), ('falls', 'f|##a|##l|##l|##s', CAST(5 AS BIGINT)), " +
+        "('five', 'f|##i|##ve', CAST(3 AS BIGINT)), ('for', 'f|##o|##r', CAST(3 AS BIGINT)), " +
+        "('fox', 'f|##ox', CAST(2 AS BIGINT)), ('fray', 'f|##r|##a|##y', CAST(4 AS BIGINT)), " +
+        "('fruit', 'f|##r|##u|##i|##t', CAST(5 AS BIGINT)), ('glitters', 'g|##l|##i|##t|##t|##e|##r|##s', CAST(8 AS BIGINT)), " +
+        "('gold', 'go|##l|##d', CAST(3 AS BIGINT)), ('good', 'go|##o|##d', CAST(3 AS BIGINT)), " +
+        "('hands', 'ha|##n|##d|##s', CAST(4 AS BIGINT)), ('harvest', 'ha|##rves|##t', CAST(3 AS BIGINT)), " +
+        "('in', 'in', CAST(1 AS BIGINT)), ('is', 'i|##s', CAST(2 AS BIGINT)), " +
+        "('jugs', 'ju|##g|##s', CAST(3 AS BIGINT)), ('jumps', 'ju|##m|##p|##s', CAST(4 AS BIGINT)), " +
+        "('lazy', 'l|##a|##z|##y', CAST(4 AS BIGINT)), ('light', 'l|##i|##g|##h|##t', CAST(5 AS BIGINT)), " +
+        "('liquor', 'l|##i|##q|##u|##o|##r', CAST(6 AS BIGINT)), ('long', 'lon|##g', CAST(2 AS BIGINT)), " +
+        "('mainly', 'ma|##i|##n|##l|##y', CAST(5 AS BIGINT)), ('make', 'ma|##k|##e', CAST(3 AS BIGINT)), " +
+        "('many', 'ma|##n|##y', CAST(3 AS BIGINT)), ('miner', 'm|##i|##n|##e|##r', CAST(5 AS BIGINT)), " +
+        "('moon', 'm|##o|##o|##n', CAST(4 AS BIGINT)), ('my', 'm|##y', CAST(2 AS BIGINT)), " +
+        "('nine', 'n|##i|##n|##e', CAST(4 AS BIGINT)), ('not', 'n|##o|##t', CAST(3 AS BIGINT)), " +
+        "('old', 'old', CAST(1 AS BIGINT)), ('on', 'o|##n', CAST(2 AS BIGINT)), " +
+        "('open', 'o|##p|##e|##n', CAST(4 AS BIGINT)), ('over', 'over', CAST(1 AS BIGINT)), " +
+        "('pack', 'p|##a|##ck', CAST(3 AS BIGINT)), ('plain', 'p|##l|##a|##i|##n', CAST(5 AS BIGINT)), " +
+        "('practice', 'p|##r|##a|##c|##t|##i|##c|##e', CAST(8 AS BIGINT)), ('quick', 'q|##u|##i|##ck', CAST(4 AS BIGINT)), " +
+        "('rain', 'r|##a|##i|##n', CAST(4 AS BIGINT)), ('rises', 'r|##i|##s|##e|##s', CAST(5 AS BIGINT)), " +
+        "('river', 'r|##i|##ver', CAST(3 AS BIGINT)), ('run', 'r|##u|##n', CAST(3 AS BIGINT)), " +
+        "('said', 'sa|##i|##d', CAST(3 AS BIGINT)), ('saves', 'sa|##ves', CAST(2 AS BIGINT)), " +
+        "('session', 's|##e|##s|##s|##i|##o|##n', CAST(7 AS BIGINT)), ('spain', 's|##p|##a|##i|##n', CAST(5 AS BIGINT)), " +
+        "('still', 'sti|##l|##l', CAST(3 AS BIGINT)), ('stitch', 'sti|##t|##c|##h', CAST(4 AS BIGINT)), " +
+        "('stone', 'st|##o|##n|##e', CAST(4 AS BIGINT)), ('that', 'th|##a|##t', CAST(3 AS BIGINT)), " +
+        "('the', 'the', CAST(1 AS BIGINT)), ('time', 't|##i|##m|##e', CAST(4 AS BIGINT)), " +
+        "('to', 't|##o', CAST(2 AS BIGINT)), ('trip', 't|##r|##i|##p', CAST(4 AS BIGINT)), " +
+        "('waters', 'w|##a|##t|##e|##r|##s', CAST(6 AS BIGINT)), ('when', 'when', CAST(1 AS BIGINT)), " +
+        "('where', 'whe|##r|##e', CAST(3 AS BIGINT)), ('wide', 'w|##i|##d|##e', CAST(4 AS BIGINT)), " +
+        "('with', 'w|##i|##th', CAST(3 AS BIGINT)), ('work', 'w|##o|##r|##k', CAST(4 AS BIGINT))" +
+        ") AS t(w, pieces, n_pieces) ORDER BY w")),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in

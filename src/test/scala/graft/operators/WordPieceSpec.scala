@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** WordPiece (BERT lineage): likelihood-scored merge training (NOT raw
+  * pair count — pinned by a corpus where the two objectives disagree),
+  * greedy longest-match encode with ## continuations, [UNK] whole-word
+  * fallback, and distributed ≡ driver encode. */
+class WordPieceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("encodeWord: greedy longest match with ## continuations; [UNK] on any gap") {
+    val vocab = Set("[UNK]", "un", "##aff", "##able", "##a", "u", "##n",
+      "play", "##ing", "p", "##l", "##ay")
+    assert(WordPiece.encodeWord("unaffable", vocab) == Seq("un", "##aff", "##able"))
+    assert(WordPiece.encodeWord("playing", vocab) == Seq("play", "##ing"))
+    // longest match wins over shorter decompositions
+    assert(WordPiece.encodeWord("play", vocab) == Seq("play"))
+    // 'z' matches nothing → the WHOLE word is [UNK], not partial pieces
+    assert(WordPiece.encodeWord("unz", vocab) == Seq("[UNK]"))
+    assert(WordPiece.encodeWord("", vocab) == Seq.empty)
+  }
+
+  test("training scores by likelihood, not raw count: rare-symbol pairs win") {
+    // 'xy' appears 4 times but x and y are very common (count 10 each
+    // via filler words); 'qz' appears 3 times and q/z appear ONLY
+    // there. Raw-count BPE merges (x,##y) first; WordPiece's
+    // count/(count·count) prefers (q,##z): 3/(3·3) = 0.333 vs
+    // 4/(10·10) = 0.04.
+    val vocab0 = Seq(
+      (WordPiece.symbolize("xy"), 4L),
+      (WordPiece.symbolize("qz"), 3L),
+      (WordPiece.symbolize("x"), 6L),
+      (WordPiece.symbolize("y"), 6L))
+    val merges = WordPiece.trainMergesLocal(vocab0, 1)
+    assert(merges.head._1 == "q" && merges.head._2 == "##z" &&
+      merges.head._3 == "qz" && merges.head._4 == 3L)
+    // BPE on the same vocab picks the higher-count pair — the two
+    // objectives genuinely disagree here
+    val bpe = Bpe.trainMergesLocal(
+      Seq((Array("x", "y"), 4L), (Array("q", "z"), 3L),
+        (Array("x"), 6L), (Array("y"), 6L)), 1)
+    assert(bpe.head._1 == "x" && bpe.head._2 == "y")
+  }
+
+  test("merged continuations absorb the ## mark; chains fuse correctly") {
+    // one word 'abc' seen 5 times: symbols a ##b ##c; merging twice
+    // must produce 'abc' (not 'a####b##c')
+    val merges = WordPiece.trainMergesLocal(
+      Seq((WordPiece.symbolize("abc"), 5L)), 2)
+    assert(merges.map(_._3).toSet.contains("abc") ||
+      merges.last._3 == "abc", merges.toString)
+    assert(merges.forall(m => !m._3.contains("####")))
+  }
+
+  test("trainVocab + encodeWordsFast: vocab round-trips every training word; determinism") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sleeps under the warm sun"),
+      (3L, "a lazy dog and a quick cat share the brown rug"))
+      .toDF("doc_id", "text")
+    val vocab = WordPiece.trainVocab(docs, "text", nMerges = 20)
+    assert(vocab.head == "[UNK]")
+    assert(vocab.distinct.size == vocab.size) // no duplicate entries
+    val enc = WordPiece.encodeWordsFast(docs, "text", vocab)
+      .as[(String, Seq[String], Boolean)].collect()
+    // every training word encodes without [UNK] (its alphabet is in vocab)
+    assert(enc.forall(!_._3), enc.filter(_._3).mkString(","))
+    // pieces re-concatenate to the word (## marks stripped)
+    enc.foreach { case (w, pieces, _) =>
+      assert(pieces.map(_.stripPrefix("##")).mkString == w, s"$w -> $pieces")
+    }
+    // the distributed encode equals the driver encode word-for-word
+    val vset = vocab.toSet
+    enc.foreach { case (w, pieces, _) =>
+      assert(pieces == WordPiece.encodeWord(w, vset))
+    }
+    // training is deterministic
+    assert(WordPiece.trainVocab(docs, "text", nMerges = 20) == vocab)
+  }
+}
