@@ -22,13 +22,18 @@ import graft.functions.TextFunctions
  * (bare `Disallow:` = allow-all) contribute no rule.
  *
  * Decision (RFC 9309 §2.2.2): the MOST SPECIFIC matching rule wins —
- * longest prefix in octets; an Allow and Disallow of equal length tie
- * in favor of Allow; no matching rule means allowed. `Disallow: /` +
- * `Allow: /public/` carve-outs therefore resolve correctly. The URL is
- * matched on its path INCLUDING the query string (RFC 9309 §2.2.3),
- * with the empty path of a bare-host URL read as `/`. `$`/`*`
- * wildcards inside rule paths remain out of scope (the plain-prefix
- * reading — the overwhelmingly common grammar in the wild).
+ * most octets in the RULE PATH (wildcards counted as written); an
+ * Allow and Disallow of equal length tie in favor of Allow; no
+ * matching rule means allowed. `Disallow: /` + `Allow: /public/`
+ * carve-outs therefore resolve correctly. The URL is matched on its
+ * path INCLUDING the query string (RFC 9309 §2.2.3), with the empty
+ * path of a bare-host URL read as `/`. Rule paths support the full
+ * RFC 9309 §2.2.3 special characters: `*` matches any character run
+ * and a TRAILING `$` anchors the match at the path's end (a
+ * non-trailing `$` is literal); wildcard-free rules stay on the plain
+ * `startsWith` fast path, wildcard rules compile ONCE per rule (in
+ * the KB-bounded rule table, not per URL) to an anchored regex with
+ * every other metacharacter quoted.
  *
  * 100 TB shape: the parse explodes robots BODIES line-linearly and
  * windows PARTITION BY HOST (robots files are KB-sized — bounded
@@ -84,10 +89,11 @@ object Robots {
       .distinct()
   }
 
-  /** Adds `robots_disallowed`: true when the most specific (longest)
-    * rule prefixing the URL's path+query is a Disallow — equal-length
-    * Allow/Disallow ties go to Allow, no match means allowed (RFC 9309
-    * §2.2.2). `rules` is [[disallowRules]] output (host column name
+  /** Adds `robots_disallowed`: true when the most specific (longest
+    * rule path) rule matching the URL's path+query is a Disallow —
+    * equal-length Allow/Disallow ties go to Allow, no match means
+    * allowed (RFC 9309 §2.2.2); `*`/trailing-`$` wildcards honored
+    * (§2.2.3). `rules` is [[disallowRules]] output (host column name
     * must match the URL side's parsed host — pass the same name). */
   def disallowedUrls(docs: DataFrame, urlCol: String,
                      rules: DataFrame, rulesHostCol: String): DataFrame = {
@@ -102,13 +108,32 @@ object Robots {
       .withColumn("__rb_path",
         when(col("__rb_raw").startsWith("/"), col("__rb_raw"))
           .otherwise(concat(lit("/"), col("__rb_raw"))))
-    val perHost = rules.groupBy(col(rulesHostCol).as("__rb_h"))
-      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rb_pre"))
-    // most specific match = lexicographic max of (prefix length,
+    // wildcard rules compile once HERE, on the KB-bounded rule table:
+    // a trailing '$' becomes the regex end anchor, '*' becomes '.*',
+    // every other metacharacter is quoted; wildcard-free rules keep
+    // `wild = false` and never touch the regex engine
+    val anchored = col("prefix").endsWith("$")
+    val body = when(anchored,
+      expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
+    val quoted = regexp_replace(
+      regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1"),
+      "\\*", ".*")
+    val enriched = rules
+      .select(col(rulesHostCol).as("__rb_h"), col("prefix"), col("allow"))
+      .withColumn("__rb_wild",
+        col("prefix").contains("*") || anchored)
+      .withColumn("__rb_rx",
+        concat(lit("^"), quoted, when(anchored, lit("$")).otherwise(lit(""))))
+    val perHost = enriched.groupBy(col("__rb_h"))
+      .agg(collect_list(struct(col("prefix"), col("allow"),
+        col("__rb_wild").as("wild"), col("__rb_rx").as("rx"))).as("__rb_pre"))
+    // most specific match = lexicographic max of (rule-path length,
     // allow-bit) over matching rules — struct comparison orders field
     // by field, so longest wins and an exact-length tie favors Allow
-    val best = array_max(transform(
-      filter(col("__rb_pre"), r => col("__rb_path").startsWith(r("prefix"))),
+    val matches = filter(col("__rb_pre"), r =>
+      when(r("wild"), regexp_like(col("__rb_path"), r("rx")))
+        .otherwise(col("__rb_path").startsWith(r("prefix"))))
+    val best = array_max(transform(matches,
       r => struct(length(r("prefix")).as("l"), r("allow").as("a"))))
     parts
       .join(perHost.hint("shuffle_hash"), Seq("__rb_h"), "left")

@@ -2748,17 +2748,20 @@ object LlmQueries {
     // CommonCrawl this way) — parse each host's robots.txt into
     // per-agent Allow/Disallow groups, flag URLs the agent may not
     // fetch by RFC 9309 longest-match (an Allow carve-out wins inside
-    // a Disallow: / full block). Fixture: hosts k=id%6 cycle 3 shapes —
-    // k%3==2 the carve-out (Disallow: / + Allow: /public/); else even
-    // k a star group (/private/, /tmp/) + an evilbot group; else odd k
-    // a (graftbot, *) group (/ads/) + an inapplicable 'other' group.
-    // URLs cycle /private/, /ads/, BARE HOST (path reads as '/'),
-    // /public/. The oracle is the l48 ground-truth pattern: the
-    // verdict derived from the CONSTRUCTION parameters (carve-out host
-    // → blocked unless /public/; even host → blocked iff /private/;
-    // odd host → blocked iff /ads/), so a match proves the whole parse
-    // → group → agent-match → longest-prefix-argmax chain read back
-    // exactly what the construction wrote.
+    // a Disallow: / full block; a still-longer wildcard Disallow wins
+    // inside the carve-out). Fixture: hosts k=id%6 cycle 3 shapes —
+    // k%3==2 the carve-out (Disallow: / + Allow: /public/ + the §2.2.3
+    // wildcard Disallow: /public/*.exe$); else even k a star group
+    // (/private/, /tmp/) + an evilbot group; else odd k a (graftbot, *)
+    // group (/ads/) + an inapplicable 'other' group. URLs cycle
+    // /private/, /ads/, BARE HOST (path reads as '/'), /public/ — the
+    // /public/ path gaining a '.exe' suffix every 8th doc. The oracle
+    // is the l48 ground-truth pattern: the verdict derived from the
+    // CONSTRUCTION parameters (carve-out host → blocked unless a
+    // non-exe /public/ path; even host → blocked iff /private/; odd
+    // host → blocked iff /ads/), so a match proves the whole parse →
+    // group → agent-match → wildcard-compile → longest-match-argmax
+    // chain read back exactly what the construction wrote.
     "l104_robots_compliance" -> QueryDef(
       (s, d) => {
         val id = col("doc_id")
@@ -2768,12 +2771,14 @@ object LlmQueries {
             when(id % 4 === 0, concat(lit("/private/p"), str(id)))
               .when(id % 4 === 1, concat(lit("/ads/b"), str(id)))
               .when(id % 4 === 2, lit(""))
-              .otherwise(concat(lit("/public/a"), str(id)))).as("url"))
+              .otherwise(concat(lit("/public/a"), str(id),
+                when(id % 8 === 3, lit(".exe")).otherwise(lit(""))))).as("url"))
         val hosts = Tables.documents(s, d).select((id % 6).as("k")).distinct()
           .select(
             concat(lit("site"), col("k").cast("string"), lit(".example")).as("host"),
             when(col("k") % 3 === 2,
-              lit("User-agent: *\nDisallow: /\nAllow: /public/"))
+              lit("User-agent: *\nDisallow: /\nAllow: /public/\n" +
+                "Disallow: /public/*.exe$"))
               .when(col("k") % 2 === 0,
                 lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n\n" +
                   "User-agent: evilbot\nDisallow: /"))
@@ -2790,8 +2795,9 @@ object LlmQueries {
         "CASE WHEN doc_id % 4 = 0 THEN '/private/p' || CAST(doc_id AS VARCHAR) " +
         "WHEN doc_id % 4 = 1 THEN '/ads/b' || CAST(doc_id AS VARCHAR) " +
         "WHEN doc_id % 4 = 2 THEN '' " +
-        "ELSE '/public/a' || CAST(doc_id AS VARCHAR) END AS url, " +
-        "CASE WHEN (doc_id % 6) % 3 = 2 THEN doc_id % 4 <> 3 " +
+        "ELSE '/public/a' || CAST(doc_id AS VARCHAR) || " +
+        "CASE WHEN doc_id % 8 = 3 THEN '.exe' ELSE '' END END AS url, " +
+        "CASE WHEN (doc_id % 6) % 3 = 2 THEN (doc_id % 4 <> 3 OR doc_id % 8 = 3) " +
         "WHEN (doc_id % 6) % 2 = 0 THEN doc_id % 4 = 0 " +
         "ELSE doc_id % 4 = 1 END AS robots_disallowed " +
         "FROM documents ORDER BY doc_id")),

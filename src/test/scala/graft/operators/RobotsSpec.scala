@@ -110,6 +110,45 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("https://i.example?q=1"))
   }
 
+  test("RFC 9309 wildcards: * spans any run, trailing $ anchors, other metachars literal") {
+    val wild = Seq(
+      ("k.example", "User-agent: *\nDisallow: /*.pdf$"),
+      ("l.example", "User-agent: *\nDisallow: /private*"),
+      // literal '.' must not become regex any-char; mid-rule '$' is literal
+      ("m.example", "User-agent: *\nDisallow: /a.b\nDisallow: /x$y"),
+      // wildcard Allow carve-out inside a full block: longest RULE PATH
+      // (wildcards counted as written) wins
+      ("n.example", "User-agent: *\nDisallow: /\nAllow: /public/*.html$"))
+      .toDF("host", "body")
+    val rules = Robots.disallowRules(wild, "host", "body")
+    val urls = Seq(
+      "https://k.example/file.pdf",       // blocked (anchored match)
+      "https://k.example/a/deep/b.pdf",   // blocked (* spans directories)
+      "https://k.example/file.pdfx",      // NOT blocked ($ anchors)
+      "https://k.example/file.pdf?x=1",   // NOT blocked (query breaks the anchor)
+      "https://l.example/privateer",      // blocked (trailing * = prefix)
+      "https://l.example/pub",            // clean
+      "https://m.example/a.b/z",          // blocked (literal dot)
+      "https://m.example/aXb/z",          // NOT blocked (dot is not any-char)
+      "https://m.example/x$y/z",          // blocked (literal mid-rule $)
+      "https://n.example/public/p.html",  // allowed (wildcard Allow, 15 > 1)
+      "https://n.example/public/p.css")   // blocked (only Disallow: / matches)
+      .toDF("url")
+    val got = Robots.disallowedUrls(urls, "url", rules, "host")
+      .select("url", "robots_disallowed").as[(String, Boolean)].collect().toMap
+    assert(got("https://k.example/file.pdf"))
+    assert(got("https://k.example/a/deep/b.pdf"))
+    assert(!got("https://k.example/file.pdfx"))
+    assert(!got("https://k.example/file.pdf?x=1"))
+    assert(got("https://l.example/privateer"))
+    assert(!got("https://l.example/pub"))
+    assert(got("https://m.example/a.b/z"))
+    assert(!got("https://m.example/aXb/z"))
+    assert(got("https://m.example/x$y/z"))
+    assert(!got("https://n.example/public/p.html"))
+    assert(got("https://n.example/public/p.css"))
+  }
+
   test("query string participates in matching") {
     val qr = Seq(("j.example", "User-agent: *\nDisallow: /search?page="))
       .toDF("host", "body")
