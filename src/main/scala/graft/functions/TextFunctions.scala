@@ -99,6 +99,26 @@ object TextFunctions {
   def ccSpans(text: Column): Column =
     filter(regexp_extract_all(text, lit(CcPattern), lit(0)), luhnValid _)
 
+  /** The shared class-by-class staging both [[redactPii]] and
+    * [[piiCount]] walk — ONE definition so the audit metric can never
+    * drift from what was actually redacted. Returns
+    * (e1, e2, cards, e3, e4): text after emails, after ids, the
+    * validated card spans, after cards, after IPs. */
+  private def piiStages(text: Column): (Column, Column, Column, Column, Column) = {
+    val e1 = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val e2 = regexp_replace(e1, IdPattern, "<ID>")
+    val cc = ccSpans(e2)
+    // fold the (rare, per-doc-bounded) validated card spans through a
+    // \b-anchored replace of the quoted span — regex can't carry the
+    // checksum, and a bare literal replace would clobber occurrences
+    // of the same digits INSIDE a longer (non-candidate) run. The
+    // span's alphabet is [0-9 -], so wrapping in \b needs no quoting.
+    val e3 = aggregate(cc, e2, (acc, c) =>
+      regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))
+    val e4 = regexp_replace(e3, Ipv4Pattern, "<IP>")
+    (e1, e2, cc, e3, e4)
+  }
+
   /** PII scrubbing for training corpora: replace emails, national-ID
     * patterns, Luhn-valid card numbers, IPv4 literals, and phone-like
     * digit runs with typed placeholder tags. Order matters — each
@@ -108,24 +128,15 @@ object TextFunctions {
     * per-row projection (regexp passes + one card-count-bounded fold),
     * zero shuffles at any scale. */
   def redactPii(text: Column): Column = {
-    val e1 = regexp_replace(text, EmailPattern, "<EMAIL>")
-    val e2 = regexp_replace(e1, IdPattern, "<ID>")
-    // fold the (rare, per-doc-bounded) validated card spans through a
-    // literal replace — regex can't carry the checksum
-    val e3 = aggregate(ccSpans(e2), e2,
-      (acc, c) => replace(acc, c, lit("<CC>")))
-    val e4 = regexp_replace(e3, Ipv4Pattern, "<IP>")
+    val (_, _, _, _, e4) = piiStages(text)
     regexp_replace(e4, PhonePattern, "<PHONE>")
   }
 
   /** How many PII spans [[redactPii]] would redact (audit metric),
-    * staged class-by-class on the same redaction order. */
+    * staged class-by-class on the same redaction order — the SAME
+    * [[piiStages]] chain, so the two cannot disagree. */
   def piiCount(text: Column): Column = {
-    val e1 = regexp_replace(text, EmailPattern, "<EMAIL>")
-    val e2 = regexp_replace(e1, IdPattern, "<ID>")
-    val cc = ccSpans(e2)
-    val e3 = aggregate(cc, e2, (acc, c) => replace(acc, c, lit("<CC>")))
-    val e4 = regexp_replace(e3, Ipv4Pattern, "<IP>")
+    val (e1, _, cc, e3, e4) = piiStages(text)
     (regexp_count(text, lit(EmailPattern)) +
       regexp_count(e1, lit(IdPattern)) +
       size(cc) +

@@ -208,7 +208,7 @@ object Bpe {
     * for the merge tie-break would let the local endgame pick a
     * different merge than the distributed `orderBy` on such
     * vocabularies, breaking the identical-output contract. */
-  private def cpLt(x: String, y: String): Boolean = {
+  private[operators] def cpLt(x: String, y: String): Boolean = {
     var i = 0
     var j = 0
     while (i < x.length && j < y.length) {

@@ -114,6 +114,9 @@ object Graph {
       .distinct().localCheckpoint()
     // one driver-side scalar — the node COUNT, not node data
     val n = nodes.count()
+    // empty graph: no nodes to rank — return the (empty) node frame
+    // with the output schema instead of dividing by zero below
+    if (n == 0L) return nodes.withColumn("rank_ppb", lit(0L))
     val base = (1000000000L - dampingPpb) / n
     // (edge, out-degree) joined once and checkpointed: every round
     // reuses it instead of re-aggregating degrees

@@ -615,15 +615,21 @@ object Scoring {
     val pe = ma.join(mb.hint("shuffle_hash"), Seq(keyCol, "__ck_c"))
       .groupBy(col(keyCol))
       .agg(sum(col("__ck_na") * col("__ck_nb")).as("__ck_s"))
+    // pe's numerator is Σ na_c·nb_c ≤ n² — ×1e6 overflows BIGINT past
+    // n ≈ 3.04M rows per stratum, so it (and the n² guard compare)
+    // runs in DECIMAL(38,0), which DuckDB mirrors with HUGEINT
     tot.join(pe.hint("shuffle_hash"), Seq(keyCol))
       .withColumn("po_ppm", expr("(n_agree * 1000000L) div n"))
-      .withColumn("pe_ppm", expr("(__ck_s * 1000000L) div (n * n)"))
+      .withColumn("pe_ppm", expr(
+        "CAST((CAST(__ck_s AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
       .withColumn("kappa",
-        when(col("__ck_s") === col("n") * col("n"), lit(1.0))
+        when(col("__ck_s").cast("decimal(38,0)") ===
+            col("n").cast("decimal(38,0)") * col("n"), lit(1.0))
           .otherwise(round(
             (col("n_agree").cast("double") / col("n") -
-              col("__ck_s").cast("double") / (col("n") * col("n"))) /
-              (lit(1.0) - col("__ck_s").cast("double") / (col("n") * col("n"))), 6)))
+              col("__ck_s").cast("double") / (col("n").cast("double") * col("n"))) /
+              (lit(1.0) - col("__ck_s").cast("double") / (col("n").cast("double") * col("n"))), 6)))
       .drop("__ck_s")
   }
 

@@ -58,19 +58,14 @@ object WordPiece {
     * "##p" + "##l" → "##pl"). */
   private def fuse(a: String, b: String): String = a + b.stripPrefix("##")
 
-  private def cpLt(x: String, y: String): Boolean = {
-    var i = 0
-    var j = 0
-    while (i < x.length && j < y.length) {
-      val cx = x.codePointAt(i)
-      val cy = y.codePointAt(j)
-      if (cx != cy) return cx < cy
-      i += Character.charCount(cx)
-      j += Character.charCount(cy)
-    }
-    i == x.length && j < y.length
-  }
+  /** Code-point lexicographic `<` — shared with [[Bpe]] (one
+    * definition of the merge tie-break discipline; see the rationale
+    * at [[Bpe.cpLt]]). */
+  private def cpLt(x: String, y: String): Boolean = Bpe.cpLt(x, y)
 
+  /** Like [[Bpe]]'s merge pass but fusing with [[fuse]] (the right
+    * side's ## mark is absorbed) — the one semantic difference, which
+    * is why this is not shared. */
   private def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
     var j = 0

@@ -975,6 +975,11 @@ object LlmQueries {
               .otherwise(lit(" card 5555555555554444")))
             .otherwise(lit("")),
           when(id % 7 === 0, lit(" ref 4111 1111 1111 1112"))
+            .otherwise(lit("")),
+          // an 18-digit Luhn-FAILING run CONTAINING the valid card's
+          // digits: proves the card replace is \b-anchored (a literal
+          // replace would mangle this run into '8<CC>9')
+          when(id % 21 === 0, lit(" raw 855555555555544449"))
             .otherwise(lit("")))
         Tables.documents(s, d)
           .select(id, aug.as("__t"))
@@ -996,16 +1001,19 @@ object LlmQueries {
         "CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 100) ELSE '' END || " +
         "CASE WHEN doc_id % 6 = 0 THEN (CASE WHEN doc_id % 12 = 0 " +
         "THEN ' card 4111 1111 1111 1111' ELSE ' card 5555555555554444' END) ELSE '' END || " +
-        "CASE WHEN doc_id % 7 = 0 THEN ' ref 4111 1111 1111 1112' ELSE '' END AS t " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' ref 4111 1111 1111 1112' ELSE '' END || " +
+        "CASE WHEN doc_id % 21 = 0 THEN ' raw 855555555555544449' ELSE '' END AS t " +
         "FROM documents), " +
         // the Luhn stage is certified by GROUND TRUTH: the valid card
-        // literal (known by construction) is replaced; the invalid one
-        // is left for the phone pass — if the Spark-side checksum
-        // mis-judged either, the md5s diverge
+        // literal (known by construction) is replaced \b-anchored (so
+        // the 18-digit raw run CONTAINING those digits is untouched);
+        // the invalid and raw runs are left for the phone pass — if
+        // the Spark-side checksum or anchoring mis-judged any of them,
+        // the md5s diverge
         s"red AS (SELECT doc_id, t, " +
         s"regexp_replace(regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g'), '$IdPattern', '<ID>', 'g') AS e2 FROM aug), " +
-        "cc AS (SELECT doc_id, t, CASE WHEN doc_id % 6 = 0 THEN replace(e2, " +
-        "CASE WHEN doc_id % 12 = 0 THEN '4111 1111 1111 1111' ELSE '5555555555554444' END, '<CC>') " +
+        "cc AS (SELECT doc_id, t, CASE WHEN doc_id % 6 = 0 THEN regexp_replace(e2, " +
+        "'\\b' || (CASE WHEN doc_id % 12 = 0 THEN '4111 1111 1111 1111' ELSE '5555555555554444' END) || '\\b', '<CC>', 'g') " +
         "ELSE e2 END AS e3 FROM red), " +
         s"fin AS (SELECT doc_id, t, e3, regexp_replace(e3, '$Ipv4Pattern', '<IP>', 'g') AS e4 FROM cc), " +
         s"cnt AS (SELECT doc_id, t, e3, e4, " +

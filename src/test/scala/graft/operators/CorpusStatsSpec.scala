@@ -220,6 +220,18 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(!out(6)._2.contains("<CC>") && out(6)._2 == "order <PHONE> num")
   }
 
+  test("redactPii: card replace is boundary-anchored — digits inside a longer run untouched") {
+    // the 18-digit run CONTAINS the valid card's digits but is itself
+    // Luhn-failing; a bare literal replace would mangle it to 8<CC>9
+    val row = Seq((1L, "pay 5555555555554444 raw 855555555555544449 end"))
+      .toDF("id", "t")
+      .select(TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t")).as("n"))
+      .as[(String, Long)].head()
+    assert(row._1 == "pay <CC> raw <PHONE> end", row._1)
+    assert(row._2 == 2L)
+  }
+
   test("lineQualityFilter applies each C4 rule; blank structure lines survive") {
     val page = Seq(
       "This is a perfectly fine sentence with enough words.", // kept

@@ -67,6 +67,13 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.constraintPropagation.enabled") != "false")
   }
 
+  test("pageRank: empty edge set returns an empty frame, not a division by zero") {
+    val out = Graph.pageRank(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", iters = 3)
+    assert(out.columns.toSeq == Seq("node", "rank_ppb"))
+    assert(out.count() == 0L)
+  }
+
   test("pageRank: per-round plans stay flat across iterations") {
     val ids = spark.range(300).toDF("u")
     val e1 = ids.filter(col("u") >= 1)
