@@ -145,6 +145,41 @@ object TextFunctions {
       .cast("long")
   }
 
+  /** Adds `n_pii`/`n_emails`/`n_cards`/`redactedCol` in STAGED
+    * projections so each redaction stage evaluates ONCE per row and
+    * every count reads a variable — the [[withUrlParts]] discipline
+    * applied to the PII chain: selecting [[redactPii]], [[piiCount]],
+    * and [[ccSpans]] as sibling columns re-runs the e1→e4 regex chain
+    * per output (Catalyst subexpression elimination does not span
+    * select-list items through HOF lambdas). Same outputs as the
+    * scalar forms by construction (one [[piiStages]] definition),
+    * spec-pinned equal. */
+  def withPiiColumns(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     redactedCol: String = "pii_redacted"): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    df.select(keep ++ Seq(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>").as("__p1")): _*)
+      .select((keep :+ col("__p1")) :+
+        regexp_replace(col("__p1"), IdPattern, "<ID>").as("__p2"): _*)
+      .select((keep :+ col("__p1") :+ col("__p2")) :+
+        ccSpans(col("__p2")).as("__pcc"): _*)
+      .select((keep :+ col("__p1") :+ col("__p2") :+ col("__pcc")) :+
+        aggregate(col("__pcc"), col("__p2"), (acc, c) =>
+          regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))
+          .as("__p3"): _*)
+      .select((keep :+ col("__p1") :+ col("__p2") :+ col("__pcc") :+ col("__p3")) :+
+        regexp_replace(col("__p3"), Ipv4Pattern, "<IP>").as("__p4"): _*)
+      .select(keep ++ Seq(
+        (regexp_count(col(textCol), lit(EmailPattern)) +
+          regexp_count(col("__p1"), lit(IdPattern)) +
+          size(col("__pcc")) +
+          regexp_count(col("__p3"), lit(Ipv4Pattern)) +
+          regexp_count(col("__p4"), lit(PhonePattern))).cast("long").as("n_pii"),
+        regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+        size(col("__pcc")).cast("long").as("n_cards"),
+        regexp_replace(col("__p4"), PhonePattern, "<PHONE>").as(redactedCol)): _*)
+  }
+
   /** BPE-ish token count: runs of lowercase letters, runs of digits, or a
     * single non-alphanumeric non-space byte, over the lowercased text.
     * The pattern is deliberately dialect-neutral (no \s, no classes that

@@ -17,9 +17,12 @@ import graft.functions.TextFunctions
  * Grammar subset (RFC 9309's core, the fields curation uses):
  * consecutive `User-agent:` lines open a group; the `Allow:` /
  * `Disallow:` lines after them attach to that group; a later
- * `User-agent:` line after rules opens a NEW group. A group applies to
- * `agent` when it names it (case-insensitive) or `*`. Empty rule paths
- * (bare `Disallow:` = allow-all) contribute no rule.
+ * `User-agent:` line after rules opens a NEW group. Group selection
+ * follows RFC 9309 §2.2.1: groups NAMING the agent (case-insensitive)
+ * are obeyed — merged when several match — and the `*` groups apply
+ * ONLY when no named group exists for that host (a crawler with its
+ * own section does not also inherit the generic one). Empty rule
+ * paths (bare `Disallow:` = allow-all) contribute no rule.
  *
  * Decision (RFC 9309 §2.2.2): the MOST SPECIFIC matching rule wins —
  * most octets in the RULE PATH (wildcards counted as written); an
@@ -71,17 +74,26 @@ object Robots {
       .withColumn("__rb_grp",
         sum(when(col("__rb_start"), 1L).otherwise(0L)).over(byHost))
     val wanted = lower(lit(agent))
-    val applies = grouped
+    val perGroup = grouped
       .groupBy(col(hostCol), col("__rb_grp"))
       .agg(
-        max(when(col("__rb_isua") &&
-          (col("__rb_ua") === wanted || col("__rb_ua") === "*"), true)
-          .otherwise(false)).as("__rb_match"),
+        max(when(col("__rb_isua") && col("__rb_ua") === wanted, true)
+          .otherwise(false)).as("__rb_named"),
+        max(when(col("__rb_isua") && col("__rb_ua") === "*", true)
+          .otherwise(false)).as("__rb_star"),
         collect_list(when(
           (col("__rb_isdis") || col("__rb_isallow")) && col("__rb_path") =!= "",
           struct(col("__rb_path").as("prefix"),
             col("__rb_isallow").as("allow")))).as("__rb_rules"))
-      .filter(col("__rb_match") && size(col("__rb_rules")) > 0)
+    // RFC 9309 §2.2.1 group selection: named groups win outright — the
+    // star groups apply only on hosts with NO group naming the agent.
+    // The host-keyed window rides the same partitioning as the agg.
+    val applies = perGroup
+      .withColumn("__rb_hasnamed",
+        max(col("__rb_named")).over(Window.partitionBy(col(hostCol))))
+      .filter((col("__rb_named") ||
+        (col("__rb_star") && !col("__rb_hasnamed"))) &&
+        size(col("__rb_rules")) > 0)
     applies
       .select(col(hostCol), explode(col("__rb_rules")).as("__rb_r"))
       .select(col(hostCol), col("__rb_r.prefix").as("prefix"),

@@ -981,17 +981,11 @@ object LlmQueries {
           // replace would mangle this run into '8<CC>9')
           when(id % 21 === 0, lit(" raw 855555555555544449"))
             .otherwise(lit("")))
-        Tables.documents(s, d)
-          .select(id, aug.as("__t"))
-          .select(id, col("__t"),
-            piiCount(col("__t")).as("n_pii"),
-            regexp_count(col("__t"), lit(EmailPattern)).cast("long")
-              .as("n_emails"),
-            size(ccSpans(col("__t"))).cast("long").as("n_cards"),
-            redactPii(col("__t")).as("__r"))
+        graft.functions.TextFunctions.withPiiColumns(
+            Tables.documents(s, d).select(id, aug.as("__t")), "__t")
           .select(col("doc_id"), col("n_pii"), col("n_emails"), col("n_cards"),
-            length(col("__r")).cast("long").as("red_len"),
-            md5(col("__r")).as("red_md5"))
+            length(col("pii_redacted")).cast("long").as("red_len"),
+            md5(col("pii_redacted")).as("red_md5"))
           .orderBy("doc_id")
       },
       Some("WITH aug AS (SELECT doc_id, text || " +

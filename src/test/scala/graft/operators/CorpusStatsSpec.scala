@@ -232,6 +232,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(row._2 == 2L)
   }
 
+  test("withPiiColumns staged form matches the scalar forms row-for-row") {
+    val rows = Seq(
+      (1L, "mail a@b.io call +1 (415) 555-0199 ssn 123-45-6789"),
+      (2L, "pay 4111 1111 1111 1111 from 10.0.0.1"),
+      (3L, "ref 4111 1111 1111 1112 raw 855555555555544449"),
+      (4L, "clean text no pii at all"))
+      .toDF("id", "t")
+    val staged = TextFunctions.withPiiColumns(rows, "t")
+      .select("id", "n_pii", "n_emails", "n_cards", "pii_redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val scalar = rows.select(col("id"),
+        TextFunctions.piiCount(col("t")),
+        org.apache.spark.sql.functions.regexp_count(col("t"),
+          org.apache.spark.sql.functions.lit(TextFunctions.EmailPattern)).cast("long"),
+        org.apache.spark.sql.functions.size(TextFunctions.ccSpans(col("t"))).cast("long"),
+        TextFunctions.redactPii(col("t")))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(staged == scalar)
+  }
+
   test("lineQualityFilter applies each C4 rule; blank structure lines survive") {
     val page = Seq(
       "This is a perfectly fine sentence with enough words.", // kept

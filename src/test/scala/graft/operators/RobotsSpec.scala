@@ -31,13 +31,28 @@ class RobotsSpec extends AnyFunSuite {
       ("a.example", "/private/", false), // star group applies to graftbot
       ("a.example", "/tmp/", false),
       ("b.example", "/ads/", false)))    // named in the two-agent group; 'other' group not
-    // evilbot gets ITS group plus the star group; b.example names
-    // neither evilbot nor * in any group, so contributes nothing
+    // RFC 9309 §2.2.1: evilbot has its OWN group on a.example, so it
+    // obeys only that group — the star group does NOT also apply;
+    // b.example names neither evilbot nor *, so contributes nothing
     val evil = Robots.disallowRules(robots, "host", "body", agent = "evilbot")
       .as[(String, String, Boolean)].collect().toSet
-    assert(evil == Set(
-      ("a.example", "/private/", false), ("a.example", "/tmp/", false),
-      ("a.example", "/", false)))
+    assert(evil == Set(("a.example", "/", false)))
+  }
+
+  test("named groups merge; the star group applies only where no named group exists") {
+    val r = Seq(
+      // two separate groups both naming the agent → their rules merge
+      ("p.example", "User-agent: graftbot\nDisallow: /a/\n\n" +
+        "User-agent: *\nDisallow: /star/\n\n" +
+        "User-agent: graftbot\nDisallow: /b/"),
+      // only a star group → it applies
+      ("q.example", "User-agent: *\nDisallow: /s/"))
+      .toDF("host", "body")
+    val got = Robots.disallowRules(r, "host", "body", agent = "graftbot")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(got == Set(
+      ("p.example", "/a/", false), ("p.example", "/b/", false),
+      ("q.example", "/s/", false)))
   }
 
   test("disallowedUrls flags matching paths only; unknown hosts pass") {
