@@ -765,4 +765,58 @@ object Multimodal {
           f.payload.take(16))
       })
   }
+
+  // ------------------------------------------------------------------ pdf
+
+  /** PDF document metadata (ISO 32000 — the other big training-data
+    * container next to WARC): `version` from the `%PDF-x.y` header,
+    * `n_pages` = the largest `/Count` of any `/Type /Pages` dictionary
+    * (the root page-tree node carries the document total; 0 when no
+    * page tree is visible), `encrypted` = an `/Encrypt` trailer entry
+    * exists, `has_eof` = `%%EOF` appears in the final 1 KiB (the ISO
+    * end-of-file marker — absent on truncated downloads). `container`
+    * tags the decode path ("pdf"/"stub"). */
+  final case class PdfMeta(doc_id: Long, byte_len: Long, version: String,
+                           n_pages: Long, encrypted: Boolean,
+                           has_eof: Boolean, container: String)
+
+  private val PdfHeader = "^%PDF-([0-9]+\\.[0-9]+)".r
+  private val PdfPagesCount =
+    ("(?s)/Type\\s*/Pages[^>]*?/Count\\s+([0-9]+)|" +
+      "/Count\\s+([0-9]+)[^>]*?/Type\\s*/Pages").r
+
+  /** Header/trailer walk over the byte string decoded ISO-8859-1 (byte-
+    * preserving — stream payloads pass through untouched). Never parses
+    * object streams: like the WAV/FLAC walks, this reads STRUCTURE, not
+    * content. */
+  def parsePdfMeta(m: MediaFile): Option[PdfMeta] = {
+    val s = new String(m.payload, java.nio.charset.StandardCharsets.ISO_8859_1)
+    PdfHeader.findFirstMatchIn(s).map { h =>
+      val pages = PdfPagesCount.findAllMatchIn(s).map { mm =>
+        Option(mm.group(1)).getOrElse(mm.group(2)).toLong
+      }.foldLeft(0L)(math.max)
+      val tail = s.substring(math.max(0, s.length - 1024))
+      PdfMeta(m.doc_id, m.payload.length.toLong, h.group(1), pages,
+        encrypted = s.contains("/Encrypt"),
+        has_eof = tail.contains("%%EOF"), container = "pdf")
+    }
+  }
+
+  /** PDF decode with the same deterministic stub fallback discipline as
+    * [[decodeAudio]]: a payload without the `%PDF-` magic reports
+    * byte-length-derived pseudo-metadata tagged "stub" (malformed input
+    * is DATA, never an exception — at crawl scale some of everything is
+    * corrupt). */
+  def decodePdf(m: MediaFile): PdfMeta =
+    parsePdfMeta(m).getOrElse {
+      val bl = m.payload.length.toLong
+      PdfMeta(m.doc_id, bl, "", 1L + bl % 9L,
+        encrypted = false, has_eof = false, container = "stub")
+    }
+
+  /** [[extractMeta]]'s PDF twin at the same `mapPartitions` boundary. */
+  def extractMetaPdf(files: Dataset[MediaFile]): Dataset[PdfMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodePdf))
+  }
 }
