@@ -99,23 +99,45 @@ object TextFunctions {
   def ccSpans(text: Column): Column =
     filter(regexp_extract_all(text, lit(CcPattern), lit(0)), luhnValid _)
 
+  // one definition PER STAGE, composed by the scalar chain
+  // ([[piiStages]]) and the staged projection ([[withPiiColumns]])
+  // alike — the two surfaces cannot drift on a pattern or a fold
+  private def emailStage(c: Column): Column =
+    regexp_replace(c, EmailPattern, "<EMAIL>")
+  private def idStage(c: Column): Column =
+    regexp_replace(c, IdPattern, "<ID>")
+  // fold the (rare, per-doc-bounded) validated card spans through a
+  // \b-anchored replace of the quoted span — regex can't carry the
+  // checksum, and a bare literal replace would clobber occurrences
+  // of the same digits INSIDE a longer (non-candidate) run. The
+  // span's alphabet is [0-9 -], so wrapping in \b needs no quoting.
+  private def cardFold(cards: Column, c: Column): Column =
+    aggregate(cards, c, (acc, x) =>
+      regexp_replace(acc, concat(lit("\\b"), x, lit("\\b")), lit("<CC>")))
+  private def ipStage(c: Column): Column =
+    regexp_replace(c, Ipv4Pattern, "<IP>")
+  private def phoneStage(c: Column): Column =
+    regexp_replace(c, PhonePattern, "<PHONE>")
+  private def piiTotal(text: Column, e1: Column, cards: Column,
+                       e3: Column, e4: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) +
+      regexp_count(e1, lit(IdPattern)) +
+      size(cards) +
+      regexp_count(e3, lit(Ipv4Pattern)) +
+      regexp_count(e4, lit(PhonePattern)))
+      .cast("long")
+
   /** The shared class-by-class staging both [[redactPii]] and
     * [[piiCount]] walk — ONE definition so the audit metric can never
     * drift from what was actually redacted. Returns
     * (e1, e2, cards, e3, e4): text after emails, after ids, the
     * validated card spans, after cards, after IPs. */
   private def piiStages(text: Column): (Column, Column, Column, Column, Column) = {
-    val e1 = regexp_replace(text, EmailPattern, "<EMAIL>")
-    val e2 = regexp_replace(e1, IdPattern, "<ID>")
+    val e1 = emailStage(text)
+    val e2 = idStage(e1)
     val cc = ccSpans(e2)
-    // fold the (rare, per-doc-bounded) validated card spans through a
-    // \b-anchored replace of the quoted span — regex can't carry the
-    // checksum, and a bare literal replace would clobber occurrences
-    // of the same digits INSIDE a longer (non-candidate) run. The
-    // span's alphabet is [0-9 -], so wrapping in \b needs no quoting.
-    val e3 = aggregate(cc, e2, (acc, c) =>
-      regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))
-    val e4 = regexp_replace(e3, Ipv4Pattern, "<IP>")
+    val e3 = cardFold(cc, e2)
+    val e4 = ipStage(e3)
     (e1, e2, cc, e3, e4)
   }
 
@@ -129,7 +151,7 @@ object TextFunctions {
     * zero shuffles at any scale. */
   def redactPii(text: Column): Column = {
     val (_, _, _, _, e4) = piiStages(text)
-    regexp_replace(e4, PhonePattern, "<PHONE>")
+    phoneStage(e4)
   }
 
   /** How many PII spans [[redactPii]] would redact (audit metric),
@@ -137,12 +159,7 @@ object TextFunctions {
     * [[piiStages]] chain, so the two cannot disagree. */
   def piiCount(text: Column): Column = {
     val (e1, _, cc, e3, e4) = piiStages(text)
-    (regexp_count(text, lit(EmailPattern)) +
-      regexp_count(e1, lit(IdPattern)) +
-      size(cc) +
-      regexp_count(e3, lit(Ipv4Pattern)) +
-      regexp_count(e4, lit(PhonePattern)))
-      .cast("long")
+    piiTotal(text, e1, cc, e3, e4)
   }
 
   /** Adds `n_pii`/`n_emails`/`n_cards`/`redactedCol` in STAGED
@@ -157,27 +174,20 @@ object TextFunctions {
   def withPiiColumns(df: org.apache.spark.sql.DataFrame, textCol: String,
                      redactedCol: String = "pii_redacted"): org.apache.spark.sql.DataFrame = {
     val keep = df.columns.map(col).toSeq
-    df.select(keep ++ Seq(
-        regexp_replace(col(textCol), EmailPattern, "<EMAIL>").as("__p1")): _*)
-      .select((keep :+ col("__p1")) :+
-        regexp_replace(col("__p1"), IdPattern, "<ID>").as("__p2"): _*)
+    df.select(keep :+ emailStage(col(textCol)).as("__p1"): _*)
+      .select((keep :+ col("__p1")) :+ idStage(col("__p1")).as("__p2"): _*)
       .select((keep :+ col("__p1") :+ col("__p2")) :+
         ccSpans(col("__p2")).as("__pcc"): _*)
       .select((keep :+ col("__p1") :+ col("__p2") :+ col("__pcc")) :+
-        aggregate(col("__pcc"), col("__p2"), (acc, c) =>
-          regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))
-          .as("__p3"): _*)
+        cardFold(col("__pcc"), col("__p2")).as("__p3"): _*)
       .select((keep :+ col("__p1") :+ col("__p2") :+ col("__pcc") :+ col("__p3")) :+
-        regexp_replace(col("__p3"), Ipv4Pattern, "<IP>").as("__p4"): _*)
+        ipStage(col("__p3")).as("__p4"): _*)
       .select(keep ++ Seq(
-        (regexp_count(col(textCol), lit(EmailPattern)) +
-          regexp_count(col("__p1"), lit(IdPattern)) +
-          size(col("__pcc")) +
-          regexp_count(col("__p3"), lit(Ipv4Pattern)) +
-          regexp_count(col("__p4"), lit(PhonePattern))).cast("long").as("n_pii"),
+        piiTotal(col(textCol), col("__p1"), col("__pcc"),
+          col("__p3"), col("__p4")).as("n_pii"),
         regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
         size(col("__pcc")).cast("long").as("n_cards"),
-        regexp_replace(col("__p4"), PhonePattern, "<PHONE>").as(redactedCol)): _*)
+        phoneStage(col("__p4")).as(redactedCol)): _*)
   }
 
   /** BPE-ish token count: runs of lowercase letters, runs of digits, or a

@@ -772,8 +772,10 @@ object Multimodal {
     * container next to WARC): `version` from the `%PDF-x.y` header,
     * `n_pages` = the largest `/Count` of any `/Type /Pages` dictionary
     * (the root page-tree node carries the document total; 0 when no
-    * page tree is visible), `encrypted` = an `/Encrypt` trailer entry
-    * exists, `has_eof` = `%%EOF` appears in the final 1 KiB (the ISO
+    * page tree is visible), `encrypted` = `/Encrypt` appears at or
+    * after the LAST `trailer` keyword (the trailer dictionary — a
+    * content stream merely mentioning the token does not flag),
+    * `has_eof` = `%%EOF` appears in the final 1 KiB (the ISO
     * end-of-file marker — absent on truncated downloads). `container`
     * tags the decode path ("pdf"/"stub"). */
   final case class PdfMeta(doc_id: Long, byte_len: Long, version: String,
@@ -788,16 +790,19 @@ object Multimodal {
   /** Header/trailer walk over the byte string decoded ISO-8859-1 (byte-
     * preserving — stream payloads pass through untouched). Never parses
     * object streams: like the WAV/FLAC walks, this reads STRUCTURE, not
-    * content. */
+    * content. Corrupt structure degrades, never throws (the decode
+    * contract): an absurd digit run clamps at 18 digits — still far
+    * past any real page count — instead of overflowing the parse. */
   def parsePdfMeta(m: MediaFile): Option[PdfMeta] = {
     val s = new String(m.payload, java.nio.charset.StandardCharsets.ISO_8859_1)
     PdfHeader.findFirstMatchIn(s).map { h =>
       val pages = PdfPagesCount.findAllMatchIn(s).map { mm =>
-        Option(mm.group(1)).getOrElse(mm.group(2)).toLong
+        Option(mm.group(1)).getOrElse(mm.group(2)).take(18).toLong
       }.foldLeft(0L)(math.max)
       val tail = s.substring(math.max(0, s.length - 1024))
+      val lastTrailer = s.lastIndexOf("trailer")
       PdfMeta(m.doc_id, m.payload.length.toLong, h.group(1), pages,
-        encrypted = s.contains("/Encrypt"),
+        encrypted = lastTrailer >= 0 && s.indexOf("/Encrypt", lastTrailer) >= 0,
         has_eof = tail.contains("%%EOF"), container = "pdf")
     }
   }

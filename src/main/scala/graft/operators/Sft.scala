@@ -51,9 +51,13 @@ object Sft {
       (length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long")
     val sorted = array_sort(collect_list(struct(
       col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
+    // tag lengths in CODE POINTS (what Spark's length/substring count),
+    // not UTF-16 units — a custom tag with an astral character would
+    // otherwise shift every span after it
+    def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
     def tagLen(t: Column): Column =
-      when(t("r") === "user", lit(userTag.length.toLong))
-        .otherwise(lit(asstTag.length.toLong))
+      when(t("r") === "user", lit(cpLen(userTag)))
+        .otherwise(lit(cpLen(asstTag)))
     turns
       .groupBy(col(convCol))
       .agg(sorted.as("__sft_t"))
@@ -83,7 +87,7 @@ object Sft {
             val cs = acc("o") + tagLen(t) + 1L
             val ce = cs + length(t("c")).cast("long")
             struct(
-              (ce + lit(endTag.length.toLong) + 2L).as("o"),
+              (ce + lit(cpLen(endTag)) + 2L).as("o"),
               concat(acc("sp"), array(struct(
                 t("r").as("r"), cs.as("s"), ce.as("e")))).as("sp"))
           },
@@ -119,16 +123,11 @@ object Sft {
   def preferencePairs(pairs: DataFrame, idCol: String, promptCol: String,
                       chosenCol: String, rejectedCol: String,
                       grams: DataFrame, n: Int = 8): DataFrame = {
-    import graft.functions.TextFunctions.{normalizeText, wordShingles}
-    val gramTable = grams.select(col(grams.columns.head).as("__pp_gram"))
-    val hits = pairs
-      .select(col(idCol),
-        explode(wordShingles(normalizeText(col(promptCol)), n)).as("__pp_gram"))
-      .join(broadcast(gramTable), "__pp_gram")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("__pp_hits"))
-    pairs
-      .join(hits.hint("shuffle_hash"), Seq(idCol), "left")
+    import graft.functions.TextFunctions.normalizeText
+    // the contamination geometry IS the l97 scrub — call it rather
+    // than restate it (one place to fix the gram join)
+    Decontaminate.flagContaminated(pairs, promptCol, idCol, grams, n)
+      .withColumnRenamed("contaminated", "prompt_contaminated")
       .withColumn("has_fields",
         col(promptCol).isNotNull && col(chosenCol).isNotNull &&
           col(rejectedCol).isNotNull &&
@@ -138,11 +137,8 @@ object Sft {
         coalesce(
           normalizeText(col(chosenCol)) =!= normalizeText(col(rejectedCol)),
           lit(false)))
-      .withColumn("n_hit_grams", coalesce(col("__pp_hits"), lit(0L)))
-      .withColumn("prompt_contaminated", col("n_hit_grams") > 0L)
       .withColumn("keep",
         col("has_fields") && col("distinct_responses") &&
           !col("prompt_contaminated"))
-      .drop("__pp_hits")
   }
 }

@@ -2396,22 +2396,6 @@ object LlmQueries {
         "('with', 'w|i|th', CAST(3 AS BIGINT)), ('work', 'w|or|k', CAST(3 AS BIGINT))" +
         ") AS t(w, pieces, n_pieces) ORDER BY w")),
 
-    // L112 — PDF document metadata (Multimodal.extractMetaPdf),
-    // oracle-certified: the other big training-data container next to
-    // WARC — header version, page-tree /Count, /Encrypt trailer flag,
-    // %%EOF integrity marker, with the l61 discipline end to end:
-    // deterministic fixture payloads built byte-exactly from known
-    // construction parameters (graft.operators.PdfFixtures — single /
-    // 5-page / encrypted / truncated / not-a-pdf), the DuckDB oracle a
-    // VALUES relation of the SAME parameters, malformed input decoded
-    // as data via the stub fallback. Same mapPartitions codec boundary
-    // as images/audio/video; binary never touches the driver.
-    "l112_pdf_meta" -> QueryDef(
-      (s, _) => graft.operators.Multimodal.extractMetaPdf(
-          graft.operators.PdfFixtures.dataset(s))
-        .toDF().orderBy("doc_id"),
-      Some(graft.operators.PdfFixtures.oracleSql)),
-
     // L96 — Gopher repetition signals (Scoring.repetitionSignals):
     // the three highest-cut MassiveText gates beyond l22's pair —
     // duplicate-line fraction, duplicate-line CHARACTER fraction, and

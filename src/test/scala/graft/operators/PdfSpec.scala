@@ -29,12 +29,25 @@ class PdfSpec extends AnyFunSuite {
     assert(got.n_pages == 10L && got.version == "1.6" && got.has_eof)
   }
 
-  test("order-independent /Count before /Type; /Encrypt anywhere flags") {
+  test("order-independent /Count before /Type; /Encrypt flags only in the trailer") {
     val body = ("%PDF-1.3\n" +
       "2 0 obj\n<< /Count 3 /Type /Pages >>\nendobj\n" +
       "trailer\n<< /Root 1 0 R /Encrypt 7 0 R >>\n%%EOF").getBytes("ISO-8859-1")
     val got = Multimodal.decodePdf(Multimodal.MediaFile(1L, body))
     assert(got.n_pages == 3L && got.encrypted)
+    // a content-stream MENTION of /Encrypt before the trailer must not flag
+    val mention = ("%PDF-1.3\n" +
+      "4 0 obj\n<< /Length 20 >>\nstream\nsay /Encrypt here\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(!Multimodal.decodePdf(Multimodal.MediaFile(2L, mention)).encrypted)
+  }
+
+  test("an absurd /Count digit run clamps instead of crashing the decode") {
+    val body = ("%PDF-1.4\n" +
+      "2 0 obj\n<< /Type /Pages /Count 99999999999999999999999 >>\nendobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    val got = Multimodal.decodePdf(Multimodal.MediaFile(1L, body))
+    assert(got.container == "pdf" && got.n_pages == 999999999999999999L)
   }
 
   test("%%EOF counts only within the final 1 KiB (a mid-file marker is not integrity)") {

@@ -53,6 +53,28 @@ class SftSpec extends AnyFunSuite {
     assert(spans.head._2 == 9L && spans.head._3 == 9L + 11L)
   }
 
+  test("spans count tags in code points: astral characters in custom tags don't shift slices") {
+    // the robot emoji is 1 code point but 2 UTF-16 units — Java
+    // .length-based offsets would over-advance every span after it
+    val turns = Seq(
+      (1L, 0L, "user", "hi there"),
+      (1L, 1L, "assistant", "hello you"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val (rendered, spans) = Sft.renderConversations(
+        turns, "conv_id", "turn_idx", "role", "content",
+        userTag = "<|u🤖|>", asstTag = "<|a🤖|>")
+      .select("rendered", "turn_spans")
+      .as[(String, Seq[(String, Long, Long)])].head()
+    // slice by CODE POINTS (Spark substring semantics)
+    def cpSlice(s: String, from: Long, until: Long): String = {
+      val a = s.offsetByCodePoints(0, from.toInt)
+      val b = s.offsetByCodePoints(0, until.toInt)
+      s.substring(a, b)
+    }
+    assert(cpSlice(rendered, spans(0)._2, spans(0)._3) == "hi there")
+    assert(cpSlice(rendered, spans(1)._2, spans(1)._3) == "hello you")
+  }
+
   test("preferencePairs: null/blank, identical, normalized-twin, and contaminated pairs all flagged") {
     val pairs = Seq(
       (1L, "what is the capital of france today tell me now please",
