@@ -56,6 +56,41 @@ class WordPieceSpec extends AnyFunSuite {
     assert(merges.forall(m => !m._3.contains("####")))
   }
 
+  test("fuzz: 30 random corpora — round-trip, no ## fusion artifacts, train determinism") {
+    val rnd = new scala.util.Random(111L)
+    val alphabet = "abcdexyz"
+    (0 until 30).foreach { trial =>
+      val nWords = 3 + rnd.nextInt(12)
+      val words = (0 until nWords).map { _ =>
+        (0 until (1 + rnd.nextInt(7)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val text = (0 until (5 + rnd.nextInt(20)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      val docs = Seq((trial.toLong, text)).toDF("doc_id", "text")
+      val nM = rnd.nextInt(15)
+      val vocab = WordPiece.trainVocab(docs, "text", nM)
+      assert(vocab.head == "[UNK]" && vocab.distinct.size == vocab.size,
+        s"trial $trial: dup entries in $vocab")
+      assert(vocab.forall(v => !v.contains("####")), s"trial $trial: $vocab")
+      val vset = vocab.toSet
+      // every word ACTUALLY IN the corpus round-trips without [UNK]
+      // (a sampled-but-unused candidate word may start with a char the
+      // training text never saw word-initially — correctly [UNK])
+      text.split(" ").distinct.foreach { w =>
+        val pieces = WordPiece.encodeWord(w, vset)
+        assert(pieces.nonEmpty && pieces != Seq(WordPiece.Unk),
+          s"trial $trial: '$w' -> $pieces under $vocab")
+        assert(pieces.map(_.stripPrefix("##")).mkString == w,
+          s"trial $trial: '$w' -> $pieces")
+        // only the first piece may lack the continuation mark
+        assert(pieces.tail.forall(_.startsWith("##")), s"trial $trial: $pieces")
+      }
+      // training is deterministic on the same corpus
+      assert(WordPiece.trainVocab(docs, "text", nM) == vocab, s"trial $trial")
+    }
+  }
+
   test("trainVocab + encodeWordsFast: vocab round-trips every training word; determinism") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
