@@ -773,11 +773,20 @@ object Multimodal {
     * `n_pages` = the largest `/Count` of any `/Type /Pages` dictionary
     * (the root page-tree node carries the document total; 0 when no
     * page tree is visible), `encrypted` = `/Encrypt` appears at or
-    * after the LAST `trailer` keyword (the trailer dictionary — a
-    * content stream merely mentioning the token does not flag),
-    * `has_eof` = `%%EOF` appears in the final 1 KiB (the ISO
-    * end-of-file marker — absent on truncated downloads). `container`
-    * tags the decode path ("pdf"/"stub"). */
+    * after the LAST `trailer` keyword OR inside a `/Type /XRef`
+    * cross-reference-stream dictionary (the PDF 1.5+ form, whose dict
+    * is plaintext even in compressed files — a content stream merely
+    * mentioning the token does not flag), `has_eof` = `%%EOF` appears
+    * in the final 1 KiB (the ISO end-of-file marker — absent on
+    * truncated downloads). `container` tags the decode path
+    * ("pdf"/"stub").
+    *
+    * Known limit, stated rather than hidden: a PDF 1.5+ file whose
+    * page tree lives entirely inside Flate-compressed OBJECT streams
+    * reports the conservative `n_pages = 0` — counting those pages
+    * requires stream inflation and xref decoding, a full PDF reader's
+    * job, not a structural walk's. Encryption and EOF integrity (the
+    * curation gates) are detected in both layouts. */
   final case class PdfMeta(doc_id: Long, byte_len: Long, version: String,
                            n_pages: Long, encrypted: Boolean,
                            has_eof: Boolean, container: String)
@@ -786,6 +795,9 @@ object Multimodal {
   private val PdfPagesCount =
     ("(?s)/Type\\s*/Pages[^>]*?/Count\\s+([0-9]+)|" +
       "/Count\\s+([0-9]+)[^>]*?/Type\\s*/Pages").r
+  private val PdfXrefEncrypt =
+    ("(?s)/Type\\s*/XRef[^>]*?/Encrypt|" +
+      "/Encrypt[^>]*?/Type\\s*/XRef").r
 
   /** Header/trailer walk over the byte string decoded ISO-8859-1 (byte-
     * preserving — stream payloads pass through untouched). Never parses
@@ -801,8 +813,10 @@ object Multimodal {
       }.foldLeft(0L)(math.max)
       val tail = s.substring(math.max(0, s.length - 1024))
       val lastTrailer = s.lastIndexOf("trailer")
+      val enc = (lastTrailer >= 0 && s.indexOf("/Encrypt", lastTrailer) >= 0) ||
+        PdfXrefEncrypt.findFirstIn(s).isDefined
       PdfMeta(m.doc_id, m.payload.length.toLong, h.group(1), pages,
-        encrypted = lastTrailer >= 0 && s.indexOf("/Encrypt", lastTrailer) >= 0,
+        encrypted = enc,
         has_eof = tail.contains("%%EOF"), container = "pdf")
     }
   }

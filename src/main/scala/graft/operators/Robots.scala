@@ -34,9 +34,9 @@ import graft.functions.TextFunctions
  * RFC 9309 §2.2.3 special characters: `*` matches any character run
  * and a TRAILING `$` anchors the match at the path's end (a
  * non-trailing `$` is literal); wildcard-free rules stay on the plain
- * `startsWith` fast path, wildcard rules compile ONCE per rule (in
- * the KB-bounded rule table, not per URL) to an anchored regex with
- * every other metacharacter quoted.
+ * `startsWith` fast path, wildcard rules carry an anchored regex
+ * (every other metacharacter quoted) built once per rule in the
+ * KB-bounded rule table and evaluated per matching URL.
  *
  * 100 TB shape: the parse explodes robots BODIES line-linearly and
  * windows PARTITION BY HOST (robots files are KB-sized — bounded
@@ -120,10 +120,15 @@ object Robots {
       .withColumn("__rb_path",
         when(col("__rb_raw").startsWith("/"), col("__rb_raw"))
           .otherwise(concat(lit("/"), col("__rb_raw"))))
-    // wildcard rules compile once HERE, on the KB-bounded rule table:
-    // a trailing '$' becomes the regex end anchor, '*' becomes '.*',
-    // every other metacharacter is quoted; wildcard-free rules keep
-    // `wild = false` and never touch the regex engine
+    // wildcard rules build their regex STRING once here, on the
+    // KB-bounded rule table: a trailing '$' becomes the regex end
+    // anchor, '*' becomes '.*', every other metacharacter is quoted.
+    // The JVM still Pattern-compiles at match time (regexp_like's
+    // single-slot cache thrashes when a host carries >1 wildcard
+    // rule), so the match cost is per (URL × wildcard rule) — bounded
+    // by the rare wildcard rules only: wildcard-free rules keep
+    // `wild = false` and never touch the regex engine, which is the
+    // overwhelming majority of real rule sets.
     val anchored = col("prefix").endsWith("$")
     val body = when(anchored,
       expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
@@ -139,14 +144,17 @@ object Robots {
     val perHost = enriched.groupBy(col("__rb_h"))
       .agg(collect_list(struct(col("prefix"), col("allow"),
         col("__rb_wild").as("wild"), col("__rb_rx").as("rx"))).as("__rb_pre"))
-    // most specific match = lexicographic max of (rule-path length,
+    // most specific match = lexicographic max of (rule-path OCTETS,
     // allow-bit) over matching rules — struct comparison orders field
-    // by field, so longest wins and an exact-length tie favors Allow
+    // by field, so longest wins and an exact-length tie favors Allow.
+    // Octets (UTF-8 bytes, RFC 9309 §2.2.2's measure), not code
+    // points: a multi-byte rule path is more specific than its
+    // code-point count suggests
     val matches = filter(col("__rb_pre"), r =>
       when(r("wild"), regexp_like(col("__rb_path"), r("rx")))
         .otherwise(col("__rb_path").startsWith(r("prefix"))))
     val best = array_max(transform(matches,
-      r => struct(length(r("prefix")).as("l"), r("allow").as("a"))))
+      r => struct(octet_length(r("prefix")).as("l"), r("allow").as("a"))))
     parts
       .join(perHost.hint("shuffle_hash"), Seq("__rb_h"), "left")
       .withColumn("robots_disallowed",

@@ -161,6 +161,15 @@ object WordPiece {
    * entry matching the remaining characters (continuation positions
    * try `##`-prefixed forms); any unmatchable position makes the
    * whole word `[UNK]`. Match boundaries step over full code points.
+   *
+   * In-band-marker guard: the `##` continuation mark can occur
+   * LITERALLY in crawled words ("##header" markdown tokens), whose
+   * raw prefixes would otherwise collide with continuation entries at
+   * the word-initial position and decode to the wrong text. At
+   * start = 0 a candidate that LOOKS like a continuation entry
+   * (starts with `##`) is skipped — such a word still encodes via its
+   * own word-initial `#` symbol and `###`-style continuations, so the
+   * pieces always rebuild the literal word.
    */
   def encodeWord(w: String, vocab: Set[String]): Seq[String] = {
     if (w.isEmpty) return Seq.empty
@@ -172,7 +181,8 @@ object WordPiece {
       while (found == null && end > start) {
         val cand0 = w.substring(start, end)
         val cand = if (start == 0) cand0 else "##" + cand0
-        if (vocab.contains(cand)) found = cand
+        if (vocab.contains(cand) && !(start == 0 && cand.startsWith("##")))
+          found = cand
         else {
           // step back one full code point
           end -= 1

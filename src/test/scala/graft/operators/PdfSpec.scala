@@ -42,6 +42,21 @@ class PdfSpec extends AnyFunSuite {
     assert(!Multimodal.decodePdf(Multimodal.MediaFile(2L, mention)).encrypted)
   }
 
+  test("xref-stream encryption (PDF 1.5+, no 'trailer' keyword) is detected") {
+    // the modern layout: no 'trailer' keyword at all, /Encrypt carried
+    // in the plaintext /Type /XRef stream dictionary
+    val body = ("%PDF-1.6\n" +
+      "7 0 obj\n<< /Type /XRef /Size 9 /Root 1 0 R /Encrypt 8 0 R /W [1 2 1] >>\n" +
+      "stream\nxxxx\nendstream\nendobj\nstartxref\n9\n%%EOF").getBytes("ISO-8859-1")
+    val got = Multimodal.decodePdf(Multimodal.MediaFile(1L, body))
+    assert(got.encrypted && got.has_eof && got.container == "pdf")
+    // same layout unencrypted must not flag
+    val clean = ("%PDF-1.6\n" +
+      "7 0 obj\n<< /Type /XRef /Size 9 /Root 1 0 R /W [1 2 1] >>\n" +
+      "stream\nxxxx\nendstream\nendobj\nstartxref\n9\n%%EOF").getBytes("ISO-8859-1")
+    assert(!Multimodal.decodePdf(Multimodal.MediaFile(2L, clean)).encrypted)
+  }
+
   test("an absurd /Count digit run clamps instead of crashing the decode") {
     val body = ("%PDF-1.4\n" +
       "2 0 obj\n<< /Type /Pages /Count 99999999999999999999999 >>\nendobj\n" +

@@ -102,7 +102,9 @@ class RobotsProps extends AnyFunSuite {
     val matching = rules.filter(r => refMatches(path, r.path))
     if (matching.isEmpty) false
     else {
-      val best = matching.maxBy(r => (r.path.length, if (r.allow) 1 else 0))
+      // specificity in OCTETS (UTF-8 bytes), per RFC 9309 §2.2.2
+      val best = matching.maxBy(r =>
+        (r.path.getBytes("UTF-8").length, if (r.allow) 1 else 0))
       !best.allow
     }
   }

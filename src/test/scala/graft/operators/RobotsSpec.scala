@@ -164,6 +164,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("https://n.example/public/p.css"))
   }
 
+  test("specificity is measured in octets (RFC 9309), not code points") {
+    // Disallow '/日本' = 3 code points / 7 UTF-8 octets; the wildcard
+    // Allow '/*ab$' = 5 of each. A path matching BOTH decides
+    // differently under the two measures: code points rank the Allow
+    // (5 > 3) → kept; octets rank the Disallow (7 > 5) → blocked.
+    // RFC 9309 §2.2.2 says octets.
+    val r = Seq(("o.example", "User-agent: *\nDisallow: /日本\nAllow: /*ab$"))
+      .toDF("host", "body")
+    val rules = Robots.disallowRules(r, "host", "body")
+    val urls = Seq("https://o.example/日本ab", "https://o.example/otherab")
+      .toDF("url")
+    val got = Robots.disallowedUrls(urls, "url", rules, "host")
+      .select("url", "robots_disallowed").as[(String, Boolean)].collect().toMap
+    assert(got("https://o.example/日本ab"))    // 7-octet Disallow wins
+    assert(!got("https://o.example/otherab")) // only the Allow matches
+  }
+
   test("query string participates in matching") {
     val qr = Seq(("j.example", "User-agent: *\nDisallow: /search?page="))
       .toDF("host", "body")

@@ -56,9 +56,26 @@ class WordPieceSpec extends AnyFunSuite {
     assert(merges.forall(m => !m._3.contains("####")))
   }
 
+  test("a word literally containing the ## marker round-trips (in-band-marker guard)") {
+    // '##header' must not match continuation entries at position 0:
+    // it encodes via its own '#' initial symbol and '###'-style
+    // continuations, and the pieces rebuild the literal word
+    val docs = Seq((1L, "##header plain header text ##header")).toDF("doc_id", "text")
+    val vocab = WordPiece.trainVocab(docs, "text", nMerges = 10)
+    val vset = vocab.toSet
+    val pieces = WordPiece.encodeWord("##header", vset)
+    assert(pieces != Seq(WordPiece.Unk), pieces.toString)
+    assert(pieces.head.startsWith("#") && !pieces.head.startsWith("##"),
+      s"word-initial piece must not be a continuation entry: $pieces")
+    assert(pieces.map(_.stripPrefix("##")).mkString == "##header", pieces.toString)
+    // the plain word is untouched by the guard
+    val plain = WordPiece.encodeWord("header", vset)
+    assert(plain.map(_.stripPrefix("##")).mkString == "header")
+  }
+
   test("fuzz: 30 random corpora — round-trip, no ## fusion artifacts, train determinism") {
     val rnd = new scala.util.Random(111L)
-    val alphabet = "abcdexyz"
+    val alphabet = "abcdexyz#"
     (0 until 30).foreach { trial =>
       val nWords = 3 + rnd.nextInt(12)
       val words = (0 until nWords).map { _ =>
@@ -72,7 +89,11 @@ class WordPieceSpec extends AnyFunSuite {
       val vocab = WordPiece.trainVocab(docs, "text", nM)
       assert(vocab.head == "[UNK]" && vocab.distinct.size == vocab.size,
         s"trial $trial: dup entries in $vocab")
-      assert(vocab.forall(v => !v.contains("####")), s"trial $trial: $vocab")
+      // '####' is a fusion ARTIFACT only when the corpus carries no
+      // literal '#'; with '#' in words it is the legitimate
+      // continuation symbol for two literal hashes
+      if (!text.contains("#"))
+        assert(vocab.forall(v => !v.contains("####")), s"trial $trial: $vocab")
       val vset = vocab.toSet
       // every word ACTUALLY IN the corpus round-trips without [UNK]
       // (a sampled-but-unused candidate word may start with a char the
