@@ -27,11 +27,30 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** word → corpus frequency, the Sennrich vocabulary table. One
-    * map-side-combined hash agg — THE scale shuffle of the family. */
-  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("w"))
+    * map-side-combined hash agg — THE scale shuffle of the family.
+    * Words split on WHITESPACE RUNS (space/newline/tab/CR — the same
+    * pattern as `Scoring`'s token walk), not literal spaces: real
+    * documents are multi-line, and a space-only split would fuse
+    * newline-joined words into phantom vocabulary entries.
+    *
+    * `minCount` prunes the tail BEFORE anything downstream sees the
+    * table — the boundary every real trainer guards: distinct "words"
+    * on web-scale crawl (URLs, hashes, typos, code identifiers) run to
+    * billions of rows, and the trainers' driver-side endgame collects
+    * this table. A count floor of even 2 removes the vast hapax tail
+    * while leaving merge statistics essentially untouched (a pair seen
+    * once can never win an argmax that requires cnt ≥ 2 anyway).
+    * Pruned words still ENCODE — the encoders fall back to
+    * character/byte pieces — they just do not vote on the vocabulary.
+    * Default 1 (no prune) keeps analysis queries exact. */
+  def wordCounts(docs: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), "[ \n\t\r]+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+    if (minCount > 1L) counts.filter(col("c") >= minCount) else counts
+  }
 
   /** Adjacent-character-pair corpus frequencies — the statistic whose
     * argmax is BPE's first merge. Computed over the DISTINCT-word table
@@ -41,8 +60,9 @@ object Bpe {
     * `sequence(1, 0)` counts DOWN (yielding [1, 0]), it is not empty.
     * Ties in downstream top-k consumers break on the pair string —
     * deterministic across engines. */
-  def pairCounts(docs: DataFrame, textCol: String): DataFrame =
-    wordCounts(docs, textCol)
+  def pairCounts(docs: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame =
+    wordCounts(docs, textCol, minCount)
       .select(explode(expr(
         "CASE WHEN length(w) >= 2 " +
           "THEN transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) " +
@@ -52,8 +72,10 @@ object Bpe {
   /** Top-k merge candidates by weighted frequency (count desc, pair asc
     * — a total order, so the k rows are engine-reproducible). Two-level
     * TakeOrderedAndProject, never a global sort. */
-  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    pairCounts(docs, textCol).orderBy(col("cnt").desc, col("pair")).limit(k)
+  def topPairs(docs: DataFrame, textCol: String, k: Int,
+               minCount: Long = 1L): DataFrame =
+    pairCounts(docs, textCol, minCount)
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
 
   /** One greedy left-to-right merge pass over a symbol array: every
     * adjacent (a, b) becomes the single symbol a+b. A pure Catalyst
@@ -266,8 +288,9 @@ object Bpe {
    * to force the all-distributed path.
    */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
-                  driverVocabLimit: Long = 200000L): Seq[(String, String, Long)] = {
-    var vocab = wordCounts(docs, textCol)
+                  driverVocabLimit: Long = 200000L,
+                  minCount: Long = 1L): Seq[(String, String, Long)] = {
+    var vocab = wordCounts(docs, textCol, minCount)
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
         col("c"))
       .localCheckpoint()

@@ -93,4 +93,125 @@ object PdfFixtures {
       "t(doc_id, byte_len, version, n_pages, encrypted, has_eof, container) " +
       "ORDER BY doc_id"
   }
+
+  // ----------------------------------------------------- text fixtures
+
+  /** A content-stream object: direct /Length (always byte-exact, so the
+    * parser's length-bounded path is the one exercised), optionally
+    * Flate-compressed with `java.util.zip.Deflater` — the construction
+    * twin of the `Inflater` decode under test. ISO-8859-1 keeps the
+    * compressed bytes 1:1 through the string assembly. */
+  private def contentObj(num: Int, source: String, flate: Boolean): String = {
+    val data =
+      if (flate) {
+        val in = source.getBytes("ISO-8859-1")
+        val d = new java.util.zip.Deflater()
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](in.length * 2 + 64)
+        val m = d.deflate(buf); d.end()
+        new String(buf, 0, m, "ISO-8859-1")
+      } else source
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    s"$num 0 obj\n<< /Length ${data.length}$filter >>\nstream\n$data\nendstream\nendobj\n"
+  }
+
+  /** A structurally-complete PDF whose pages CARRY content streams:
+    * catalog(1), page tree(2), then per page k a page object (3+2k)
+    * referencing its content object (4+2k). `reverseKids` lists the
+    * Kids array in reverse object order, so a correct extractor must
+    * follow TREE order, not object order. */
+  private[operators] def textPdf(version: String, pageSources: Seq[String], flate: Boolean,
+                                 encrypted: Boolean, reverseKids: Boolean): Array[Byte] = {
+    val n = pageSources.length
+    val kidNums = (0 until n).map(k => 3 + 2 * k)
+    val kids = (if (reverseKids) kidNums.reverse else kidNums)
+      .map(k => s"$k 0 R").mkString("[", " ", "]")
+    val pages = (0 until n).map { k =>
+      s"${3 + 2 * k} 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents ${4 + 2 * k} 0 R >>\nendobj\n" +
+        contentObj(4 + 2 * k, pageSources(k), flate)
+    }.mkString
+    val encObjNum = 3 + 2 * n
+    val enc =
+      if (encrypted) s"$encObjNum 0 obj\n<< /Filter /Standard /V 2 >>\nendobj\n" else ""
+    val encRef = if (encrypted) s" /Encrypt $encObjNum 0 R" else ""
+    (s"%PDF-$version\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      s"2 0 obj\n<< /Type /Pages /Kids $kids /Count $n >>\nendobj\n" +
+      pages + enc +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size ${4 + 2 * n} /Root 1 0 R$encRef >>\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+  }
+
+  /** (payload, expected extraction) for l113 — expectations hand-folded
+    * from the SAME operator sources written into each content stream
+    * (the extraction contract in [[PdfText]]'s doc), never from the
+    * parser under test. */
+  lazy val textFixtures: Seq[(MediaFile, PdfText.Doc)] = {
+    // 1: the operator tour — Td before any glyph adds nothing; Tj
+    // concatenates; TD / T* break lines; TJ concatenates only the
+    // string elements of its array (kerning numbers ignored)
+    val t1 = textPdf("1.4", Seq(
+      "BT /F1 12 Tf 72 712 Td (Hello, ) Tj (world) Tj " +
+        "0 -14 TD (second line) Tj T* [(kerned) -120 ( array)] TJ ET"),
+      flate = false, encrypted = false, reverseKids = false)
+    val t1text = "Hello, world\nsecond line\nkerned array"
+    // 2: two FlateDecode pages, Kids REVERSED — reading order is the
+    // tree's, so BRAVO (object 5) precedes ALPHA (object 3)
+    val t2 = textPdf("1.7", Seq(
+      "BT 72 712 Td (PAGE ALPHA) Tj ET",
+      "BT 72 712 Td (PAGE BRAVO) Tj ET"),
+      flate = true, encrypted = false, reverseKids = true)
+    val t2text = "PAGE BRAVO\nPAGE ALPHA"
+    // 3: string syntax — paren/backslash escapes, 1–3 digit octal
+    // (\101='A', \60='0'), hex pairs, and ' = newline-then-show
+    val t3 = textPdf("1.5", Seq(
+      "BT (A\\(B\\)C\\\\D ) Tj (oct:\\101\\60!) Tj <486921> Tj (tab\\there)' ET"),
+      flate = false, encrypted = false, reverseKids = false)
+    val t3text = "A(B)C\\D oct:A0!Hi!\ntab\there"
+    // 4: encrypted — streams are ciphertext, the contract reports ""
+    val t4 = textPdf("2.0", Seq("BT (SECRET) Tj ET"),
+      flate = false, encrypted = true, reverseKids = false)
+    // 5: not a PDF — stub arithmetic; 6: truncated header-only
+    val t5 = textPayload
+    val t6 = truncated("1.5")
+    Seq(
+      (MediaFile(1L, t1), PdfText.Doc(1L, 1L, t1text, t1text.length.toLong, "pdf")),
+      (MediaFile(2L, t2), PdfText.Doc(2L, 2L, t2text, t2text.length.toLong, "pdf")),
+      (MediaFile(3L, t3), PdfText.Doc(3L, 1L, t3text, t3text.length.toLong, "pdf")),
+      (MediaFile(4L, t4), PdfText.Doc(4L, 1L, "", 0L, "pdf")),
+      (MediaFile(5L, t5), PdfText.Doc(5L, 1L + t5.length % 9L, "", 0L, "stub")),
+      (MediaFile(6L, t6), PdfText.Doc(6L, 0L, "", 0L, "pdf")))
+  }
+
+  /** The l113 input frame. */
+  def textDataset(spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.createDataset(textFixtures.map(_._1))
+  }
+
+  /** DuckDB literal for text that may carry control characters:
+    * plain segments in standard-quoted strings (no backslash escapes —
+    * backslash stays literal), control characters via chr(n). */
+  private def sqlLit(s: String): String = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    def flush(): Unit = { parts += ("'" + cur.toString.replace("'", "''") + "'"); cur.clear() }
+    s.foreach { ch =>
+      if (ch < ' ') { flush(); parts += s"chr(${ch.toInt})" } else cur.append(ch)
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
+  /** The l113 DuckDB oracle: the construction-side expected text. */
+  def textOracleSql: String = {
+    val rows = textFixtures.map { case (_, d) =>
+      s"(CAST(${d.doc_id} AS BIGINT), CAST(${d.n_pages} AS BIGINT), " +
+        s"${sqlLit(d.text)}, CAST(${d.n_chars} AS BIGINT), '${d.container}')"
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS " +
+      "t(doc_id, n_pages, text, n_chars, container) ORDER BY doc_id"
+  }
 }

@@ -1,0 +1,394 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+import Multimodal.MediaFile
+
+/**
+ * PDF TEXT extraction (ISO 32000 content streams) — the PDF twin of
+ * `TextFunctions.mainContent`'s HTML→text, and the single most common
+ * thing a corpus builder does with a PDF: walk the page tree in order,
+ * inflate each page's content stream (FlateDecode via
+ * `java.util.zip.Inflater` — the one filter real text streams use),
+ * and fold the text-showing operators (`Tj`, `'`, `"`, `TJ`) inside
+ * `BT…ET` blocks into a plain string.
+ *
+ * Extraction contract (deliberately small and stated, so the fixture
+ * oracle can restate it from construction parameters):
+ *   - `Tj` / `TJ` append their string operand(s); `TJ`'s numeric
+ *     kerning elements are ignored (they are glyph-space offsets, not
+ *     text).
+ *   - `'` and `"` (next-line show) and the line-move operators `Td`,
+ *     `TD`, `T*` insert ONE `\n` separator — only when there is
+ *     preceding text not already ending in `\n`, so positioning ops
+ *     before the first glyph add nothing.
+ *   - Pages join under the same single-`\n` rule.
+ *   - Literal `(…)` strings honor the spec escapes (`\n \r \t \b \f`,
+ *     `\( \) \\`, 1–3 digit octal, backslash–EOL line continuation,
+ *     unknown escape = drop the backslash) and balanced unescaped
+ *     parens; hex `<…>` strings pair hex digits (odd length pads a
+ *     trailing 0). Bytes decode ISO-8859-1 — the simple-font reading;
+ *     a /ToUnicode CMap walk is a full font subsystem, out of scope
+ *     and documented rather than faked.
+ *   - An ENCRYPTED document (l112's gate) reports empty text: its
+ *     streams are ciphertext, and emitting decode garbage as "text"
+ *     would poison a corpus. A real pipeline decrypts upstream.
+ *
+ * Degradation, never exceptions (the crawl-scale decode contract): a
+ * payload without the `%PDF-` magic takes the stub path; a parseable
+ * header with a broken body yields whatever pages resolve (possibly
+ * empty text); inflation caps at 64 MiB per stream (zip-bomb guard) and
+ * a corrupt deflate stream contributes nothing.
+ *
+ * Scale: same `mapPartitions` codec boundary as images/audio/video/PDF
+ * metadata — payloads never touch the driver, output is (id, small
+ * scalars, text) so Catalyst prunes the binary column immediately.
+ */
+object PdfText {
+
+  /** Extracted document text. `n_pages` matches l112's structural
+    * count (largest page-tree /Count); `n_chars` = `text.length`
+    * (ISO-8859-1 decode ⇒ UTF-16 length = code points). */
+  final case class Doc(doc_id: Long, n_pages: Long, text: String,
+                       n_chars: Long, container: String)
+
+  /** One indirect object: dictionary text (balanced `<< >>` extent,
+    * empty when absent) + raw stream payload when present. */
+  private final case class PdfObj(dict: String, stream: Option[String])
+
+  private val MaxInflated = 64 << 20 // per-stream zip-bomb cap
+
+  // ------------------------------------------------------------ objects
+
+  /** Balanced `<< … >>` extent from `start` (which must point at `<<`).
+    * Returns (dict text, index just past the closing `>>`). Unbalanced
+    * input degrades to end-of-string. */
+  private def balancedDict(s: String, start: Int): (String, Int) = {
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return (s.substring(start, i), i)
+      } else i += 1
+    }
+    (s.substring(start), s.length)
+  }
+
+  /** Direct /Length value; indirect (`N 0 R`) lengths are skipped (the
+    * fallback scans for `endstream` instead). */
+  private val DirectLength = "/Length\\s+(\\d{1,9})(?!\\d)(?!\\s+\\d+\\s+R)".r
+
+  /** `/Key N 0 R` or `/Key [N 0 R M 0 R …]` → referenced object
+    * numbers in written order. */
+  private def refList(dict: String, key: String): Seq[Long] = {
+    val arr = ("(?s)/" + key + "\\s*\\[(.*?)\\]").r
+    arr.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        "(\\d{1,9})\\s+\\d+\\s+R".r.findAllMatchIn(m.group(1))
+          .map(_.group(1).toLong).toSeq
+      case None =>
+        ("/" + key + "\\s+(\\d{1,9})\\s+\\d+\\s+R").r
+          .findFirstMatchIn(dict).map(_.group(1).toLong).toSeq
+    }
+  }
+
+  /** Sequential object scan: `N G obj` → optional dict → optional
+    * stream (`/Length`-bounded when the direct length lines up with an
+    * `endstream` keyword; keyword-scan fallback otherwise — binary
+    * stream data must not derail the walk). Incremental updates keep
+    * LAST-writer-wins, the PDF update semantics. */
+  private def parseObjects(s: String): mutable.LinkedHashMap[Long, PdfObj] = {
+    val out = mutable.LinkedHashMap[Long, PdfObj]()
+    val objPat = java.util.regex.Pattern.compile("(\\d{1,9})\\s+\\d{1,5}\\s+obj\\b")
+    val mt = objPat.matcher(s)
+    var pos = 0
+    while (pos < s.length && mt.find(pos)) {
+      val num = mt.group(1).toLong
+      var i = mt.end
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+      val (dict, afterDict) =
+        if (s.startsWith("<<", i)) balancedDict(s, i) else ("", i)
+      var j = afterDict
+      while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+      var stream: Option[String] = None
+      var next = math.max(j, mt.end)
+      if (s.startsWith("stream", j)) {
+        var d = j + 6
+        if (d < s.length && s.charAt(d) == '\r') d += 1
+        if (d < s.length && s.charAt(d) == '\n') d += 1
+        // trust the direct /Length only when `endstream` follows within
+        // a 2-char EOL slack; else scan for the keyword
+        val byLen = DirectLength.findFirstMatchIn(dict).map(_.group(1).toInt)
+          .filter(l => l >= 0 && d + l <= s.length)
+          .map(l => d + l)
+          .filter { e =>
+            val k = s.indexOf("endstream", e)
+            k >= 0 && k - e <= 2
+          }
+        val end = byLen.getOrElse {
+          val e = s.indexOf("endstream", d)
+          if (e < 0) s.length
+          else { // strip one trailing EOL the writer added before the keyword
+            var k = e
+            if (k > d && s.charAt(k - 1) == '\n') k -= 1
+            if (k > d && s.charAt(k - 1) == '\r') k -= 1
+            k
+          }
+        }
+        stream = Some(s.substring(d, math.min(end, s.length)))
+        next = s.indexOf("endobj", math.min(end, s.length)) match {
+          case -1 => math.min(end + 9, s.length)
+          case e  => e + 6
+        }
+      } else {
+        next = s.indexOf("endobj", j) match {
+          case -1 => math.max(j, mt.end)
+          case e  => e + 6
+        }
+      }
+      out(num) = PdfObj(dict, stream)
+      pos = math.max(next, mt.end)
+    }
+    out
+  }
+
+  // ---------------------------------------------------------- page walk
+
+  private val TypeCatalog = "(?s)/Type\\s*/Catalog".r
+  private val TypePages = "(?s)/Type\\s*/Pages(?![a-zA-Z])".r
+  private val TypePage = "(?s)/Type\\s*/Page(?![a-zA-Z])".r
+
+  /** Content streams in PAGE-TREE order (Kids order, not object-number
+    * order — the document's reading order). Falls back to every stream
+    * in object order when no page tree resolves, so truncated files
+    * still surface whatever text their streams carry. */
+  private def pageContentStreams(s: String, objs: mutable.LinkedHashMap[Long, PdfObj]): Seq[String] = {
+    val rootRef = "(?s)/Root\\s+(\\d{1,9})\\s+\\d+\\s+R".r
+      .findAllMatchIn(s).map(_.group(1).toLong).toSeq.lastOption
+      .orElse(objs.collectFirst {
+        case (n, o) if TypeCatalog.findFirstIn(o.dict).isDefined => n
+      })
+    val pagesRoot = rootRef.flatMap(objs.get)
+      .flatMap(o => refList(o.dict, "Pages").headOption)
+      .orElse(objs.collectFirst {
+        case (n, o) if TypePages.findFirstIn(o.dict).isDefined &&
+          !o.dict.contains("/Parent") => n
+      })
+    val visited = mutable.Set[Long]()
+    val streams = mutable.Buffer[String]()
+    def walk(num: Long, depth: Int): Unit = {
+      if (depth > 64 || !visited.add(num)) return
+      objs.get(num).foreach { o =>
+        if (TypePage.findFirstIn(o.dict).isDefined &&
+            TypePages.findFirstIn(o.dict).isEmpty) {
+          refList(o.dict, "Contents").foreach { c =>
+            objs.get(c).foreach(co =>
+              co.stream.foreach(raw => streams += decodeStream(co.dict, raw)))
+          }
+        } else {
+          refList(o.dict, "Kids").foreach(walk(_, depth + 1))
+        }
+      }
+    }
+    pagesRoot.foreach(walk(_, 0))
+    if (streams.isEmpty)
+      objs.foreach { case (_, o) =>
+        o.stream.foreach(raw => streams += decodeStream(o.dict, raw))
+      }
+    streams.toSeq
+  }
+
+  /** FlateDecode when the dict names it; any OTHER filter yields no
+    * text (we cannot decode it — stated, not faked); no filter = raw. */
+  private def decodeStream(dict: String, raw: String): String =
+    if (!dict.contains("/Filter")) raw
+    else if (dict.contains("/FlateDecode")) inflate(raw)
+    else ""
+
+  private def inflate(raw: String): String = {
+    val bytes = raw.getBytes(ISO_8859_1)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var done = false
+      while (!done && !inf.finished() && out.size < MaxInflated) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) done = true // truncated
+      }
+      new String(out.toByteArray, ISO_8859_1)
+    } catch {
+      case NonFatal(_) => "" // corrupt deflate data contributes nothing
+    } finally inf.end()
+  }
+
+  // ------------------------------------------------------ content walk
+
+  /** Literal `(…)` string from `open` (pointing at `(`): spec escapes,
+    * balanced unescaped parens. Returns (decoded, index past `)`). */
+  private def literalString(cs: String, open: Int, to: Int): (String, Int) = {
+    val out = new StringBuilder
+    var i = open + 1
+    var depth = 1
+    while (i < to && depth > 0) {
+      val c = cs.charAt(i)
+      if (c == '\\' && i + 1 < to) {
+        cs.charAt(i + 1) match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case e @ ('(' | ')' | '\\') => out.append(e); i += 2
+          case '\r' => // backslash–EOL: line continuation, drop both
+            i += 2; if (i < to && cs.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = i + 1; var n = 0
+            while (k < to && n < 3 && cs.charAt(k) >= '0' && cs.charAt(k) <= '7') {
+              v = v * 8 + (cs.charAt(k) - '0'); k += 1; n += 1
+            }
+            out.append((v & 0xFF).toChar); i = k
+          case other => out.append(other); i += 2 // spec: drop the backslash
+        }
+      } else if (c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) out.append(c); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    (out.toString, i)
+  }
+
+  /** Hex `<…>` string: pair hex digits (whitespace ignored, odd length
+    * pads a trailing 0). Returns (decoded, index past `>`). */
+  private def hexString(cs: String, open: Int, to: Int): (String, Int) = {
+    val close = cs.indexOf('>', open + 1)
+    val end = if (close < 0 || close > to) to else close
+    val hex = cs.substring(open + 1, end).filter(ch => Character.digit(ch, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val out = new StringBuilder(padded.length / 2)
+    var k = 0
+    while (k + 2 <= padded.length) {
+      out.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
+      k += 2
+    }
+    (out.toString, if (close < 0 || close > to) to else close + 1)
+  }
+
+  /** One `BT…ET` block: fold string operands and the text-showing /
+    * line-move operators into `sb` under the contract in the object
+    * doc. Unknown operators and numeric operands are skipped. */
+  private def walkBlock(cs: String, from: Int, to: Int, sb: StringBuilder): Unit = {
+    var i = from
+    var pending = "" // last decoded string / concatenated array operand
+    var arrayBuf: StringBuilder = null // non-null inside [ … ]
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    while (i < to) {
+      val c = cs.charAt(i)
+      if (c == '(') {
+        val (str, ni) = literalString(cs, i, to)
+        if (arrayBuf != null) arrayBuf.append(str) else pending = str
+        i = ni
+      } else if (c == '<' && i + 1 < to && cs.charAt(i + 1) == '<') {
+        i = balancedDict(cs, i)._2 // inline dict (e.g. BDC props): skip
+      } else if (c == '<') {
+        val (str, ni) = hexString(cs, i, to)
+        if (arrayBuf != null) arrayBuf.append(str) else pending = str
+        i = ni
+      } else if (c == '[') { arrayBuf = new StringBuilder; i += 1 }
+      else if (c == ']') {
+        if (arrayBuf != null) { pending = arrayBuf.toString; arrayBuf = null }
+        i += 1
+      } else if (c == '\'' || c == '"') {
+        newline(); sb.append(pending); pending = ""; i += 1
+      } else if (c == '/') { // name token: skip so /Tj-ish names never fire ops
+        i += 1
+        while (i < to && !Character.isWhitespace(cs.charAt(i)) &&
+          "()<>[]{}/%".indexOf(cs.charAt(i)) < 0) i += 1
+      } else if (Character.isLetter(c)) {
+        var j = i
+        while (j < to && (Character.isLetterOrDigit(cs.charAt(j)) || cs.charAt(j) == '*')) j += 1
+        cs.substring(i, j) match {
+          case "Tj" | "TJ" => sb.append(pending); pending = ""
+          case "Td" | "TD" | "T*" => newline()
+          case _ => ()
+        }
+        i = j
+      } else i += 1
+    }
+  }
+
+  /** All `BT…ET` blocks of one decoded content stream. */
+  private def extractTextOps(cs: String, sb: StringBuilder): Unit = {
+    var i = 0
+    var more = true
+    while (more) {
+      val bt = cs.indexOf("BT", i)
+      if (bt < 0) more = false
+      else {
+        val et = cs.indexOf("ET", bt + 2)
+        val end = if (et < 0) cs.length else et
+        walkBlock(cs, bt + 2, end, sb)
+        i = if (et < 0) cs.length else et + 2
+        if (i >= cs.length) more = false
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- decode
+
+  /** Full-document extraction; `None` when the payload is not a PDF
+    * (no `%PDF-` header — same gate as [[Multimodal.parsePdfMeta]]). */
+  def parsePdfText(m: MediaFile): Option[Doc] =
+    Multimodal.parsePdfMeta(m).map { pm =>
+      val text =
+        if (pm.encrypted) "" // ciphertext is not text — stated in the contract
+        else {
+          val s = new String(m.payload, ISO_8859_1)
+          val sb = new StringBuilder
+          try {
+            pageContentStreams(s, parseObjects(s)).foreach { cs =>
+              if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+              extractTextOps(cs, sb)
+            }
+          } catch { case NonFatal(_) => () } // degrade, never throw
+          sb.toString
+        }
+      Doc(m.doc_id, pm.n_pages, text, text.length.toLong, "pdf")
+    }
+
+  /** Stub fallback with [[Multimodal.decodePdf]]'s page arithmetic so
+    * the two PDF readouts agree on every column they share. */
+  def decodePdfText(m: MediaFile): Doc =
+    parsePdfText(m).getOrElse {
+      val bl = m.payload.length.toLong
+      Doc(m.doc_id, 1L + bl % 9L, "", 0L, "stub")
+    }
+
+  /** [[Multimodal.extractMetaPdf]]'s text twin at the same
+    * `mapPartitions` boundary. */
+  def extractText(files: Dataset[MediaFile]): Dataset[Doc] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodePdfText))
+  }
+
+  /** The l68-cascade adapter: extracted PDFs as a (id, text) document
+    * frame, ready for `Dedup.dedupCorpus` / the quality gates — the
+    * "optional PDF ingest stage" in front of the text pipeline. Only
+    * real PDF decodes with non-empty text qualify as documents. */
+  def asDocuments(files: Dataset[MediaFile], idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    extractText(files).toDF()
+      .filter(col("container") === "pdf" && col("n_chars") > 0)
+      .select(col("doc_id").as(idCol), col("text").as(textCol))
+}

@@ -239,10 +239,11 @@ object Unigram {
    */
   def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
                    seedSize: Int, maxPieceLen: Int = 8,
-                   emRounds: Int = 2, keepFrac: Double = 0.75): Seq[(String, Double)] = {
+                   emRounds: Int = 2, keepFrac: Double = 0.75,
+                   minCount: Long = 1L): Seq[(String, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = Bpe.wordCounts(docs, textCol)
+    val wc = Bpe.wordCounts(docs, textCol, minCount)
       .select(col("w"), col("c").cast("long"))
       .as[(String, Long)]
       .persist()

@@ -139,14 +139,19 @@ object WordPiece {
    * Train a WordPiece vocabulary: `[UNK]` + the alphabet (every
    * initial symbol, code-point-sorted) + `nMerges` likelihood-scored
    * merges in training order. The corpus collapses once to
-   * [[Bpe.wordCounts]]; the collect is |distinct words|-bounded (the
-   * vocabulary table, NOT corpus rows — megabytes at any corpus size,
-   * the [[Unigram]]/[[Bpe.trainMergesLocal]] endgame justification).
+   * [[Bpe.wordCounts]]; the collect is |distinct words|-bounded AFTER
+   * the `minCount` prune — at true web scale the UNPRUNED distinct-word
+   * tail (URLs, hashes, typos) runs to billions of rows, so a count
+   * floor is what keeps this boundary driver-sized (every production
+   * trainer prunes here; pruned words still encode via the alphabet
+   * fallback, they just do not vote on merges). Default 1 preserves
+   * the exact small-corpus pins.
    */
-  def trainVocab(docs: DataFrame, textCol: String, nMerges: Int): Seq[String] = {
+  def trainVocab(docs: DataFrame, textCol: String, nMerges: Int,
+                 minCount: Long = 1L): Seq[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = Bpe.wordCounts(docs, textCol)
+    val wc = Bpe.wordCounts(docs, textCol, minCount)
       .as[(String, Long)].collect()
     val vocab0 = wc.toSeq.map { case (w, c) => (symbolize(w), c) }
     val alphabet = vocab0.iterator.flatMap(_._1).toSeq.distinct

@@ -3108,6 +3108,25 @@ object LlmQueries {
         .toDF().orderBy("doc_id"),
       Some(graft.operators.PdfFixtures.oracleSql)),
 
+    // L113 — PDF TEXT extraction (PdfText.extractText),
+    // oracle-certified: the training-data payload of l112's container —
+    // page-tree-ordered content streams (Kids order, NOT object order —
+    // fixture 2's reversed Kids prove it), FlateDecode inflation
+    // (construction deflates with Deflater, the parse inflates with
+    // Inflater — a byte-exact round trip), and the BT…ET text-operator
+    // fold (Tj/TJ concatenate, '/Td/TD/T* line-break, literal-string
+    // escapes + octal + hex pairs). Expected text is hand-folded from
+    // the construction-side operator sources (VALUES oracle with
+    // chr(n) control characters), never from the parser under test;
+    // encrypted documents report empty text (ciphertext is not text);
+    // malformed input degrades to the stub. Same mapPartitions codec
+    // boundary as all media decodes — binary never touches the driver.
+    "l113_pdf_text" -> QueryDef(
+      (s, _) => graft.operators.PdfText.extractText(
+          graft.operators.PdfFixtures.textDataset(s))
+        .toDF().orderBy("doc_id"),
+      Some(graft.operators.PdfFixtures.textOracleSql)),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in
@@ -3856,7 +3875,10 @@ object LlmQueries {
     // application has no DuckDB-portable form.
     "l63_bpe_pairs" -> QueryDef(
       (s, d) => graft.operators.Bpe.topPairs(Tables.documents(s, d), "text", 50),
-      Some("WITH words AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents), " +
+      // whitespace-RUN split mirrored (string_split_regex ↔ Spark
+      // split on "[ \n\t\r]+") — the space-only form fused
+      // newline-joined words into phantom vocabulary entries
+      Some("WITH words AS (SELECT UNNEST(string_split_regex(text, '[ \\n\\t\\r]+')) AS w FROM documents), " +
         "vocab AS (SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY w), " +
         "pr AS (SELECT UNNEST(CASE WHEN length(w) >= 2 " +
         "THEN list_transform(generate_series(1, length(w) - 1), i -> substr(w, i, 2)) " +

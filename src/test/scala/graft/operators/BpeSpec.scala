@@ -13,6 +13,31 @@ class BpeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("wordCounts splits on whitespace RUNS and minCount prunes the hapax tail") {
+    val docs = Seq((1L, "alpha beta\nalpha\tbeta\r\nalpha  gamma")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
+    assert(wc == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L),
+      s"newline/tab/CR/double-space must all be word boundaries: $wc")
+    val pruned = Bpe.wordCounts(docs, "text", minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(pruned == Map("alpha" -> 3L, "beta" -> 2L))
+  }
+
+  test("trainMerges minCount: pruned hapax words contribute no pair statistics") {
+    val docs = Seq((1L, "moon moon moon zq")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 5, minCount = 2L)
+    assert(merges.nonEmpty)
+    assert(!merges.exists(m => m._1.contains("z") || m._2.contains("z") ||
+      m._1.contains("q") || m._2.contains("q")),
+      s"the pruned hapax 'zq' must not vote on merges: $merges")
+    // the hapax still ENCODES (the encode table is never pruned):
+    // no trained merge applies, so it falls back to its characters
+    val enc = Bpe.encodeWordsFast(docs, "text", merges.map(m => (m._1, m._2)))
+      .where(col("w") === "zq").collect()
+    assert(enc.length == 1 &&
+      enc(0).getSeq[String](enc(0).fieldIndex("syms")) == Seq("z", "q"))
+  }
+
   test("pairCounts weights pairs by word frequency over the distinct vocab") {
     // pair "ab": 2 from word "ab" (corpus count 2) + 1 from "abc";
     // "bc": 1 from "abc"; single-char word "a" contributes nothing

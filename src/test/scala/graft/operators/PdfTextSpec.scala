@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Multimodal.MediaFile
+
+/** PDF text extraction: page-tree order, FlateDecode round trip,
+  * string escapes, encrypted/malformed degradation, fuzz, and the
+  * l68-cascade composition (the "optional PDF ingest stage"). */
+class PdfTextSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("fixture payloads extract exactly their construction-side text") {
+    PdfFixtures.textFixtures.foreach { case (file, expected) =>
+      val got = PdfText.decodePdfText(file)
+      assert(got == expected, s"doc ${file.doc_id}: got $got")
+    }
+  }
+
+  test("nested page tree: intermediate Pages nodes walk in Kids order") {
+    // root Pages(2) -> [node 7, page 3]; node 7 -> [page 5]; so the
+    // reading order is page 5's text, then page 3's
+    val body = ("%PDF-1.6\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [7 0 R 3 0 R] /Count 2 >>\nendobj\n" +
+      "7 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [5 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length 17 >>\nstream\nBT (LATER) Tj ET\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Page /Parent 7 0 R /Contents 6 0 R >>\nendobj\n" +
+      "6 0 obj\n<< /Length 17 >>\nstream\nBT (FIRST) Tj ET\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val got = PdfText.decodePdfText(MediaFile(1L, body))
+    assert(got.text == "FIRST\nLATER" && got.n_pages == 2L)
+  }
+
+  test("a page with a /Contents ARRAY concatenates its streams in order") {
+    val body = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Contents [4 0 R 5 0 R] >>\nendobj\n" +
+      "4 0 obj\n<< /Length 15 >>\nstream\nBT (one) Tj ET\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Length 15 >>\nstream\nBT (two) Tj ET\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "one\ntwo")
+  }
+
+  test("missing /Length falls back to the endstream keyword scan") {
+    val body = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< >>\nstream\nBT (unbounded) Tj ET\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "unbounded")
+  }
+
+  test("backslash-EOL line continuation joins without a break") {
+    val body = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length 25 >>\nstream\nBT (conti\\\nnued) Tj ET\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "continued")
+  }
+
+  test("encrypted documents report empty text, not ciphertext garbage") {
+    val (file, expected) = PdfFixtures.textFixtures(3)
+    assert(expected.text == "")
+    assert(PdfText.decodePdfText(file).text == "")
+  }
+
+  test("fuzz: random payloads and mutated fixtures never throw") {
+    val rnd = new scala.util.Random(113L)
+    (0 until 300).foreach { i =>
+      val n = rnd.nextInt(400)
+      val payload = Array.fill(n)(rnd.nextInt(256).toByte)
+      val got = PdfText.decodePdfText(MediaFile(i.toLong, payload))
+      if (got.container == "stub") assert(got.text == "" && got.n_chars == 0L)
+    }
+    // bit-flip every fixture at 40 random offsets: parse degrades, never throws
+    PdfFixtures.textFixtures.foreach { case (file, _) =>
+      (0 until 40).foreach { _ =>
+        val mutated = file.payload.clone()
+        if (mutated.nonEmpty) {
+          val at = rnd.nextInt(mutated.length)
+          mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        val got = PdfText.decodePdfText(MediaFile(file.doc_id, mutated))
+        assert(got.n_chars == got.text.length.toLong)
+      }
+    }
+  }
+
+  test("distributed extractText equals the driver decode") {
+    val viaSpark = PdfText.extractText(PdfFixtures.textDataset(spark))
+      .collect().sortBy(_.doc_id).toSeq
+    assert(viaSpark == PdfFixtures.textFixtures.map(_._2))
+  }
+
+  test("extracted PDF text composes into the l68 dedup cascade") {
+    import spark.implicits._
+    // two PDFs carrying the SAME prose (different versions/layout), one
+    // distinct, one encrypted (excluded: no text), one stub (excluded)
+    val prose = "BT (the quick brown fox jumps over the lazy dog and keeps going) Tj ET"
+    def doc(id: Long, src: String, v: String, enc: Boolean): MediaFile =
+      MediaFile(id, PdfFixtures.textPdf(v, Seq(src), flate = id % 2 == 0,
+        encrypted = enc, reverseKids = false))
+    val files = spark.createDataset(Seq(
+      doc(1L, prose, "1.4", enc = false),
+      doc(2L, prose, "1.7", enc = false),
+      doc(3L, "BT (completely different content about rivers and stones here) Tj ET", "1.5", enc = false),
+      doc(4L, prose, "2.0", enc = true),
+      MediaFile(5L, "plain bytes, not a pdf".getBytes("UTF-8"))))
+    val docs = PdfText.asDocuments(files)
+    assert(docs.count() == 3L) // encrypted + stub filtered out
+    val kept = Dedup.dedupCorpus(docs, "text", "doc_id")
+    val ids = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L)) // exact dup (2) collapses onto the smaller id
+  }
+}

@@ -112,6 +112,21 @@ class WordPieceSpec extends AnyFunSuite {
     }
   }
 
+  test("minCount prune: hapax words do not vote on the vocab but still encode") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "banana banana banana zyx")).toDF("doc_id", "text")
+    val pruned = WordPiece.trainVocab(docs, "text", nMerges = 5, minCount = 2L)
+    assert(!pruned.exists(p => p.contains("z") || p.contains("y") || p.contains("x")),
+      s"pruned 'zyx' must contribute neither alphabet nor merges: $pruned")
+    // the ENCODE table is never pruned — the hapax row survives, and
+    // with its symbols outside the trained alphabet the documented
+    // fallback is the [UNK] piece, not a vanished word
+    val enc = WordPiece.encodeWordsFast(docs, "text", pruned)
+      .where(col("w") === "zyx").collect()
+    assert(enc.length == 1 &&
+      enc(0).getSeq[String](enc(0).fieldIndex("pieces")) == Seq(WordPiece.Unk))
+  }
+
   test("trainVocab + encodeWordsFast: vocab round-trips every training word; determinism") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
