@@ -3127,6 +3127,82 @@ object LlmQueries {
         .toDF().orderBy("doc_id"),
       Some(graft.operators.PdfFixtures.textOracleSql)),
 
+    // L114 — BYTE-level BPE with GPT-2 regex pre-tokenization
+    // (ByteBpe.trainMerges + encodeTokensFast), golden-pinned: the
+    // tokenizer lineage production token budgets actually price in.
+    // Train 30 merges over the l73 corpus THROUGH the published
+    // pre-tokenizer (spaces attach to the following word — 'Ġthe' and
+    // sentence-initial 'the' are distinct tokens with distinct
+    // statistics, the defining difference from l73's word-level run on
+    // the SAME corpus) and the bytes→unicode table (space = 'Ġ'), then
+    // encode every distinct pre-token. The pinned VALUES come from an
+    // INDEPENDENT reference implementation of the public algorithm
+    // (scripts/ref_bytebpe.py — regex pre-tokenize, byte map, argmax
+    // count desc/pair asc/cnt≥2, left-first merges, lowest-rank
+    // encode), not from the Scala code under test.
+    "l114_bytebpe_pin" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val bases = Seq(
+          "the quick brown fox jumps over the lazy dog by the river",
+          "pack my box with five dozen liquor jugs for the long trip",
+          "a stitch in time saves nine when the cloth begins to fray",
+          "all that glitters is not gold said the old miner at dawn",
+          "every good boy deserves fruit after the long practice session",
+          "the rain in spain falls mainly on the wide open plain",
+          "still waters run deep where the old stone bridge crosses over",
+          "many hands make light work when the harvest moon rises early")
+        val docs = bases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val merges = graft.operators.ByteBpe.trainMerges(docs, "text", 30)
+          .map(m => (m._1, m._2))
+        graft.operators.ByteBpe.encodeTokensFast(docs, "text", merges)
+          .select(col("units"), array_join(col("syms"), "|").as("syms"),
+            col("n_syms"))
+          .orderBy("units")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "('a', 'a', CAST(1 AS BIGINT)), ('all', 'all', CAST(1 AS BIGINT)), " +
+        "('every', 'e|ver|y', CAST(3 AS BIGINT)), ('many', 'm|an|y', CAST(3 AS BIGINT)), " +
+        "('pack', 'p|ac|k', CAST(3 AS BIGINT)), ('still', 's|t|i|ll', CAST(4 AS BIGINT)), " +
+        "('the', 't|he', CAST(2 AS BIGINT)), ('Ġafter', 'Ġ|a|f|t|er', CAST(5 AS BIGINT)), " +
+        "('Ġat', 'Ġ|at', CAST(2 AS BIGINT)), ('Ġbegins', 'Ġb|e|g|in|s', CAST(5 AS BIGINT)), " +
+        "('Ġbox', 'Ġb|o|x', CAST(3 AS BIGINT)), ('Ġboy', 'Ġb|o|y', CAST(3 AS BIGINT)), " +
+        "('Ġbridge', 'Ġb|ri|d|g|e', CAST(5 AS BIGINT)), ('Ġbrown', 'Ġb|r|o|w|n', CAST(5 AS BIGINT)), " +
+        "('Ġby', 'Ġb|y', CAST(2 AS BIGINT)), ('Ġcloth', 'Ġ|c|l|o|t|h', CAST(6 AS BIGINT)), " +
+        "('Ġcrosses', 'Ġ|c|r|o|s|s|es', CAST(7 AS BIGINT)), ('Ġdawn', 'Ġd|a|w|n', CAST(4 AS BIGINT)), " +
+        "('Ġdeep', 'Ġd|e|e|p', CAST(4 AS BIGINT)), ('Ġdeserves', 'Ġd|es|er|ves', CAST(4 AS BIGINT)), " +
+        "('Ġdog', 'Ġd|o|g', CAST(3 AS BIGINT)), ('Ġdozen', 'Ġd|o|z|e|n', CAST(5 AS BIGINT)), " +
+        "('Ġearly', 'Ġ|e|ar|l|y', CAST(5 AS BIGINT)), ('Ġfalls', 'Ġf|all|s', CAST(3 AS BIGINT)), " +
+        "('Ġfive', 'Ġf|i|v|e', CAST(4 AS BIGINT)), ('Ġfor', 'Ġf|or', CAST(2 AS BIGINT)), " +
+        "('Ġfox', 'Ġf|o|x', CAST(3 AS BIGINT)), ('Ġfray', 'Ġf|r|a|y', CAST(4 AS BIGINT)), " +
+        "('Ġfruit', 'Ġf|r|u|it', CAST(4 AS BIGINT)), ('Ġglitters', 'Ġg|l|it|t|er|s', CAST(6 AS BIGINT)), " +
+        "('Ġgold', 'Ġg|o|ld', CAST(3 AS BIGINT)), ('Ġgood', 'Ġg|o|o|d', CAST(4 AS BIGINT)), " +
+        "('Ġhands', 'Ġ|h|an|d|s', CAST(5 AS BIGINT)), ('Ġharvest', 'Ġ|h|ar|ves|t', CAST(5 AS BIGINT)), " +
+        "('Ġin', 'Ġ|in', CAST(2 AS BIGINT)), ('Ġis', 'Ġ|i|s', CAST(3 AS BIGINT)), " +
+        "('Ġjugs', 'Ġ|j|u|g|s', CAST(5 AS BIGINT)), ('Ġjumps', 'Ġ|j|u|m|p|s', CAST(6 AS BIGINT)), " +
+        "('Ġlazy', 'Ġl|a|z|y', CAST(4 AS BIGINT)), ('Ġlight', 'Ġl|i|g|h|t', CAST(5 AS BIGINT)), " +
+        "('Ġliquor', 'Ġl|i|q|u|or', CAST(5 AS BIGINT)), ('Ġlong', 'Ġl|on|g', CAST(3 AS BIGINT)), " +
+        "('Ġmainly', 'Ġm|ain|l|y', CAST(4 AS BIGINT)), ('Ġmake', 'Ġm|a|k|e', CAST(4 AS BIGINT)), " +
+        "('Ġminer', 'Ġm|in|er', CAST(3 AS BIGINT)), ('Ġmoon', 'Ġm|o|on', CAST(3 AS BIGINT)), " +
+        "('Ġmy', 'Ġm|y', CAST(2 AS BIGINT)), ('Ġnine', 'Ġ|n|in|e', CAST(4 AS BIGINT)), " +
+        "('Ġnot', 'Ġ|n|o|t', CAST(4 AS BIGINT)), ('Ġold', 'Ġo|ld', CAST(2 AS BIGINT)), " +
+        "('Ġon', 'Ġ|on', CAST(2 AS BIGINT)), ('Ġopen', 'Ġo|p|e|n', CAST(4 AS BIGINT)), " +
+        "('Ġover', 'Ġo|ver', CAST(2 AS BIGINT)), ('Ġplain', 'Ġ|p|l|ain', CAST(4 AS BIGINT)), " +
+        "('Ġpractice', 'Ġ|p|r|ac|t|i|c|e', CAST(8 AS BIGINT)), ('Ġquick', 'Ġ|q|u|i|c|k', CAST(6 AS BIGINT)), " +
+        "('Ġrain', 'Ġ|r|ain', CAST(3 AS BIGINT)), ('Ġrises', 'Ġ|ri|s|es', CAST(4 AS BIGINT)), " +
+        "('Ġriver', 'Ġ|ri|ver', CAST(3 AS BIGINT)), ('Ġrun', 'Ġ|r|u|n', CAST(4 AS BIGINT)), " +
+        "('Ġsaid', 'Ġs|a|i|d', CAST(4 AS BIGINT)), ('Ġsaves', 'Ġs|a|ves', CAST(3 AS BIGINT)), " +
+        "('Ġsession', 'Ġs|es|s|i|on', CAST(5 AS BIGINT)), ('Ġspain', 'Ġs|p|ain', CAST(3 AS BIGINT)), " +
+        "('Ġstitch', 'Ġs|t|it|c|h', CAST(5 AS BIGINT)), ('Ġstone', 'Ġs|t|on|e', CAST(4 AS BIGINT)), " +
+        "('Ġthat', 'Ġt|h|at', CAST(3 AS BIGINT)), ('Ġthe', 'Ġthe', CAST(1 AS BIGINT)), " +
+        "('Ġtime', 'Ġt|i|m|e', CAST(4 AS BIGINT)), ('Ġto', 'Ġt|o', CAST(2 AS BIGINT)), " +
+        "('Ġtrip', 'Ġt|ri|p', CAST(3 AS BIGINT)), ('Ġwaters', 'Ġw|at|er|s', CAST(4 AS BIGINT)), " +
+        "('Ġwhen', 'Ġwhe|n', CAST(2 AS BIGINT)), ('Ġwhere', 'Ġwhe|r|e', CAST(3 AS BIGINT)), " +
+        "('Ġwide', 'Ġw|i|d|e', CAST(4 AS BIGINT)), ('Ġwith', 'Ġw|it|h', CAST(3 AS BIGINT)), " +
+        "('Ġwork', 'Ġw|or|k', CAST(3 AS BIGINT))" +
+        ") AS t(units, syms, n_syms) ORDER BY units")),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in

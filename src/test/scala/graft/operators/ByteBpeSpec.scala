@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Byte-level GPT-2-lineage BPE: bytes→unicode bijection, published
+  * pre-tokenizer semantics, byte-vs-char divergence exactly where the
+  * two levels should disagree (multibyte + whitespace), and the
+  * distributed encoder against the driver reference. */
+class ByteBpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bytes→unicode table: bijective, printables self-map, space is Ġ") {
+    assert(ByteBpe.byteEncoder.length == 256)
+    assert(ByteBpe.byteEncoder.distinct.length == 256, "must be injective")
+    ('!' to '~').foreach(c => assert(ByteBpe.byteEncoder(c.toInt) == c))
+    assert(ByteBpe.byteEncoder(' '.toInt) == 'Ġ') // Ġ
+    assert(ByteBpe.byteEncoder('\n'.toInt) == 'Ċ') // Ċ
+    // shifted bytes land at 256+n — all BMP, all single UTF-16 units
+    assert(ByteBpe.byteEncoder.forall(c => !Character.isSurrogate(c)))
+    (0 until 256).foreach(b => assert(ByteBpe.byteDecoder(ByteBpe.byteEncoder(b)) == b))
+  }
+
+  test("toByteUnits/fromByteUnits round-trip arbitrary unicode, incl. astral") {
+    val rnd = new scala.util.Random(114L)
+    val samples = Seq("", "hello world", "café", "naïve — déjà vu",
+      "日本語のテキスト", "emoji 😀 and more", "tab\there\nnewline") ++
+      (0 until 100).map { _ =>
+        val n = rnd.nextInt(20)
+        (0 until n).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "x" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    samples.foreach { s =>
+      val units = ByteBpe.toByteUnits(s)
+      assert(units.length == s.getBytes("UTF-8").length, "one unit per byte")
+      assert(ByteBpe.fromByteUnits(units) == s)
+    }
+  }
+
+  test("pre-tokenizer: contractions, space-attachment, digit/punct runs") {
+    def toks(text: String): Seq[String] =
+      ByteBpe.preTokenCounts(Seq((1L, text)).toDF("doc_id", "text"), "text")
+        .select("tok").as[String].collect().toSeq
+    assert(toks("don't stop").toSet == Set("don", "'t", " stop"))
+    assert(toks("we'll we're we've I'm he's she'd").toSet ==
+      Set("we", "'ll", " we", "'re", "'ve", " I", "'m", " he", "'s", " she", "'d"))
+    // spaces attach to the FOLLOWING token; an extra space stands alone
+    val df = Seq((1L, "a  b")).toDF("doc_id", "text")
+    val withCounts = ByteBpe.preTokenCounts(df, "text")
+      .as[(String, Long)].collect().toMap
+    assert(withCounts == Map("a" -> 1L, " " -> 1L, " b" -> 1L))
+    assert(toks("abc123, ok!").toSet == Set("abc", "123", ",", " ok", "!"))
+  }
+
+  test("byte-level and char-level disagree exactly on multibyte + whitespace") {
+    // multibyte: 'é' is ONE code-point symbol char-level, TWO bytes here
+    assert(ByteBpe.toByteUnits("café").length == 5)
+    assert("café".length == 4)
+    // whitespace: word-level BPE never sees spaces; byte-level keeps
+    // ' the' and 'the' as distinct statistics
+    val docs = Seq((1L, "the cat the dog")).toDF("doc_id", "text")
+    val wordLevel = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
+    assert(wordLevel("the") == 2L && !wordLevel.keys.exists(_.contains(" ")))
+    val byteLevel = ByteBpe.preTokenCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(byteLevel == Map("the" -> 1L, " cat" -> 1L, " the" -> 1L, " dog" -> 1L))
+  }
+
+  test("encode: concatenation identity and byte-exact round trip to text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick café visit — très bon"),
+      (3L, "call me at 12:30, okay?")).toDF("doc_id", "text")
+    val merges = ByteBpe.trainMerges(docs, "text", nMerges = 15).map(m => (m._1, m._2))
+    val rank = merges.zipWithIndex.toMap
+    val toks = ByteBpe.preTokenCounts(docs, "text").select("tok").as[String].collect()
+    toks.foreach { t =>
+      val pieces = ByteBpe.encodeToken(t, rank)
+      assert(pieces.mkString == ByteBpe.toByteUnits(t), s"concat identity for '$t'")
+      assert(ByteBpe.fromByteUnits(pieces.mkString) == t, s"byte round trip for '$t'")
+    }
+  }
+
+  test("distributed encodeTokensFast equals the driver encode") {
+    val docs = Seq(
+      (1L, "still waters run deep where the old stone bridge crosses over"),
+      (2L, "many hands make light work when the harvest moon rises early"))
+      .toDF("doc_id", "text")
+    val merges = ByteBpe.trainMerges(docs, "text", nMerges = 10).map(m => (m._1, m._2))
+    val rank = merges.zipWithIndex.toMap
+    val fast = ByteBpe.encodeTokensFast(docs, "text", merges)
+      .collect().map(r => (r.getString(0),
+        r.getSeq[String](1).toList, r.getLong(2))).sortBy(_._1)
+    val slow = ByteBpe.preTokenCounts(docs, "text").select("tok").as[String]
+      .collect().map { t =>
+        val p = ByteBpe.encodeToken(t, rank)
+        (ByteBpe.toByteUnits(t), p.toList, p.length.toLong)
+      }.sortBy(_._1)
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("tokenCounts: per-document totals match a brute-force occurrence sum") {
+    val docs = Seq(
+      (1L, "aa aa bb"),
+      (2L, "aa bb bb aa")).toDF("doc_id", "text")
+    val merges = ByteBpe.trainMerges(docs, "text", nMerges = 5).map(m => (m._1, m._2))
+    val rank = merges.zipWithIndex.toMap
+    val got = ByteBpe.tokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val pat = java.util.regex.Pattern.compile(ByteBpe.PreTokenPattern)
+    val expected = Seq((1L, "aa aa bb"), (2L, "aa bb bb aa")).map { case (id, text) =>
+      val m = pat.matcher(text)
+      var n = 0L
+      while (m.find()) n += ByteBpe.encodeToken(m.group(), rank).length.toLong
+      (id, n)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("minCount prunes hapax pre-tokens from training but never from encode") {
+    val docs = Seq((1L, "sun sun sun zq")).toDF("doc_id", "text")
+    val merges = ByteBpe.trainMerges(docs, "text", nMerges = 5, minCount = 2L)
+    assert(merges.nonEmpty)
+    assert(!merges.exists(m => (m._1 + m._2).exists(c => c == 'z' || c == 'q')))
+    val enc = ByteBpe.encodeTokensFast(docs, "text", merges.map(m => (m._1, m._2)))
+      .where(col("units") === ByteBpe.toByteUnits(" zq")).collect()
+    assert(enc.length == 1 && enc(0).getLong(2) == 3L) // Ġ|z|q — bytes, never [UNK]
+  }
+}
