@@ -1,0 +1,198 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import Multimodal.MediaFile
+import OfficeZip.OfficeMeta
+
+/**
+ * Deterministic DOCX/EPUB payloads for the l115 oracle — the
+ * l48/l61/l112 fixture discipline, zip twin: a tiny byte-exact zip
+ * WRITER (local headers + central directory + EOCD per PKWARE APPNOTE,
+ * CRC32 and raw-Deflate from `java.util.zip` — the construction twins
+ * of the walk under test) assembles each container from known
+ * parameters, and the DuckDB oracle is a VALUES relation of those SAME
+ * parameters. A match proves [[OfficeZip]] reads back exactly what the
+ * construction wrote, independent of the parser.
+ */
+object OfficeFixtures {
+
+  private final case class Member(name: String, data: Array[Byte],
+                                  deflate: Boolean = false,
+                                  encryptedFlag: Boolean = false)
+
+  /** Minimal spec-conformant zip: per member a local header + payload
+    * (stored or raw-deflated), then the central directory, then EOCD.
+    * `encryptedFlag` sets general-purpose bit 0 WITHOUT ciphering the
+    * payload — enough to prove the reader refuses flagged entries. */
+  private def buildZip(members: Seq[Member]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    def sig(c: Int, d: Int): Unit = { out.write(0x50); out.write(0x4B); out.write(c); out.write(d) }
+    val rows = members.map { m =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(m.data)
+      val comp =
+        if (m.deflate) {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw
+          d.setInput(m.data); d.finish()
+          val buf = new Array[Byte](m.data.length * 2 + 64)
+          val n = d.deflate(buf); d.end()
+          java.util.Arrays.copyOfRange(buf, 0, n)
+        } else m.data
+      val off = out.size.toLong
+      val nameB = m.name.getBytes(UTF_8)
+      sig(0x03, 0x04) // local file header
+      w16(20); w16(if (m.encryptedFlag) 1 else 0); w16(if (m.deflate) 8 else 0)
+      w16(0); w16(0) // dos time/date: fixed zero, determinism
+      w32(crc.getValue); w32(comp.length.toLong); w32(m.data.length.toLong)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(comp)
+      (m, crc.getValue, comp.length.toLong, off, nameB)
+    }
+    val cdStart = out.size.toLong
+    rows.foreach { case (m, crc, compLen, off, nameB) =>
+      sig(0x01, 0x02) // central directory header
+      w16(20); w16(20)
+      w16(if (m.encryptedFlag) 1 else 0); w16(if (m.deflate) 8 else 0)
+      w16(0); w16(0)
+      w32(crc); w32(compLen); w32(m.data.length.toLong)
+      w16(nameB.length); w16(0); w16(0) // name/extra/comment lens
+      w16(0); w16(0); w32(0) // disk#, internal, external attrs
+      w32(off)
+      out.write(nameB)
+    }
+    val cdSize = out.size.toLong - cdStart
+    sig(0x05, 0x06) // EOCD
+    w16(0); w16(0); w16(rows.length); w16(rows.length)
+    w32(cdSize); w32(cdStart); w16(0)
+    out.toByteArray
+  }
+
+  private def s(x: String): Array[Byte] = x.getBytes(UTF_8)
+
+  private val ContentTypes = s("<?xml version=\"1.0\"?><Types " +
+    "xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\"/>")
+
+  /** DOCX 1: run-SPLIT words ("Alp" + "ha beta gamma" concatenate to
+    * "Alpha beta gamma" — 3 words, not 4) plus an entity-escaped run;
+    * Dublin Core title/language in core.xml. 7 words, 2 paragraphs. */
+  private def docx1: Array[Byte] = buildZip(Seq(
+    Member("[Content_Types].xml", ContentTypes),
+    Member("word/document.xml", s("<?xml version=\"1.0\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      "<w:p><w:r><w:t>Alp</w:t></w:r><w:r><w:t xml:space=\"preserve\">ha beta gamma</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t xml:space=\"preserve\">delta epsilon &amp; zeta</w:t></w:r></w:p>" +
+      "</w:body></w:document>")),
+    Member("docProps/core.xml", s("<?xml version=\"1.0\"?>" +
+      "<cp:coreProperties xmlns:cp=\"http://schemas.openxmlformats.org/package/2006/metadata/core-properties\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      "<dc:title>Spec &amp; Doc</dc:title><dc:language>en-US</dc:language>" +
+      "</cp:coreProperties>"))))
+
+  /** DOCX 2: Deflate-compressed members (the inflate path), no
+    * core.xml. 5 words, 1 paragraph. */
+  private def docx2: Array[Byte] = buildZip(Seq(
+    Member("[Content_Types].xml", ContentTypes, deflate = true),
+    Member("word/document.xml", s("<?xml version=\"1.0\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      "<w:p><w:r><w:t>the quick brown fox jumps</w:t></w:r></w:p>" +
+      "</w:body></w:document>"), deflate = true)))
+
+  private def epubOpf: Array[Byte] = s("<?xml version=\"1.0\"?>" +
+    "<package xmlns=\"http://www.idpf.org/2007/opf\" version=\"3.0\">" +
+    "<metadata xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+    "<dc:title>Moby Format</dc:title><dc:language>en</dc:language></metadata>" +
+    "<manifest><item id=\"c1\" href=\"ch1.xhtml\"/><item id=\"c2\" href=\"ch2.xhtml\"/>" +
+    "<item id=\"c3\" href=\"ch3.xhtml\"/></manifest>" +
+    "<spine><itemref idref=\"c1\"/><itemref idref=\"c2\"/><itemref idref=\"c3\"/></spine>" +
+    "</package>")
+
+  private def epubMembers: Seq[Member] = Seq(
+    Member("mimetype", s("application/epub+zip")),
+    Member("META-INF/container.xml", s("<?xml version=\"1.0\"?>" +
+      "<container xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\" version=\"1.0\">" +
+      "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+      "media-type=\"application/oebps-package+xml\"/></rootfiles></container>")),
+    Member("OEBPS/content.opf", epubOpf, deflate = true),
+    Member("OEBPS/ch1.xhtml", s("<html><body><p>chapter one</p></body></html>"),
+      deflate = true))
+
+  /** EPUB: title/language via container.xml → OPF, 3 spine items. */
+  private def epub1: Array[Byte] = buildZip(epubMembers)
+
+  /** EPUB with DRM marker: META-INF/encryption.xml ⇒ encrypted, no
+    * content fields. */
+  private def epub2: Array[Byte] = buildZip(epubMembers :+
+    Member("META-INF/encryption.xml", s("<encryption/>")))
+
+  /** DOCX whose document member carries the zip-crypto flag bit. */
+  private def docxEnc: Array[Byte] = buildZip(Seq(
+    Member("[Content_Types].xml", ContentTypes),
+    Member("word/document.xml", s("ciphertext-bytes-here"), encryptedFlag = true)))
+
+  /** Plain zip, neither format. */
+  private def plainZip: Array[Byte] = buildZip(Seq(
+    Member("readme.txt", s("just a zip"))))
+
+  /** Zip magic, EOCD truncated away. */
+  private def truncatedZip: Array[Byte] = {
+    val full = docx1
+    java.util.Arrays.copyOfRange(full, 0, full.length / 2)
+  }
+
+  private def textPayload: Array[Byte] =
+    s("these bytes are prose, not an office container")
+
+  /** (payload, expected metadata) — expectations from construction
+    * parameters, never the parser under test. */
+  lazy val fixtures: Seq[(MediaFile, OfficeMeta)] = {
+    val (d1, d2, e1, e2, de, pz, tz, tp) =
+      (docx1, docx2, epub1, epub2, docxEnc, plainZip, truncatedZip, textPayload)
+    def bl(b: Array[Byte]) = b.length.toLong
+    Seq(
+      (MediaFile(1L, d1), OfficeMeta(1L, bl(d1), "docx", 3L, encrypted = false,
+        7L, 2L, "Spec & Doc", "en-US", "zip")),
+      (MediaFile(2L, d2), OfficeMeta(2L, bl(d2), "docx", 2L, encrypted = false,
+        5L, 1L, "", "", "zip")),
+      (MediaFile(3L, e1), OfficeMeta(3L, bl(e1), "epub", 4L, encrypted = false,
+        0L, 3L, "Moby Format", "en", "zip")),
+      (MediaFile(4L, e2), OfficeMeta(4L, bl(e2), "epub", 5L, encrypted = true,
+        0L, 0L, "", "", "zip")),
+      (MediaFile(5L, de), OfficeMeta(5L, bl(de), "docx", 2L, encrypted = true,
+        0L, 0L, "", "", "zip")),
+      (MediaFile(6L, pz), OfficeMeta(6L, bl(pz), "zip", 1L, encrypted = false,
+        0L, 0L, "", "", "zip")),
+      (MediaFile(7L, tz), OfficeMeta(7L, bl(tz), "zip", 0L, encrypted = false,
+        0L, 0L, "", "", "zip")),
+      (MediaFile(8L, tp), OfficeMeta(8L, bl(tp), "stub", 1L + bl(tp) % 7L,
+        encrypted = false, bl(tp) % 1000L, 1L + bl(tp) % 11L, "", "", "stub")))
+  }
+
+  /** The l115 input frame. */
+  def dataset(spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.createDataset(fixtures.map(_._1))
+  }
+
+  /** The l115 DuckDB oracle: construction-side expectations. */
+  def oracleSql: String = {
+    val rows = fixtures.map { case (_, m) =>
+      s"(CAST(${m.doc_id} AS BIGINT), CAST(${m.byte_len} AS BIGINT), " +
+        s"'${m.format}', CAST(${m.n_entries} AS BIGINT), " +
+        s"${m.encrypted.toString.toUpperCase}, CAST(${m.n_words} AS BIGINT), " +
+        s"CAST(${m.n_parts} AS BIGINT), '${m.title.replace("'", "''")}', " +
+        s"'${m.language}', '${m.container}')"
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS " +
+      "t(doc_id, byte_len, format, n_entries, encrypted, n_words, " +
+      "n_parts, title, language, container) ORDER BY doc_id"
+  }
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.Dataset
+
+import Multimodal.MediaFile
+
+/**
+ * DOCX / EPUB container metadata — the remaining big document family
+ * next to WARC (l50), images (l13), audio (l61), video (l83) and PDF
+ * (l112/l113). Both formats are ZIP containers (PKWARE APPNOTE, public)
+ * around XML: the walk here reads the zip END-OF-CENTRAL-DIRECTORY
+ * record and central directory (never trusting sequential local
+ * headers — the CD is the authoritative index, and it is how encrypted
+ * or data-descriptor entries are visible without decoding them), then
+ * extracts the structural fields a corpus curator gates on:
+ *
+ *  - `format`: "docx" (has `word/document.xml`), "epub" (has
+ *    `META-INF/container.xml` or an `application/epub+zip` mimetype
+ *    entry), else "zip" for any other readable archive; non-zip
+ *    payloads take the deterministic stub (malformed input is data).
+ *  - `n_entries`: central-directory entry count.
+ *  - `encrypted`: any entry's general-purpose flag bit 0 (classic zip
+ *    crypto / AE-x) OR an `META-INF/encryption.xml` entry (EPUB DRM).
+ *    Encrypted documents report EMPTY content fields — ciphertext is
+ *    not text, the l113 contract.
+ *  - DOCX: `n_words` = whitespace-run tokens of the document text,
+ *    where paragraph text is the CONCATENATION of its `<w:t>` runs
+ *    (runs split words arbitrarily — "Alp" + "ha" is one word; the
+ *    construction fixtures prove the concat) with XML entities
+ *    decoded; `n_parts` = paragraph (`<w:p`) count; `title` /
+ *    `language` from `docProps/core.xml` Dublin Core fields.
+ *  - EPUB: `title` / `language` from the OPF package document located
+ *    via `META-INF/container.xml`'s rootfile full-path; `n_parts` =
+ *    spine `<itemref` count (reading-order length — the page-count
+ *    analogue); `n_words` stays 0 — counting words means decoding
+ *    every spine XHTML chapter, a stated limit (the l112 n_pages=0
+ *    discipline), not a fake.
+ *
+ * Stored (method 0) and Deflate (method 8) entries both read; raw
+ * deflate inflates via `java.util.zip.Inflater(nowrap)` with the same
+ * 64 MiB zip-bomb cap as [[PdfText]]. Every malformed shape degrades
+ * (wrong magic → stub; zip magic without a readable EOCD/CD → "zip"
+ * with zeroed fields) and never throws.
+ *
+ * Scale: the same `mapPartitions` codec boundary as every media
+ * decode — payloads never touch the driver; output rows are small
+ * scalars + short strings so the binary column prunes immediately.
+ */
+object OfficeZip {
+
+  /** Extracted container metadata. */
+  final case class OfficeMeta(doc_id: Long, byte_len: Long, format: String,
+                              n_entries: Long, encrypted: Boolean,
+                              n_words: Long, n_parts: Long,
+                              title: String, language: String,
+                              container: String)
+
+  private val MaxInflated = 64 << 20
+
+  /** One central-directory row (sizes/offsets are u32 — zip64 not
+    * walked; a 4 GiB+ member degrades, stated not faked). */
+  private[operators] final case class ZipEntry(name: String, method: Int,
+                                               flag: Int, compSize: Long,
+                                               uncompSize: Long, localOff: Long)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  private def sigAt(b: Array[Byte], i: Int, s3: Int, s4: Int): Boolean =
+    b(i) == 0x50 && b(i + 1) == 0x4B && (b(i + 2) & 0xFF) == s3 && (b(i + 3) & 0xFF) == s4
+
+  /** Central directory via the EOCD record (scanned backwards over the
+    * final 64 KiB + 22 comment window, the spec's bound). None when no
+    * EOCD resolves or the directory does not parse. */
+  private[operators] def centralDirectory(b: Array[Byte]): Option[Seq[ZipEntry]] = {
+    if (b.length < 22) return None
+    var i = b.length - 22
+    val lo = math.max(0, b.length - 22 - 65535)
+    var eocd = -1
+    while (i >= lo && eocd < 0) {
+      if (sigAt(b, i, 0x05, 0x06)) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return None
+    val n = u16(b, eocd + 10)
+    val cdOff = u32(b, eocd + 16)
+    if (cdOff < 0 || cdOff > b.length - 4) return None
+    val out = Seq.newBuilder[ZipEntry]
+    var p = cdOff.toInt
+    var k = 0
+    while (k < n) {
+      if (p + 46 > b.length || !sigAt(b, p, 0x01, 0x02)) return Some(out.result())
+      val flag = u16(b, p + 8)
+      val method = u16(b, p + 10)
+      val comp = u32(b, p + 20)
+      val uncomp = u32(b, p + 24)
+      val nameLen = u16(b, p + 28)
+      val extraLen = u16(b, p + 30)
+      val commentLen = u16(b, p + 32)
+      val localOff = u32(b, p + 42)
+      if (p + 46 + nameLen > b.length) return Some(out.result())
+      val name = new String(b, p + 46, nameLen, UTF_8)
+      out += ZipEntry(name, method, flag, comp, uncomp, localOff)
+      p += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    Some(out.result())
+  }
+
+  /** Entry payload via its LOCAL header (name/extra lengths re-read
+    * there — they can differ from the CD). None for encrypted entries,
+    * unknown methods, or out-of-bounds shapes. */
+  private[operators] def entryBytes(b: Array[Byte], e: ZipEntry): Option[Array[Byte]] = {
+    if ((e.flag & 1) != 0) return None // encrypted: visible, not readable
+    val off = e.localOff.toInt
+    if (off < 0 || off + 30 > b.length || !sigAt(b, off, 0x03, 0x04)) return None
+    val nameLen = u16(b, off + 26)
+    val extraLen = u16(b, off + 28)
+    val start = off + 30 + nameLen + extraLen
+    val end = start + e.compSize.toInt
+    if (start < 0 || end > b.length || e.compSize > Int.MaxValue) return None
+    e.method match {
+      case 0 => Some(java.util.Arrays.copyOfRange(b, start, end))
+      case 8 =>
+        val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib header
+        try {
+          inf.setInput(b, start, end - start)
+          val out = new java.io.ByteArrayOutputStream(
+            math.min(math.max(e.uncompSize.toInt, 64), 1 << 16))
+          val buf = new Array[Byte](8192)
+          var done = false
+          while (!done && !inf.finished() && out.size < MaxInflated) {
+            val m = inf.inflate(buf)
+            if (m > 0) out.write(buf, 0, m)
+            else if (inf.needsInput() || inf.needsDictionary()) done = true
+          }
+          Some(out.toByteArray)
+        } catch {
+          case NonFatal(_) => None
+        } finally inf.end()
+      case _ => None // stored + deflate cover real DOCX/EPUB writers
+    }
+  }
+
+  private def entryText(b: Array[Byte], entries: Seq[ZipEntry], name: String): Option[String] =
+    entries.find(_.name == name).flatMap(entryBytes(b, _)).map(new String(_, UTF_8))
+
+  /** The five predefined XML entities (the only ones well-formed OOXML
+    * may carry without a DTD). */
+  private[operators] def unescapeXml(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  private val WT = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>".r
+  private val WP = "<w:p[ >/]".r
+  private val DcTitle = "(?s)<dc:title(?:\\s[^>]*)?>(.*?)</dc:title>".r
+  private val DcLanguage = "(?s)<dc:language(?:\\s[^>]*)?>(.*?)</dc:language>".r
+  private val RootFile = "full-path\\s*=\\s*\"([^\"]+)\"".r
+  private val ItemRef = "<itemref[\\s/>]".r
+
+  private def wsWords(s: String): Long =
+    s.split("[ \n\t\r]+").count(_.nonEmpty).toLong
+
+  /** DOCX fields from `word/document.xml` + `docProps/core.xml`. */
+  private def docxFields(b: Array[Byte], entries: Seq[ZipEntry]): (Long, Long, String, String) = {
+    val doc = entryText(b, entries, "word/document.xml").getOrElse("")
+    // paragraph text = CONCATENATION of its <w:t> runs; paragraphs
+    // separated so run-split words fuse but paragraph-final words don't
+    val paras = doc.split("<w:p[ >]").iterator.map { chunk =>
+      WT.findAllMatchIn(chunk).map(m => unescapeXml(m.group(1))).mkString
+    }.filter(_.nonEmpty).toSeq
+    val core = entryText(b, entries, "docProps/core.xml").getOrElse("")
+    (wsWords(paras.mkString("\n")),
+      WP.findAllMatchIn(doc).length.toLong,
+      DcTitle.findFirstMatchIn(core).map(m => unescapeXml(m.group(1))).getOrElse(""),
+      DcLanguage.findFirstMatchIn(core).map(m => unescapeXml(m.group(1))).getOrElse(""))
+  }
+
+  /** EPUB fields from the OPF located via container.xml. */
+  private def epubFields(b: Array[Byte], entries: Seq[ZipEntry]): (Long, String, String) = {
+    val container = entryText(b, entries, "META-INF/container.xml").getOrElse("")
+    val opfPath = RootFile.findFirstMatchIn(container).map(_.group(1))
+    val opf = opfPath.flatMap(p => entryText(b, entries, p)).getOrElse("")
+    (ItemRef.findAllMatchIn(opf).length.toLong,
+      DcTitle.findFirstMatchIn(opf).map(m => unescapeXml(m.group(1))).getOrElse(""),
+      DcLanguage.findFirstMatchIn(opf).map(m => unescapeXml(m.group(1))).getOrElse(""))
+  }
+
+  /** Full decode; None when the payload has no zip magic. */
+  def parseOffice(m: MediaFile): Option[OfficeMeta] = {
+    val b = m.payload
+    if (b.length < 4 || !sigAt(b, 0, 0x03, 0x04)) return None
+    val bl = b.length.toLong
+    try {
+      centralDirectory(b) match {
+        case None =>
+          // zip magic but no readable directory: a truncated download
+          Some(OfficeMeta(m.doc_id, bl, "zip", 0L, encrypted = false,
+            0L, 0L, "", "", container = "zip"))
+        case Some(entries) =>
+          val names = entries.map(_.name).toSet
+          val enc = entries.exists(e => (e.flag & 1) != 0) ||
+            names.contains("META-INF/encryption.xml")
+          val format =
+            if (names.contains("word/document.xml")) "docx"
+            else if (names.contains("META-INF/container.xml") ||
+              entryText(b, entries, "mimetype").exists(_.trim == "application/epub+zip"))
+              "epub"
+            else "zip"
+          val (nWords, nParts, title, lang) =
+            if (enc) (0L, 0L, "", "") // ciphertext is not content
+            else format match {
+              case "docx" => docxFields(b, entries)
+              case "epub" =>
+                val (spine, t, l) = epubFields(b, entries)
+                (0L, spine, t, l)
+              case _ => (0L, 0L, "", "")
+            }
+          Some(OfficeMeta(m.doc_id, bl, format, entries.length.toLong, enc,
+            nWords, nParts, title, lang, container = "zip"))
+      }
+    } catch {
+      case NonFatal(_) =>
+        Some(OfficeMeta(m.doc_id, bl, "zip", 0L, encrypted = false,
+          0L, 0L, "", "", container = "zip"))
+    }
+  }
+
+  /** Stub fallback with the family's byte-length arithmetic. */
+  def decodeOffice(m: MediaFile): OfficeMeta =
+    parseOffice(m).getOrElse {
+      val bl = m.payload.length.toLong
+      OfficeMeta(m.doc_id, bl, "stub", 1L + bl % 7L, encrypted = false,
+        bl % 1000L, 1L + bl % 11L, "", "", container = "stub")
+    }
+
+  /** [[Multimodal.extractMetaPdf]]'s office twin at the same
+    * `mapPartitions` boundary. */
+  def extractMeta(files: Dataset[MediaFile]): Dataset[OfficeMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodeOffice))
+  }
+}

@@ -3203,6 +3203,25 @@ object LlmQueries {
         "('Ġwork', 'Ġw|or|k', CAST(3 AS BIGINT))" +
         ") AS t(units, syms, n_syms) ORDER BY units")),
 
+    // L115 — DOCX/EPUB container metadata (OfficeZip.extractMeta),
+    // oracle-certified: the remaining big document family next to
+    // WARC/image/audio/video/PDF. A real zip END-OF-CENTRAL-DIRECTORY
+    // + central-directory walk (entry count, zip-crypto flag bits,
+    // EPUB DRM encryption.xml), stored + raw-Deflate member reads,
+    // then the structural fields a curator gates on: DOCX word count
+    // over CONCATENATED <w:t> runs (run-split words fuse — fixture 1
+    // proves it) + paragraph count + Dublin Core title/language; EPUB
+    // title/language via container.xml→OPF and spine length. The
+    // fixtures are built by a byte-exact zip writer from known
+    // parameters (l61/l112 discipline), the oracle a VALUES relation
+    // of the same parameters; encrypted members report empty content
+    // (the l113 contract), malformed input degrades to "zip"/stub.
+    "l115_office_meta" -> QueryDef(
+      (s, _) => graft.operators.OfficeZip.extractMeta(
+          graft.operators.OfficeFixtures.dataset(s))
+        .toDF().orderBy("doc_id"),
+      Some(graft.operators.OfficeFixtures.oracleSql)),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in

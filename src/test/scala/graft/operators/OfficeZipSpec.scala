@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Multimodal.MediaFile
+
+/** DOCX/EPUB zip walk: central-directory parse, stored + deflate
+  * member reads, run-concatenation word count, encryption refusal,
+  * degradation, fuzz, and distributed ≡ driver. */
+class OfficeZipSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("fixture payloads parse back to their construction parameters") {
+    OfficeFixtures.fixtures.foreach { case (file, expected) =>
+      val got = OfficeZip.decodeOffice(file)
+      assert(got == expected, s"doc ${file.doc_id}: got $got")
+    }
+  }
+
+  test("run-split words fuse: 'Alp'+'ha beta gamma' is three words, not four") {
+    val (file, expected) = OfficeFixtures.fixtures.head
+    assert(expected.n_words == 7L)
+    assert(OfficeZip.decodeOffice(file).n_words == 7L)
+  }
+
+  test("central directory is authoritative: names and flags visible without decode") {
+    val (file, _) = OfficeFixtures.fixtures(4) // the flag-encrypted docx
+    val cd = OfficeZip.centralDirectory(file.payload).get
+    assert(cd.map(_.name).contains("word/document.xml"))
+    val encEntry = cd.find(_.name == "word/document.xml").get
+    assert((encEntry.flag & 1) == 1)
+    // flagged entries are visible but REFUSED by the reader
+    assert(OfficeZip.entryBytes(file.payload, encEntry).isEmpty)
+  }
+
+  test("deflated members inflate back to their exact source bytes") {
+    val (file, _) = OfficeFixtures.fixtures(1) // all-deflate docx
+    val cd = OfficeZip.centralDirectory(file.payload).get
+    val doc = cd.find(_.name == "word/document.xml").get
+    assert(doc.method == 8 && doc.compSize != doc.uncompSize)
+    val bytes = OfficeZip.entryBytes(file.payload, doc).get
+    assert(bytes.length.toLong == doc.uncompSize)
+    assert(new String(bytes, "UTF-8").contains("the quick brown fox jumps"))
+  }
+
+  test("xml entity unescape covers the five predefined entities, amp last") {
+    assert(OfficeZip.unescapeXml("&lt;a&gt; &quot;b&quot; &apos;c&apos; &amp;lt;") ==
+      "<a> \"b\" 'c' &lt;")
+  }
+
+  test("fuzz: random payloads and mutated fixtures never throw") {
+    val rnd = new scala.util.Random(115L)
+    (0 until 300).foreach { i =>
+      val n = rnd.nextInt(400)
+      val payload = Array.fill(n)(rnd.nextInt(256).toByte)
+      val got = OfficeZip.decodeOffice(MediaFile(i.toLong, payload))
+      assert(got.byte_len == n.toLong)
+      if (got.container == "stub")
+        assert(got.format == "stub" && !got.encrypted)
+    }
+    OfficeFixtures.fixtures.foreach { case (file, _) =>
+      (0 until 40).foreach { _ =>
+        val mutated = file.payload.clone()
+        if (mutated.nonEmpty) {
+          val at = rnd.nextInt(mutated.length)
+          mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        val got = OfficeZip.decodeOffice(MediaFile(file.doc_id, mutated))
+        assert(got.n_words >= 0L && got.n_entries >= 0L)
+      }
+    }
+  }
+
+  test("distributed extractMeta equals the driver decode") {
+    val viaSpark = OfficeZip.extractMeta(OfficeFixtures.dataset(spark))
+      .collect().sortBy(_.doc_id).toSeq
+    assert(viaSpark == OfficeFixtures.fixtures.map(_._2))
+  }
+}
