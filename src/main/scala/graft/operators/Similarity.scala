@@ -562,6 +562,93 @@ object Similarity {
       .select("src", "nbr", "sim", "rnk")
   }
 
+  /**
+   * NN-DESCENT refinement of an approximate kNN graph (Dong et al.,
+   * WWW 2011, "Efficient k-nearest neighbor graph construction for
+   * generic similarity measures") — the standard graph-ANN build step
+   * after a blocking pass like [[knnGraphRhp]]: a vector's true
+   * neighbors are usually neighbors OF its current neighbors, so each
+   * round scores the co-neighbor pairs of every pivot (neighbors AND
+   * reverse neighbors — the undirected closed neighborhood) and keeps
+   * each node's top-k over old ∪ new edges. RHP blocking misses pairs
+   * whose buckets never collide; one or two descent rounds recover most
+   * of that recall without any new hashing (spec-measured on fixtures).
+   *
+   * Determinism and the oracle: rounds are FIXED (no convergence test —
+   * the count would be a per-round job and the l110/l116 oracle unrolls
+   * the same rounds as CTEs), every undirected pair scores ONCE with
+   * the same cosine expression as the initial graph (bit-identical
+   * across engines — element products commute, fold order is fixed),
+   * ranks break ties (sim desc, nbr asc).
+   *
+   * Scale shape per round: one distinct on the adjacency, one
+   * self-equi-join on the pivot (the candidate generator — bounded by
+   * `maxDegree`, which caps each pivot's closed neighborhood at the
+   * deterministic member-ascending prefix: out-degree is ≤ k by
+   * construction but REVERSE degree is unbounded on hub-heavy graphs,
+   * exactly the join that explodes at 100 TB without the cap), two
+   * id-keyed vector joins below the ranking window, one window.
+   * `localCheckpoint` truncates lineage per round under the same
+   * constraint-propagation guard as every iterative operator here.
+   * Output: (src, nbr, sim, rnk), the [[knnGraphRhp]] schema.
+   */
+  def nnDescent(embs: DataFrame, vecCol: String, idCol: String, k: Int,
+                graph0: DataFrame, rounds: Int,
+                maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val spark = embs.sparkSession
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try nnDescentLoop(embs, vecCol, idCol, k, graph0, rounds, maxDegree)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def nnDescentLoop(embs: DataFrame, vecCol: String, idCol: String,
+                            k: Int, graph0: DataFrame, rounds: Int,
+                            maxDegree: Int): DataFrame = {
+    val a = embs.select(col(idCol).as("a_id"), col(vecCol).as("__va"),
+      l2Norm(col(vecCol)).as("__na"))
+    val b = embs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"),
+      l2Norm(col(vecCol)).as("__nb"))
+    var g = graph0.select(col("src"), col("nbr"), col("sim"), col("rnk"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val adjAll = g.select(col("src").as("node"), col("nbr").as("member"))
+        .unionByName(g.select(col("nbr").as("node"), col("src").as("member")))
+        .distinct()
+      val adj =
+        if (maxDegree == Int.MaxValue) adjAll
+        else {
+          val wd = Window.partitionBy(col("node")).orderBy(col("member"))
+          adjAll.withColumn("__dr", row_number().over(wd))
+            .filter(col("__dr") <= maxDegree).drop("__dr")
+        }
+      // co-neighbor candidates (u < w once per pivot, distinct across
+      // pivots) ∪ the current edges as undirected pairs
+      val pairs = adj.select(col("node"), col("member").as("a_id"))
+        .join(adj.select(col("node"), col("member").as("b_id")), Seq("node"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .unionByName(g.select(least(col("src"), col("nbr")).as("a_id"),
+          greatest(col("src"), col("nbr")).as("b_id")))
+        .distinct()
+      val scored = pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        .select(col("a_id"), col("b_id"), col("sim"))
+      val sym = scored.select(col("a_id").as("src"), col("b_id").as("nbr"), col("sim"))
+        .unionByName(scored.select(col("b_id").as("src"), col("a_id").as("nbr"), col("sim")))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+      g = sym.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .localCheckpoint()
+    }
+    g
+  }
+
   /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic near-duplicate
     * removal over embeddings. Edges = [[knnGraphRhp]] neighbor relations

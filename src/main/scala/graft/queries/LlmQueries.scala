@@ -3222,6 +3222,69 @@ object LlmQueries {
         .toDF().orderBy("doc_id"),
       Some(graft.operators.OfficeFixtures.oracleSql)),
 
+    // L116 — NN-descent kNN-graph refinement (Similarity.nnDescent,
+    // Dong et al. WWW'11): one fixed neighbors-of-neighbors round over
+    // l35's RHP-blocked graph — co-neighbor pairs of every pivot
+    // (neighbors AND reverse neighbors, closed neighborhood capped at
+    // maxDegree=16 in deterministic member order — reverse degree is
+    // the unbounded hub hazard at scale) score once per undirected
+    // pair with the SAME cosine expression, then each node keeps its
+    // top-3 over old ∪ new edges. The oracle unrolls the identical
+    // round as CTEs on top of l35's replayed RHP chain (the l110 loop
+    // discipline: fixed rounds, no convergence count, exact same
+    // arithmetic both engines). Recall lift vs brute force is
+    // spec-measured (SimilaritySpec).
+    "l116_nn_descent" -> QueryDef(
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val g0 = Similarity.knnGraphRhp(embs, "embedding", "vec_id", 64, 3,
+          nPlanes = 4, nTables = 16)
+        Similarity.nnDescent(embs, "embedding", "vec_id", 3, g0,
+            rounds = 1, maxDegree = 16)
+          .select(col("src"), col("nbr"), round(col("sim"), 6).as("sim"), col("rnk"))
+          .orderBy("src", "rnk")
+      },
+      Some {
+        def bktSql(t: Int): String = (0 until 4).map { j =>
+          val arr = Dedup.rhpSigns(t, j, 64)
+            .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"(CASE WHEN ${dotSql("v", s"CAST($arr AS DOUBLE[])")} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val bkts = (0 until 16).map(t =>
+          s"SELECT vec_id, ${bktSql(t)} AS bkt, $t AS tbl FROM e").mkString(" UNION ALL ")
+        s"WITH $embCte, bk AS ($bkts), " +
+          "p AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id FROM bk a " +
+          "JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id), " +
+          "sym AS (SELECT a_id AS src, b_id AS nbr FROM p " +
+          "UNION ALL SELECT b_id, a_id FROM p), " +
+          "pv AS (SELECT src, nbr, ea.v AS va, eb.v AS vb FROM sym " +
+          "JOIN e ea ON ea.vec_id = src JOIN e eb ON eb.vec_id = nbr), " +
+          s"sc AS (SELECT src, nbr, ${cosSql("va", "vb")} AS sim FROM pv), " +
+          "r0 AS (SELECT src, nbr, sim FROM (SELECT src, nbr, sim, " +
+          "ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rnk " +
+          "FROM sc) WHERE rnk <= 3), " +
+          // one descent round: capped closed neighborhood, co-neighbor
+          // candidates, old ∪ new pairs scored once, re-ranked
+          "adj0 AS (SELECT src AS node, nbr AS member FROM r0 " +
+          "UNION SELECT nbr, src FROM r0), " +
+          "adj AS (SELECT node, member FROM (SELECT node, member, " +
+          "ROW_NUMBER() OVER (PARTITION BY node ORDER BY member) AS dr FROM adj0) " +
+          "WHERE dr <= 16), " +
+          "cand AS (SELECT DISTINCT x.member AS a_id, y.member AS b_id " +
+          "FROM adj x JOIN adj y ON x.node = y.node AND x.member < y.member), " +
+          "ap AS (SELECT a_id, b_id FROM cand " +
+          "UNION SELECT LEAST(src, nbr), GREATEST(src, nbr) FROM r0), " +
+          "pv2 AS (SELECT a_id, b_id, ea.v AS va, eb.v AS vb FROM ap " +
+          "JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id), " +
+          s"sc2 AS (SELECT a_id, b_id, ${cosSql("va", "vb")} AS sim FROM pv2), " +
+          "sym2 AS (SELECT a_id AS src, b_id AS nbr, sim FROM sc2 " +
+          "UNION ALL SELECT b_id, a_id, sim FROM sc2), " +
+          "r1 AS (SELECT src, nbr, sim, CAST(ROW_NUMBER() OVER " +
+          "(PARTITION BY src ORDER BY sim DESC, nbr) AS BIGINT) AS rnk FROM sym2) " +
+          "SELECT src, nbr, ROUND(sim, 6) AS sim, rnk FROM r1 WHERE rnk <= 3 " +
+          "ORDER BY src, rnk"
+      }),
+
     // L106 — classifier calibration (Scoring.calibrationBins): the QC
     // readout run before a quality model's scores gate real data —
     // reliability bins (predicted ppm vs observed positive rate) in

@@ -474,6 +474,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"edge recall $recall%.3f below the 0.85 floor")
   }
 
+  test("Similarity.nnDescent lifts kNN-graph recall monotonically; top-k semantics hold") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val truth = Similarity.bruteForceTopK(e, e, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(g: org.apache.spark.sql.DataFrame): Double =
+      (g.select("src", "nbr").as[(Long, Long)].collect().toSet intersect truth)
+        .size.toDouble / truth.size
+    // deliberately WEAK blocking (6 planes x 2 tables — small buckets,
+    // few tables) so descent has real recall to recover
+    val g0 = Similarity.knnGraphRhp(e, "embedding", "vec_id", 64, 3,
+      nPlanes = 6, nTables = 2)
+    val r0 = recall(g0)
+    val g1 = Similarity.nnDescent(e, "embedding", "vec_id", 3, g0,
+      rounds = 1, maxDegree = 16)
+    val r1 = recall(g1)
+    val g2 = Similarity.nnDescent(e, "embedding", "vec_id", 3, g0,
+      rounds = 2, maxDegree = 16)
+    val r2 = recall(g2)
+    info(f"recall@3: blocked $r0%.3f -> 1 round $r1%.3f -> 2 rounds $r2%.3f")
+    // old edges stay in the candidate pool, so recall is monotone
+    assert(r1 >= r0 && r2 >= r1, f"descent must never lose recall: $r0 $r1 $r2")
+    assert(r1 > r0, "one descent round recovered nothing — candidate generation broken")
+    // per-node contract: ranks are 1..k dense, sims non-increasing
+    val byNode = g2.select("src", "sim", "rnk").as[(Long, Double, Long)]
+      .collect().groupBy(_._1)
+    byNode.foreach { case (srcId, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length.toLong),
+        s"ranks not dense for $srcId")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._2 >= p(1)._2),
+        s"sims not non-increasing for $srcId")
+    }
+  }
+
   test("Dedup.embeddingNearDupsRhp: exact subset of brute-force pairs; recall reported") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val dim = e.select(size(col("embedding"))).as[Int].head()
