@@ -2904,6 +2904,64 @@ object LlmQueries {
         "md5(content) AS slice_md5 " +
         "FROM o WHERE role = 'assistant' ORDER BY conv_id, span_idx")),
 
+    // L117 — conversation-level SFT dedup (Sft.renderConversations ∘
+    // Dedup.dedupCorpus): post-training corpora dedup at CONVERSATION
+    // granularity — l108's rendered chat-template string becomes the
+    // dedup text, keyed by conv_id, through the full l15 cascade
+    // (exact md5 → MinHash-LSH bands → exact shingle Jaccard ≥ 0.8 →
+    // larger id drops). Planted construction classes: conv_id % 11 == 0
+    // conversations render IDENTICALLY (canned scripts — the exact
+    // stage collapses them to the min id); % 11 == 1 conversations are
+    // canned except ONE trailing variant word in the last turn, in 3
+    // variants (exact stage keeps one per variant, the LSH + Jaccard
+    // stage then drops the two larger near-dup survivors); everything
+    // else is unique and survives. The oracle replays the same render
+    // (l105's template CTE) and the same cascade CTEs as l15 —
+    // certifying the SFT-prep and dedup subsystems COMPOSE.
+    "l117_conversation_dedup" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val convId = expr("doc_id div 6")
+        val turnIdx = id % 6
+        val canned = concat(lit("turn "), str(turnIdx),
+          lit(": the canned support script reply for this step"))
+        val turns = Tables.documents(s, d).select(
+          convId.as("conv_id"),
+          turnIdx.as("turn_idx"),
+          when(turnIdx % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+          when(convId % 11 === 0, canned)
+            .when(convId % 11 === 1,
+              concat(canned, when(turnIdx === 5,
+                concat(lit(" variant "), str(convId % 3))).otherwise(lit(""))))
+            .otherwise(concat(lit("turn "), str(id), lit(": "),
+              substring(col("text"), 1, 40))).as("content"))
+        val rendered = graft.operators.Sft.renderConversations(
+            turns, "conv_id", "turn_idx", "role", "content")
+          .select(col("conv_id"), col("rendered"))
+        Dedup.dedupCorpus(rendered, "rendered", "conv_id", 0.8)
+          .select(col("conv_id")).orderBy("conv_id")
+      },
+      Some("WITH t AS (SELECT doc_id // 6 AS conv_id, doc_id % 6 AS pos, " +
+        "CASE WHEN (doc_id % 6) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+        "CASE WHEN (doc_id // 6) % 11 = 0 THEN " +
+        "'turn ' || (doc_id % 6) || ': the canned support script reply for this step' " +
+        "WHEN (doc_id // 6) % 11 = 1 THEN " +
+        "'turn ' || (doc_id % 6) || ': the canned support script reply for this step' || " +
+        "(CASE WHEN doc_id % 6 = 5 THEN ' variant ' || ((doc_id // 6) % 3) ELSE '' END) " +
+        "ELSE 'turn ' || doc_id || ': ' || substr(text, 1, 40) END AS content " +
+        "FROM documents), " +
+        "r AS (SELECT conv_id AS doc_id, " +
+        "string_agg(CASE WHEN role = 'user' THEN '<|user|>' ELSE '<|assistant|>' END || " +
+        "chr(10) || content || chr(10) || '<|end|>' || chr(10), '' ORDER BY pos) AS text " +
+        "FROM t GROUP BY conv_id), " +
+        "kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM r) " +
+        "WHERE rn = 1), " +
+        minhashPairsCte("kept") + ", " + jaccardCte + " " +
+        "SELECT doc_id AS conv_id FROM kept WHERE doc_id NOT IN " +
+        "(SELECT b_id FROM jac WHERE jaccard >= 0.8) ORDER BY conv_id")),
+
     // L109 — preference-pair (DPO/RLHF) prep (Sft.preferencePairs):
     // the post-training step after SFT — validate (prompt, chosen,
     // rejected) triples and decontaminate prompts against the eval

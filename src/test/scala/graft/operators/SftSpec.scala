@@ -11,6 +11,28 @@ class SftSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("rendered conversations compose into the dedup cascade (l117 shape)") {
+    import org.apache.spark.sql.functions.col
+    // 3 identical canned convs (exact dups), 2 one-word variants of a
+    // long shared script (near-dups), 1 genuinely distinct conv
+    def conv(id: Long, closing: String): Seq[(Long, Long, String, String)] = Seq(
+      (id, 0L, "user", "hello i need help with my order and the site keeps failing"),
+      (id, 1L, "assistant", "sure i can help please share the order number and the error"),
+      (id, 2L, "user", s"the number is on file and the error says $closing"))
+    val turns = (conv(1L, "timeout") ++ conv(2L, "timeout") ++ conv(3L, "timeout") ++
+      conv(4L, "denied") ++ conv(5L, "blocked") ++
+      Seq((6L, 0L, "user", "completely unrelated question about database tuning"),
+        (6L, 1L, "assistant", "indexes and statistics are where to start looking")))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val rendered = Sft.renderConversations(turns, "conv_id", "turn_idx", "role", "content")
+      .select(col("conv_id"), col("rendered"))
+    val kept = Dedup.dedupCorpus(rendered, "rendered", "conv_id", 0.8)
+      .select("conv_id").as[Long].collect().sorted.toSeq
+    // exact stage: 2,3 collapse onto 1; near-dup stage: 4 survives its
+    // exact pass but 1/4/5 share almost all shingles — larger ids drop
+    assert(kept == Seq(1L, 6L), s"got $kept")
+  }
+
   test("renders the exact template in turn order; per-role token sums; valid flag") {
     val turns = Seq(
       (1L, 10L, "user", "hello there"),        // gapped, unordered keys:
