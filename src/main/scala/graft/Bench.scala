@@ -128,11 +128,18 @@ object Bench {
       // truncates long lines (round 4/5: the ~4.6 KB spread-bearing line
       // broke its JSON parse two rounds running), so spread lives solely
       // in the file copy
+      // "cold": fewer than 2 complete passes means the min-of-N could
+      // not discard the one-shot JIT/warm-up sample — per-query numbers
+      // then carry compile time, NOT steady-state cost. Round 14's
+      // recorded single-pass JSON manufactured phantom 3-7x
+      // "regressions" on exactly the queries that run first in catalog
+      // order; this flag makes a one-pass capture self-describing.
+      val cold = passes < 2
       val common =
-        s""""unit":"sec","queries":$qs,"errors":$errors,"skipped":$skipped,"passes":$passes,"sf":"$sfDir""""
+        s""""unit":"sec","queries":$qs,"errors":$errors,"skipped":$skipped,"passes":$passes,"cold":$cold,"sf":"$sfDir""""
       val stdoutLine = s"""{"metric":"total","value":${fmt(total)},$common}"""
       (stdoutLine,
-       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"skipped":$skipped,"passes":$passes,"partial":$partial,"sf":"$sfDir"}""")
+       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"skipped":$skipped,"passes":$passes,"cold":$cold,"partial":$partial,"sf":"$sfDir"}""")
     }
     def writeFile(passes: Int, partial: Boolean): Unit = {
       val (_, fileLine) = render(passes, partial)

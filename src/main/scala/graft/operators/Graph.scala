@@ -78,9 +78,14 @@ object Graph {
    * `rank' = (1e9 − dampingPpb) div N + (dampingPpb·sum_v) div 1e9` —
    * every operation a floor `div` both engines restate identically,
    * so iteration k's table is bit-equal under any partitioning.
-   * Dangling-node mass leaks (the simple variant): rank totals shrink
-   * slightly per round, which preserves ORDER — the signal a gate
-   * consumes. Node set = distinct endpoints; N collected to the
+   * Dangling-node mass: by default it LEAKS (the simple variant) —
+   * rank totals shrink slightly per round, which preserves ORDER, the
+   * signal a gate consumes. `redistributeDangling = true` adds the
+   * magnitude-faithful variant: each round the dangling nodes' total
+   * rank D (one scalar agg — the same driver-side convergence-test
+   * class as N) spreads evenly, `rank' += (damping · (D div N)) div
+   * 1e9`, still every step a floor div both engines restate (l118
+   * unrolls it). Node set = distinct endpoints; N collected to the
    * driver as one scalar (bounded by definition).
    *
    * 100 TB shape: out-degrees agg once; each round is one
@@ -92,14 +97,15 @@ object Graph {
    * guard, same concurrency note).
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, dampingPpb: Long = 850000000L): DataFrame = {
+               iters: Int, dampingPpb: Long = 850000000L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && dampingPpb >= 0L && dampingPpb <= 1000000000L,
       s"need iters >= 1 and dampingPpb in [0, 1e9], got $iters / $dampingPpb")
     val spark = edges.sparkSession
     val key = "spark.sql.constraintPropagation.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try pageRankLoop(edges, srcCol, dstCol, iters, dampingPpb)
+    try pageRankLoop(edges, srcCol, dstCol, iters, dampingPpb, redistributeDangling)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -107,7 +113,8 @@ object Graph {
   }
 
   private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
-                           iters: Int, dampingPpb: Long): DataFrame = {
+                           iters: Int, dampingPpb: Long,
+                           redistributeDangling: Boolean): DataFrame = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
@@ -125,9 +132,27 @@ object Graph {
           .hint("shuffle_hash"),
         Seq("__src"))
       .localCheckpoint()
+    // dangling nodes (in the node set, never a source) materialize once;
+    // only consulted when redistribution is on
+    val dangling =
+      if (!redistributeDangling) null
+      else nodes.join(
+          e.select(col("__src").as("node")).distinct().hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .localCheckpoint()
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L / n))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // per-round dangling mass D — ONE scalar to the driver (the
+      // convergence-test class of collect, not a data path); its even
+      // share (damping · (D div N)) div 1e9 adds to every node below
+      val extra =
+        if (!redistributeDangling) 0L
+        else {
+          val d = ranks.join(dangling.hint("shuffle_hash"), Seq("node"))
+            .agg(coalesce(sum(col("rank_ppb")), lit(0L))).head().getLong(0)
+          dampingPpb * (d / n) / 1000000000L
+        }
       val sums = eDeg
         .join(ranks.hint("shuffle_hash"), col("__src") === col("node"))
         .select(col("__dst"), expr("rank_ppb div __pr_deg").as("__pr_c"))
@@ -137,7 +162,7 @@ object Graph {
         .join(sums.hint("shuffle_hash"), col("node") === col("__dst"), "left")
         .withColumn("__pr_s0", coalesce(col("__pr_s"), lit(0L)))
         .select(col("node"),
-          (lit(base) +
+          (lit(base + extra) +
             expr(s"(${dampingPpb}L * __pr_s0) div 1000000000L")).as("rank_ppb"))
         .localCheckpoint()
     }

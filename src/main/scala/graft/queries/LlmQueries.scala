@@ -3077,6 +3077,53 @@ object LlmQueries {
           "SELECT node AS host, CAST(r AS BIGINT) AS rank_ppb FROM r5 ORDER BY host"
       }),
 
+    // L118 — PageRank with DANGLING-MASS redistribution
+    // (Graph.pageRank(redistributeDangling = true)): the
+    // magnitude-faithful variant of l110 — each round the dangling
+    // nodes' total rank D (one scalar agg, the convergence-test class
+    // of driver collect) spreads evenly as (damping · (D div N)) div
+    // 1e9, every step still a floor div. The constructed graph has
+    // REAL dangling nodes (src hosts s0–s9, dst hosts s0–s12: s10–s12
+    // never source an edge), so the variant provably differs from the
+    // leaking default; the oracle unrolls the same 5 rounds with a
+    // per-round dangling-sum CTE.
+    "l118_pagerank_dangling" -> QueryDef(
+      (s, d) => {
+        val id = col("doc_id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val edges = Tables.documents(s, d).select(
+            concat(lit("s"), str(id % 10)).as("src_host"),
+            concat(lit("s"), str((id * 7) % 13)).as("dst_host"))
+          .filter(col("src_host") =!= col("dst_host")).distinct()
+        graft.operators.Graph.pageRank(edges, "src_host", "dst_host",
+            iters = 5, redistributeDangling = true)
+          .select(col("node").as("host"), col("rank_ppb"))
+          .orderBy("host")
+      },
+      Some {
+        val iterCtes = (1 to 5).map { k =>
+          s"dm$k AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r${k - 1} JOIN dang USING (node)), " +
+            s"s$k AS (SELECT dst AS node, SUM(r // d) AS s " +
+            s"FROM e2 JOIN deg USING (src) JOIN r${k - 1} ON r${k - 1}.node = e2.src " +
+            "GROUP BY dst), " +
+            s"r$k AS (SELECT nodes.node, (1000000000 - 850000000) // nn + " +
+            "(850000000 * (dm // nn)) // 1000000000 + " +
+            s"(850000000 * COALESCE(s, 0)) // 1000000000 AS r " +
+            s"FROM nodes LEFT JOIN s$k USING (node), n, dm$k)"
+        }.mkString(", ")
+        "WITH ed AS (SELECT DISTINCT 's' || (doc_id % 10) AS src, " +
+          "'s' || ((doc_id * 7) % 13) AS dst FROM documents), " +
+          "e2 AS (SELECT * FROM ed WHERE src <> dst), " +
+          "nodes AS (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM e2 UNION SELECT dst FROM e2)), " +
+          "n AS (SELECT COUNT(*) AS nn FROM nodes), " +
+          "deg AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY src), " +
+          "dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e2)), " +
+          "r0 AS (SELECT node, 1000000000 // nn AS r FROM nodes, n), " +
+          iterCtes + " " +
+          "SELECT node AS host, CAST(r AS BIGINT) AS rank_ppb FROM r5 ORDER BY host"
+      }),
+
     // L111 — WordPiece train + encode golden pin (the l73 pattern
     // applied to the third tokenizer family): trainVocab learns 30
     // likelihood-scored merges over the SAME fixed 8-sentence corpus

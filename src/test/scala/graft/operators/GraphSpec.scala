@@ -67,6 +67,45 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.constraintPropagation.enabled") != "false")
   }
 
+  test("pageRank dangling redistribution: reference fold, mass retention, no-dangling identity") {
+    // 1→2, 2→3: node 3 is DANGLING (never a source) — its mass leaks
+    // in the default and redistributes in the variant
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val leak = Graph.pageRank(edges(pairs: _*), "src", "dst", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val redist = Graph.pageRank(edges(pairs: _*), "src", "dst", iters = 5,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    // the same recurrence folded locally, dangling share included
+    val nodes = Seq(1L, 2L, 3L)
+    val n = nodes.size
+    val deg = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 5) {
+      val dm = r(3L) // the only dangling node
+      val extra = 850000000L * (dm / n) / 1000000000L
+      val sums = pairs.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(p => r(p._1) / deg(p._1)).sum
+      }
+      r = nodes.map(v => v ->
+        ((1000000000L - 850000000L) / n + extra +
+          850000000L * sums.getOrElse(v, 0L) / 1000000000L)).toMap
+    }
+    assert(redist == r)
+    // redistribution strictly retains more total mass than the leak,
+    // and every node gains (the share adds uniformly)
+    assert(redist.values.sum > leak.values.sum)
+    nodes.foreach(v => assert(redist(v) >= leak(v)))
+    // a graph with NO dangling nodes: variant ≡ default bit-for-bit
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val a = Graph.pageRank(edges(cycle: _*), "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(edges(cycle: _*), "src", "dst", iters = 4,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("pageRank: empty edge set returns an empty frame, not a division by zero") {
     val out = Graph.pageRank(
       Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", iters = 3)
