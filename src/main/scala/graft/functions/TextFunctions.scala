@@ -173,6 +173,15 @@ object TextFunctions {
     * spec-pinned equal. */
   def withPiiColumns(df: org.apache.spark.sql.DataFrame, textCol: String,
                      redactedCol: String = "pii_redacted"): org.apache.spark.sql.DataFrame = {
+    // the staged projection appends fixed intermediate and output
+    // names; a frame already carrying one would yield duplicate /
+    // ambiguous columns downstream — fail loud at the boundary instead
+    val reserved = Seq("__p1", "__p2", "__pcc", "__p3", "__p4",
+      "n_pii", "n_emails", "n_cards", redactedCol)
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"withPiiColumns reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has: ${clash.mkString(", ")}")
     val keep = df.columns.map(col).toSeq
     df.select(keep :+ emailStage(col(textCol)).as("__p1"): _*)
       .select((keep :+ col("__p1")) :+ idStage(col("__p1")).as("__p2"): _*)

@@ -772,11 +772,13 @@ object Multimodal {
     * container next to WARC): `version` from the `%PDF-x.y` header,
     * `n_pages` = the largest `/Count` of any `/Type /Pages` dictionary
     * (the root page-tree node carries the document total; 0 when no
-    * page tree is visible), `encrypted` = `/Encrypt` appears at or
-    * after the LAST `trailer` keyword OR inside a `/Type /XRef`
-    * cross-reference-stream dictionary (the PDF 1.5+ form, whose dict
-    * is plaintext even in compressed files — a content stream merely
-    * mentioning the token does not flag), `has_eof` = `%%EOF` appears
+    * page tree is visible), `encrypted` = `/Encrypt` appears inside
+    * the LAST `trailer` keyword's balanced `<< … >>` dictionary OR
+    * inside a `/Type /XRef` cross-reference-stream dictionary (the
+    * PDF 1.5+ form, whose dict is plaintext even in compressed
+    * files) — both dict-bounded, so a content stream or post-trailer
+    * appendix merely mentioning the token does not flag, `has_eof` =
+    * `%%EOF` appears
     * in the final 1 KiB (the ISO end-of-file marker — absent on
     * truncated downloads). `container` tags the decode path
     * ("pdf"/"stub").
@@ -812,9 +814,20 @@ object Multimodal {
         Option(mm.group(1)).getOrElse(mm.group(2)).take(18).toLong
       }.foldLeft(0L)(math.max)
       val tail = s.substring(math.max(0, s.length - 1024))
+      // /Encrypt counts only INSIDE the last trailer's balanced
+      // << … >> dictionary — content appended after the final trailer
+      // (incremental updates) or a stream carrying the word 'trailer'
+      // must not false-positive; the /Type /XRef form is already
+      // dict-bounded by its regex.
       val lastTrailer = s.lastIndexOf("trailer")
-      val enc = (lastTrailer >= 0 && s.indexOf("/Encrypt", lastTrailer) >= 0) ||
-        PdfXrefEncrypt.findFirstIn(s).isDefined
+      val trailerEnc = lastTrailer >= 0 && {
+        val dictStart = s.indexOf("<<", lastTrailer)
+        dictStart >= 0 && {
+          val (dict, _) = PdfText.balancedDict(s, dictStart)
+          dict.contains("/Encrypt")
+        }
+      }
+      val enc = trailerEnc || PdfXrefEncrypt.findFirstIn(s).isDefined
       PdfMeta(m.doc_id, m.payload.length.toLong, h.group(1), pages,
         encrypted = enc,
         has_eof = tail.contains("%%EOF"), container = "pdf")

@@ -69,7 +69,7 @@ object PdfText {
   /** Balanced `<< … >>` extent from `start` (which must point at `<<`).
     * Returns (dict text, index just past the closing `>>`). Unbalanced
     * input degrades to end-of-string. */
-  private def balancedDict(s: String, start: Int): (String, Int) = {
+  private[operators] def balancedDict(s: String, start: Int): (String, Int) = {
     var depth = 0
     var i = start
     while (i < s.length) {

@@ -111,7 +111,13 @@ object WordPiece {
       var best: ((String, String), Long) = null
       var bestDen: BigInt = null
       pairC.foreach { e =>
-        if (e._2 >= 2L) {
+        // a WORD-INITIAL merge whose fused form begins with the literal
+        // continuation mark (fuse('#','###') == "##") would be
+        // permanently dead vocab: encodeWord's in-band-marker guard
+        // rightly refuses it at start == 0. Exclude it at training time
+        // so the vocabulary never carries unusable entries.
+        val deadEntry = !e._1._1.startsWith("##") && fuse(e._1._1, e._1._2).startsWith("##")
+        if (e._2 >= 2L && !deadEntry) {
           val den = BigInt(symC(e._1._1)) * BigInt(symC(e._1._2))
           val better =
             if (best == null) true

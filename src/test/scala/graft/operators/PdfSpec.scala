@@ -42,6 +42,21 @@ class PdfSpec extends AnyFunSuite {
     assert(!Multimodal.decodePdf(Multimodal.MediaFile(2L, mention)).encrypted)
   }
 
+  test("/Encrypt outside the trailer's balanced dict does not flag (incremental appendix)") {
+    // the token appears AFTER the final trailer dictionary closes —
+    // an appended incremental-update body must not read as encryption
+    val appendix = ("%PDF-1.4\n" +
+      "trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n0\n" +
+      "9 0 obj\n<< /Length 16 >>\nstream\nsay /Encrypt here\nendstream\nendobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    assert(!Multimodal.decodePdf(Multimodal.MediaFile(1L, appendix)).encrypted)
+    // inside the balanced dict (even nested) it still flags
+    val nested = ("%PDF-1.4\n" +
+      "trailer\n<< /Size 4 /Info << /X 1 >> /Encrypt 7 0 R /Root 1 0 R >>\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.decodePdf(Multimodal.MediaFile(2L, nested)).encrypted)
+  }
+
   test("xref-stream encryption (PDF 1.5+, no 'trailer' keyword) is detected") {
     // the modern layout: no 'trailer' keyword at all, /Encrypt carried
     // in the plaintext /Type /XRef stream dictionary

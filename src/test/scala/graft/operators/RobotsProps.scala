@@ -11,7 +11,18 @@ import graft.TestSpark
   * equal-length tie to Allow, `*`/trailing-`$` wildcards, path+query
   * matching, bare-host `/`. Any divergence between the distributed
   * parse→compile→argmax chain and the reference fails with the seed
-  * case printed. */
+  * case printed.
+  *
+  * SHARED-CONVENTION BLIND SPOT (stated, not hidden): specificity is
+  * the UTF-8 octet length of the rule path AS WRITTEN — `*` and the
+  * trailing `$` anchor count one octet each. The reference below
+  * deliberately shares that convention (the RFC leaves wildcard
+  * specificity unspecified; counting-as-written is the common
+  * crawler reading), so these properties certify the ENGINE against
+  * the convention, not the convention itself: a divergence from some
+  * other reading (e.g. wildcard-stripped lengths, where
+  * `Allow: /p` vs `Disallow: /p*` would tie differently) is invisible
+  * here by construction. */
 class RobotsProps extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark

@@ -112,6 +112,30 @@ class WordPieceSpec extends AnyFunSuite {
     }
   }
 
+  test("training never emits a dead word-initial ## entry (collision-prone merges excluded)") {
+    // words of pure '#' runs make fuse('#','###') == "##" the top
+    // likelihood candidate — an entry encodeWord's in-band guard would
+    // permanently refuse at position 0; training must skip it
+    val docs = Seq((1L, "## ## ## ### ###")).toDF("doc_id", "text")
+    val vocab = WordPiece.trainVocab(docs, "text", nMerges = 5)
+    // genuine continuation entries are "##" + at least one char (length
+    // ≥ 3), so the literal two-char "##" can ONLY arise from the dead
+    // word-initial merge — it must never reach the vocabulary
+    assert(!vocab.contains("##"), s"dead '##' entry in vocab: $vocab")
+    // round trip still holds for the marker-heavy corpus
+    WordPiece.encodeWordsFast(docs, "text", vocab).collect().foreach { r =>
+      val w = r.getString(r.fieldIndex("w"))
+      val pieces = r.getSeq[String](r.fieldIndex("pieces"))
+      if (pieces != Seq(WordPiece.Unk)) {
+        val rebuilt = pieces.zipWithIndex.map {
+          case (p, 0) => p
+          case (p, _) => p.stripPrefix("##")
+        }.mkString
+        assert(rebuilt == w, s"round trip broke for '$w': $pieces")
+      }
+    }
+  }
+
   test("minCount prune: hapax words do not vote on the vocab but still encode") {
     import org.apache.spark.sql.functions.col
     val docs = Seq((1L, "banana banana banana zyx")).toDF("doc_id", "text")
