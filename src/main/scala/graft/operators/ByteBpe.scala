@@ -42,11 +42,15 @@ import org.apache.spark.sql.functions._
  */
 object ByteBpe {
 
-  /** The published GPT-2 pre-tokenizer pattern (Java regex dialect —
-    * `\p{L}`/`\p{N}` and the `(?!\S)` lookahead are portable from the
-    * original). */
+  /** The published GPT-2 pre-tokenizer pattern. `(?U)` switches Java's
+    * `\s` to UNICODE_CHARACTER_CLASS semantics — the original runs
+    * under Python's `regex` module where `\s` is Unicode (NBSP,
+    * ideographic space, …); without the flag Java's ASCII-only `\s`
+    * would absorb non-ASCII whitespace into punctuation runs and
+    * silently diverge from the published tokenization on scraped HTML.
+    * `\p{L}`/`\p{N}` and the `(?!\S)` lookahead are portable as-is. */
   val PreTokenPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
 
   /** byte value (0–255) → mapped BMP char. The GPT-2 construction:
     * bytes in ['!','~'] ∪ ['¡','¬'] ∪ ['®','ÿ'] map to themselves;
@@ -157,7 +161,10 @@ object ByteBpe {
     * token-budget operators price with. Same two stages: corpus-sized
     * pre-token explode keyed by document, then a broadcast-rank encode
     * of the DISTINCT tokens joined back (shuffle-hash: the distinct
-    * table can be large but each side hashes, no sort). */
+    * table can be large but each side hashes, no sort). EVERY input
+    * document gets a row — a text yielding zero pre-tokens reports
+    * n_tokens = 0 rather than vanishing (a dropped row reads as "doc
+    * absent" to a downstream budget join, not as "doc is empty"). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
@@ -170,7 +177,10 @@ object ByteBpe {
         it.map(t => (t, Bpe.encodeWord(toByteUnits(t), bc.value).length.toLong))
       }
       .toDF("tok", "n_syms")
-    occ.join(perTok.hint("shuffle_hash"), Seq("tok"))
-      .groupBy(idCol).agg(sum(col("n_syms")).as("n_tokens"))
+    val counted = occ.join(perTok.hint("shuffle_hash"), Seq("tok"))
+      .groupBy(idCol).agg(sum(col("n_syms")).as("__nt"))
+    docs.select(col(idCol))
+      .join(counted.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nt"), lit(0L)).as("n_tokens"))
   }
 }

@@ -128,23 +128,9 @@ object OfficeZip {
     if (start < 0 || end > b.length || e.compSize > Int.MaxValue) return None
     e.method match {
       case 0 => Some(java.util.Arrays.copyOfRange(b, start, end))
-      case 8 =>
-        val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib header
-        try {
-          inf.setInput(b, start, end - start)
-          val out = new java.io.ByteArrayOutputStream(
-            math.min(math.max(e.uncompSize.toInt, 64), 1 << 16))
-          val buf = new Array[Byte](8192)
-          var done = false
-          while (!done && !inf.finished() && out.size < MaxInflated) {
-            val m = inf.inflate(buf)
-            if (m > 0) out.write(buf, 0, m)
-            else if (inf.needsInput() || inf.needsDictionary()) done = true
-          }
-          Some(out.toByteArray)
-        } catch {
-          case NonFatal(_) => None
-        } finally inf.end()
+      case 8 => // raw deflate — the shared capped inflate (PdfText)
+        PdfText.inflateBytes(b, start, end - start, nowrap = true,
+          sizeHint = e.uncompSize.toInt)
       case _ => None // stored + deflate cover real DOCX/EPUB writers
     }
   }

@@ -81,8 +81,14 @@ object Packing {
   def sequencePackBpe(docs: DataFrame, textCol: String, idCol: String,
                       merges: Seq[(String, String)], seqLen: Long,
                       idChunk: Long = 1L << 16): DataFrame = {
-    import graft.functions.TextFunctions.wsTokens
-    val dw = docs.select(col(idCol), explode(wsTokens(col(textCol))).as("__w"))
+    // occurrence side split on WHITESPACE RUNS — the exact split
+    // Bpe.wordCounts (the vocab side of the join below) uses: a
+    // literal-space split would fuse newline-joined words into tokens
+    // ABSENT from the vocab, and the inner join would silently drop
+    // them from the budget on multi-line documents
+    val dw = docs.select(col(idCol),
+        explode(split(col(textCol), "[ \n\t\r]+")).as("__w"))
+      .filter(col("__w") =!= "")
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__m"))
     val wl = Bpe.encodeWordsFast(docs, textCol, merges)
       .select(col("w").as("__w"), size(col("syms")).cast("long").as("__len"))

@@ -168,8 +168,12 @@ object PdfText {
 
   /** Content streams in PAGE-TREE order (Kids order, not object-number
     * order — the document's reading order). Falls back to every stream
-    * in object order when no page tree resolves, so truncated files
-    * still surface whatever text their streams carry. */
+    * in object order only when NO page leaf resolves (no /Root, no
+    * tree, or a truncated tree), so truncated files still surface
+    * whatever text their streams carry — while a VALID document whose
+    * pages simply carry no /Contents correctly extracts "" instead of
+    * scanning unrelated binary streams (fonts, images) for
+    * text-lookalike bytes. */
   private def pageContentStreams(s: String, objs: mutable.LinkedHashMap[Long, PdfObj]): Seq[String] = {
     val rootRef = "(?s)/Root\\s+(\\d{1,9})\\s+\\d+\\s+R".r
       .findAllMatchIn(s).map(_.group(1).toLong).toSeq.lastOption
@@ -184,11 +188,13 @@ object PdfText {
       })
     val visited = mutable.Set[Long]()
     val streams = mutable.Buffer[String]()
+    var sawLeaf = false
     def walk(num: Long, depth: Int): Unit = {
       if (depth > 64 || !visited.add(num)) return
       objs.get(num).foreach { o =>
         if (TypePage.findFirstIn(o.dict).isDefined &&
             TypePages.findFirstIn(o.dict).isEmpty) {
+          sawLeaf = true
           refList(o.dict, "Contents").foreach { c =>
             objs.get(c).foreach(co =>
               co.stream.foreach(raw => streams += decodeStream(co.dict, raw)))
@@ -199,26 +205,39 @@ object PdfText {
       }
     }
     pagesRoot.foreach(walk(_, 0))
-    if (streams.isEmpty)
+    if (!sawLeaf)
       objs.foreach { case (_, o) =>
         o.stream.foreach(raw => streams += decodeStream(o.dict, raw))
       }
     streams.toSeq
   }
 
-  /** FlateDecode when the dict names it; any OTHER filter yields no
-    * text (we cannot decode it — stated, not faked); no filter = raw. */
+  /** FlateDecode only when it is the SOLE filter (`/Filter
+    * /FlateDecode` or the one-element array form) — a filter CHAIN
+    * leaves the inflated bytes still encoded by the remaining filters,
+    * so emitting them as text would be garbage, not degradation. Any
+    * other/chained filter yields no text (stated, not faked); no
+    * filter = raw. */
+  private val SoleFlate =
+    "/Filter\\s*(?:/FlateDecode(?![A-Za-z])|\\[\\s*/FlateDecode\\s*\\])".r
+
   private def decodeStream(dict: String, raw: String): String =
     if (!dict.contains("/Filter")) raw
-    else if (dict.contains("/FlateDecode")) inflate(raw)
+    else if (SoleFlate.findFirstIn(dict).isDefined) inflate(raw)
     else ""
 
-  private def inflate(raw: String): String = {
-    val bytes = raw.getBytes(ISO_8859_1)
-    val inf = new java.util.zip.Inflater()
+  /** Shared bounded inflate (zlib or raw per `nowrap`): 64 MiB
+    * zip-bomb cap, truncated input stops cleanly, corrupt data → None.
+    * Used by the PDF FlateDecode path and [[OfficeZip]]'s deflated
+    * members — one place for the cap and truncation semantics. */
+  private[operators] def inflateBytes(bytes: Array[Byte], off: Int, len: Int,
+                                      nowrap: Boolean,
+                                      sizeHint: Int = 1 << 16): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
     try {
-      inf.setInput(bytes)
-      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 16))
+      inf.setInput(bytes, off, len)
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, math.min(sizeHint, 1 << 16)))
       val buf = new Array[Byte](8192)
       var done = false
       while (!done && !inf.finished() && out.size < MaxInflated) {
@@ -226,10 +245,17 @@ object PdfText {
         if (n > 0) out.write(buf, 0, n)
         else if (inf.needsInput() || inf.needsDictionary()) done = true // truncated
       }
-      new String(out.toByteArray, ISO_8859_1)
+      Some(out.toByteArray)
     } catch {
-      case NonFatal(_) => "" // corrupt deflate data contributes nothing
+      case NonFatal(_) => None // corrupt deflate data
     } finally inf.end()
+  }
+
+  private def inflate(raw: String): String = {
+    val bytes = raw.getBytes(ISO_8859_1)
+    inflateBytes(bytes, 0, bytes.length, nowrap = false,
+        sizeHint = bytes.length * 4)
+      .map(new String(_, ISO_8859_1)).getOrElse("")
   }
 
   // ------------------------------------------------------ content walk
@@ -284,33 +310,42 @@ object PdfText {
     (out.toString, if (close < 0 || close > to) to else close + 1)
   }
 
-  /** One `BT…ET` block: fold string operands and the text-showing /
-    * line-move operators into `sb` under the contract in the object
-    * doc. Unknown operators and numeric operands are skipped. */
-  private def walkBlock(cs: String, from: Int, to: Int, sb: StringBuilder): Unit = {
-    var i = from
+  /** One decoded content stream: a SINGLE token scan with an in-text
+    * flag. `BT`/`ET` are recognized only as standalone operator tokens
+    * (maximal letter runs), so an `ET` inside a shown string
+    * ("RETURN") or inside a longer operand ("BETWEEN") can neither end
+    * a block nor open a phantom one; strings are parsed — and merely
+    * skipped — even OUTSIDE text blocks, so their contents never look
+    * like operators to the scanner. Inside a block, string operands
+    * and the text-showing / line-move operators fold into `sb` under
+    * the contract in the object doc; everything else is skipped. */
+  private def extractTextOps(cs: String, sb: StringBuilder): Unit = {
+    val to = cs.length
+    var i = 0
+    var inText = false
     var pending = "" // last decoded string / concatenated array operand
-    var arrayBuf: StringBuilder = null // non-null inside [ … ]
+    var arrayBuf: StringBuilder = null // non-null inside a text-block [ … ]
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     while (i < to) {
       val c = cs.charAt(i)
       if (c == '(') {
         val (str, ni) = literalString(cs, i, to)
-        if (arrayBuf != null) arrayBuf.append(str) else pending = str
+        if (inText) { if (arrayBuf != null) arrayBuf.append(str) else pending = str }
         i = ni
       } else if (c == '<' && i + 1 < to && cs.charAt(i + 1) == '<') {
         i = balancedDict(cs, i)._2 // inline dict (e.g. BDC props): skip
       } else if (c == '<') {
         val (str, ni) = hexString(cs, i, to)
-        if (arrayBuf != null) arrayBuf.append(str) else pending = str
+        if (inText) { if (arrayBuf != null) arrayBuf.append(str) else pending = str }
         i = ni
-      } else if (c == '[') { arrayBuf = new StringBuilder; i += 1 }
+      } else if (c == '[') { if (inText) arrayBuf = new StringBuilder; i += 1 }
       else if (c == ']') {
-        if (arrayBuf != null) { pending = arrayBuf.toString; arrayBuf = null }
+        if (inText && arrayBuf != null) { pending = arrayBuf.toString; arrayBuf = null }
         i += 1
       } else if (c == '\'' || c == '"') {
-        newline(); sb.append(pending); pending = ""; i += 1
+        if (inText) { newline(); sb.append(pending); pending = "" }
+        i += 1
       } else if (c == '/') { // name token: skip so /Tj-ish names never fire ops
         i += 1
         while (i < to && !Character.isWhitespace(cs.charAt(i)) &&
@@ -319,29 +354,14 @@ object PdfText {
         var j = i
         while (j < to && (Character.isLetterOrDigit(cs.charAt(j)) || cs.charAt(j) == '*')) j += 1
         cs.substring(i, j) match {
-          case "Tj" | "TJ" => sb.append(pending); pending = ""
-          case "Td" | "TD" | "T*" => newline()
+          case "BT" => inText = true; pending = ""; arrayBuf = null
+          case "ET" => inText = false; pending = ""; arrayBuf = null
+          case "Tj" | "TJ" => if (inText) { sb.append(pending); pending = "" }
+          case "Td" | "TD" | "T*" => if (inText) newline()
           case _ => ()
         }
         i = j
       } else i += 1
-    }
-  }
-
-  /** All `BT…ET` blocks of one decoded content stream. */
-  private def extractTextOps(cs: String, sb: StringBuilder): Unit = {
-    var i = 0
-    var more = true
-    while (more) {
-      val bt = cs.indexOf("BT", i)
-      if (bt < 0) more = false
-      else {
-        val et = cs.indexOf("ET", bt + 2)
-        val end = if (et < 0) cs.length else et
-        walkBlock(cs, bt + 2, end, sb)
-        i = if (et < 0) cs.length else et + 2
-        if (i >= cs.length) more = false
-      }
     }
   }
 

@@ -2100,7 +2100,11 @@ object LlmQueries {
       (s, d) => graft.operators.Packing.sequencePackBpe(
           Tables.documents(s, d), "text", "doc_id", Seq.empty, seqLen = 512L)
         .orderBy("seq_id", "doc_id"),
-      Some("WITH n AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_tok " +
+      // n_tok = NON-WHITESPACE character count (whitespace-run split ×
+      // empty merges ⇒ sum of word code-point lengths), mirroring the
+      // l63 split fix
+      Some("WITH n AS (SELECT doc_id, " +
+        "length(regexp_replace(text, '[ \\n\\t\\r]', '', 'g')) AS n_tok " +
         "FROM documents), " +
         "p AS (SELECT doc_id, n_tok, " +
         "CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS st FROM n), " +

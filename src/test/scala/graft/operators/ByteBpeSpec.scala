@@ -57,6 +57,29 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(toks("abc123, ok!").toSet == Set("abc", "123", ",", " ok", "!"))
   }
 
+  test("pre-tokenizer treats Unicode whitespace as whitespace (the (?U) flag)") {
+    // NBSP must behave like the Python regex module's \s — a
+    // whitespace run, NOT absorbed into a punctuation token
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val toks = ByteBpe.preTokenCounts(df, "text")
+      .select("tok").as[String].collect().toSet
+    assert(toks == Set("a", " ", "b"), s"got $toks")
+    // driver-side pattern agrees with the Spark-side extraction
+    val pat = java.util.regex.Pattern.compile(ByteBpe.PreTokenPattern)
+    val m = pat.matcher("a b")
+    val driver = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+    assert(driver == Seq("a", " ", "b"))
+  }
+
+  test("tokenCounts reports 0 for zero-pre-token documents instead of dropping them") {
+    val docs = Seq((1L, "sun moon"), (2L, "")).toDF("doc_id", "text")
+    val got = ByteBpe.tokenCounts(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Long)].collect().toMap
+    // empty merges: "sun"=3 byte units + " moon"=5 (Ġ+4) = 8; the
+    // empty doc must appear with 0, not vanish from the frame
+    assert(got == Map(1L -> 8L, 2L -> 0L), s"got $got")
+  }
+
   test("byte-level and char-level disagree exactly on multibyte + whitespace") {
     // multibyte: 'é' is ONE code-point symbol char-level, TWO bytes here
     assert(ByteBpe.toByteUnits("café").length == 5)

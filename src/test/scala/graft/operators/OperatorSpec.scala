@@ -893,6 +893,13 @@ class OperatorSpec extends AnyFunSuite {
     val charLevel = Seq((20L, "ab c")).toDF("doc_id", "text")
     assert(rows(Packing.sequencePackBpe(charLevel, "text", "doc_id", Seq.empty, 2L)) ==
       Seq((0L, 20L, 0L, 2L), (1L, 20L, 2L, 3L)))
+    // MULTI-LINE doc: the occurrence split must match the vocab split
+    // (whitespace runs) — a literal-space split would fuse "ab\ncd"
+    // into one token absent from the vocab, and the inner join would
+    // silently drop it from the budget (4 tokens, not 0)
+    val multiLine = Seq((30L, "ab\ncd\tab cd")).toDF("doc_id", "text")
+    assert(rows(Packing.sequencePackBpe(multiLine, "text", "doc_id", full, 4L)) ==
+      Seq((0L, 30L, 0L, 4L)))
   }
 
   test("Similarity PQ: training is deterministic; ADC+rerank recalls the true top-10") {

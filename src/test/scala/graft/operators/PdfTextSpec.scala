@@ -65,6 +65,60 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "continued")
   }
 
+  test("ET/BT inside shown strings neither end nor open text blocks") {
+    def onePage(content: String): Array[Byte] =
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< >>\nstream\n$content\nendstream\nendobj\n" +
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    // 'ET' inside "RETURN" and "BETWEEN" must not truncate the block
+    val got = PdfText.decodePdfText(MediaFile(1L,
+      onePage("BT (RETURN VALUE) Tj ( BETWEEN BT AND ET) Tj ET")))
+    assert(got.text == "RETURN VALUE BETWEEN BT AND ET", s"got '${got.text}'")
+    // strings OUTSIDE any BT…ET block contribute nothing
+    val outside = PdfText.decodePdfText(MediaFile(2L,
+      onePage("(nope) Tj BT (yes) Tj ET (also nope) Tj")))
+    assert(outside.text == "yes")
+  }
+
+  test("contentless pages do not fall back to scanning unrelated streams") {
+    // valid tree, one blank page (no /Contents), plus a binary-ish
+    // stream containing text-lookalike bytes: extraction must be ""
+    val body = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n" +
+      "5 0 obj\n<< /Length 22 >>\nstream\nBT (font junk) Tj ET\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "")
+  }
+
+  test("filter CHAINS yield no text; sole FlateDecode still inflates") {
+    def withFilter(filter: String, data: String): Array[Byte] =
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${data.length} $filter >>\nstream\n$data\nendstream\nendobj\n" +
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    // a chain: inflated bytes would still be hex-encoded — no text
+    val chained = PdfText.decodePdfText(MediaFile(1L,
+      withFilter("/Filter [/FlateDecode /ASCIIHexDecode]", "xxxx")))
+    assert(chained.text == "")
+    // one-element array form still inflates
+    val src = "BT (arrayed) Tj ET"
+    val d = new java.util.zip.Deflater()
+    d.setInput(src.getBytes("ISO-8859-1")); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf); d.end()
+    val flated = new String(buf, 0, n, "ISO-8859-1")
+    val ok = PdfText.decodePdfText(MediaFile(2L,
+      withFilter("/Filter [ /FlateDecode ]", flated)))
+    assert(ok.text == "arrayed")
+  }
+
   test("encrypted documents report empty text, not ciphertext garbage") {
     val (file, expected) = PdfFixtures.textFixtures(3)
     assert(expected.text == "")
