@@ -122,7 +122,13 @@ object OfficeFixtures {
       "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
       "media-type=\"application/oebps-package+xml\"/></rootfiles></container>")),
     Member("OEBPS/content.opf", epubOpf, deflate = true),
-    Member("OEBPS/ch1.xhtml", s("<html><body><p>chapter one</p></body></html>"),
+    // chapter 1 carries a style block (stripped) and an entity; 2 and 3
+    // plain prose — manifest hrefs resolve relative to OEBPS/
+    Member("OEBPS/ch1.xhtml", s("<html><head><style>p{color:red}</style></head>" +
+      "<body><p>chapter one begins &amp; ends</p></body></html>"),
+      deflate = true),
+    Member("OEBPS/ch2.xhtml", s("<html><body><p>chapter two follows</p></body></html>")),
+    Member("OEBPS/ch3.xhtml", s("<html><body><h1>chapter three</h1><p>closes the tale</p></body></html>"),
       deflate = true))
 
   /** EPUB: title/language via container.xml → OPF, 3 spine items. */
@@ -162,9 +168,9 @@ object OfficeFixtures {
         7L, 2L, "Spec & Doc", "en-US", "zip")),
       (MediaFile(2L, d2), OfficeMeta(2L, bl(d2), "docx", 2L, encrypted = false,
         5L, 1L, "", "", "zip")),
-      (MediaFile(3L, e1), OfficeMeta(3L, bl(e1), "epub", 4L, encrypted = false,
+      (MediaFile(3L, e1), OfficeMeta(3L, bl(e1), "epub", 6L, encrypted = false,
         0L, 3L, "Moby Format", "en", "zip")),
-      (MediaFile(4L, e2), OfficeMeta(4L, bl(e2), "epub", 5L, encrypted = true,
+      (MediaFile(4L, e2), OfficeMeta(4L, bl(e2), "epub", 7L, encrypted = true,
         0L, 0L, "", "", "zip")),
       (MediaFile(5L, de), OfficeMeta(5L, bl(de), "docx", 2L, encrypted = true,
         0L, 0L, "", "", "zip")),
@@ -180,6 +186,37 @@ object OfficeFixtures {
   def dataset(spark: SparkSession): Dataset[MediaFile] = {
     import spark.implicits._
     spark.createDataset(fixtures.map(_._1))
+  }
+
+  /** (payload, expected text) for l120 — hand-derived from the SAME
+    * member sources (paragraph-run concatenation for DOCX, spine-order
+    * XHTML stripping for EPUB), never from the parser under test. */
+  lazy val textFixtures: Seq[(MediaFile, OfficeZip.OfficeText)] = {
+    val docx1Text = "Alpha beta gamma\ndelta epsilon & zeta"
+    val docx2Text = "the quick brown fox jumps"
+    val epubText = "chapter one begins & ends\nchapter two follows\n" +
+      "chapter three closes the tale"
+    fixtures.map { case (file, meta) =>
+      val text = (meta.format, meta.encrypted) match {
+        case ("docx", false) if file.doc_id == 1L => docx1Text
+        case ("docx", false) if file.doc_id == 2L => docx2Text
+        case ("epub", false) => epubText
+        case _ => "" // encrypted / plain zip / truncated / stub
+      }
+      (file, OfficeZip.OfficeText(file.doc_id, meta.format, text,
+        text.length.toLong, meta.container))
+    }
+  }
+
+  /** The l120 DuckDB oracle: the construction-side expected text. */
+  def textOracleSql: String = {
+    val rows = textFixtures.map { case (_, t) =>
+      s"(CAST(${t.doc_id} AS BIGINT), '${t.format}', " +
+        s"${PdfFixtures.sqlLit(t.text)}, CAST(${t.n_chars} AS BIGINT), " +
+        s"'${t.container}')"
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS " +
+      "t(doc_id, format, text, n_chars, container) ORDER BY doc_id"
   }
 
   /** The l115 DuckDB oracle: construction-side expectations. */

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
 
 import Multimodal.MediaFile
 
@@ -154,16 +155,21 @@ object OfficeZip {
   private def wsWords(s: String): Long =
     s.split("[ \n\t\r]+").count(_.nonEmpty).toLong
 
+  /** Paragraph texts of `word/document.xml` — each paragraph the
+    * CONCATENATION of its `<w:t>` runs (runs split words arbitrarily;
+    * concatenation is the OOXML reading), entities decoded. */
+  private def docxParagraphs(b: Array[Byte], entries: Seq[ZipEntry]): Seq[String] = {
+    val doc = entryText(b, entries, "word/document.xml").getOrElse("")
+    doc.split("<w:p[ >]").iterator.map { chunk =>
+      WT.findAllMatchIn(chunk).map(m => unescapeXml(m.group(1))).mkString
+    }.filter(_.nonEmpty).toSeq
+  }
+
   /** DOCX fields from `word/document.xml` + `docProps/core.xml`. */
   private def docxFields(b: Array[Byte], entries: Seq[ZipEntry]): (Long, Long, String, String) = {
     val doc = entryText(b, entries, "word/document.xml").getOrElse("")
-    // paragraph text = CONCATENATION of its <w:t> runs; paragraphs
-    // separated so run-split words fuse but paragraph-final words don't
-    val paras = doc.split("<w:p[ >]").iterator.map { chunk =>
-      WT.findAllMatchIn(chunk).map(m => unescapeXml(m.group(1))).mkString
-    }.filter(_.nonEmpty).toSeq
     val core = entryText(b, entries, "docProps/core.xml").getOrElse("")
-    (wsWords(paras.mkString("\n")),
+    (wsWords(docxParagraphs(b, entries).mkString("\n")),
       WP.findAllMatchIn(doc).length.toLong,
       DcTitle.findFirstMatchIn(core).map(m => unescapeXml(m.group(1))).getOrElse(""),
       DcLanguage.findFirstMatchIn(core).map(m => unescapeXml(m.group(1))).getOrElse(""))
@@ -218,6 +224,92 @@ object OfficeZip {
           0L, 0L, "", "", container = "zip"))
     }
   }
+
+  // ------------------------------------------------------ text payload
+
+  /** Extracted document text (the l113 twin for office containers).
+    * `text` = DOCX paragraphs joined by `\n`, or EPUB spine chapters
+    * (each XHTML stripped to prose) joined by `\n`; encrypted
+    * documents and non-document zips report "". */
+  final case class OfficeText(doc_id: Long, format: String, text: String,
+                              n_chars: Long, container: String)
+
+  /** XHTML→prose for EPUB chapters: drop script/style blocks, strip
+    * tags to spaces, decode the predefined entities, collapse
+    * whitespace runs — the driver-side mirror of the
+    * `TextFunctions.htmlToText` chain's tail, compact enough to run
+    * inside the decode `mapPartitions`. */
+  private[operators] def stripXhtml(html: String): String = {
+    val noScript = "(?is)<script[^>]*>.*?</script>".r.replaceAllIn(html, " ")
+    val noStyle = "(?is)<style[^>]*>.*?</style>".r.replaceAllIn(noScript, " ")
+    val noTags = "<[^>]*>".r.replaceAllIn(noStyle, " ")
+    "[ \n\t\r]+".r.replaceAllIn(unescapeXml(noTags), " ").trim
+  }
+
+  private val ManifestItem = "(?s)<item\\b[^>]*>|(?s)<item\\b[^>]*/>".r
+  private val AttrId = "\\bid\\s*=\\s*\"([^\"]*)\"".r
+  private val AttrHref = "\\bhref\\s*=\\s*\"([^\"]*)\"".r
+  private val SpineIdref = "<itemref\\b[^>]*\\bidref\\s*=\\s*\"([^\"]*)\"".r
+
+  /** EPUB chapter texts in SPINE order: container.xml → OPF → manifest
+    * (id → href, resolved relative to the OPF's directory) → spine
+    * idrefs; each resolvable chapter entry strips to prose. Missing
+    * manifest ids / absent entries contribute nothing (degrade). */
+  private def epubChapters(b: Array[Byte], entries: Seq[ZipEntry]): Seq[String] = {
+    val container = entryText(b, entries, "META-INF/container.xml").getOrElse("")
+    val opfPath = RootFile.findFirstMatchIn(container).map(_.group(1))
+    val opf = opfPath.flatMap(p => entryText(b, entries, p)).getOrElse("")
+    val opfDir = opfPath.map { p =>
+      val cut = p.lastIndexOf('/')
+      if (cut < 0) "" else p.substring(0, cut + 1)
+    }.getOrElse("")
+    val hrefById = ManifestItem.findAllIn(opf).map { item =>
+      (AttrId.findFirstMatchIn(item).map(_.group(1)),
+        AttrHref.findFirstMatchIn(item).map(_.group(1)))
+    }.collect { case (Some(id), Some(href)) => (id, href) }.toMap
+    SpineIdref.findAllMatchIn(opf).map(_.group(1)).toSeq
+      .flatMap(hrefById.get)
+      .flatMap(href => entryText(b, entries, opfDir + href))
+      .map(stripXhtml)
+      .filter(_.nonEmpty)
+  }
+
+  /** Full text extraction; None when the payload has no zip magic. */
+  def parseOfficeText(m: MediaFile): Option[OfficeText] =
+    parseOffice(m).map { meta =>
+      val text =
+        if (meta.encrypted || meta.container != "zip") ""
+        else try {
+          val entries = centralDirectory(m.payload).getOrElse(Seq.empty)
+          meta.format match {
+            case "docx" => docxParagraphs(m.payload, entries).mkString("\n")
+            case "epub" => epubChapters(m.payload, entries).mkString("\n")
+            case _ => ""
+          }
+        } catch { case NonFatal(_) => "" }
+      OfficeText(m.doc_id, meta.format, text, text.length.toLong, meta.container)
+    }
+
+  /** Stub fallback mirroring [[decodeOffice]]'s tagging. */
+  def decodeOfficeText(m: MediaFile): OfficeText =
+    parseOfficeText(m).getOrElse(
+      OfficeText(m.doc_id, "stub", "", 0L, container = "stub"))
+
+  /** [[PdfText.extractText]]'s office twin at the same `mapPartitions`
+    * boundary. */
+  def extractText(files: Dataset[MediaFile]): Dataset[OfficeText] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodeOfficeText))
+  }
+
+  /** The l68-cascade adapter ([[PdfText.asDocuments]]'s twin): real
+    * document formats with non-empty text as an (id, text) frame. */
+  def asDocuments(files: Dataset[MediaFile], idCol: String = "doc_id",
+                  textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    extractText(files).toDF()
+      .filter((col("format") === "docx" || col("format") === "epub") &&
+        col("n_chars") > 0)
+      .select(col("doc_id").as(idCol), col("text").as(textCol))
 
   /** Stub fallback with the family's byte-length arithmetic. */
   def decodeOffice(m: MediaFile): OfficeMeta =

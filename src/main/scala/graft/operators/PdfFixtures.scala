@@ -193,8 +193,9 @@ object PdfFixtures {
 
   /** DuckDB literal for text that may carry control characters:
     * plain segments in standard-quoted strings (no backslash escapes —
-    * backslash stays literal), control characters via chr(n). */
-  private def sqlLit(s: String): String = {
+    * backslash stays literal), control characters via chr(n). Shared
+    * with [[OfficeFixtures]]' text oracle. */
+  private[operators] def sqlLit(s: String): String = {
     val parts = scala.collection.mutable.Buffer[String]()
     val cur = new StringBuilder
     def flush(): Unit = { parts += ("'" + cur.toString.replace("'", "''") + "'"); cur.clear() }

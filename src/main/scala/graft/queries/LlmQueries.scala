@@ -3128,6 +3128,24 @@ object LlmQueries {
           "SELECT node AS host, CAST(r AS BIGINT) AS rank_ppb FROM r5 ORDER BY host"
       }),
 
+    // L119 — byte-level token pricing over the corpus
+    // (ByteBpe.tokenCounts): the l94/l89 budget readout in the GPT
+    // lineage's own units, certifying the WHOLE distributed path
+    // (pre-token explode, distinct-token broadcast-rank encode,
+    // shuffle-hash join-back, zero-token left join) relationally: the
+    // published pre-tokenizer TILES text completely (every char falls
+    // in exactly one alternative — spec-checked), so with the EMPTY
+    // merge table each token prices at its UTF-8 byte count and the
+    // per-document total is exactly octet_length(text) — no
+    // BPE-specific arithmetic left unchecked (trained tables are
+    // golden-pinned by l114).
+    "l119_bytebpe_budget" -> QueryDef(
+      (s, d) => graft.operators.ByteBpe.tokenCounts(
+          Tables.documents(s, d), "doc_id", "text", Seq.empty)
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens " +
+        "FROM documents ORDER BY doc_id")),
+
     // L111 — WordPiece train + encode golden pin (the l73 pattern
     // applied to the third tokenizer family): trainVocab learns 30
     // likelihood-scored merges over the SAME fixed 8-sentence corpus
@@ -3330,6 +3348,22 @@ object LlmQueries {
           graft.operators.OfficeFixtures.dataset(s))
         .toDF().orderBy("doc_id"),
       Some(graft.operators.OfficeFixtures.oracleSql)),
+
+    // L120 — DOCX/EPUB TEXT extraction (OfficeZip.extractText), the
+    // l113 twin for office containers: DOCX paragraphs (run-
+    // concatenated <w:t> texts) joined by newline; EPUB spine chapters
+    // located via container.xml → OPF manifest (hrefs resolved
+    // relative to the OPF directory, spine idref order), each XHTML
+    // stripped to prose (script/style dropped, tags → spaces, entities
+    // decoded, whitespace collapsed). Encrypted containers report
+    // empty text (the l113 contract). Oracle = VALUES of text
+    // hand-derived from the same member sources; chr(10) literals for
+    // the newline joins.
+    "l120_office_text" -> QueryDef(
+      (s, _) => graft.operators.OfficeZip.extractText(
+          graft.operators.OfficeFixtures.dataset(s))
+        .toDF().orderBy("doc_id"),
+      Some(graft.operators.OfficeFixtures.textOracleSql)),
 
     // L116 — NN-descent kNN-graph refinement (Similarity.nnDescent,
     // Dong et al. WWW'11): one fixed neighbors-of-neighbors round over

@@ -80,6 +80,26 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(got == Map(1L -> 8L, 2L -> 0L), s"got $got")
   }
 
+  test("the pre-tokenizer TILES text: tokens concatenate back to the input") {
+    // l119's oracle (empty merges ⇒ n_tokens = octet_length) relies on
+    // every character falling in exactly one alternative
+    val pat = java.util.regex.Pattern.compile(ByteBpe.PreTokenPattern)
+    val rnd = new scala.util.Random(119L)
+    val samples = Seq("hello world", "tabs\t\tand\nnewlines", "don't stop 123!!",
+      "日本語 mixed ascii", "", "   ", "x́combining", "a b") ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(30)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "x" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    samples.foreach { s =>
+      val m = pat.matcher(s)
+      val toks = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+      assert(toks.mkString == s, s"tiling gap in ${s.take(40)}")
+    }
+  }
+
   test("byte-level and char-level disagree exactly on multibyte + whitespace") {
     // multibyte: 'é' is ONE code-point symbol char-level, TWO bytes here
     assert(ByteBpe.toByteUnits("café").length == 5)

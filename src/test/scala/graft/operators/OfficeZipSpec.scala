@@ -77,4 +77,28 @@ class OfficeZipSpec extends AnyFunSuite {
       .collect().sortBy(_.doc_id).toSeq
     assert(viaSpark == OfficeFixtures.fixtures.map(_._2))
   }
+
+  test("text extraction: DOCX paragraphs and EPUB spine chapters, encrypted empty") {
+    OfficeFixtures.textFixtures.foreach { case (file, expected) =>
+      val got = OfficeZip.decodeOfficeText(file)
+      assert(got == expected, s"doc ${file.doc_id}: got $got")
+    }
+  }
+
+  test("stripXhtml drops script/style, strips tags, decodes entities, collapses ws") {
+    assert(OfficeZip.stripXhtml(
+      "<html><head><style>p{}</style><script>x&y</script></head>" +
+        "<body>\n  <p>one &amp; two</p>\n<div>three</div></body></html>") ==
+      "one & two three")
+  }
+
+  test("distributed extractText equals the driver decode; cascade adapter filters") {
+    import spark.implicits._
+    val viaSpark = OfficeZip.extractText(OfficeFixtures.dataset(spark))
+      .collect().sortBy(_.doc_id).toSeq
+    assert(viaSpark == OfficeFixtures.textFixtures.map(_._2))
+    // only real document formats with text become cascade documents
+    val docs = OfficeZip.asDocuments(OfficeFixtures.dataset(spark))
+    assert(docs.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
