@@ -402,6 +402,28 @@ object PdfText {
     files.mapPartitions(_.map(decodePdfText))
   }
 
+  /** Construction half of the corpus-scale ROUND-TRIP certification
+    * (l121): wrap a document's text into a minimal one-page PDF whose
+    * content stream shows the text as ONE escaped literal string —
+    * `(`/`)`/`\` escaped, UTF-8 bytes carried through the byte-
+    * preserving ISO-8859-1 wrap, so extract-then-re-encode returns the
+    * original string for ANY unicode input (and any text containing
+    * operator lookalikes like "ET" — strings parse before operators).
+    * Alternating Flate compression exercises the inflate path on half
+    * the corpus. */
+  def syntheticPdf(docId: Long, text: String): MediaFile = {
+    val wrapped = new String(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      ISO_8859_1)
+    val escaped = wrapped.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    MediaFile(docId, PdfFixtures.textPdf("1.4", Seq(s"BT ($escaped) Tj ET"),
+      flate = docId % 2 == 0, encrypted = false, reverseKids = false))
+  }
+
   /** The l68-cascade adapter: extracted PDFs as a (id, text) document
     * frame, ready for `Dedup.dedupCorpus` / the quality gates — the
     * "optional PDF ingest stage" in front of the text pipeline. Only

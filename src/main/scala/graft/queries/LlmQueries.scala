@@ -3365,6 +3365,29 @@ object LlmQueries {
         .toDF().orderBy("doc_id"),
       Some(graft.operators.OfficeFixtures.textOracleSql)),
 
+    // L121 — corpus-scale PDF text ROUND TRIP (PdfText.syntheticPdf ∘
+    // extractText): every document's text wraps into a constructed
+    // one-page PDF (escaped literal string, UTF-8 bytes through the
+    // byte-preserving Latin-1 wrap, Flate on even ids) and extracts
+    // back; the oracle is simply the original text — a byte-exact
+    // certification of the whole write→inflate→scan→unescape chain on
+    // 500 real documents, including operator lookalikes ("ET" inside
+    // words) that a naive substring block scan would truncate on.
+    // decode(encode(…)) re-reads the extracted Latin-1 units as UTF-8.
+    "l121_pdf_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.PdfText.syntheticPdf(id, t) })
+        graft.operators.PdfText.extractText(files).toDF()
+          .select(col("doc_id"),
+            decode(encode(col("text"), "ISO-8859-1"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // L116 — NN-descent kNN-graph refinement (Similarity.nnDescent,
     // Dong et al. WWW'11): one fixed neighbors-of-neighbors round over
     // l35's RHP-blocked graph — co-neighbor pairs of every pivot

@@ -153,6 +153,23 @@ class PdfTextSpec extends AnyFunSuite {
     assert(viaSpark == PdfFixtures.textFixtures.map(_._2))
   }
 
+  test("syntheticPdf round-trips arbitrary unicode text byte-exactly") {
+    val rnd = new scala.util.Random(121L)
+    val texts = Seq("plain ascii", "parens (and (nested)) \\ backslash",
+      "café — déjà vu", "日本語 with BT and ET inside", "", "()()\\\\") ++
+      (0 until 100).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "(" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = PdfText.decodePdfText(PdfText.syntheticPdf(i.toLong, t))
+      val back = new String(got.text.getBytes("ISO-8859-1"), "UTF-8")
+      assert(back == t, s"round trip broke for case $i: '${t.take(40)}'")
+    }
+  }
+
   test("extracted PDF text composes into the l68 dedup cascade") {
     import spark.implicits._
     // two PDFs carrying the SAME prose (different versions/layout), one
