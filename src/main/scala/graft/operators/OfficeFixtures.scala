@@ -188,6 +188,15 @@ object OfficeFixtures {
     spark.createDataset(fixtures.map(_._1))
   }
 
+  /** The l122 construction hook: a two-member DOCX around a given
+    * document.xml body (the zip writer is the fixture object's so the
+    * byte-exact construction lives in one place). */
+  private[operators] def buildSyntheticDocx(documentXml: String,
+                                            deflate: Boolean): Array[Byte] =
+    buildZip(Seq(
+      Member("[Content_Types].xml", ContentTypes, deflate = deflate),
+      Member("word/document.xml", s(documentXml), deflate = deflate)))
+
   /** (payload, expected text) for l120 — hand-derived from the SAME
     * member sources (paragraph-run concatenation for DOCX, spine-order
     * XHTML stripping for EPUB), never from the parser under test. */

@@ -311,6 +311,29 @@ object OfficeZip {
         col("n_chars") > 0)
       .select(col("doc_id").as(idCol), col("text").as(textCol))
 
+  /** Construction half of the corpus-scale ROUND-TRIP certification
+    * (l122, the l121 twin): wrap a document's text into a minimal DOCX
+    * whose single paragraph is split across TWO `<w:t>` runs at the
+    * midpoint — so the extractor's run concatenation is load-bearing
+    * on every row — with the XML-reserved characters entity-escaped
+    * per run. Members carry UTF-8 directly (zip payloads are bytes),
+    * so any unicode text round-trips; Deflate on even ids exercises
+    * the inflate path on half the corpus. */
+  def syntheticDocx(docId: Long, text: String): MediaFile = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    var cut = text.length / 2
+    if (cut > 0 && cut < text.length && Character.isLowSurrogate(text.charAt(cut)))
+      cut -= 1 // never split a surrogate pair across runs
+    val (r1, r2) = (esc(text.substring(0, cut)), esc(text.substring(cut)))
+    val doc = "<?xml version=\"1.0\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      s"<w:p><w:r><w:t xml:space=\"preserve\">$r1</w:t></w:r>" +
+      s"<w:r><w:t xml:space=\"preserve\">$r2</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    MediaFile(docId, OfficeFixtures.buildSyntheticDocx(doc, docId % 2 == 0))
+  }
+
   /** Stub fallback with the family's byte-length arithmetic. */
   def decodeOffice(m: MediaFile): OfficeMeta =
     parseOffice(m).getOrElse {

@@ -3388,6 +3388,26 @@ object LlmQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // L122 — corpus-scale DOCX text ROUND TRIP (OfficeZip.syntheticDocx
+    // ∘ extractText, the l121 twin): every document's text wraps into a
+    // constructed DOCX whose one paragraph is SPLIT ACROSS TWO <w:t>
+    // RUNS at the midpoint (run concatenation load-bearing on every
+    // row) with XML entities escaped per run, Deflate on even ids, and
+    // extracts back through the zip central-directory walk + inflate +
+    // w:t fold; the oracle is the original text verbatim.
+    "l122_docx_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.OfficeZip.syntheticDocx(id, t) })
+        graft.operators.OfficeZip.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // L116 — NN-descent kNN-graph refinement (Similarity.nnDescent,
     // Dong et al. WWW'11): one fixed neighbors-of-neighbors round over
     // l35's RHP-blocked graph — co-neighbor pairs of every pivot

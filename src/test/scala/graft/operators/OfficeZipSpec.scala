@@ -92,6 +92,23 @@ class OfficeZipSpec extends AnyFunSuite {
       "one & two three")
   }
 
+  test("syntheticDocx round-trips arbitrary unicode text through run-split escapes") {
+    val rnd = new scala.util.Random(122L)
+    val texts = Seq("plain ascii prose", "amp & lt < gt > mixed", "café — déjà vu",
+      "日本語テキスト", "", "&&&<<<>>>", "a") ++
+      (0 until 100).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "&" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = OfficeZip.decodeOfficeText(OfficeZip.syntheticDocx(i.toLong, t))
+      assert(got.text == t, s"round trip broke for case $i: '${t.take(40)}'")
+      assert(got.format == "docx")
+    }
+  }
+
   test("distributed extractText equals the driver decode; cascade adapter filters") {
     import spark.implicits._
     val viaSpark = OfficeZip.extractText(OfficeFixtures.dataset(spark))
