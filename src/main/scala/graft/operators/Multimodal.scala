@@ -804,9 +804,12 @@ object Multimodal {
   /** Header/trailer walk over the byte string decoded ISO-8859-1 (byte-
     * preserving — stream payloads pass through untouched). Never parses
     * object streams: like the WAV/FLAC walks, this reads STRUCTURE, not
-    * content. Corrupt structure degrades, never throws (the decode
-    * contract): an absurd digit run clamps at 18 digits — still far
-    * past any real page count — instead of overflowing the parse. */
+    * content — the encryption checks are bounded to the trailer dict
+    * and to per-object dictionaries (PdfText's /Length-bounded object
+    * walk), so stream CONTENTS carrying the tokens never flag. Corrupt
+    * structure degrades, never throws (the decode contract): an absurd
+    * digit run clamps at 18 digits — still far past any real page
+    * count — instead of overflowing the parse. */
   def parsePdfMeta(m: MediaFile): Option[PdfMeta] = {
     val s = new String(m.payload, java.nio.charset.StandardCharsets.ISO_8859_1)
     PdfHeader.findFirstMatchIn(s).map { h =>
@@ -827,7 +830,13 @@ object Multimodal {
           dict.contains("/Encrypt")
         }
       }
-      val enc = trailerEnc || PdfXrefEncrypt.findFirstIn(s).isDefined
+      // the /Type /XRef form is tested per OBJECT DICTIONARY (the
+      // object walk excludes stream payloads by /Length), so a content
+      // stream CARRYING the token sequence — e.g. a document whose
+      // text discusses PDF internals, wrapped by l121's synthetic
+      // round trip — cannot flag encryption either
+      val enc = trailerEnc || PdfText.parseObjects(s).valuesIterator.exists(o =>
+        PdfXrefEncrypt.findFirstIn(o.dict).isDefined)
       PdfMeta(m.doc_id, m.payload.length.toLong, h.group(1), pages,
         encrypted = enc,
         has_eof = tail.contains("%%EOF"), container = "pdf")

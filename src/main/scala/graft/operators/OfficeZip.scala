@@ -155,47 +155,33 @@ object OfficeZip {
   private def wsWords(s: String): Long =
     s.split("[ \n\t\r]+").count(_.nonEmpty).toLong
 
-  /** Paragraph texts of `word/document.xml` — each paragraph the
-    * CONCATENATION of its `<w:t>` runs (runs split words arbitrarily;
-    * concatenation is the OOXML reading), entities decoded. */
-  private def docxParagraphs(b: Array[Byte], entries: Seq[ZipEntry]): Seq[String] = {
-    val doc = entryText(b, entries, "word/document.xml").getOrElse("")
+  /** Paragraph texts of a `word/document.xml` body — each paragraph
+    * the CONCATENATION of its `<w:t>` runs (runs split words
+    * arbitrarily; concatenation is the OOXML reading), entities
+    * decoded. */
+  private def docxParagraphsOf(doc: String): Seq[String] =
     doc.split("<w:p[ >]").iterator.map { chunk =>
       WT.findAllMatchIn(chunk).map(m => unescapeXml(m.group(1))).mkString
     }.filter(_.nonEmpty).toSeq
-  }
 
-  /** DOCX fields from `word/document.xml` + `docProps/core.xml`. */
-  private def docxFields(b: Array[Byte], entries: Seq[ZipEntry]): (Long, Long, String, String) = {
-    val doc = entryText(b, entries, "word/document.xml").getOrElse("")
-    val core = entryText(b, entries, "docProps/core.xml").getOrElse("")
-    (wsWords(docxParagraphs(b, entries).mkString("\n")),
-      WP.findAllMatchIn(doc).length.toLong,
-      DcTitle.findFirstMatchIn(core).map(m => unescapeXml(m.group(1))).getOrElse(""),
-      DcLanguage.findFirstMatchIn(core).map(m => unescapeXml(m.group(1))).getOrElse(""))
-  }
-
-  /** EPUB fields from the OPF located via container.xml. */
-  private def epubFields(b: Array[Byte], entries: Seq[ZipEntry]): (Long, String, String) = {
-    val container = entryText(b, entries, "META-INF/container.xml").getOrElse("")
-    val opfPath = RootFile.findFirstMatchIn(container).map(_.group(1))
-    val opf = opfPath.flatMap(p => entryText(b, entries, p)).getOrElse("")
-    (ItemRef.findAllMatchIn(opf).length.toLong,
-      DcTitle.findFirstMatchIn(opf).map(m => unescapeXml(m.group(1))).getOrElse(""),
-      DcLanguage.findFirstMatchIn(opf).map(m => unescapeXml(m.group(1))).getOrElse(""))
-  }
-
-  /** Full decode; None when the payload has no zip magic. */
-  def parseOffice(m: MediaFile): Option[OfficeMeta] = {
+  /**
+   * The single decode pass behind BOTH readouts: metadata always,
+   * text only when `withText` (the meta-only l115 path must not pay
+   * per-chapter inflation). Each member is located and inflated ONCE —
+   * the meta/text split previously re-walked the central directory and
+   * re-read `word/document.xml` per readout.
+   */
+  private def parseOfficeFull(m: MediaFile, withText: Boolean): Option[(OfficeMeta, String)] = {
     val b = m.payload
     if (b.length < 4 || !sigAt(b, 0, 0x03, 0x04)) return None
     val bl = b.length.toLong
+    def degraded = (OfficeMeta(m.doc_id, bl, "zip", 0L, encrypted = false,
+      0L, 0L, "", "", container = "zip"), "")
     try {
       centralDirectory(b) match {
         case None =>
           // zip magic but no readable directory: a truncated download
-          Some(OfficeMeta(m.doc_id, bl, "zip", 0L, encrypted = false,
-            0L, 0L, "", "", container = "zip"))
+          Some(degraded)
         case Some(entries) =>
           val names = entries.map(_.name).toSet
           val enc = entries.exists(e => (e.flag & 1) != 0) ||
@@ -206,24 +192,42 @@ object OfficeZip {
               entryText(b, entries, "mimetype").exists(_.trim == "application/epub+zip"))
               "epub"
             else "zip"
-          val (nWords, nParts, title, lang) =
-            if (enc) (0L, 0L, "", "") // ciphertext is not content
+          val (nWords, nParts, title, lang, text) =
+            if (enc) (0L, 0L, "", "", "") // ciphertext is not content
             else format match {
-              case "docx" => docxFields(b, entries)
+              case "docx" =>
+                val doc = entryText(b, entries, "word/document.xml").getOrElse("")
+                val core = entryText(b, entries, "docProps/core.xml").getOrElse("")
+                val body = docxParagraphsOf(doc).mkString("\n")
+                (wsWords(body), WP.findAllMatchIn(doc).length.toLong,
+                  DcTitle.findFirstMatchIn(core).map(x => unescapeXml(x.group(1))).getOrElse(""),
+                  DcLanguage.findFirstMatchIn(core).map(x => unescapeXml(x.group(1))).getOrElse(""),
+                  if (withText) body else "")
               case "epub" =>
-                val (spine, t, l) = epubFields(b, entries)
-                (0L, spine, t, l)
-              case _ => (0L, 0L, "", "")
+                val container = entryText(b, entries, "META-INF/container.xml").getOrElse("")
+                val opfPath = RootFile.findFirstMatchIn(container).map(_.group(1))
+                val opf = opfPath.flatMap(p => entryText(b, entries, p)).getOrElse("")
+                val opfDir = opfPath.map { p =>
+                  val cut = p.lastIndexOf('/')
+                  if (cut < 0) "" else p.substring(0, cut + 1)
+                }.getOrElse("")
+                (0L, ItemRef.findAllMatchIn(opf).length.toLong,
+                  DcTitle.findFirstMatchIn(opf).map(x => unescapeXml(x.group(1))).getOrElse(""),
+                  DcLanguage.findFirstMatchIn(opf).map(x => unescapeXml(x.group(1))).getOrElse(""),
+                  if (withText) epubChapters(b, entries, opf, opfDir).mkString("\n") else "")
+              case _ => (0L, 0L, "", "", "")
             }
-          Some(OfficeMeta(m.doc_id, bl, format, entries.length.toLong, enc,
-            nWords, nParts, title, lang, container = "zip"))
+          Some((OfficeMeta(m.doc_id, bl, format, entries.length.toLong, enc,
+            nWords, nParts, title, lang, container = "zip"), text))
       }
     } catch {
-      case NonFatal(_) =>
-        Some(OfficeMeta(m.doc_id, bl, "zip", 0L, encrypted = false,
-          0L, 0L, "", "", container = "zip"))
+      case NonFatal(_) => Some(degraded)
     }
   }
+
+  /** Full metadata decode; None when the payload has no zip magic. */
+  def parseOffice(m: MediaFile): Option[OfficeMeta] =
+    parseOfficeFull(m, withText = false).map(_._1)
 
   // ------------------------------------------------------ text payload
 
@@ -239,30 +243,31 @@ object OfficeZip {
     * whitespace runs — the driver-side mirror of the
     * `TextFunctions.htmlToText` chain's tail, compact enough to run
     * inside the decode `mapPartitions`. */
+  private val ScriptBlock = "(?is)<script[^>]*>.*?</script>".r
+  private val StyleBlock = "(?is)<style[^>]*>.*?</style>".r
+  private val AnyTag = "<[^>]*>".r
+  private val WsRun = "[ \n\t\r]+".r
+
   private[operators] def stripXhtml(html: String): String = {
-    val noScript = "(?is)<script[^>]*>.*?</script>".r.replaceAllIn(html, " ")
-    val noStyle = "(?is)<style[^>]*>.*?</style>".r.replaceAllIn(noScript, " ")
-    val noTags = "<[^>]*>".r.replaceAllIn(noStyle, " ")
-    "[ \n\t\r]+".r.replaceAllIn(unescapeXml(noTags), " ").trim
+    val noScript = ScriptBlock.replaceAllIn(html, " ")
+    val noStyle = StyleBlock.replaceAllIn(noScript, " ")
+    val noTags = AnyTag.replaceAllIn(noStyle, " ")
+    WsRun.replaceAllIn(unescapeXml(noTags), " ").trim
   }
 
-  private val ManifestItem = "(?s)<item\\b[^>]*>|(?s)<item\\b[^>]*/>".r
+  // [^>]* already spans a self-closing tag's trailing '/', so one
+  // alternative covers <item …> and <item …/>
+  private val ManifestItem = "<item\\b[^>]*>".r
   private val AttrId = "\\bid\\s*=\\s*\"([^\"]*)\"".r
   private val AttrHref = "\\bhref\\s*=\\s*\"([^\"]*)\"".r
   private val SpineIdref = "<itemref\\b[^>]*\\bidref\\s*=\\s*\"([^\"]*)\"".r
 
-  /** EPUB chapter texts in SPINE order: container.xml → OPF → manifest
-    * (id → href, resolved relative to the OPF's directory) → spine
-    * idrefs; each resolvable chapter entry strips to prose. Missing
-    * manifest ids / absent entries contribute nothing (degrade). */
-  private def epubChapters(b: Array[Byte], entries: Seq[ZipEntry]): Seq[String] = {
-    val container = entryText(b, entries, "META-INF/container.xml").getOrElse("")
-    val opfPath = RootFile.findFirstMatchIn(container).map(_.group(1))
-    val opf = opfPath.flatMap(p => entryText(b, entries, p)).getOrElse("")
-    val opfDir = opfPath.map { p =>
-      val cut = p.lastIndexOf('/')
-      if (cut < 0) "" else p.substring(0, cut + 1)
-    }.getOrElse("")
+  /** EPUB chapter texts in SPINE order over an already-located OPF:
+    * manifest (id → href, resolved relative to the OPF's directory) →
+    * spine idrefs; each resolvable chapter entry strips to prose.
+    * Missing manifest ids / absent entries contribute nothing. */
+  private def epubChapters(b: Array[Byte], entries: Seq[ZipEntry],
+                           opf: String, opfDir: String): Seq[String] = {
     val hrefById = ManifestItem.findAllIn(opf).map { item =>
       (AttrId.findFirstMatchIn(item).map(_.group(1)),
         AttrHref.findFirstMatchIn(item).map(_.group(1)))
@@ -276,17 +281,7 @@ object OfficeZip {
 
   /** Full text extraction; None when the payload has no zip magic. */
   def parseOfficeText(m: MediaFile): Option[OfficeText] =
-    parseOffice(m).map { meta =>
-      val text =
-        if (meta.encrypted || meta.container != "zip") ""
-        else try {
-          val entries = centralDirectory(m.payload).getOrElse(Seq.empty)
-          meta.format match {
-            case "docx" => docxParagraphs(m.payload, entries).mkString("\n")
-            case "epub" => epubChapters(m.payload, entries).mkString("\n")
-            case _ => ""
-          }
-        } catch { case NonFatal(_) => "" }
+    parseOfficeFull(m, withText = true).map { case (meta, text) =>
       OfficeText(m.doc_id, meta.format, text, text.length.toLong, meta.container)
     }
 

@@ -60,7 +60,7 @@ object PdfText {
 
   /** One indirect object: dictionary text (balanced `<< >>` extent,
     * empty when absent) + raw stream payload when present. */
-  private final case class PdfObj(dict: String, stream: Option[String])
+  private[operators] final case class PdfObj(dict: String, stream: Option[String])
 
   private val MaxInflated = 64 << 20 // per-stream zip-bomb cap
 
@@ -105,7 +105,7 @@ object PdfText {
     * `endstream` keyword; keyword-scan fallback otherwise — binary
     * stream data must not derail the walk). Incremental updates keep
     * LAST-writer-wins, the PDF update semantics. */
-  private def parseObjects(s: String): mutable.LinkedHashMap[Long, PdfObj] = {
+  private[operators] def parseObjects(s: String): mutable.LinkedHashMap[Long, PdfObj] = {
     val out = mutable.LinkedHashMap[Long, PdfObj]()
     val objPat = java.util.regex.Pattern.compile("(\\d{1,9})\\s+\\d{1,5}\\s+obj\\b")
     val mt = objPat.matcher(s)

@@ -170,6 +170,18 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  test("XRef-encrypt lookalikes inside stream text do not blank extraction") {
+    // a document whose TEXT discusses PDF internals: the token sequence
+    // lives in a /Length-bounded content stream, outside any object
+    // dict, so the per-dict /Type /XRef scan must not flag encryption
+    val t = "manual says << /Type /XRef /Encrypt 5 0 R >> marks encryption"
+    Seq(true, false).foreach { flate =>
+      val id = if (flate) 2L else 1L // even id = Flate in syntheticPdf
+      val got = PdfText.decodePdfText(PdfText.syntheticPdf(id, t))
+      assert(got.text == t, s"flate=$flate: got '${got.text}'")
+    }
+  }
+
   test("extracted PDF text composes into the l68 dedup cascade") {
     import spark.implicits._
     // two PDFs carrying the SAME prose (different versions/layout), one
