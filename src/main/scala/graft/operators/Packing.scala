@@ -99,6 +99,29 @@ object Packing {
   }
 
   /**
+   * BYTE-level-BPE-budgeted packing (l123): the same layout with the
+   * budget counted in the GPT-lineage tokenizer's own tokens
+   * ([[ByteBpe.tokenCounts]] — pre-tokenizer explode + distinct-token
+   * broadcast-rank encode + shuffle-hash join-back), which is what
+   * production dataloader budgets actually price in. Whitespace is
+   * DATA here (a space costs a byte unit or merges into 'Ġword'
+   * pieces), unlike [[sequencePackBpe]]'s word-level budget. With the
+   * EMPTY merge table every token prices at its UTF-8 byte count and —
+   * because the pre-tokenizer provably tiles text — the budget
+   * degenerates to `octet_length(text)`, the oracle-expressible form
+   * the declared query certifies; trained tables are golden-pinned by
+   * l114. Zero-token documents emit no rows (the packLayout contract
+   * shared by every front-end).
+   */
+  def sequencePackByteBpe(docs: DataFrame, textCol: String, idCol: String,
+                          merges: Seq[(String, String)], seqLen: Long,
+                          idChunk: Long = 1L << 16): DataFrame =
+    packLayout(
+      ByteBpe.tokenCounts(docs, idCol, textCol, merges)
+        .select(col(idCol), col("n_tokens").as("__n")),
+      idCol, seqLen, idChunk)
+
+  /**
    * Split-AVERSE whole-document packing (l86) — the Llama-class layout
    * that keeps attention within documents: every document ≤ `seqLen`
    * tokens is placed WHOLE into exactly one `seqLen`-token bin (never

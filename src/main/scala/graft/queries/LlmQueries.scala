@@ -2116,6 +2116,32 @@ object LlmQueries {
         "CAST(LEAST(n_tok, (seq_id + 1) * 512 - st) AS BIGINT) AS tok_to " +
         "FROM x ORDER BY seq_id, doc_id")),
 
+    // L123 — BYTE-level-BPE-budgeted packing
+    // (Packing.sequencePackByteBpe): l89's layout with the sequence
+    // budget in the GPT lineage's own tokens (ByteBpe.tokenCounts —
+    // whitespace is data, unlike the word-level l89). Declared with
+    // the EMPTY merge table: the pre-tokenizer provably tiles text
+    // (ByteBpeSpec), so each document prices at octet_length(text) and
+    // the oracle certifies the whole live path — pre-token explode,
+    // distinct-token encode join-back, chunked prefix sum, explode —
+    // with zero BPE arithmetic left unchecked (trained tables
+    // golden-pinned by l114).
+    "l123_pack_bytebpe" -> QueryDef(
+      (s, d) => graft.operators.Packing.sequencePackByteBpe(
+          Tables.documents(s, d), "text", "doc_id", Seq.empty, seqLen = 512L)
+        .orderBy("seq_id", "doc_id"),
+      Some("WITH n AS (SELECT doc_id, octet_length(encode(text)) AS n_tok " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, n_tok, " +
+        "CAST(SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS st FROM n), " +
+        "x AS (SELECT doc_id, n_tok, st, " +
+        "UNNEST(generate_series(st // 512, CAST((st + n_tok - 1) // 512 AS BIGINT))) AS seq_id " +
+        "FROM p WHERE n_tok > 0) " +
+        "SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, " +
+        "CAST(GREATEST(0, seq_id * 512 - st) AS BIGINT) AS tok_from, " +
+        "CAST(LEAST(n_tok, (seq_id + 1) * 512 - st) AS BIGINT) AS tok_to " +
+        "FROM x ORDER BY seq_id, doc_id")),
+
     // L90 — token-budget mixture sampling (Sampling.tokenBudgetMix):
     // the dataloader-facing mixing knob — a training recipe says "B
     // tokens at mixture w" and each language should contribute

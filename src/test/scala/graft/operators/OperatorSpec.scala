@@ -902,6 +902,22 @@ class OperatorSpec extends AnyFunSuite {
       Seq((0L, 30L, 0L, 4L)))
   }
 
+  test("Packing.sequencePackByteBpe: empty table prices bytes; trained merges shrink budgets") {
+    val docs = Seq((1L, "aa aa"), (2L, "bb")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select("seq_id", "doc_id", "tok_from", "tok_to")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // empty merges: "aa"=2 byte units + " aa"=3 ('Ġ'+2) = 5; "bb"=2;
+    // seqLen 4 cuts doc1 at [0,4)+[4,5), doc2 lands in seq 1
+    assert(rows(Packing.sequencePackByteBpe(docs, "text", "doc_id", Seq.empty, 4L)) ==
+      Seq((0L, 1L, 0L, 4L), (1L, 1L, 4L, 5L), (1L, 2L, 0L, 2L)))
+    // trained merges collapse every pre-token to ONE piece ("aa",
+    // then 'Ġ'+"aa", then "bb"): doc1 = 2 tokens, doc2 = 1 — all fit seq 0
+    val merges = Seq(("a", "a"), ("Ġ", "aa"), ("b", "b"))
+    assert(rows(Packing.sequencePackByteBpe(docs, "text", "doc_id", merges, 4L)) ==
+      Seq((0L, 1L, 0L, 2L), (0L, 2L, 0L, 1L)))
+  }
+
   test("Similarity PQ: training is deterministic; ADC+rerank recalls the true top-10") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("embedding"))
