@@ -170,15 +170,20 @@ object ByteBpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
-    val occ = docs.select(col(idCol), explode(regexp_extract_all(
+    // pre-aggregate (doc, token) MULTIPLICITIES before the join — the
+    // sequencePackBpe pattern: a doc repeating ' the' 10,000 times
+    // carries ONE row with __m = 10,000 through the join, not 10,000
+    // occurrence rows (the explode itself map-side combines into this agg)
+    val dm = docs.select(col(idCol), explode(regexp_extract_all(
         col(textCol), lit(PreTokenPattern), lit(0))).as("tok"))
-    val perTok = occ.select(col("tok")).distinct().as[String]
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__m"))
+    val perTok = dm.select(col("tok")).distinct().as[String]
       .mapPartitions { it =>
         it.map(t => (t, Bpe.encodeWord(toByteUnits(t), bc.value).length.toLong))
       }
       .toDF("tok", "n_syms")
-    val counted = occ.join(perTok.hint("shuffle_hash"), Seq("tok"))
-      .groupBy(idCol).agg(sum(col("n_syms")).as("__nt"))
+    val counted = dm.join(perTok.hint("shuffle_hash"), Seq("tok"))
+      .groupBy(idCol).agg(sum(col("__m") * col("n_syms")).as("__nt"))
     docs.select(col(idCol))
       .join(counted.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__nt"), lit(0L)).as("n_tokens"))

@@ -835,8 +835,9 @@ object Multimodal {
       // stream CARRYING the token sequence — e.g. a document whose
       // text discusses PDF internals, wrapped by l121's synthetic
       // round trip — cannot flag encryption either
-      val enc = trailerEnc || PdfText.parseObjects(s).valuesIterator.exists(o =>
-        PdfXrefEncrypt.findFirstIn(o.dict).isDefined)
+      val enc = trailerEnc ||
+        PdfText.parseObjects(s, withStreams = false).valuesIterator.exists(o =>
+          PdfXrefEncrypt.findFirstIn(o.dict).isDefined)
       PdfMeta(m.doc_id, m.payload.length.toLong, h.group(1), pages,
         encrypted = enc,
         has_eof = tail.contains("%%EOF"), container = "pdf")

@@ -60,8 +60,6 @@ object OfficeZip {
                               title: String, language: String,
                               container: String)
 
-  private val MaxInflated = 64 << 20
-
   /** One central-directory row (sizes/offsets are u32 — zip64 not
     * walked; a 4 GiB+ member degrades, stated not faked). */
   private[operators] final case class ZipEntry(name: String, method: Int,

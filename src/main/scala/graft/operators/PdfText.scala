@@ -104,8 +104,11 @@ object PdfText {
     * stream (`/Length`-bounded when the direct length lines up with an
     * `endstream` keyword; keyword-scan fallback otherwise — binary
     * stream data must not derail the walk). Incremental updates keep
-    * LAST-writer-wins, the PDF update semantics. */
-  private[operators] def parseObjects(s: String): mutable.LinkedHashMap[Long, PdfObj] = {
+    * LAST-writer-wins, the PDF update semantics. `withStreams = false`
+    * still computes stream EXTENTS (the walk must skip them) but never
+    * materializes their payload substrings — the dict-only mode the
+    * metadata encryption check uses. */
+  private[operators] def parseObjects(s: String, withStreams: Boolean = true): mutable.LinkedHashMap[Long, PdfObj] = {
     val out = mutable.LinkedHashMap[Long, PdfObj]()
     val objPat = java.util.regex.Pattern.compile("(\\d{1,9})\\s+\\d{1,5}\\s+obj\\b")
     val mt = objPat.matcher(s)
@@ -143,7 +146,8 @@ object PdfText {
             k
           }
         }
-        stream = Some(s.substring(d, math.min(end, s.length)))
+        if (withStreams) stream = Some(s.substring(d, math.min(end, s.length)))
+        else stream = Some("") // extent skipped; payload not materialized
         next = s.indexOf("endobj", math.min(end, s.length)) match {
           case -1 => math.min(end + 9, s.length)
           case e  => e + 6
@@ -346,6 +350,10 @@ object PdfText {
       } else if (c == '\'' || c == '"') {
         if (inText) { newline(); sb.append(pending); pending = "" }
         i += 1
+      } else if (c == '%') { // comment: runs to end of line (legal
+        // whitespace in content streams) — a '(' inside one must not
+        // open a string parse and swallow the rest of the stream
+        while (i < to && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
       } else if (c == '/') { // name token: skip so /Tj-ish names never fire ops
         i += 1
         while (i < to && !Character.isWhitespace(cs.charAt(i)) &&

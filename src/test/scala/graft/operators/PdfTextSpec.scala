@@ -83,6 +83,18 @@ class PdfTextSpec extends AnyFunSuite {
     assert(outside.text == "yes")
   }
 
+  test("'%' comments: a '(' inside a comment cannot swallow the stream") {
+    val content = "BT (shown) Tj % draft note :(\n(more text) Tj ET"
+    val body = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val got = PdfText.decodePdfText(MediaFile(1L, body))
+    assert(got.text == "shownmore text", s"got '${got.text}'")
+  }
+
   test("contentless pages do not fall back to scanning unrelated streams") {
     // valid tree, one blank page (no /Contents), plus a binary-ish
     // stream containing text-lookalike bytes: extraction must be ""
