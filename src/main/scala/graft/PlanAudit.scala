@@ -23,8 +23,11 @@ object PlanAudit {
   // l86's window is the class-offset prefix over the length-class
   // table — ≤ O(√seqLen) rows (distinct values of seqLen div n) at ANY
   // corpus size.
+  // l123 shares l80/l89's packLayout verbatim (byte-BPE-priced counts
+  // in, same chunk-level prefix window), so the same rationale holds.
   private val allowPartitionlessWindow =
-    Set("t7_global_state", "l80_seq_pack", "l89_pack_bpe", "l86_pack_whole")
+    Set("t7_global_state", "l80_seq_pack", "l89_pack_bpe", "l86_pack_whole",
+      "l123_pack_bytebpe")
   // Deliberately key-less broadcast joins whose small side is NOT a
   // provable 1-row scalar (those are recognized structurally by
   // [[isScalarBroadcast]] instead of by name): l3/l44 broadcast the
