@@ -197,6 +197,24 @@ object OfficeFixtures {
       Member("[Content_Types].xml", ContentTypes, deflate = deflate),
       Member("word/document.xml", s(documentXml), deflate = deflate)))
 
+  /** The l124 construction hook: a minimal four-member EPUB around a
+    * given chapter XHTML body. */
+  private[operators] def buildSyntheticEpub(chapterXhtml: String,
+                                            deflate: Boolean): Array[Byte] =
+    buildZip(Seq(
+      Member("mimetype", s("application/epub+zip")),
+      Member("META-INF/container.xml", s("<?xml version=\"1.0\"?>" +
+        "<container xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\" version=\"1.0\">" +
+        "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+        "media-type=\"application/oebps-package+xml\"/></rootfiles></container>")),
+      Member("OEBPS/content.opf", s("<?xml version=\"1.0\"?>" +
+        "<package xmlns=\"http://www.idpf.org/2007/opf\" version=\"3.0\">" +
+        "<metadata xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+        "<dc:title>wrapped</dc:title><dc:language>en</dc:language></metadata>" +
+        "<manifest><item id=\"c1\" href=\"ch1.xhtml\"/></manifest>" +
+        "<spine><itemref idref=\"c1\"/></spine></package>"), deflate = deflate),
+      Member("OEBPS/ch1.xhtml", s(chapterXhtml), deflate = deflate)))
+
   /** (payload, expected text) for l120 — hand-derived from the SAME
     * member sources (paragraph-run concatenation for DOCX, spine-order
     * XHTML stripping for EPUB), never from the parser under test. */

@@ -327,6 +327,20 @@ object OfficeZip {
     MediaFile(docId, OfficeFixtures.buildSyntheticDocx(doc, docId % 2 == 0))
   }
 
+  /** Construction half of the EPUB round trip (l124, completing the
+    * PDF/DOCX/EPUB triptych): wrap a document's text into a one-chapter
+    * EPUB (entity-escaped `<p>` body, Deflate on even ids). Unlike the
+    * byte-exact l121/l122, EPUB extraction goes through [[stripXhtml]]
+    * — a whitespace-COLLAPSING prose strip — so the round-trip
+    * invariant is `trim(collapse-ws(text))`, which the oracle restates
+    * with the same dialect-neutral character class. */
+  def syntheticEpub(docId: Long, text: String): MediaFile = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    MediaFile(docId, OfficeFixtures.buildSyntheticEpub(
+      s"<html><body><p>${esc(text)}</p></body></html>", docId % 2 == 0))
+  }
+
   /** Stub fallback with the family's byte-length arithmetic. */
   def decodeOffice(m: MediaFile): OfficeMeta =
     parseOffice(m).getOrElse {

@@ -2142,6 +2142,30 @@ object LlmQueries {
         "CAST(LEAST(n_tok, (seq_id + 1) * 512 - st) AS BIGINT) AS tok_to " +
         "FROM x ORDER BY seq_id, doc_id")),
 
+    // L124 — corpus-scale EPUB text ROUND TRIP (OfficeZip.syntheticEpub
+    // ∘ extractText, completing the l121/l122 container triptych):
+    // every document's text wraps into a one-chapter EPUB
+    // (entity-escaped <p> body, Deflate on even ids) and extracts back
+    // through container.xml → OPF manifest → spine → stripXhtml.
+    // Unlike the byte-exact PDF/DOCX trips, the prose strip COLLAPSES
+    // whitespace runs and trims, so the certified invariant is
+    // trim(collapse-ws(text)) — the oracle restates the identical
+    // dialect-neutral collapse.
+    "l124_epub_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.OfficeZip.syntheticEpub(id, t) })
+        graft.operators.OfficeZip.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "trim(regexp_replace(text, '[ \\n\\t\\r]+', ' ', 'g')) AS text " +
+        "FROM documents ORDER BY doc_id")),
+
     // L90 — token-budget mixture sampling (Sampling.tokenBudgetMix):
     // the dataloader-facing mixing knob — a training recipe says "B
     // tokens at mixture w" and each language should contribute

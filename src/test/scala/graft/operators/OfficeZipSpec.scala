@@ -109,6 +109,26 @@ class OfficeZipSpec extends AnyFunSuite {
     }
   }
 
+  test("syntheticEpub round-trips under the collapse-ws invariant") {
+    def collapsed(s: String): String =
+      "[ \n\t\r]+".r.replaceAllIn(s, " ").trim
+    val rnd = new scala.util.Random(124L)
+    val texts = Seq("plain prose", "amp & lt < gt >", "  leading and trailing  ",
+      "runs   of\t\nwhitespace inside", "café 日本語", "") ++
+      (0 until 80).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) " " else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = OfficeZip.decodeOfficeText(OfficeZip.syntheticEpub(i.toLong, t))
+      assert(got.format == "epub")
+      assert(got.text == collapsed(t),
+        s"collapse invariant broke for case $i: '${t.take(40)}'")
+    }
+  }
+
   test("distributed extractText equals the driver decode; cascade adapter filters") {
     import spark.implicits._
     val viaSpark = OfficeZip.extractText(OfficeFixtures.dataset(spark))
