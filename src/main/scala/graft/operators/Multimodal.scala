@@ -783,12 +783,12 @@ object Multimodal {
     * truncated downloads). `container` tags the decode path
     * ("pdf"/"stub").
     *
-    * Known limit, stated rather than hidden: a PDF 1.5+ file whose
-    * page tree lives entirely inside Flate-compressed OBJECT streams
-    * reports the conservative `n_pages = 0` — counting those pages
-    * requires stream inflation and xref decoding, a full PDF reader's
-    * job, not a structural walk's. Encryption and EOF integrity (the
-    * curation gates) are detected in both layouts. */
+    * PDF 1.5+ compressed layouts resolve too: the object walk expands
+    * `/Type /ObjStm` object streams (ISO 32000 §7.5.7), so page trees
+    * packed into compressed object streams still yield their `/Count`,
+    * and `/Encrypt` inside an ObjStm-carried trailer-equivalent dict is
+    * seen by the per-dict check. Encryption and EOF integrity (the
+    * curation gates) are detected in every layout. */
   final case class PdfMeta(doc_id: Long, byte_len: Long, version: String,
                            n_pages: Long, encrypted: Boolean,
                            has_eof: Boolean, container: String)
@@ -813,9 +813,18 @@ object Multimodal {
   def parsePdfMeta(m: MediaFile): Option[PdfMeta] = {
     val s = new String(m.payload, java.nio.charset.StandardCharsets.ISO_8859_1)
     PdfHeader.findFirstMatchIn(s).map { h =>
-      val pages = PdfPagesCount.findAllMatchIn(s).map { mm =>
-        Option(mm.group(1)).getOrElse(mm.group(2)).take(18).toLong
-      }.foldLeft(0L)(math.max)
+      // one dict-only object walk serves BOTH the page count and the
+      // XRef-encryption check — /Count is read per page-tree DICT, not
+      // over the whole byte string, so a content stream whose text
+      // mentions a page-tree dictionary (an l121-wrapped document
+      // discussing PDF internals) cannot inflate n_pages
+      val objDicts =
+        PdfText.parseObjects(s, withStreams = false).valuesIterator
+          .map(_.dict).toVector
+      val pages = objDicts.iterator.flatMap(PdfPagesCount.findAllMatchIn)
+        .map { mm =>
+          Option(mm.group(1)).getOrElse(mm.group(2)).take(18).toLong
+        }.foldLeft(0L)(math.max)
       val tail = s.substring(math.max(0, s.length - 1024))
       // /Encrypt counts only INSIDE the last trailer's balanced
       // << … >> dictionary — content appended after the final trailer
@@ -834,10 +843,11 @@ object Multimodal {
       // object walk excludes stream payloads by /Length), so a content
       // stream CARRYING the token sequence — e.g. a document whose
       // text discusses PDF internals, wrapped by l121's synthetic
-      // round trip — cannot flag encryption either
-      val enc = trailerEnc ||
-        PdfText.parseObjects(s, withStreams = false).valuesIterator.exists(o =>
-          PdfXrefEncrypt.findFirstIn(o.dict).isDefined)
+      // round trip — cannot flag encryption either; the regex scan is
+      // gated on a cheap substring test since virtually no document
+      // carries the token at all
+      val enc = trailerEnc || (s.contains("/Encrypt") &&
+        objDicts.exists(d => PdfXrefEncrypt.findFirstIn(d).isDefined))
       PdfMeta(m.doc_id, m.payload.length.toLong, h.group(1), pages,
         encrypted = enc,
         has_eof = tail.contains("%%EOF"), container = "pdf")

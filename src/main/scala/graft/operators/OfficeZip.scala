@@ -122,9 +122,14 @@ object OfficeZip {
     if (off < 0 || off + 30 > b.length || !sigAt(b, off, 0x03, 0x04)) return None
     val nameLen = u16(b, off + 26)
     val extraLen = u16(b, off + 28)
-    val start = off + 30 + nameLen + extraLen
-    val end = start + e.compSize.toInt
-    if (start < 0 || end > b.length || e.compSize > Int.MaxValue) return None
+    // bounds arithmetic in Long BEFORE narrowing — a crafted central
+    // directory with compSize just under 2^31 would overflow Int and
+    // slip a negative `end` past the length check
+    val startL = off + 30L + nameLen + extraLen
+    val endL = startL + e.compSize
+    if (startL < 0 || endL > b.length || e.compSize > Int.MaxValue) return None
+    val start = startL.toInt
+    val end = endL.toInt
     e.method match {
       case 0 => Some(java.util.Arrays.copyOfRange(b, start, end))
       case 8 => // raw deflate — the shared capped inflate (PdfText)

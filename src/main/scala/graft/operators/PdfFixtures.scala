@@ -58,6 +58,11 @@ object PdfFixtures {
     val enc = pdf("2.0", 2, encrypted = true)
     val trunc = truncated("1.5")
     val text = textPayload
+    // the PDF 1.5+ compressed layout: page tree inside a /Type /ObjStm,
+    // xref as a stream, no trailer keyword — n_pages comes from the
+    // EXPANDED embedded page-tree dict
+    val objstm = objStmPdf("1.6",
+      Seq("BT (m1) Tj ET", "BT (m2) Tj ET", "BT (m3) Tj ET"), flate = true)
     Seq(
       (MediaFile(1L, single),
         PdfMeta(1L, single.length.toLong, "1.4", 1L, encrypted = false,
@@ -71,7 +76,10 @@ object PdfFixtures {
       (MediaFile(4L, trunc),
         PdfMeta(4L, trunc.length.toLong, "1.5", 0L, encrypted = false,
           has_eof = false, container = "pdf")),
-      (MediaFile(5L, text), stubExpected(5L, text.length.toLong)))
+      (MediaFile(5L, text), stubExpected(5L, text.length.toLong)),
+      (MediaFile(6L, objstm),
+        PdfMeta(6L, objstm.length.toLong, "1.6", 3L, encrypted = false,
+          has_eof = true, container = "pdf")))
   }
 
   /** The l112 input frame. */
@@ -144,6 +152,60 @@ object PdfFixtures {
       "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
   }
 
+  /** The PDF 1.5+ COMPRESSED layout (ISO 32000 §7.5.7–8): catalog,
+    * page tree, and page dicts all live inside ONE Flate-compressed
+    * `/Type /ObjStm` object stream (object 1) — `/N` `objnum offset`
+    * header pairs, objects at `/First`-relative offsets; content
+    * streams stay regular objects (the spec forbids streams inside an
+    * ObjStm); the cross-reference is a `/Type /XRef` STREAM whose
+    * plaintext dict carries `/Root` — NO `trailer` keyword anywhere,
+    * the modern shape most post-2007 writers emit. `truncateObjStm`
+    * halves the deflate payload (keeping its advertised /Length) for
+    * the degrade-never-throw fuzz check. */
+  private[operators] def objStmPdf(version: String, pageSources: Seq[String],
+                                   flate: Boolean,
+                                   truncateObjStm: Boolean = false): Array[Byte] = {
+    val n = pageSources.length
+    // embedded: catalog=2, pages=3, page k = 4+k; content k = 4+n+k (regular)
+    val kids = (0 until n).map(k => s"${4 + k} 0 R").mkString("[", " ", "]")
+    val embedded: Seq[(Int, String)] =
+      Seq(2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> s"<< /Type /Pages /Kids $kids /Count $n >>") ++
+        (0 until n).map(k => (4 + k) ->
+          (s"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+            s"/Contents ${4 + n + k} 0 R >>"))
+    val header = new StringBuilder
+    val body = new StringBuilder
+    embedded.foreach { case (num, src) =>
+      header.append(s"$num ${body.length} ")
+      body.append(src).append('\n')
+    }
+    val first = header.length
+    val in = (header.toString + body.toString).getBytes("ISO-8859-1")
+    val d = new java.util.zip.Deflater()
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](in.length * 2 + 64)
+    val m = d.deflate(buf); d.end()
+    val full = new String(buf, 0, m, "ISO-8859-1")
+    val packed = if (truncateObjStm) full.substring(0, full.length / 2) else full
+    val objStm =
+      s"1 0 obj\n<< /Type /ObjStm /N ${embedded.length} /First $first " +
+        s"/Length ${packed.length} /Filter /FlateDecode >>\n" +
+        s"stream\n$packed\nendstream\nendobj\n"
+    val contents = (0 until n).map(k =>
+      contentObj(4 + n + k, pageSources(k), flate)).mkString
+    val xrefNum = 4 + 2 * n
+    // fake W [1 1 1] rows — locations come from the keyword walk, the
+    // xref stream is here for its PLAINTEXT dict (/Root), per the spec
+    val xrefData = "  " * (xrefNum + 1)
+    val xref =
+      s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [1 1 1] " +
+        s"/Root 2 0 R /Length ${xrefData.length} >>\n" +
+        s"stream\n$xrefData\nendstream\nendobj\n"
+    (s"%PDF-$version\n" + objStm + contents + xref +
+      "startxref\n9\n%%EOF\n").getBytes("ISO-8859-1")
+  }
+
   /** (payload, expected extraction) for l113 — expectations hand-folded
     * from the SAME operator sources written into each content stream
     * (the extraction contract in [[PdfText]]'s doc), never from the
@@ -176,13 +238,22 @@ object PdfFixtures {
     // 5: not a PDF — stub arithmetic; 6: truncated header-only
     val t5 = textPayload
     val t6 = truncated("1.5")
+    // 7: PDF 1.5+ compressed layout — page tree inside a Flate ObjStm,
+    // xref stream with plaintext /Root dict, no trailer keyword; the
+    // page-2 TD before its first glyph adds nothing (page join already
+    // ended with \n)
+    val t7 = objStmPdf("1.5", Seq(
+      "BT (COMPRESSED ALPHA) Tj ET",
+      "BT 0 -14 TD (COMPRESSED BRAVO) Tj ET"), flate = true)
+    val t7text = "COMPRESSED ALPHA\nCOMPRESSED BRAVO"
     Seq(
       (MediaFile(1L, t1), PdfText.Doc(1L, 1L, t1text, t1text.length.toLong, "pdf")),
       (MediaFile(2L, t2), PdfText.Doc(2L, 2L, t2text, t2text.length.toLong, "pdf")),
       (MediaFile(3L, t3), PdfText.Doc(3L, 1L, t3text, t3text.length.toLong, "pdf")),
       (MediaFile(4L, t4), PdfText.Doc(4L, 1L, "", 0L, "pdf")),
       (MediaFile(5L, t5), PdfText.Doc(5L, 1L + t5.length % 9L, "", 0L, "stub")),
-      (MediaFile(6L, t6), PdfText.Doc(6L, 0L, "", 0L, "pdf")))
+      (MediaFile(6L, t6), PdfText.Doc(6L, 0L, "", 0L, "pdf")),
+      (MediaFile(7L, t7), PdfText.Doc(7L, 2L, t7text, t7text.length.toLong, "pdf")))
   }
 
   /** The l113 input frame. */

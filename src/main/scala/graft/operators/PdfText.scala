@@ -107,7 +107,17 @@ object PdfText {
     * LAST-writer-wins, the PDF update semantics. `withStreams = false`
     * still computes stream EXTENTS (the walk must skip them) but never
     * materializes their payload substrings — the dict-only mode the
-    * metadata encryption check uses. */
+    * metadata encryption check uses — EXCEPT for `/Type /ObjStm`
+    * object streams (ISO 32000 §7.5.7), whose payload holds the
+    * embedded objects' dictionaries and is therefore inflated and
+    * expanded in BOTH modes: each `num offset` pair of the stream
+    * header yields an embedded object inserted at the container's
+    * position (so last-writer-wins composes across layouts). This is
+    * how PDF 1.5+ files whose page trees live in compressed object
+    * streams resolve; the companion cross-reference STREAM
+    * (`/Type /XRef`, §7.5.8) needs no decoding here — its dictionary
+    * (the part carrying `/Root` and `/Encrypt`) is plaintext by spec,
+    * and object locations come from this keyword walk, not the xref. */
   private[operators] def parseObjects(s: String, withStreams: Boolean = true): mutable.LinkedHashMap[Long, PdfObj] = {
     val out = mutable.LinkedHashMap[Long, PdfObj]()
     val objPat = java.util.regex.Pattern.compile("(\\d{1,9})\\s+\\d{1,5}\\s+obj\\b")
@@ -122,6 +132,7 @@ object PdfText {
       var j = afterDict
       while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
       var stream: Option[String] = None
+      var objStmPayload: Option[String] = None
       var next = math.max(j, mt.end)
       if (s.startsWith("stream", j)) {
         var d = j + 6
@@ -146,8 +157,12 @@ object PdfText {
             k
           }
         }
-        if (withStreams) stream = Some(s.substring(d, math.min(end, s.length)))
-        else stream = Some("") // extent skipped; payload not materialized
+        val isObjStm = TypeObjStm.findFirstIn(dict).isDefined
+        val payload =
+          if (withStreams || isObjStm) s.substring(d, math.min(end, s.length))
+          else "" // extent skipped; payload not materialized
+        stream = Some(if (withStreams) payload else "")
+        if (isObjStm) objStmPayload = Some(payload)
         next = s.indexOf("endobj", math.min(end, s.length)) match {
           case -1 => math.min(end + 9, s.length)
           case e  => e + 6
@@ -159,9 +174,50 @@ object PdfText {
         }
       }
       out(num) = PdfObj(dict, stream)
+      // expand AFTER the container insert so embedded objects land at
+      // (and can shadow) this position under last-writer-wins
+      objStmPayload.foreach(expandObjStm(dict, _, out))
       pos = math.max(next, mt.end)
     }
     out
+  }
+
+  private val TypeObjStm = "(?s)/Type\\s*/ObjStm(?![a-zA-Z])".r
+  private val IntPair = "(\\d{1,9})\\s+(\\d{1,9})".r
+
+  /** Expand one `/Type /ObjStm` object stream (ISO 32000 §7.5.7): the
+    * decoded payload is `/N` whitespace-separated `objnum offset`
+    * pairs followed (at `/First`) by the serialized objects, offsets
+    * relative to `/First`. Streams are forbidden inside an ObjStm, so
+    * each embedded object is at most a dictionary — exactly what the
+    * page-tree walk and the metadata checks consume. Corrupt or
+    * truncated payloads expand to however many pairs parse (degrade,
+    * never throw); the 64 MiB inflate cap already bounds the decode. */
+  private def expandObjStm(dict: String, raw: String,
+                           out: mutable.LinkedHashMap[Long, PdfObj]): Unit = {
+    val decoded = decodeStream(dict, raw)
+    if (decoded.isEmpty) return
+    val n = "/N\\s+(\\d{1,9})".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(0)
+    val first = "/First\\s+(\\d{1,9})".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(0)
+    if (n <= 0 || first <= 0 || first > decoded.length) return
+    val pairs = IntPair.findAllMatchIn(decoded.substring(0, first))
+      .map(m => (m.group(1).toLong, m.group(2).toInt)).take(n).toVector
+    val offsets = pairs.map(_._2).sorted // defensive: spec does not require ascending
+    pairs.foreach { case (num, off) =>
+      val start = first.toLong + off
+      if (start <= decoded.length) {
+        val to = offsets.find(_ > off)
+          .map(o => math.min(first.toLong + o, decoded.length).toInt)
+          .getOrElse(decoded.length)
+        var i = start.toInt
+        while (i < to && Character.isWhitespace(decoded.charAt(i))) i += 1
+        val d2 =
+          if (decoded.startsWith("<<", i)) balancedDict(decoded, i)._1 else ""
+        out(num) = PdfObj(d2, None)
+      }
+    }
   }
 
   // ---------------------------------------------------------- page walk
@@ -430,6 +486,26 @@ object PdfText {
     }
     MediaFile(docId, PdfFixtures.textPdf("1.4", Seq(s"BT ($escaped) Tj ET"),
       flate = docId % 2 == 0, encrypted = false, reverseKids = false))
+  }
+
+  /** [[syntheticPdf]]'s PDF 1.5+ twin (l125): same escaped-literal
+    * content stream, but the page tree packed into a Flate-compressed
+    * `/Type /ObjStm` and the cross-reference written as a `/Type /XRef`
+    * stream with no `trailer` keyword — the modern compressed layout
+    * most post-2007 writers emit. A round trip through this shape
+    * certifies the ObjStm header walk, the embedded-dict expansion,
+    * and the xref-stream `/Root` resolution on every document. */
+  def syntheticPdfObjStm(docId: Long, text: String): MediaFile = {
+    val wrapped = new String(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      ISO_8859_1)
+    val escaped = wrapped.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    MediaFile(docId, PdfFixtures.objStmPdf("1.5", Seq(s"BT ($escaped) Tj ET"),
+      flate = docId % 2 == 0))
   }
 
   /** The l68-cascade adapter: extracted PDFs as a (id, text) document

@@ -3445,6 +3445,30 @@ object LlmQueries {
     // row) with XML entities escaped per run, Deflate on even ids, and
     // extracts back through the zip central-directory walk + inflate +
     // w:t fold; the oracle is the original text verbatim.
+    // L125 — PDF 1.5+ COMPRESSED-LAYOUT round trip
+    // (PdfText.syntheticPdfObjStm ∘ extractText): the l121 discipline
+    // over the modern PDF shape — every document's text wraps into a
+    // one-page PDF whose catalog/page-tree/page dicts live inside a
+    // Flate-compressed /Type /ObjStm object stream and whose
+    // cross-reference is a /Type /XRef STREAM (no `trailer` keyword),
+    // then extracts back through the ObjStm header walk + embedded-dict
+    // expansion + xref-stream /Root resolution; oracle = the original
+    // text verbatim. This is the layout most post-2007 real-world PDFs
+    // use — the extractor family's single most common input.
+    "l125_pdf_objstm_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.PdfText.syntheticPdfObjStm(id, t) })
+        graft.operators.PdfText.extractText(files).toDF()
+          .select(col("doc_id"),
+            decode(encode(col("text"), "ISO-8859-1"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     "l122_docx_roundtrip" -> QueryDef(
       (s, d) => {
         import s.implicits._

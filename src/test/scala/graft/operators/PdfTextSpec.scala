@@ -194,6 +194,48 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  test("syntheticPdfObjStm round-trips arbitrary unicode through the compressed layout") {
+    val rnd = new scala.util.Random(125L)
+    val texts = Seq("plain ascii", "parens (and (nested)) \\ backslash",
+      "café — déjà vu", "日本語 with BT and ET inside", "",
+      "text that mentions /Type /ObjStm and /First 42 explicitly") ++
+      (0 until 60).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "(" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = PdfText.decodePdfText(PdfText.syntheticPdfObjStm(i.toLong, t))
+      val back = new String(got.text.getBytes("ISO-8859-1"), "UTF-8")
+      assert(back == t, s"ObjStm round trip broke for case $i: '${t.take(40)}'")
+      assert(got.n_pages == 1L)
+    }
+  }
+
+  test("truncated ObjStm payload degrades (partial or empty text), never throws") {
+    // halve the deflate payload but keep its advertised /Length: the
+    // capped inflate stops cleanly on the truncation, the header walk
+    // expands whatever pairs survive, and extraction yields whatever
+    // pages still resolve — possibly none
+    val trunc = PdfFixtures.objStmPdf("1.5",
+      Seq("BT (SHOULD DEGRADE) Tj ET"), flate = false, truncateObjStm = true)
+    val got = PdfText.decodePdfText(MediaFile(9L, trunc))
+    assert(got.container == "pdf")
+    assert(got.n_chars == got.text.length.toLong)
+    // and bit-flips across the WHOLE compressed fixture never throw
+    val rnd = new scala.util.Random(126L)
+    val base = PdfFixtures.objStmPdf("1.5",
+      Seq("BT (FLIP TARGET) Tj ET"), flate = true)
+    (0 until 200).foreach { _ =>
+      val mutated = base.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      val r = PdfText.decodePdfText(MediaFile(10L, mutated))
+      assert(r.n_chars == r.text.length.toLong)
+    }
+  }
+
   test("extracted PDF text composes into the l68 dedup cascade") {
     import spark.implicits._
     // two PDFs carrying the SAME prose (different versions/layout), one
