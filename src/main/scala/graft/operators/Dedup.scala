@@ -888,6 +888,19 @@ object Dedup {
       if ("89abcdef".contains(md5Hex(s"rhp|$table|$plane|$i").charAt(0))) 1.0 else -1.0
     }
 
+  /** Default degenerate-bucket cap for the RHP composition entry points
+    * ([[rhpCandidatePairs]], [[embeddingNearDupsRhp]],
+    * `Similarity.knnGraphRhp`/`semanticDedup`): FINITE by default —
+    * opt OUT with `Int.MaxValue`, never silently unbounded. With cap c
+    * the pair output is ≤ n·c·nTables/2 — LINEAR in corpus size — so a
+    * 100 TB pipeline that skips exact-dedup-before-ANN gets reduced
+    * recall on its duplicate pile-ups (the dropped buckets), not an
+    * OOM. A bucket over the cap is an LSH pathology, not signal: either
+    * a duplicate group that belongs to exact dedup, or too few planes
+    * for the corpus (expected bucket size is n / 2^nPlanes — raise
+    * `nPlanes` with log₂(n) so it stays under the cap). */
+  val DefaultRhpMaxBucket: Int = 512
+
   /** Candidate near-duplicate VECTOR pairs (a < b) sharing a
     * random-hyperplane LSH bucket in at least one of `nTables` tables
     * (SimHash-for-vectors): bucket bit j of table t = sign of
@@ -895,10 +908,11 @@ object Dedup {
     * themselves — no data column needed — so the pair space is bounded by
     * bucket collisions (2^nPlanes buckets per table), the 100 TB form of
     * [[embeddingNearDups]]'s label blocking. Same scoped persist/
-    * checkpoint lifecycle as [[minhashCandidatePairs]]. */
+    * checkpoint lifecycle as [[minhashCandidatePairs]]; buckets above
+    * [[DefaultRhpMaxBucket]] drop unless the caller opts out. */
   def rhpCandidatePairs(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
                         nPlanes: Int = 8, nTables: Int = 4,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                        maxBucketSize: Int = DefaultRhpMaxBucket): DataFrame = {
     val tables = (0 until nTables).map { t =>
       val bkt = (0 until nPlanes).map { j =>
         when(dot(col(vecCol), lit(rhpSigns(t, j, dim))) >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -940,7 +954,7 @@ object Dedup {
     * LSH's point), computes one dot per pair with hoisted norms. */
   def embeddingNearDupsRhp(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
                            threshold: Double, nPlanes: Int = 8, nTables: Int = 4,
-                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                           maxBucketSize: Int = DefaultRhpMaxBucket): DataFrame = {
     val pairs = rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables, maxBucketSize)
     val a = embs.select(col(idCol).as("a_id"), col(vecCol).as("__va"), l2Norm(col(vecCol)).as("__na"))
     val b = embs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"), l2Norm(col(vecCol)).as("__nb"))

@@ -536,10 +536,13 @@ object Similarity {
     * attach via two id-keyed joins BELOW the ranking window, one dot per
     * pair. Nodes whose buckets collide with nothing emit no rows —
     * approximate by construction, like every LSH method here; raise
-    * nTables for recall. Output: src, nbr, sim, rnk (1 = nearest). */
+    * nTables for recall. Buckets above [[Dedup.DefaultRhpMaxBucket]]
+    * drop unless the caller opts out — the linear-output guard rail for
+    * corpora that skip exact-dedup-before-ANN (see the constant's doc).
+    * Output: src, nbr, sim, rnk (1 = nearest). */
   def knnGraphRhp(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
                   k: Int, nPlanes: Int = 8, nTables: Int = 4,
-                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                  maxBucketSize: Int = Dedup.DefaultRhpMaxBucket): DataFrame = {
     val pairs = Dedup.rhpCandidatePairs(embs, vecCol, idCol, dim, nPlanes, nTables,
       maxBucketSize)
     // Score each UNDIRECTED pair once, symmetrize the scored edges after:
@@ -600,7 +603,38 @@ object Similarity {
     val key = "spark.sql.constraintPropagation.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try nnDescentLoop(embs, vecCol, idCol, k, graph0, rounds, maxDegree)
+    try nnDescentLoop(embs, vecCol, idCol, k, graph0, rounds, maxDegree,
+      hashSample = false)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The SAMPLED variant — Dong et al. WWW'11 §2.3's ρK sampling step:
+    * instead of the deterministic member-ascending prefix (which biases
+    * the capped neighborhood toward low ids), each pivot's closed
+    * neighborhood is capped at `sampleK` members in `xxhash64(node,
+    * member)` order — a deterministic, engine-replayable analogue of
+    * the paper's uniform sample, unbiased across ids. Everything else
+    * (pair scoring, old ∪ new union, ranking) is [[nnDescent]]
+    * verbatim, so the two variants agree whenever no pivot's
+    * neighborhood exceeds the cap (spec-pinned). This is the probe-safe
+    * configuration for dup-heavy corpora: the candidate join is
+    * ≤ sampleK² per pivot regardless of hub degree or seed-graph
+    * pathology. */
+  def nnDescentSampled(embs: DataFrame, vecCol: String, idCol: String, k: Int,
+                       graph0: DataFrame, rounds: Int,
+                       sampleK: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    require(sampleK >= 1 && sampleK < Int.MaxValue,
+      s"sampled variant needs a finite sampleK >= 1, got $sampleK")
+    val spark = embs.sparkSession
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try nnDescentLoop(embs, vecCol, idCol, k, graph0, rounds, sampleK,
+      hashSample = true)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -609,7 +643,7 @@ object Similarity {
 
   private def nnDescentLoop(embs: DataFrame, vecCol: String, idCol: String,
                             k: Int, graph0: DataFrame, rounds: Int,
-                            maxDegree: Int): DataFrame = {
+                            maxDegree: Int, hashSample: Boolean): DataFrame = {
     val a = embs.select(col(idCol).as("a_id"), col(vecCol).as("__va"),
       l2Norm(col(vecCol)).as("__na"))
     val b = embs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"),
@@ -623,7 +657,13 @@ object Similarity {
       val adj =
         if (maxDegree == Int.MaxValue) adjAll
         else {
-          val wd = Window.partitionBy(col("node")).orderBy(col("member"))
+          // member-ascending prefix for the oracle-replayable cap;
+          // xxhash64 order for the sampled variant (a deterministic
+          // uniform draw — hub neighborhoods keep a representative
+          // subset instead of the lowest ids)
+          val wd = Window.partitionBy(col("node")).orderBy(
+            (if (hashSample) Seq(xxhash64(col("node"), col("member")), col("member"))
+             else Seq(col("member"))): _*)
           adjAll.withColumn("__dr", row_number().over(wd))
             .filter(col("__dr") <= maxDegree).drop("__dr")
         }
@@ -663,7 +703,8 @@ object Similarity {
     * Dedup.duplicateClusters hints its map-back). */
   def semanticDedup(embs: DataFrame, vecCol: String, idCol: String, dim: Int,
                     threshold: Double, k: Int = 3, nPlanes: Int = 4,
-                    nTables: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                    nTables: Int = 16,
+                    maxBucketSize: Int = Dedup.DefaultRhpMaxBucket): DataFrame = {
     val edges = knnGraphRhp(embs, vecCol, idCol, dim, k, nPlanes, nTables, maxBucketSize)
       .filter(col("sim") > threshold)
       .select(least(col("src"), col("nbr")).as("a_id"),

@@ -508,6 +508,56 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Similarity.nnDescentSampled: equals nnDescent under the cap; tames a dup-heavy seed") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val g0 = Similarity.knnGraphRhp(e, "embedding", "vec_id", 64, 3,
+      nPlanes = 6, nTables = 2)
+    // with a cap no pivot's closed neighborhood reaches, the hash-order
+    // prefix IS the whole neighborhood — the two variants are identical
+    val full = Similarity.nnDescent(e, "embedding", "vec_id", 3, g0, rounds = 1)
+      .select("src", "nbr", "sim", "rnk").as[(Long, Long, Double, Long)]
+      .collect().toSet
+    val sampledWide = Similarity.nnDescentSampled(e, "embedding", "vec_id", 3, g0,
+        rounds = 1, sampleK = 1 << 20)
+      .select("src", "nbr", "sim", "rnk").as[(Long, Long, Double, Long)]
+      .collect().toSet
+    assert(sampledWide == full, "wide-cap sampled variant diverged from nnDescent")
+    // a tight cap still satisfies the per-node rank contract and keeps
+    // recall at-or-above the seed graph (old edges stay in the pool)
+    val truth = Similarity.bruteForceTopK(e, e, "embedding", "vec_id", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(g: org.apache.spark.sql.DataFrame): Double =
+      (g.select("src", "nbr").as[(Long, Long)].collect().toSet intersect truth)
+        .size.toDouble / truth.size
+    val tight = Similarity.nnDescentSampled(e, "embedding", "vec_id", 3, g0,
+      rounds = 1, sampleK = 8)
+    assert(recall(tight) >= recall(g0),
+      "sampled descent must never lose the seed graph's recall")
+  }
+
+  test("RHP entry points cap degenerate buckets BY DEFAULT; opt-out restores them") {
+    import spark.implicits._
+    // 600 identical vectors (> the 512 default cap) + 8 distinct others:
+    // the duplicate pile-up concentrates into one bucket per table and
+    // must DROP under the default — the linear-output guard — while the
+    // explicit opt-out still finds the pairs
+    val dim = 8
+    val dupVec = Array.tabulate(dim)(i => 1.0 + i)
+    val rnd = new scala.util.Random(16L)
+    val rows = (0L until 600L).map(i => (i, dupVec)) ++
+      (600L until 608L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val embs = rows.toDF("vec_id", "embedding")
+    val capped = Dedup.rhpCandidatePairs(embs, "embedding", "vec_id", dim)
+      .as[(Long, Long)].collect().toSet
+    assert(!capped.contains((0L, 1L)),
+      "default cap failed to drop the 600-member duplicate bucket")
+    val uncapped = Dedup.rhpCandidatePairs(embs, "embedding", "vec_id", dim,
+        maxBucketSize = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)), "opt-out lost the duplicate pairs")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("Dedup.embeddingNearDupsRhp: exact subset of brute-force pairs; recall reported") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val dim = e.select(size(col("embedding"))).as[Int].head()
