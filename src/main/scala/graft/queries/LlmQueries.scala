@@ -107,6 +107,88 @@ object LlmQueries {
   private val embCte =
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** l126's TRAINED byte-BPE merge table, learned LOCALLY (plain JVM, no
+    * SparkSession — the catalog is built before one exists) on the same
+    * 8-sentence fixture corpus as l73/l111/l114, via the published
+    * pre-tokenizer and the SAME `Bpe.trainMergesLocal` endgame the
+    * distributed trainer collects into (ByteBpeSpec pins local ==
+    * distributed; l114 golden-pins the algorithm against the
+    * independent `scripts/ref_bytebpe.py`).
+    *
+    * The guards below are the PRECONDITIONS of l126's replace-unroll
+    * oracle (see the query comment): with (1) all merge result strings
+    * distinct and (2) every multi-char constituent equal to the result
+    * of an EARLIER merge, applying merges one rank at a time to
+    * exhaustion is EXACTLY the lowest-rank-first encode loop — a merge
+    * at rank q can only create pairs involving its (unique) new symbol,
+    * and every table pair involving that symbol was learned later than
+    * q, so no pair of rank <= q ever re-forms once rank q is done. A
+    * future corpus change that breaks either property fails loudly here
+    * instead of silently diverging from the oracle. */
+  private[graft] lazy val byteBpeTrainCorpus: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog by the river",
+    "pack my box with five dozen liquor jugs for the long trip",
+    "a stitch in time saves nine when the cloth begins to fray",
+    "all that glitters is not gold said the old miner at dawn",
+    "every good boy deserves fruit after the long practice session",
+    "the rain in spain falls mainly on the wide open plain",
+    "still waters run deep where the old stone bridge crosses over",
+    "many hands make light work when the harvest moon rises early")
+
+  private[graft] lazy val l126Merges: Seq[(String, String)] = {
+    val p = java.util.regex.Pattern.compile(graft.operators.ByteBpe.PreTokenPattern)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    byteBpeTrainCorpus.foreach { t =>
+      val m = p.matcher(t)
+      while (m.find()) counts.update(m.group, counts.getOrElse(m.group, 0L) + 1L)
+    }
+    val vocab = counts.toSeq.map { case (t, c) =>
+      (graft.operators.ByteBpe.toByteUnits(t).map(_.toString).toArray, c) }
+    val ms = graft.operators.Bpe.trainMergesLocal(vocab, 40).map(m => (m._1, m._2))
+    val results = ms.map { case (a, b) => a + b }
+    require(results.distinct.size == results.size,
+      "l126 oracle precondition broken: duplicate merge result strings")
+    val created = scala.collection.mutable.Set.empty[String]
+    ms.foreach { case (a, b) =>
+      Seq(a, b).foreach(s => require(s.length == 1 || created.contains(s),
+        s"l126 oracle precondition broken: constituent '$s' not created earlier"))
+      created += (a + b)
+    }
+    ms
+  }
+
+  /** The replace-unroll oracle: each pre-token renders as a chr(1)-
+    * separated symbol string (one separator BEFORE each symbol, so a
+    * pair matches exactly at symbol boundaries), the merge list unrolls
+    * as one global left-to-right `replace` per rank — exact under the
+    * [[l126Merges]] preconditions — and the symbol count is the
+    * separator count. Pre-tokens are derived relationally: the
+    * normalized text is single-space-joined [A-Za-z0-9]+ words, on
+    * which the published pattern provably reduces to "letter runs /
+    * digit runs, first run of every non-initial word absorbing the one
+    * leading space" (no contractions, no punctuation, no multi-space
+    * runs survive normalization — so the lookahead branch RE2 lacks can
+    * never fire). Space maps to 'Ġ' (all other bytes are printable
+    * ASCII = identity under the GPT-2 byte table). */
+  private def l126OracleSql: String = {
+    def symLit(parts: Seq[String]): String =
+      parts.map(p => "chr(1) || '" + p.replace("'", "''") + "'").mkString(" || ")
+    val chain = l126Merges.foldLeft(
+      "chr(1) || array_to_string(regexp_extract_all(tok, '.'), chr(1))") {
+      case (acc, (a, b)) =>
+        s"replace($acc, ${symLit(Seq(a, b))}, ${symLit(Seq(a + b))})"
+    }
+    "WITH ws AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS w FROM documents), " +
+      "wordt AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w)+1)) AS ord FROM ws), " +
+      "runs AS (SELECT doc_id, ord, regexp_extract_all(word, '[A-Za-z]+|[0-9]+') AS rs FROM wordt), " +
+      "toks AS (SELECT doc_id, ord, unnest(rs) AS run, unnest(range(1, len(rs)+1)) AS rord FROM runs), " +
+      "pt AS (SELECT doc_id, CASE WHEN ord > 1 AND rord = 1 THEN 'Ġ' || run ELSE run END AS tok FROM toks), " +
+      s"enc AS (SELECT doc_id, $chain AS s FROM pt), " +
+      "cnt AS (SELECT doc_id, SUM(length(s) - length(replace(s, chr(1), ''))) AS n FROM enc GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_tokens " +
+      "FROM documents d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"
+  }
+
   /** DuckDB mirror of TextFunctions.htmlToText over SQL expression `e`
     * (shared by l66 and the l68 cascade). */
   private def htmlToTextSql(e: String): String =
@@ -3195,6 +3277,29 @@ object LlmQueries {
         .orderBy("doc_id"),
       Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens " +
         "FROM documents ORDER BY doc_id")),
+
+    // L126 — byte-level token pricing with a TRAINED merge table (the
+    // configuration production budgets actually run; l119 certified the
+    // distributed path with EMPTY merges, l114 golden-pinned a trained
+    // table at fixture size). The corpus normalizes to single-space-
+    // joined [A-Za-z0-9]+ words (a shared, dialect-neutral construction
+    // both engines evaluate identically), then ByteBpe.tokenCounts
+    // prices every document against the 40 merges trained on the
+    // l73/l111/l114 fixture corpus. The oracle replays the ENTIRE
+    // encode relationally — pre-tokens derived by unnest-with-ordinality
+    // over letter/digit runs, BPE as a rank-ordered replace chain over
+    // chr(1)-separated symbols (exact under the trained-table
+    // preconditions asserted at l126Merges; prototyped 500/500
+    // doc-identical vs an independent python reference before landing).
+    "l126_bytebpe_trained" -> QueryDef(
+      (s, d) => {
+        val norm = Tables.documents(s, d).select(col("doc_id"),
+          array_join(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)"),
+            " ").as("text"))
+        graft.operators.ByteBpe.tokenCounts(norm, "doc_id", "text", l126Merges)
+          .orderBy("doc_id")
+      },
+      Some(l126OracleSql)),
 
     // L111 — WordPiece train + encode golden pin (the l73 pattern
     // applied to the third tokenizer family): trainVocab learns 30

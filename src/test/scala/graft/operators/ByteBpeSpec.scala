@@ -165,6 +165,58 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("l126 local trainer equals the distributed trainer on the fixture corpus") {
+    val docs = graft.queries.LlmQueries.byteBpeTrainCorpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val distributed = ByteBpe.trainMerges(docs, "text", 40).map(m => (m._1, m._2))
+    assert(graft.queries.LlmQueries.l126Merges == distributed)
+  }
+
+  test("rank-order replace unroll equals the lowest-rank encode loop (l126 oracle law)") {
+    // the driver-side mirror of the DuckDB replace chain: apply each
+    // merge to exhaustion in RANK order, left-to-right — exact for
+    // trained tables (constituents created earlier, results distinct),
+    // the preconditions l126Merges asserts
+    def sequential(units: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Seq[String] = units.map(_.toString)
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+          else out += s
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val merges = graft.queries.LlmQueries.l126Merges
+    val rank = merges.zipWithIndex.toMap
+    val rnd = new scala.util.Random(126L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (0 until 2000).foreach { i =>
+      val tok = (if (rnd.nextBoolean()) "Ġ" else "") +
+        (0 until (1 + rnd.nextInt(12))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      val loop = Bpe.encodeWord(tok, rank)
+      val seq = sequential(tok, merges)
+      assert(loop == seq, s"case $i '$tok': loop=$loop seq=$seq")
+    }
+  }
+
+  test("trained and empty tables agree on merge-free documents") {
+    // uppercase text: the lowercase-trained table has no applicable
+    // pair anywhere, so trained pricing must equal the byte count
+    val docs = Seq((1L, "QUICK BROWN FOX"), (2L, "ZEBRA XYLOPHONE"),
+      (3L, "")).toDF("doc_id", "text")
+    val trained = ByteBpe.tokenCounts(docs, "doc_id", "text",
+      graft.queries.LlmQueries.l126Merges).as[(Long, Long)].collect().toMap
+    val empty = ByteBpe.tokenCounts(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Long)].collect().toMap
+    assert(trained == empty)
+    assert(trained(1L) == "QUICK BROWN FOX".getBytes("UTF-8").length.toLong)
+    assert(trained(3L) == 0L)
+  }
+
   test("minCount prunes hapax pre-tokens from training but never from encode") {
     val docs = Seq((1L, "sun sun sun zq")).toDF("doc_id", "text")
     val merges = ByteBpe.trainMerges(docs, "text", nMerges = 5, minCount = 2L)
