@@ -26,14 +26,23 @@ object OfficeFixtures {
   /** Minimal spec-conformant zip: per member a local header + payload
     * (stored or raw-deflated), then the central directory, then EOCD.
     * `encryptedFlag` sets general-purpose bit 0 WITHOUT ciphering the
-    * payload — enough to prove the reader refuses flagged entries. */
-  private def buildZip(members: Seq[Member]): Array[Byte] = {
+    * payload — enough to prove the reader refuses flagged entries.
+    * `zip64` writes the MODERN large-archive shape (PKWARE APPNOTE
+    * §4.3.14–15, §4.5.3): every central-directory size/offset field
+    * carries the 0xFFFFFFFF sentinel with the real u64 values in a
+    * zip64 extended-information extra field, the classic EOCD carries
+    * the 0xFFFF/0xFFFFFFFF sentinels, and the real count/offset live
+    * in a zip64 EOCD record reached through its locator — the layout a
+    * ≥4 GiB or ≥65,535-entry archive MUST use, forced here at fixture
+    * size so the walk is certified byte-exactly. */
+  private def buildZip(members: Seq[Member], zip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = {
       out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
       out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
     }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32((v >> 32) & 0xFFFFFFFFL) }
     def sig(c: Int, d: Int): Unit = { out.write(0x50); out.write(0x4B); out.write(c); out.write(d) }
     val rows = members.map { m =>
       val crc = new java.util.zip.CRC32()
@@ -50,7 +59,8 @@ object OfficeFixtures {
       val off = out.size.toLong
       val nameB = m.name.getBytes(UTF_8)
       sig(0x03, 0x04) // local file header
-      w16(20); w16(if (m.encryptedFlag) 1 else 0); w16(if (m.deflate) 8 else 0)
+      w16(if (zip64) 45 else 20); w16(if (m.encryptedFlag) 1 else 0)
+      w16(if (m.deflate) 8 else 0)
       w16(0); w16(0) // dos time/date: fixed zero, determinism
       w32(crc.getValue); w32(comp.length.toLong); w32(m.data.length.toLong)
       w16(nameB.length); w16(0)
@@ -60,19 +70,40 @@ object OfficeFixtures {
     val cdStart = out.size.toLong
     rows.foreach { case (m, crc, compLen, off, nameB) =>
       sig(0x01, 0x02) // central directory header
-      w16(20); w16(20)
+      w16(if (zip64) 45 else 20); w16(if (zip64) 45 else 20)
       w16(if (m.encryptedFlag) 1 else 0); w16(if (m.deflate) 8 else 0)
       w16(0); w16(0)
-      w32(crc); w32(compLen); w32(m.data.length.toLong)
-      w16(nameB.length); w16(0); w16(0) // name/extra/comment lens
+      w32(crc)
+      if (zip64) { w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) } // sentinels →
+      else { w32(compLen); w32(m.data.length.toLong) }  // extra field
+      w16(nameB.length); w16(if (zip64) 28 else 0); w16(0) // name/extra/comment
       w16(0); w16(0); w32(0) // disk#, internal, external attrs
-      w32(off)
+      if (zip64) w32(0xFFFFFFFFL) else w32(off)
       out.write(nameB)
+      if (zip64) { // zip64 extended info: uncomp, comp, local offset
+        w16(0x0001); w16(24)
+        w64(m.data.length.toLong); w64(compLen); w64(off)
+      }
     }
     val cdSize = out.size.toLong - cdStart
-    sig(0x05, 0x06) // EOCD
-    w16(0); w16(0); w16(rows.length); w16(rows.length)
-    w32(cdSize); w32(cdStart); w16(0)
+    if (zip64) {
+      val z64Off = out.size.toLong
+      sig(0x06, 0x06) // zip64 EOCD record
+      w64(44) // size of remainder
+      w16(45); w16(45) // made by / needed
+      w32(0); w32(0) // this disk / cd disk
+      w64(rows.length.toLong); w64(rows.length.toLong)
+      w64(cdSize); w64(cdStart)
+      sig(0x06, 0x07) // zip64 EOCD locator
+      w32(0); w64(z64Off); w32(1)
+      sig(0x05, 0x06) // classic EOCD, all sentinels
+      w16(0); w16(0); w16(0xFFFF); w16(0xFFFF)
+      w32(0xFFFFFFFFL); w32(0xFFFFFFFFL); w16(0)
+    } else {
+      sig(0x05, 0x06) // EOCD
+      w16(0); w16(0); w16(rows.length); w16(rows.length)
+      w32(cdSize); w32(cdStart); w16(0)
+    }
     out.toByteArray
   }
 
@@ -144,6 +175,23 @@ object OfficeFixtures {
     Member("[Content_Types].xml", ContentTypes),
     Member("word/document.xml", s("ciphertext-bytes-here"), encryptedFlag = true)))
 
+  /** docx1's members in the FORCED zip64 layout: sentinel CD fields +
+    * zip64 extra, zip64 EOCD record + locator, sentinel classic EOCD —
+    * the modern large-archive shape at fixture size. Logical fields
+    * must read back identical to docx1's. */
+  private[operators] def docxZip64: Array[Byte] = buildZip(Seq(
+    Member("[Content_Types].xml", ContentTypes),
+    Member("word/document.xml", s("<?xml version=\"1.0\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      "<w:p><w:r><w:t>Alp</w:t></w:r><w:r><w:t xml:space=\"preserve\">ha beta gamma</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t xml:space=\"preserve\">delta epsilon &amp; zeta</w:t></w:r></w:p>" +
+      "</w:body></w:document>"), deflate = true),
+    Member("docProps/core.xml", s("<?xml version=\"1.0\"?>" +
+      "<cp:coreProperties xmlns:cp=\"http://schemas.openxmlformats.org/package/2006/metadata/core-properties\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      "<dc:title>Spec &amp; Doc</dc:title><dc:language>en-US</dc:language>" +
+      "</cp:coreProperties>"))), zip64 = true)
+
   /** Plain zip, neither format. */
   private def plainZip: Array[Byte] = buildZip(Seq(
     Member("readme.txt", s("just a zip"))))
@@ -162,14 +210,17 @@ object OfficeFixtures {
   lazy val fixtures: Seq[(MediaFile, OfficeMeta)] = {
     val (d1, d2, e1, e2, de, pz, tz, tp) =
       (docx1, docx2, epub1, epub2, docxEnc, plainZip, truncatedZip, textPayload)
+    val z64 = docxZip64
     def bl(b: Array[Byte]) = b.length.toLong
     Seq(
       (MediaFile(1L, d1), OfficeMeta(1L, bl(d1), "docx", 3L, encrypted = false,
         7L, 2L, "Spec & Doc", "en-US", "zip")),
       (MediaFile(2L, d2), OfficeMeta(2L, bl(d2), "docx", 2L, encrypted = false,
         5L, 1L, "", "", "zip")),
+      // 13 = 5 + 3 + 5 words across the three spine chapters' stripped
+      // prose (hand-counted from the member sources above)
       (MediaFile(3L, e1), OfficeMeta(3L, bl(e1), "epub", 6L, encrypted = false,
-        0L, 3L, "Moby Format", "en", "zip")),
+        13L, 3L, "Moby Format", "en", "zip")),
       (MediaFile(4L, e2), OfficeMeta(4L, bl(e2), "epub", 7L, encrypted = true,
         0L, 0L, "", "", "zip")),
       (MediaFile(5L, de), OfficeMeta(5L, bl(de), "docx", 2L, encrypted = true,
@@ -179,7 +230,11 @@ object OfficeFixtures {
       (MediaFile(7L, tz), OfficeMeta(7L, bl(tz), "zip", 0L, encrypted = false,
         0L, 0L, "", "", "zip")),
       (MediaFile(8L, tp), OfficeMeta(8L, bl(tp), "stub", 1L + bl(tp) % 7L,
-        encrypted = false, bl(tp) % 1000L, 1L + bl(tp) % 11L, "", "", "stub")))
+        encrypted = false, bl(tp) % 1000L, 1L + bl(tp) % 11L, "", "", "stub")),
+      // zip64-forced docx1: identical logical fields through the zip64
+      // EOCD locator + extra-field walk
+      (MediaFile(9L, z64), OfficeMeta(9L, bl(z64), "docx", 3L, encrypted = false,
+        7L, 2L, "Spec & Doc", "en-US", "zip")))
   }
 
   /** The l115 input frame. */
@@ -225,7 +280,8 @@ object OfficeFixtures {
       "chapter three closes the tale"
     fixtures.map { case (file, meta) =>
       val text = (meta.format, meta.encrypted) match {
-        case ("docx", false) if file.doc_id == 1L => docx1Text
+        case ("docx", false) if file.doc_id == 1L || file.doc_id == 9L =>
+          docx1Text // doc 9 is docx1's members in the zip64 layout
         case ("docx", false) if file.doc_id == 2L => docx2Text
         case ("epub", false) => epubText
         case _ => "" // encrypted / plain zip / truncated / stub

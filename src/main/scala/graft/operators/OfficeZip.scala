@@ -37,9 +37,10 @@ import Multimodal.MediaFile
  *  - EPUB: `title` / `language` from the OPF package document located
  *    via `META-INF/container.xml`'s rootfile full-path; `n_parts` =
  *    spine `<itemref` count (reading-order length — the page-count
- *    analogue); `n_words` stays 0 — counting words means decoding
- *    every spine XHTML chapter, a stated limit (the l112 n_pages=0
- *    discipline), not a fake.
+ *    analogue); `n_words` = whitespace-run tokens of the spine
+ *    chapters' stripped prose (the l120 extraction wired into the
+ *    metadata readout — the meta path pays per-chapter inflation
+ *    because the word count is chapter content).
  *
  * Stored (method 0) and Deflate (method 8) entries both read; raw
  * deflate inflates via `java.util.zip.Inflater(nowrap)` with the same
@@ -60,8 +61,13 @@ object OfficeZip {
                               title: String, language: String,
                               container: String)
 
-  /** One central-directory row (sizes/offsets are u32 — zip64 not
-    * walked; a 4 GiB+ member degrades, stated not faked). */
+  /** One central-directory row. Sizes/offsets resolve through the
+    * zip64 extended-information extra field (id 0x0001) when the
+    * classic u32 fields carry the 0xFFFFFFFF sentinel — PKWARE APPNOTE
+    * §4.5.3 — so ≥4 GiB members and ≥65,535-entry directories WALK;
+    * materializing a single >2 GiB member still degrades to None in
+    * [[entryBytes]] (a JVM byte array cannot hold it — the stated cap,
+    * structure reads regardless). */
   private[operators] final case class ZipEntry(name: String, method: Int,
                                                flag: Int, compSize: Long,
                                                uncompSize: Long, localOff: Long)
@@ -71,13 +77,23 @@ object OfficeZip {
   private def u32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def u64(b: Array[Byte], i: Int): Long =
+    u32(b, i) | (u32(b, i + 4) << 32)
 
   private def sigAt(b: Array[Byte], i: Int, s3: Int, s4: Int): Boolean =
     b(i) == 0x50 && b(i + 1) == 0x4B && (b(i + 2) & 0xFF) == s3 && (b(i + 3) & 0xFF) == s4
 
+  private val U32Max = 0xFFFFFFFFL
+
   /** Central directory via the EOCD record (scanned backwards over the
-    * final 64 KiB + 22 comment window, the spec's bound). None when no
-    * EOCD resolves or the directory does not parse. */
+    * final 64 KiB + 22 comment window, the spec's bound). When the
+    * classic record carries the zip64 sentinels (0xFFFF entries /
+    * 0xFFFFFFFF offset), the count and offset resolve through the
+    * zip64 EOCD LOCATOR (sig PK\x06\x07, 20 bytes immediately before
+    * the classic EOCD) into the zip64 EOCD RECORD (sig PK\x06\x06) —
+    * PKWARE APPNOTE §4.3.14–15. None when no EOCD resolves or the
+    * directory does not parse; corrupt zip64 pointers degrade to the
+    * classic fields' conservative reading. */
   private[operators] def centralDirectory(b: Array[Byte]): Option[Seq[ZipEntry]] = {
     if (b.length < 22) return None
     var i = b.length - 22
@@ -88,24 +104,53 @@ object OfficeZip {
       i -= 1
     }
     if (eocd < 0) return None
-    val n = u16(b, eocd + 10)
-    val cdOff = u32(b, eocd + 16)
+    var n: Long = u16(b, eocd + 10)
+    var cdOff: Long = u32(b, eocd + 16)
+    if ((n == 0xFFFFL || cdOff == U32Max) && eocd >= 20 &&
+        sigAt(b, eocd - 20, 0x06, 0x07)) {
+      val z64 = u64(b, eocd - 20 + 8) // offset of the zip64 EOCD record
+      if (z64 >= 0 && z64 + 56 <= b.length && sigAt(b, z64.toInt, 0x06, 0x06)) {
+        n = u64(b, z64.toInt + 32)     // total entries
+        cdOff = u64(b, z64.toInt + 48) // central directory offset
+      }
+    }
     if (cdOff < 0 || cdOff > b.length - 4) return None
     val out = Seq.newBuilder[ZipEntry]
     var p = cdOff.toInt
-    var k = 0
+    var k = 0L
     while (k < n) {
       if (p + 46 > b.length || !sigAt(b, p, 0x01, 0x02)) return Some(out.result())
       val flag = u16(b, p + 8)
       val method = u16(b, p + 10)
-      val comp = u32(b, p + 20)
-      val uncomp = u32(b, p + 24)
+      var comp = u32(b, p + 20)
+      var uncomp = u32(b, p + 24)
       val nameLen = u16(b, p + 28)
       val extraLen = u16(b, p + 30)
       val commentLen = u16(b, p + 32)
-      val localOff = u32(b, p + 42)
+      var localOff = u32(b, p + 42)
       if (p + 46 + nameLen > b.length) return Some(out.result())
       val name = new String(b, p + 46, nameLen, UTF_8)
+      // zip64 extended information (extra id 0x0001): u64 values present
+      // ONLY for the classic fields carrying the sentinel, in the fixed
+      // order uncompressed / compressed / local-header offset (§4.5.3)
+      if ((comp == U32Max || uncomp == U32Max || localOff == U32Max) &&
+          extraLen >= 4) {
+        var e = p + 46 + nameLen
+        val eEnd = math.min(e + extraLen, b.length - 3)
+        var found = false
+        while (!found && e + 4 <= eEnd) {
+          val id = u16(b, e)
+          val sz = u16(b, e + 2)
+          if (id == 0x0001) {
+            found = true
+            var f = e + 4
+            val fEnd = math.min(e + 4 + sz, b.length - 7)
+            if (uncomp == U32Max && f + 8 <= fEnd) { uncomp = u64(b, f); f += 8 }
+            if (comp == U32Max && f + 8 <= fEnd) { comp = u64(b, f); f += 8 }
+            if (localOff == U32Max && f + 8 <= fEnd) { localOff = u64(b, f); f += 8 }
+          } else e += 4 + sz
+        }
+      }
       out += ZipEntry(name, method, flag, comp, uncomp, localOff)
       p += 46 + nameLen + extraLen + commentLen
       k += 1
@@ -118,8 +163,9 @@ object OfficeZip {
     * unknown methods, or out-of-bounds shapes. */
   private[operators] def entryBytes(b: Array[Byte], e: ZipEntry): Option[Array[Byte]] = {
     if ((e.flag & 1) != 0) return None // encrypted: visible, not readable
+    if (e.localOff < 0 || e.localOff + 30 > b.length) return None // Long-checked pre-narrow
     val off = e.localOff.toInt
-    if (off < 0 || off + 30 > b.length || !sigAt(b, off, 0x03, 0x04)) return None
+    if (!sigAt(b, off, 0x03, 0x04)) return None
     val nameLen = u16(b, off + 26)
     val extraLen = u16(b, off + 28)
     // bounds arithmetic in Long BEFORE narrowing — a crafted central
@@ -168,10 +214,11 @@ object OfficeZip {
     }.filter(_.nonEmpty).toSeq
 
   /**
-   * The single decode pass behind BOTH readouts: metadata always,
-   * text only when `withText` (the meta-only l115 path must not pay
-   * per-chapter inflation). Each member is located and inflated ONCE —
-   * the meta/text split previously re-walked the central directory and
+   * The single decode pass behind BOTH readouts: metadata always
+   * (which for document formats includes the body — n_words counts
+   * it), the text string materialized into the result only when
+   * `withText`. Each member is located and inflated ONCE — the
+   * meta/text split previously re-walked the central directory and
    * re-read `word/document.xml` per readout.
    */
   private def parseOfficeFull(m: MediaFile, withText: Boolean): Option[(OfficeMeta, String)] = {
@@ -214,10 +261,15 @@ object OfficeZip {
                   val cut = p.lastIndexOf('/')
                   if (cut < 0) "" else p.substring(0, cut + 1)
                 }.getOrElse("")
-                (0L, ItemRef.findAllMatchIn(opf).length.toLong,
+                // n_words now counts the spine chapters' stripped prose
+                // (the former n_words=0 limit, closed by the l120
+                // extraction) — the meta readout pays the per-chapter
+                // inflation because the word count IS chapter content
+                val body = epubChapters(b, entries, opf, opfDir).mkString("\n")
+                (wsWords(body), ItemRef.findAllMatchIn(opf).length.toLong,
                   DcTitle.findFirstMatchIn(opf).map(x => unescapeXml(x.group(1))).getOrElse(""),
                   DcLanguage.findFirstMatchIn(opf).map(x => unescapeXml(x.group(1))).getOrElse(""),
-                  if (withText) epubChapters(b, entries, opf, opfDir).mkString("\n") else "")
+                  if (withText) body else "")
               case _ => (0L, 0L, "", "", "")
             }
           Some((OfficeMeta(m.doc_id, bl, format, entries.length.toLong, enc,

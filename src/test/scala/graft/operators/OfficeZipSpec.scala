@@ -49,6 +49,35 @@ class OfficeZipSpec extends AnyFunSuite {
       "<a> \"b\" 'c' &lt;")
   }
 
+  test("zip64 layout reads byte-exactly: locator -> EOCD record -> extra fields") {
+    val z64 = OfficeFixtures.docxZip64
+    val got = OfficeZip.decodeOffice(Multimodal.MediaFile(9L, z64))
+    assert(got.format == "docx" && got.n_entries == 3L && got.n_words == 7L &&
+      got.n_parts == 2L && got.title == "Spec & Doc" && got.language == "en-US")
+    // the deflated member inflates through the zip64-resolved offsets
+    val text = OfficeZip.decodeOfficeText(Multimodal.MediaFile(9L, z64))
+    assert(text.text == "Alpha beta gamma\ndelta epsilon & zeta")
+    // bit-flips across the zip64 structures degrade, never throw
+    val rnd = new scala.util.Random(127L)
+    (0 until 300).foreach { _ =>
+      val mutated = z64.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      val r = OfficeZip.decodeOffice(Multimodal.MediaFile(10L, mutated))
+      assert(r.n_entries >= 0L && r.n_words >= 0L)
+    }
+  }
+
+  test("EPUB n_words counts the spine chapters' stripped prose; encrypted stays 0") {
+    val byId = OfficeFixtures.fixtures.map { case (f, m) => (f.doc_id, (f, m)) }.toMap
+    val (epubFile, epubMeta) = byId(3L)
+    assert(epubMeta.n_words == 13L) // 5 + 3 + 5, hand-counted construction-side
+    assert(OfficeZip.decodeOffice(epubFile).n_words == 13L)
+    val (encFile, encMeta) = byId(4L)
+    assert(encMeta.n_words == 0L)
+    assert(OfficeZip.decodeOffice(encFile).n_words == 0L)
+  }
+
   test("fuzz: random payloads and mutated fixtures never throw") {
     val rnd = new scala.util.Random(115L)
     (0 until 300).foreach { i =>
@@ -136,6 +165,7 @@ class OfficeZipSpec extends AnyFunSuite {
     assert(viaSpark == OfficeFixtures.textFixtures.map(_._2))
     // only real document formats with text become cascade documents
     val docs = OfficeZip.asDocuments(OfficeFixtures.dataset(spark))
-    assert(docs.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(docs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 9L)) // 9 = the zip64-forced docx
   }
 }
