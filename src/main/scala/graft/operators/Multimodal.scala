@@ -155,6 +155,28 @@ object Multimodal {
     })
   }
 
+  /** One decode pass producing BOTH readouts (dimensions + perceptual
+    * hash) — what a real curation pipeline extracts per image, without
+    * decoding the payload twice. */
+  final case class ImageProfile(doc_id: Long, width: Long, height: Long,
+                                decoded: Boolean, dhash: Long)
+
+  /** [[extractMetaImages]] ∘ [[imageDHash]] in a single ImageIO decode
+    * per payload at the same `mapPartitions` boundary; undecodable
+    * payloads report (0, 0, false, 0) — no stub arithmetic here, the
+    * profile feeds dedup filters that must see an explicit miss. */
+  def imageProfiles(files: Dataset[MediaFile]): Dataset[ImageProfile] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) ImageProfile(m.doc_id, 0L, 0L, decoded = false, 0L)
+      else ImageProfile(m.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+        decoded = true, dHash64(img))
+    })
+  }
+
   /** Perceptual image near-dup pairs: dHash each decodable payload,
     * then banded Hamming ≤ `maxHamming` pairs via the l40 64-bit
     * machinery ([[Dedup.hammingPairs64]]) — pigeonhole-complete for

@@ -3301,6 +3301,28 @@ object LlmQueries {
       },
       Some(l126OracleSql)),
 
+    // L128 — corpus-scale IMAGE round trip (the l121 discipline for the
+    // image family, completing round-trip certification across all five
+    // media kinds): every document becomes a HAND-WRITTEN image (BMP on
+    // even ids, stored-deflate PNG on odd — both byte-assembled from
+    // the public specs, independent of the javax.imageio reader under
+    // test) whose dimensions and gray-ramp pattern are arithmetic in
+    // doc_id; one decode pass (Multimodal.imageProfiles) reads
+    // dimensions + dHash back, and the oracle restates the SAME
+    // arithmetic in SQL (derivations at ImageFixtures.syntheticImage:
+    // inc-ramp ⇒ dhash −1, dec/vertical ramp ⇒ 0).
+    "l128_image_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(graft.operators.ImageFixtures.syntheticImage))
+        graft.operators.Multimodal.imageProfiles(files).toDF().orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CAST(9 + doc_id % 8 AS BIGINT) AS width, " +
+        "CAST(8 + doc_id % 5 AS BIGINT) AS height, TRUE AS decoded, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash " +
+        "FROM documents ORDER BY doc_id")),
+
     // L111 — WordPiece train + encode golden pin (the l73 pattern
     // applied to the third tokenizer family): trainVocab learns 30
     // likelihood-scored merges over the SAME fixed 8-sentence corpus

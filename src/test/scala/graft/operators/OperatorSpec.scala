@@ -836,6 +836,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@10 of the int8 pre-pass was $recall")
   }
 
+  test("hand-written BMP/stored-PNG decode to their construction pixels; profiles match") {
+    // the foreign-writer check: bytes assembled from the specs by hand,
+    // read back through the JDK codec — dims, every pixel, and the
+    // hand-derived dHash of the l78 formulas must all survive
+    val formulas: Seq[((Int, Int) => Int, Long)] = Seq(
+      (((x: Int, _: Int) => 10 + 20 * x), -1L),
+      (((x: Int, _: Int) => 170 - 20 * x), 0L),
+      (((_: Int, y: Int) => 10 + 20 * y), 0L))
+    formulas.zipWithIndex.foreach { case ((v, wantHash), i) =>
+      Seq(ImageFixtures.syntheticBmp(9, 8)(v),
+        ImageFixtures.syntheticPngStored(9, 8)(v)).zip(Seq("bmp", "png"))
+        .foreach { case (bytes, kind) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          assert(img != null, s"$kind case $i did not decode")
+          assert(img.getWidth == 9 && img.getHeight == 8)
+          for (y <- 0 until 8; x <- 0 until 9) {
+            val g = v(x, y) & 0xFF
+            assert((img.getRGB(x, y) & 0xFFFFFF) == ((g << 16) | (g << 8) | g),
+              s"$kind case $i pixel ($x,$y)")
+          }
+          assert(Multimodal.dHash64(img) == wantHash, s"$kind case $i hash")
+        }
+    }
+    // a wide PNG spanning multiple stored deflate blocks still decodes
+    val wide = ImageFixtures.syntheticPngStored(4000, 6)((x, y) => (x + y) % 251)
+    val wideImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wide))
+    assert(wideImg != null && wideImg.getWidth == 4000 && wideImg.getHeight == 6)
+    assert((wideImg.getRGB(3999, 5) & 0xFF) == (3999 + 5) % 251)
+    // truncations degrade to decoded=false, never throw
+    val rnd = new scala.util.Random(128L)
+    Seq(ImageFixtures.syntheticImage(2L), ImageFixtures.syntheticImage(3L)).foreach { f =>
+      (1 until 20).foreach { _ =>
+        val cut = 1 + rnd.nextInt(f.payload.length)
+        val m = Multimodal.MediaFile(f.doc_id,
+          java.util.Arrays.copyOfRange(f.payload, 0, cut))
+        import spark.implicits._
+        val p = Multimodal.imageProfiles(spark.createDataset(Seq(m))).head()
+        assert(p.dhash == 0L || p.decoded) // truncated tails may still decode
+      }
+    }
+  }
+
   test("Multimodal.decodeImage reads true PNG/BMP dimensions; non-images fall back to stub") {
     import graft.operators.Multimodal._
     def encoded(w: Int, h: Int, fmt: String): Array[Byte] = {
