@@ -152,6 +152,29 @@ object PdfFixtures {
       "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
   }
 
+  /** A one-page PDF whose page carries an INLINE `/Resources /Font`
+    * dict naming a `/Type0` font (object 5) with an embedded
+    * `/ToUnicode` CMap stream (object 6) — the subset-embedded
+    * CID-font shape (ISO 32000 §9.10.3). The content stream selects
+    * the font with `Tf` and shows hex-string CODES; a correct
+    * extractor must resolve name → font → CMap and decode codes to
+    * Unicode, not emit the raw code bytes. `flate` compresses BOTH
+    * the content and the CMap stream. */
+  private[operators] def cmapPdf(version: String, contentSrc: String,
+                                 cmapSrc: String, flate: Boolean): Array[Byte] =
+    (s"%PDF-$version\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n" +
+      contentObj(4, contentSrc, flate) +
+      "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth " +
+      "/ToUnicode 6 0 R >>\nendobj\n" +
+      contentObj(6, cmapSrc, flate) +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      "trailer\n<< /Size 7 /Root 1 0 R >>\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+
   /** The PDF 1.5+ COMPRESSED layout (ISO 32000 §7.5.7–8): catalog,
     * page tree, and page dicts all live inside ONE Flate-compressed
     * `/Type /ObjStm` object stream (object 1) — `/N` `objnum offset`

@@ -33,9 +33,15 @@ import Multimodal.MediaFile
  *     `\( \) \\`, 1–3 digit octal, backslash–EOL line continuation,
  *     unknown escape = drop the backslash) and balanced unescaped
  *     parens; hex `<…>` strings pair hex digits (odd length pads a
- *     trailing 0). Bytes decode ISO-8859-1 — the simple-font reading;
- *     a /ToUnicode CMap walk is a full font subsystem, out of scope
- *     and documented rather than faked.
+ *     trailing 0). String BYTES decode through the current font's
+ *     embedded `/ToUnicode` CMap when one is present (ISO 32000
+ *     §9.10.3: the font selected by the last `Tf` whose name resolves
+ *     through the page's `/Resources /Font` dict — bfchar entries,
+ *     bfrange runs, 1- or 2-byte codes per the codespace); bytes with
+ *     no CMap, or codes a CMap does not cover, fall back to the
+ *     ISO-8859-1 simple-font reading. This covers the common
+ *     subset-embedded CID font; font programs WITHOUT a /ToUnicode
+ *     stay out of scope and degrade to the raw reading.
  *   - An ENCRYPTED document (l112's gate) reports empty text: its
  *     streams are ciphertext, and emitting decode garbage as "text"
  *     would poison a corpus. A real pipeline decrypts upstream.
@@ -226,15 +232,165 @@ object PdfText {
   private val TypePages = "(?s)/Type\\s*/Pages(?![a-zA-Z])".r
   private val TypePage = "(?s)/Type\\s*/Page(?![a-zA-Z])".r
 
+  // --------------------------------------------------- /ToUnicode CMap
+
+  /** One font's `/ToUnicode` mapping (ISO 32000 §9.10.3): explicit
+    * bfchar codes plus bfrange runs, looked up lazily — ranges are
+    * NEVER materialized (a `<0000> <FFFF>` run would be 64Ki entries
+    * PER DOCUMENT on the corpus path; a find over a handful of range
+    * triples is cheaper than the map it would build). Range offsets
+    * increment the dst's last UTF-16 unit — the superset reading of
+    * the spec's last-byte rule (real CMaps keep ranges inside one
+    * 256-block, where the two readings agree). */
+  private[operators] final case class CMap(codeBytes: Int, chars: Map[Int, String],
+                                           ranges: Vector[(Int, Int, Vector[Int])]) {
+    def lookup(code: Int): Option[String] = chars.get(code).orElse {
+      ranges.collectFirst { case (lo, hi, dst) if code >= lo && code <= hi =>
+        val units = dst.updated(dst.length - 1, (dst.last + (code - lo)) & 0xFFFF)
+        units.map(_.toChar).mkString
+      }
+    }
+  }
+
+  private def isHex(c: Char): Boolean = Character.digit(c, 16) >= 0
+
+  /** `<hex>` payload → UTF-16BE units (4 hex digits each; a short
+    * final group right-pads with 0, mirroring the hex-string rule). */
+  private def hexUnits(h: String): Vector[Int] = {
+    val clean = h.filter(isHex)
+    val padded = clean + "0" * ((4 - clean.length % 4) % 4)
+    (0 until padded.length / 4)
+      .map(k => Integer.parseInt(padded.substring(4 * k, 4 * k + 4), 16)).toVector
+  }
+
+  private val BfCharSec = "(?s)beginbfchar(.*?)endbfchar".r
+  private val BfRangeSec = "(?s)beginbfrange(.*?)endbfrange".r
+  private val CodeSpaceSec = "(?s)begincodespacerange(.*?)endcodespacerange".r
+  private val HexTok = "<([0-9A-Fa-f\\s]*)>".r
+  private val RangeTriple =
+    ("<([0-9A-Fa-f\\s]+)>\\s*<([0-9A-Fa-f\\s]+)>\\s*" +
+      "(?:<([0-9A-Fa-f\\s]+)>|\\[([^\\]]*)\\])").r
+
+  /** Parse a decoded `/ToUnicode` stream. Code width comes from the
+    * codespacerange when present, else the widest bfchar/bfrange
+    * source code, clamped to the 1–2 bytes simple and CID fonts use.
+    * `None` when no mapping parses (garbage stream → raw fallback). */
+  private[operators] def parseToUnicode(s: String): Option[CMap] = {
+    val chars = Map.newBuilder[Int, String]
+    val ranges = Vector.newBuilder[(Int, Int, Vector[Int])]
+    var width = 0
+    var any = false
+    def srcCode(h: String): Int = {
+      val clean = h.filter(isHex).takeRight(8) // defensive cap
+      width = math.max(width, (clean.length + 1) / 2)
+      if (clean.isEmpty) 0 else Integer.parseInt(clean, 16)
+    }
+    CodeSpaceSec.findAllMatchIn(s).foreach { m =>
+      HexTok.findAllMatchIn(m.group(1)).foreach { h =>
+        width = math.max(width, (h.group(1).count(isHex) + 1) / 2)
+      }
+    }
+    BfCharSec.findAllMatchIn(s).foreach { m =>
+      HexTok.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) =>
+          chars += srcCode(src) -> hexUnits(dst).map(_.toChar).mkString
+          any = true
+        case _ => () // odd trailing token: degrade
+      }
+    }
+    BfRangeSec.findAllMatchIn(s).foreach { m =>
+      RangeTriple.findAllMatchIn(m.group(1)).foreach { t =>
+        val lo = srcCode(t.group(1))
+        val hi = srcCode(t.group(2))
+        if (hi >= lo) {
+          if (t.group(3) != null) {
+            val dst = hexUnits(t.group(3))
+            if (dst.nonEmpty) { ranges += ((lo, hi, dst)); any = true }
+          } else { // array form: one dst string per code, in order
+            val dsts = HexTok.findAllMatchIn(t.group(4)).map(_.group(1)).toVector
+            dsts.take(hi - lo + 1).zipWithIndex.foreach { case (d, k) =>
+              chars += (lo + k) -> hexUnits(d).map(_.toChar).mkString
+              any = true
+            }
+          }
+        }
+      }
+    }
+    if (any) Some(CMap(math.min(math.max(width, 1), 2), chars.result(), ranges.result()))
+    else None
+  }
+
+  /** Re-read a raw (ISO-8859-1-decoded, one char per byte) string
+    * operand through the active CMap: big-endian `codeBytes` groups,
+    * unmapped codes (and a trailing odd byte) keep their raw chars. */
+  private def applyCMap(raw: String, cm: CMap): String = {
+    val out = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (cm.codeBytes == 2 && i + 1 < raw.length) {
+        val code = ((raw.charAt(i) & 0xFF) << 8) | (raw.charAt(i + 1) & 0xFF)
+        cm.lookup(code) match {
+          case Some(u) => out.append(u)
+          case None => out.append(raw.charAt(i)).append(raw.charAt(i + 1))
+        }
+        i += 2
+      } else if (cm.codeBytes == 2) { out.append(raw.charAt(i)); i += 1 }
+      else {
+        out.append(cm.lookup(raw.charAt(i) & 0xFF)
+          .getOrElse(raw.charAt(i).toString))
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** `/Key << … >>` inline sub-dictionary of `dict`, when present. */
+  private def dictValueDict(dict: String, key: String): Option[String] =
+    ("(?s)/" + key + "\\s*<<").r.findFirstMatchIn(dict)
+      .map(m => balancedDict(dict, m.end - 2)._1)
+
+  private val FontEntry = "/([^\\s/<>\\[\\]()]+)\\s+(\\d{1,9})\\s+\\d+\\s+R".r
+
+  /** Resolve a page's `/Resources /Font` dict to (font name →
+    * /ToUnicode CMap) — inline dicts and indirect refs both accepted,
+    * fonts without a usable /ToUnicode simply absent (raw fallback).
+    * `cache` memoizes per-font-object parses across pages. */
+  private def fontsOf(resDict: Option[String],
+                      objs: mutable.LinkedHashMap[Long, PdfObj],
+                      cache: mutable.Map[Long, Option[CMap]]): Map[String, CMap] =
+    resDict.flatMap { rd =>
+      dictValueDict(rd, "Font")
+        .orElse(refList(rd, "Font").headOption.flatMap(objs.get).map(_.dict))
+    }.map { fd =>
+      FontEntry.findAllMatchIn(fd).flatMap { m =>
+        cache.getOrElseUpdate(m.group(2).toLong,
+          objs.get(m.group(2).toLong)
+            .flatMap(fo => refList(fo.dict, "ToUnicode").headOption)
+            .flatMap(objs.get)
+            .flatMap(tu => tu.stream.map(raw => decodeStream(tu.dict, raw)))
+            .flatMap(parseToUnicode))
+          .map(m.group(1) -> _)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** A page's `/Resources` dict text: inline or indirect, the page's
+    * own entry winning over the inherited page-tree one (§7.7.3.4). */
+  private def resourcesOf(dict: String,
+                          objs: mutable.LinkedHashMap[Long, PdfObj]): Option[String] =
+    dictValueDict(dict, "Resources")
+      .orElse(refList(dict, "Resources").headOption.flatMap(objs.get).map(_.dict))
+
   /** Content streams in PAGE-TREE order (Kids order, not object-number
-    * order — the document's reading order). Falls back to every stream
+    * order — the document's reading order), each paired with its
+    * page's resolved font CMaps (`/Resources` inherited down the tree
+    * per §7.7.3.4). Falls back to every stream
     * in object order only when NO page leaf resolves (no /Root, no
     * tree, or a truncated tree), so truncated files still surface
     * whatever text their streams carry — while a VALID document whose
     * pages simply carry no /Contents correctly extracts "" instead of
     * scanning unrelated binary streams (fonts, images) for
     * text-lookalike bytes. */
-  private def pageContentStreams(s: String, objs: mutable.LinkedHashMap[Long, PdfObj]): Seq[String] = {
+  private def pageContentStreams(s: String, objs: mutable.LinkedHashMap[Long, PdfObj]): Seq[(String, Map[String, CMap])] = {
     val rootRef = "(?s)/Root\\s+(\\d{1,9})\\s+\\d+\\s+R".r
       .findAllMatchIn(s).map(_.group(1).toLong).toSeq.lastOption
       .orElse(objs.collectFirst {
@@ -247,27 +403,32 @@ object PdfText {
           !o.dict.contains("/Parent") => n
       })
     val visited = mutable.Set[Long]()
-    val streams = mutable.Buffer[String]()
+    val streams = mutable.Buffer[(String, Map[String, CMap])]()
+    val cmapCache = mutable.Map[Long, Option[CMap]]()
     var sawLeaf = false
-    def walk(num: Long, depth: Int): Unit = {
+    def walk(num: Long, depth: Int, inheritedRes: Option[String]): Unit = {
       if (depth > 64 || !visited.add(num)) return
       objs.get(num).foreach { o =>
+        val res = resourcesOf(o.dict, objs).orElse(inheritedRes)
         if (TypePage.findFirstIn(o.dict).isDefined &&
             TypePages.findFirstIn(o.dict).isEmpty) {
           sawLeaf = true
+          val fonts = fontsOf(res, objs, cmapCache)
           refList(o.dict, "Contents").foreach { c =>
             objs.get(c).foreach(co =>
-              co.stream.foreach(raw => streams += decodeStream(co.dict, raw)))
+              co.stream.foreach(raw =>
+                streams += ((decodeStream(co.dict, raw), fonts))))
           }
         } else {
-          refList(o.dict, "Kids").foreach(walk(_, depth + 1))
+          refList(o.dict, "Kids").foreach(walk(_, depth + 1, res))
         }
       }
     }
-    pagesRoot.foreach(walk(_, 0))
+    pagesRoot.foreach(walk(_, 0, None))
     if (!sawLeaf)
       objs.foreach { case (_, o) =>
-        o.stream.foreach(raw => streams += decodeStream(o.dict, raw))
+        o.stream.foreach(raw =>
+          streams += ((decodeStream(o.dict, raw), Map.empty[String, CMap])))
       }
     streams.toSeq
   }
@@ -379,25 +540,32 @@ object PdfText {
     * like operators to the scanner. Inside a block, string operands
     * and the text-showing / line-move operators fold into `sb` under
     * the contract in the object doc; everything else is skipped. */
-  private def extractTextOps(cs: String, sb: StringBuilder): Unit = {
+  private def extractTextOps(cs: String, sb: StringBuilder,
+                             fonts: Map[String, CMap] = Map.empty): Unit = {
     val to = cs.length
     var i = 0
     var inText = false
     var pending = "" // last decoded string / concatenated array operand
     var arrayBuf: StringBuilder = null // non-null inside a text-block [ … ]
+    var lastName = "" // most recent name token (the Tf font operand)
+    var cmap: Option[CMap] = None // current font's /ToUnicode (Tf-selected)
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def capture(raw: String): Unit = {
+      val str = cmap.map(applyCMap(raw, _)).getOrElse(raw)
+      if (arrayBuf != null) arrayBuf.append(str) else pending = str
+    }
     while (i < to) {
       val c = cs.charAt(i)
       if (c == '(') {
         val (str, ni) = literalString(cs, i, to)
-        if (inText) { if (arrayBuf != null) arrayBuf.append(str) else pending = str }
+        if (inText) capture(str)
         i = ni
       } else if (c == '<' && i + 1 < to && cs.charAt(i + 1) == '<') {
         i = balancedDict(cs, i)._2 // inline dict (e.g. BDC props): skip
       } else if (c == '<') {
         val (str, ni) = hexString(cs, i, to)
-        if (inText) { if (arrayBuf != null) arrayBuf.append(str) else pending = str }
+        if (inText) capture(str)
         i = ni
       } else if (c == '[') { if (inText) arrayBuf = new StringBuilder; i += 1 }
       else if (c == ']') {
@@ -410,10 +578,12 @@ object PdfText {
         // whitespace in content streams) — a '(' inside one must not
         // open a string parse and swallow the rest of the stream
         while (i < to && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
-      } else if (c == '/') { // name token: skip so /Tj-ish names never fire ops
+      } else if (c == '/') { // name token: remembered (Tf operand), never an op
         i += 1
+        val n0 = i
         while (i < to && !Character.isWhitespace(cs.charAt(i)) &&
           "()<>[]{}/%".indexOf(cs.charAt(i)) < 0) i += 1
+        lastName = cs.substring(n0, i)
       } else if (Character.isLetter(c)) {
         var j = i
         while (j < to && (Character.isLetterOrDigit(cs.charAt(j)) || cs.charAt(j) == '*')) j += 1
@@ -422,6 +592,7 @@ object PdfText {
           case "ET" => inText = false; pending = ""; arrayBuf = null
           case "Tj" | "TJ" => if (inText) { sb.append(pending); pending = "" }
           case "Td" | "TD" | "T*" => if (inText) newline()
+          case "Tf" => cmap = fonts.get(lastName) // font persists past ET (§9.3.1)
           case _ => ()
         }
         i = j
@@ -441,9 +612,9 @@ object PdfText {
           val s = new String(m.payload, ISO_8859_1)
           val sb = new StringBuilder
           try {
-            pageContentStreams(s, parseObjects(s)).foreach { cs =>
+            pageContentStreams(s, parseObjects(s)).foreach { case (cs, fonts) =>
               if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
-              extractTextOps(cs, sb)
+              extractTextOps(cs, sb, fonts)
             }
           } catch { case NonFatal(_) => () } // degrade, never throw
           sb.toString
@@ -506,6 +677,32 @@ object PdfText {
     }
     MediaFile(docId, PdfFixtures.objStmPdf("1.5", Seq(s"BT ($escaped) Tj ET"),
       flate = docId % 2 == 0))
+  }
+
+  /** [[syntheticPdf]]'s CID-FONT twin (l129): the text's UTF-16 units
+    * are written as 2-byte codes `unit + 2` (mod 2^16) in ONE hex
+    * string shown through a `/Type0` font whose embedded `/ToUnicode`
+    * CMap inverts the shift — two bfrange runs for the shifted body
+    * plus two bfchar entries for the wrapped top codes, so EVERY
+    * possible unit (surrogates included: a pair maps unit-by-unit and
+    * reassembles) round-trips for arbitrary input. The +2 shift makes
+    * the mapping non-identity: an extractor that ignored the CMap (or
+    * mis-applied a range offset) returns visibly different text, so
+    * the oracle match proves the resources→font→CMap chain ran. */
+  def syntheticPdfCmap(docId: Long, text: String): MediaFile = {
+    val hex = text.map(u => f"${(u + 2) & 0xFFFF}%04X").mkString
+    val content = s"BT /F1 12 Tf <$hex> Tj ET"
+    val cmapSrc =
+      "/CIDInit /ProcSet findresource begin\n" +
+        "12 dict begin\nbegincmap\n" +
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "2 beginbfchar\n<0000> <FFFE>\n<0001> <FFFF>\nendbfchar\n" +
+        "2 beginbfrange\n" +
+        "<0002> <0101> <0000>\n" + // codes 2..257   → units 0x0000..0x00FF
+        "<0102> <FFFF> <0100>\n" + // codes 258..65535 → units 0x0100..0xFFFD
+        "endbfrange\nendcmap\nend\nend"
+    MediaFile(docId,
+      PdfFixtures.cmapPdf("1.6", content, cmapSrc, flate = docId % 2 == 0))
   }
 
   /** The l68-cascade adapter: extracted PDFs as a (id, text) document

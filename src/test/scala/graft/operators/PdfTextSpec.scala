@@ -236,6 +236,76 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  test("syntheticPdfCmap round-trips arbitrary unicode through a /ToUnicode CMap") {
+    val rnd = new scala.util.Random(129L)
+    val texts = Seq("plain ascii", "Übergrößen — déjà vu", "日本語テキスト",
+      "ÿĀ� boundary units", "￾￿ bfchar top codes",
+      new String(Character.toChars(0x1D11E)) + " surrogate pair", "",
+      "BT and ET and Tf inside the text") ++
+      (0 until 80).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "x" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = PdfText.decodePdfText(PdfText.syntheticPdfCmap(i.toLong, t))
+      assert(got.text == t, s"CMap round trip broke for case $i: '${t.take(40)}'")
+      assert(got.n_pages == 1L)
+    }
+  }
+
+  test("the CMap decode is non-identity: ignoring it would fail") {
+    // unit 'A' (0x41) is written as code 0x43 — raw emission of the
+    // code bytes yields " C", not "A"
+    val got = PdfText.decodePdfText(PdfText.syntheticPdfCmap(1L, "A"))
+    assert(got.text == "A" && got.text != " C")
+  }
+
+  test("fonts without a usable /ToUnicode fall back to the raw reading") {
+    // font object exists but its ToUnicode stream is garbage: codes
+    // emit as their raw ISO-8859-1 bytes (degrade, never throw)
+    val body = PdfFixtures.cmapPdf("1.6",
+      "BT /F1 12 Tf (raw bytes) Tj ET", "not a cmap at all", flate = false)
+    assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "raw bytes")
+    // and a Tf naming an unresolvable font keeps the raw reading too
+    val body2 = PdfFixtures.cmapPdf("1.6",
+      "BT /F9 12 Tf (still raw) Tj ET",
+      "1 beginbfchar <41> <0042> endbfchar", flate = false)
+    assert(PdfText.decodePdfText(MediaFile(2L, body2)).text == "still raw")
+  }
+
+  test("1-byte-code CMaps remap simple-font bytes; uncovered codes pass through") {
+    // bfchar 'A'->Z, bfrange a..c -> 1..3 (one-byte codespace); 'x'
+    // uncovered stays 'x'
+    val cmap = "1 begincodespacerange <00> <FF> endcodespacerange\n" +
+      "1 beginbfchar <41> <005A> endbfchar\n" +
+      "1 beginbfrange <61> <63> <0031> endbfrange"
+    val body = PdfFixtures.cmapPdf("1.5",
+      "BT /F1 10 Tf (Aabcx) Tj ET", cmap, flate = true)
+    assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "Z123x")
+  }
+
+  test("bfrange ARRAY form maps each code to its listed dst string") {
+    val cmap = "1 begincodespacerange <00> <FF> endcodespacerange\n" +
+      "1 beginbfrange <41> <43> [<0058> <00590059> <005A>] endbfrange"
+    val body = PdfFixtures.cmapPdf("1.5",
+      "BT /F1 10 Tf (ABC) Tj ET", cmap, flate = false)
+    assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "XYYZ")
+  }
+
+  test("CMap fixtures survive bit-flip fuzz without throwing") {
+    val rnd = new scala.util.Random(229L)
+    val base = PdfText.syntheticPdfCmap(2L, "fuzz target – ünïcode ツ").payload
+    (0 until 200).foreach { _ =>
+      val mutated = base.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      val r = PdfText.decodePdfText(MediaFile(3L, mutated))
+      assert(r.n_chars == r.text.length.toLong)
+    }
+  }
+
   test("extracted PDF text composes into the l68 dedup cascade") {
     import spark.implicits._
     // two PDFs carrying the SAME prose (different versions/layout), one
