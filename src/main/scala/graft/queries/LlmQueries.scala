@@ -240,6 +240,16 @@ object LlmQueries {
       "FILTER (WHERE keep), '') AS main FROM mck GROUP BY doc_id)"
   }
 
+  /** l130's HTML chrome around each document's text — every removal
+    * class htmlToText must strip (style, comment, script, tags), NO
+    * kept-text chrome (no <title>), and no single quotes, so the SAME
+    * literal embeds in the DuckDB oracle. Shared verbatim by the Spark
+    * construction and the oracle SQL. */
+  private val MixedChromePre =
+    "<html><head><style>body{margin:0}</style></head>" +
+      "<body><!-- nav chrome --><p>"
+  private val MixedChromePost = "</p><script>track();</script></body></html>"
+
   /** DuckDB mirror of TextFunctions.normalizeText over SQL expr `e`. */
   private def normalizeTextSql(e: String): String =
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))"
@@ -3595,6 +3605,115 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L129 — CID-FONT (/ToUnicode CMap) round trip
+    // (PdfText.syntheticPdfCmap ∘ extractText): the l121 discipline
+    // over the OTHER common real-PDF shape — subset-embedded composite
+    // fonts whose string bytes are CODES, not characters. Every
+    // document's text is written as 2-byte codes (unit+2 mod 2^16) in
+    // a hex string shown through a /Type0 font whose embedded
+    // /ToUnicode CMap (two bfrange runs + two bfchar entries) inverts
+    // the shift; the extractor must resolve /Resources → /Font → Tf →
+    // CMap and decode code-by-code. The +2 shift makes the map
+    // non-identity, so ignoring the CMap (the pre-CMap reading, which
+    // emitted code bytes as "text") fails visibly; oracle = the
+    // original text verbatim. No Latin-1 re-read here: CMap output IS
+    // Unicode.
+    "l129_pdf_cmap_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.PdfText.syntheticPdfCmap(id, t) })
+        graft.operators.PdfText.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L130 — MIXED-CONTAINER crawl cascade, COMPOSED end-to-end: the
+    // corpus a real crawl delivers is not one format — it is WARC-
+    // wrapped HTML next to PDFs next to DOCX. Each document ships in
+    // ONE container chosen by doc_id % 3 (0 = a constructed single-
+    // record WARC file, gzipped on even ids, whose HTTP-200 body is
+    // the text inside style/comment/script chrome; 1 = syntheticPdf;
+    // 2 = syntheticDocx), and every 5th document ALSO ships a SECOND
+    // copy in the NEXT container type — a cross-container duplicate.
+    // Per-type extract (WARC record walk → htmlToText; PDF content-
+    // stream walk; DOCX zip walk) → normalize → exact dedup → banded-
+    // MinHash near dedup. The exact stage collapses a cross-container
+    // pair ONLY if all three extractors converge to the same
+    // normalized text — the composition claim l121/l122/l50/l66
+    // certify per-family, here certified ACROSS families in one
+    // dataflow. Oracle = the same cascade from construction-side
+    // VALUES (the documents table itself): PDF/DOCX extraction is
+    // text-verbatim, the HTML leg re-runs the l66 chain in SQL, then
+    // the l68 dedup CTEs. Scale shape: three narrow mapPartitions
+    // codec boundaries, per-row projections, then dedupCorpus's
+    // banded join — nothing quadratic, binary never on the driver.
+    "l130_mixed_cascade" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val mix = base.select((col("doc_id") * 10).as("mid"), col("text"),
+            (col("doc_id") % 3).as("typ"))
+          .unionAll(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") * 10 + 1).as("mid"), col("text"),
+              ((col("doc_id") + 1) % 3).as("typ")))
+        val htmlDocs = {
+          val files = mix.filter(col("typ") === 0).select(col("mid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) =>
+              graft.sources.Warc.syntheticResponse(id,
+                s"http://corpus.example/d/$id",
+                MixedChromePre + t + MixedChromePost) })
+          graft.sources.Warc.records(files, headBytes = 8192).toDF()
+            .filter(col("warc_type") === "response" && col("http_status") === 200)
+            .select(col("file_id").as("mid"),
+              htmlToText(col("body_head")).as("text"))
+        }
+        val pdfDocs = {
+          val files = mix.filter(col("typ") === 1).select(col("mid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) =>
+              graft.operators.PdfText.syntheticPdf(id, t) })
+          graft.operators.PdfText.extractText(files).toDF()
+            .select(col("doc_id").as("mid"),
+              decode(encode(col("text"), "ISO-8859-1"), "UTF-8").as("text"))
+        }
+        val docxDocs = {
+          val files = mix.filter(col("typ") === 2).select(col("mid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) =>
+              graft.operators.OfficeZip.syntheticDocx(id, t) })
+          graft.operators.OfficeZip.extractText(files).toDF()
+            .select(col("doc_id").as("mid"), col("text"))
+        }
+        val docs = htmlDocs.unionAll(pdfDocs).unionAll(docxDocs)
+          .select(col("mid").as("doc_id"), normalizeText(col("text")).as("text"))
+        Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH base AS (SELECT doc_id, text FROM documents), " +
+        "mix AS (SELECT doc_id * 10 AS doc_id, text, doc_id % 3 AS typ FROM base " +
+        "UNION ALL SELECT doc_id * 10 + 1, text, (doc_id + 1) % 3 " +
+        "FROM base WHERE doc_id % 5 = 0), " +
+        "ext AS (SELECT doc_id, CASE WHEN typ = 0 THEN " +
+        htmlToTextSql(s"'$MixedChromePre' || text || '$MixedChromePost'") +
+        " ELSE text END AS text FROM mix), " +
+        "docs AS (SELECT doc_id, " + normalizeTextSql("text") + " AS text FROM ext), " +
+        "kept AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM docs) " +
+        "WHERE rn = 1), " +
+        minhashPairsCte("kept") + ", " + jaccardCte + ", " +
+        "fin AS (SELECT doc_id, text FROM kept WHERE doc_id NOT IN " +
+        "(SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "md5(text) AS text_md5 FROM fin ORDER BY doc_id")),
 
     "l122_docx_roundtrip" -> QueryDef(
       (s, d) => {

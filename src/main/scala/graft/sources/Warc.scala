@@ -335,6 +335,18 @@ object Warc {
     }
   }
 
+  /** Construction half of the l130 mixed-container round trip (the
+    * [[graft.operators.PdfText.syntheticPdf]] discipline for WARC): one
+    * single-record WARC file wrapping an HTTP-200 HTML response, the
+    * whole file gzipped on even ids so half the corpus exercises the
+    * gzip-member path. The record/HTTP framing is the same
+    * construction [[WarcFixtures]] certifies against l50/l77 oracles. */
+  def syntheticResponse(fileId: Long, uri: String, html: String): WarcFile = {
+    val rec = WarcFixtures.record("response", Some(uri),
+      WarcFixtures.http("200 OK", html))
+    WarcFile(fileId, if (fileId % 2 == 0) WarcFixtures.gz(rec) else rec)
+  }
+
   /** The distributed form: one narrow flatMap, no shuffle — record
     * extraction is embarrassingly parallel over files, and downstream
     * ops see a relational table of records, never bytes. */
