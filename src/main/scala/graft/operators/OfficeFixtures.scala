@@ -192,6 +192,99 @@ object OfficeFixtures {
       "<dc:title>Spec &amp; Doc</dc:title><dc:language>en-US</dc:language>" +
       "</cp:coreProperties>"))), zip64 = true)
 
+  /** XLSX: two sheets whose WORKBOOK order (Beta=sheet2 first) differs
+    * from numeric filename order, so the rels-resolved walk is
+    * load-bearing; shared strings with a rich-text RUN SPLIT ("net " +
+    * "income &amp; tax" — one string, runs concatenate) and an entity;
+    * an inline string, a numeric cell, and a self-closing empty cell.
+    * Expected text, hand-folded from these member sources:
+    * "quarterly revenue\t42\ninline note\nnet income & tax" (9 words,
+    * 2 sheets). */
+  private def xlsx1: Array[Byte] = buildZip(Seq(
+    Member("[Content_Types].xml", ContentTypes),
+    Member("xl/workbook.xml", s("<?xml version=\"1.0\"?>" +
+      "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
+      "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\">" +
+      "<sheets><sheet name=\"Beta\" sheetId=\"2\" r:id=\"rId2\"/>" +
+      "<sheet name=\"Alpha\" sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>")),
+    Member("xl/_rels/workbook.xml.rels", s("<?xml version=\"1.0\"?>" +
+      "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+      "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet\" Target=\"worksheets/sheet1.xml\"/>" +
+      "<Relationship Id=\"rId2\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet\" Target=\"worksheets/sheet2.xml\"/>" +
+      "</Relationships>"), deflate = true),
+    Member("xl/sharedStrings.xml", s("<?xml version=\"1.0\"?>" +
+      "<sst count=\"2\" uniqueCount=\"2\"><si><t>quarterly revenue</t></si>" +
+      "<si><r><t xml:space=\"preserve\">net </t></r><r><t>income &amp; tax</t></r></si></sst>"),
+      deflate = true),
+    Member("xl/worksheets/sheet2.xml", s("<?xml version=\"1.0\"?>" +
+      "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c><c r=\"B1\"><v>42</v></c></row>" +
+      "<row r=\"2\"><c r=\"A2\" t=\"inlineStr\"><is><t>inline note</t></is></c></row>" +
+      "</sheetData></worksheet>")),
+    Member("xl/worksheets/sheet1.xml", s("<?xml version=\"1.0\"?>" +
+      "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>1</v></c><c r=\"B1\" s=\"1\"/></row>" +
+      "</sheetData></worksheet>"), deflate = true),
+    Member("docProps/core.xml", s("<?xml version=\"1.0\"?>" +
+      "<cp:coreProperties xmlns:cp=\"http://schemas.openxmlformats.org/package/2006/metadata/core-properties\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      "<dc:title>Q Report</dc:title><dc:language>en</dc:language>" +
+      "</cp:coreProperties>"))))
+
+  /** PPTX: two slides whose PRESENTATION order (slide2 first) differs
+    * from numeric filename order; a run-split paragraph ("open" +
+    * "ing remarks") and an entity. Expected text:
+    * "opening remarks\nclosing & thanks\nfin" (6 words, 2 slides). */
+  private def pptx1: Array[Byte] = buildZip(Seq(
+    Member("[Content_Types].xml", ContentTypes),
+    Member("ppt/presentation.xml", s("<?xml version=\"1.0\"?>" +
+      "<p:presentation xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\" " +
+      "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\">" +
+      "<p:sldIdLst><p:sldId id=\"257\" r:id=\"rId2\"/>" +
+      "<p:sldId id=\"256\" r:id=\"rId1\"/></p:sldIdLst></p:presentation>")),
+    Member("ppt/_rels/presentation.xml.rels", s("<?xml version=\"1.0\"?>" +
+      "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+      "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide\" Target=\"slides/slide1.xml\"/>" +
+      "<Relationship Id=\"rId2\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide\" Target=\"slides/slide2.xml\"/>" +
+      "</Relationships>"), deflate = true),
+    Member("ppt/slides/slide2.xml", s("<?xml version=\"1.0\"?>" +
+      "<p:sld xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\" " +
+      "xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\">" +
+      "<p:txBody><a:p><a:r><a:t>open</a:t></a:r>" +
+      "<a:r><a:t>ing remarks</a:t></a:r></a:p></p:txBody></p:sld>"), deflate = true),
+    Member("ppt/slides/slide1.xml", s("<?xml version=\"1.0\"?>" +
+      "<p:sld xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\" " +
+      "xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\">" +
+      "<p:txBody><a:p><a:r><a:t>closing &amp; thanks</a:t></a:r></a:p>" +
+      "<a:p><a:r><a:t>fin</a:t></a:r></a:p></p:txBody></p:sld>")),
+    Member("docProps/core.xml", s("<?xml version=\"1.0\"?>" +
+      "<cp:coreProperties xmlns:cp=\"http://schemas.openxmlformats.org/package/2006/metadata/core-properties\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      "<dc:title>Deck</dc:title><dc:language>de</dc:language>" +
+      "</cp:coreProperties>"))))
+
+  /** ODT: mimetype-detected OpenDocument text — two paragraphs (one a
+    * `<text:h>` heading), a SPAN SPLIT ("Lib" + "reOffice prose"), a
+    * `<text:tab/>` and `<text:s/>` substitution, an entity; dc:title /
+    * dc:language from meta.xml. Expected text, hand-folded:
+    * "Annual Report\nLibreOffice prose\twith & spaced words" —
+    * 8 whitespace-run words (TAB is whitespace), 2 paragraphs. */
+  private def odt1: Array[Byte] = buildZip(Seq(
+    Member("mimetype", s("application/vnd.oasis.opendocument.text")),
+    Member("content.xml", s("<?xml version=\"1.0\"?>" +
+      "<office:document-content xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+      "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">" +
+      "<office:body><office:text>" +
+      "<text:h text:outline-level=\"1\">Annual Report</text:h>" +
+      "<text:p><text:span>Lib</text:span><text:span>reOffice prose</text:span>" +
+      "<text:tab/>with &amp;<text:s/>spaced words</text:p>" +
+      "</office:text></office:body></office:document-content>"), deflate = true),
+    Member("meta.xml", s("<?xml version=\"1.0\"?>" +
+      "<office:document-meta xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\"><office:meta>" +
+      "<dc:title>Year One</dc:title><dc:language>fr</dc:language>" +
+      "</office:meta></office:document-meta>"))))
+
   /** Plain zip, neither format. */
   private def plainZip: Array[Byte] = buildZip(Seq(
     Member("readme.txt", s("just a zip"))))
@@ -211,6 +304,7 @@ object OfficeFixtures {
     val (d1, d2, e1, e2, de, pz, tz, tp) =
       (docx1, docx2, epub1, epub2, docxEnc, plainZip, truncatedZip, textPayload)
     val z64 = docxZip64
+    val (xl1, pp1, od1) = (xlsx1, pptx1, odt1)
     def bl(b: Array[Byte]) = b.length.toLong
     Seq(
       (MediaFile(1L, d1), OfficeMeta(1L, bl(d1), "docx", 3L, encrypted = false,
@@ -234,7 +328,18 @@ object OfficeFixtures {
       // zip64-forced docx1: identical logical fields through the zip64
       // EOCD locator + extra-field walk
       (MediaFile(9L, z64), OfficeMeta(9L, bl(z64), "docx", 3L, encrypted = false,
-        7L, 2L, "Spec & Doc", "en-US", "zip")))
+        7L, 2L, "Spec & Doc", "en-US", "zip")),
+      // 9 words hand-counted from the xlsx1 member sources (shared-
+      // string, numeric, inline-string cells over two sheets)
+      (MediaFile(10L, xl1), OfficeMeta(10L, bl(xl1), "xlsx", 7L, encrypted = false,
+        9L, 2L, "Q Report", "en", "zip")),
+      // 6 words from pptx1's two slides (presentation order)
+      (MediaFile(11L, pp1), OfficeMeta(11L, bl(pp1), "pptx", 6L, encrypted = false,
+        6L, 2L, "Deck", "de", "zip")),
+      // 8 whitespace-run words from odt1's heading + tab/space/span
+      // paragraph (hand-folded above)
+      (MediaFile(12L, od1), OfficeMeta(12L, bl(od1), "odt", 3L, encrypted = false,
+        8L, 2L, "Year One", "fr", "zip")))
   }
 
   /** The l115 input frame. */
@@ -270,20 +375,75 @@ object OfficeFixtures {
         "<spine><itemref idref=\"c1\"/></spine></package>"), deflate = deflate),
       Member("OEBPS/ch1.xhtml", s(chapterXhtml), deflate = deflate)))
 
+  /** The l131 construction hook: a five-member XLSX around a given
+    * sharedStrings.xml — one `t="s"` cell referencing string 0, the
+    * sheet reached through a real rels indirection. */
+  private[operators] def buildSyntheticXlsx(sharedStringsXml: String,
+                                            deflate: Boolean): Array[Byte] =
+    buildZip(Seq(
+      Member("[Content_Types].xml", ContentTypes, deflate = deflate),
+      Member("xl/workbook.xml", s("<?xml version=\"1.0\"?>" +
+        "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
+        "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\">" +
+        "<sheets><sheet name=\"S1\" sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>")),
+      Member("xl/_rels/workbook.xml.rels", s("<?xml version=\"1.0\"?>" +
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+        "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet\" Target=\"worksheets/sheet1.xml\"/>" +
+        "</Relationships>")),
+      Member("xl/sharedStrings.xml", s(sharedStringsXml), deflate = deflate),
+      Member("xl/worksheets/sheet1.xml", s("<?xml version=\"1.0\"?>" +
+        "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>" +
+        "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c></row>" +
+        "</sheetData></worksheet>"), deflate = deflate)))
+
+  /** The l132 construction hook: a four-member PPTX around a given
+    * slide XML, the slide reached through the presentation rels. */
+  private[operators] def buildSyntheticPptx(slideXml: String,
+                                            deflate: Boolean): Array[Byte] =
+    buildZip(Seq(
+      Member("[Content_Types].xml", ContentTypes, deflate = deflate),
+      Member("ppt/presentation.xml", s("<?xml version=\"1.0\"?>" +
+        "<p:presentation xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\" " +
+        "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\">" +
+        "<p:sldIdLst><p:sldId id=\"256\" r:id=\"rId1\"/></p:sldIdLst></p:presentation>")),
+      Member("ppt/_rels/presentation.xml.rels", s("<?xml version=\"1.0\"?>" +
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+        "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide\" Target=\"slides/slide1.xml\"/>" +
+        "</Relationships>")),
+      Member("ppt/slides/slide1.xml", s(slideXml), deflate = deflate)))
+
+  /** The l134 construction hook: a two-member ODT around a given
+    * content.xml (mimetype member carries the format detection). */
+  private[operators] def buildSyntheticOdt(contentXml: String,
+                                           deflate: Boolean): Array[Byte] =
+    buildZip(Seq(
+      Member("mimetype", s("application/vnd.oasis.opendocument.text")),
+      Member("content.xml", s(contentXml), deflate = deflate)))
+
   /** (payload, expected text) for l120 — hand-derived from the SAME
     * member sources (paragraph-run concatenation for DOCX, spine-order
-    * XHTML stripping for EPUB), never from the parser under test. */
+    * XHTML stripping for EPUB, workbook/presentation-ordered cells and
+    * slide paragraphs for XLSX/PPTX), never from the parser under
+    * test. */
   lazy val textFixtures: Seq[(MediaFile, OfficeZip.OfficeText)] = {
     val docx1Text = "Alpha beta gamma\ndelta epsilon & zeta"
     val docx2Text = "the quick brown fox jumps"
     val epubText = "chapter one begins & ends\nchapter two follows\n" +
       "chapter three closes the tale"
+    // hand-folded from the xlsx1 / pptx1 member sources (workbook /
+    // presentation order, rels-resolved; cells TAB-joined per row)
+    val xlsxText = "quarterly revenue\t42\ninline note\nnet income & tax"
+    val pptxText = "opening remarks\nclosing & thanks\nfin"
+    val odtText = "Annual Report\nLibreOffice prose\twith & spaced words"
     fixtures.map { case (file, meta) =>
       val text = (meta.format, meta.encrypted) match {
         case ("docx", false) if file.doc_id == 1L || file.doc_id == 9L =>
           docx1Text // doc 9 is docx1's members in the zip64 layout
         case ("docx", false) if file.doc_id == 2L => docx2Text
         case ("epub", false) => epubText
+        case ("xlsx", false) => xlsxText
+        case ("pptx", false) => pptxText
+        case ("odt", false) => odtText
         case _ => "" // encrypted / plain zip / truncated / stub
       }
       (file, OfficeZip.OfficeText(file.doc_id, meta.format, text,

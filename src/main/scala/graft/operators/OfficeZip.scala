@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions.col
 import Multimodal.MediaFile
 
 /**
- * DOCX / EPUB container metadata — the remaining big document family
- * next to WARC (l50), images (l13), audio (l61), video (l83) and PDF
- * (l112/l113). Both formats are ZIP containers (PKWARE APPNOTE, public)
+ * DOCX / XLSX / PPTX / EPUB container metadata — the remaining big
+ * document family next to WARC (l50), images (l13), audio (l61), video
+ * (l83) and PDF (l112/l113). All four formats are ZIP containers
+ * (PKWARE APPNOTE, public)
  * around XML: the walk here reads the zip END-OF-CENTRAL-DIRECTORY
  * record and central directory (never trusting sequential local
  * headers — the CD is the authoritative index, and it is how encrypted
@@ -34,6 +35,31 @@ import Multimodal.MediaFile
  *    construction fixtures prove the concat) with XML entities
  *    decoded; `n_parts` = paragraph (`<w:p`) count; `title` /
  *    `language` from `docProps/core.xml` Dublin Core fields.
+ *  - XLSX: sheets resolve in WORKBOOK order (`xl/workbook.xml`'s
+ *    `<sheet r:id>` list through `xl/_rels/workbook.xml.rels` — the
+ *    OPC indirection real writers use; numeric-filename fallback when
+ *    either is missing). Per sheet, each `<row>`'s non-empty cell
+ *    texts join with a TAB and rows/sheets join with `\n`; a cell's
+ *    text is the shared-string entry (`t="s"` → `<v>` index into
+ *    `xl/sharedStrings.xml`, each `<si>`'s `<t>` runs concatenated —
+ *    rich-text runs split words like DOCX runs), the inline string
+ *    (`t="inlineStr"`), or the raw `<v>` value (numbers, formula
+ *    results). `n_parts` = sheet count; `n_words` over the text.
+ *  - PPTX: slides resolve in PRESENTATION order (`<p:sldId r:id>`
+ *    through `ppt/_rels/presentation.xml.rels`; numeric fallback).
+ *    Per slide, each `<a:p>` paragraph is its `<a:t>` runs
+ *    concatenated; paragraphs and slides join with `\n`. `n_parts` =
+ *    slide count; `n_words` over the text. Titles/languages for both
+ *    from `docProps/core.xml`, same as DOCX.
+ *  - ODT (OpenDocument Text, the LibreOffice family; OASIS spec):
+ *    detected by the `mimetype` member's
+ *    `application/vnd.oasis.opendocument.text`. Paragraphs are
+ *    `content.xml`'s `<text:p>`/`<text:h>` blocks with `<text:tab/>`
+ *    → TAB, `<text:s/>` → one space, remaining inline tags (spans)
+ *    stripped to nothing (inline elements concatenate — the ODF
+ *    reading), entities decoded, joined with `\n`. `n_parts` =
+ *    paragraph count; `title`/`language` from `meta.xml`'s Dublin
+ *    Core fields.
  *  - EPUB: `title` / `language` from the OPF package document located
  *    via `META-INF/container.xml`'s rootfile full-path; `n_parts` =
  *    spine `<itemref` count (reading-order length — the page-count
@@ -213,6 +239,116 @@ object OfficeZip {
       WT.findAllMatchIn(chunk).map(m => unescapeXml(m.group(1))).mkString
     }.filter(_.nonEmpty).toSeq
 
+  // ------------------------------------------------- xlsx / pptx parts
+
+  private val TRun = "(?s)<t(?:\\s[^>]*)?>(.*?)</t>".r
+  private val SiBlock = "(?s)<si(?:\\s[^>]*)?>(.*?)</si>".r
+  private val CellBlock = "(?s)<c\\b([^>]*?)(?:/>|>(.*?)</c>)".r
+  private val CellType = "\\bt\\s*=\\s*\"([^\"]*)\"".r
+  private val VVal = "(?s)<v(?:\\s[^>]*)?>(.*?)</v>".r
+  private val SheetTag = "<sheet\\b[^>]*>".r
+  private val AttrRid = "\\br:id\\s*=\\s*\"([^\"]*)\"".r
+  private val RelTag = "<Relationship\\b[^>]*>".r
+  private val AttrRelId = "\\bId\\s*=\\s*\"([^\"]*)\"".r
+  private val AttrTarget = "\\bTarget\\s*=\\s*\"([^\"]*)\"".r
+  private val SldIdTag = "<p:sldId\\b[^>]*>".r
+  private val AParagraph = "(?s)<a:p(?:\\s[^>]*)?>(.*?)</a:p>".r
+  private val ATRun = "(?s)<a:t(?:\\s[^>]*)?>(.*?)</a:t>".r
+  private val NumberedPart = "(\\D*?)(\\d+)\\.xml$".r
+
+  /** OPC relationship resolution: the part NAMES a relationship id
+    * (`r:id` in workbook.xml / presentation.xml), the `.rels` sibling
+    * maps ids to targets relative to the source part's directory.
+    * Returns ordered member names; when the rels part or every r:id is
+    * missing (hand-rolled containers), falls back to the numeric-
+    * filename order of members under `fallbackPrefix`. */
+  private def resolveOrderedParts(b: Array[Byte], entries: Seq[ZipEntry],
+                                  tagIds: Seq[String],
+                                  relsName: String, baseDir: String,
+                                  fallbackPrefix: String): Seq[String] = {
+    val rels = entryText(b, entries, relsName).getOrElse("")
+    val targetById = RelTag.findAllIn(rels).flatMap { rel =>
+      for (id <- AttrRelId.findFirstMatchIn(rel).map(_.group(1));
+           t <- AttrTarget.findFirstMatchIn(rel).map(_.group(1)))
+        yield id -> (if (t.startsWith("/")) t.substring(1) else baseDir + t)
+    }.toMap
+    val resolved = tagIds.flatMap(targetById.get)
+    if (resolved.nonEmpty) resolved
+    else entries.map(_.name)
+      .filter(n => n.startsWith(fallbackPrefix) && n.endsWith(".xml"))
+      .flatMap { n =>
+        NumberedPart.findFirstMatchIn(n.substring(fallbackPrefix.length))
+          .map(m => (m.group(2).toLong, n))
+      }.sortBy(_._1).map(_._2)
+  }
+
+  /** Worksheet rows as text lines: per `<row>`, the non-empty cell
+    * texts joined with a TAB; rows with no text dropped. */
+  private def sheetLines(sheet: String, shared: IndexedSeq[String]): Seq[String] =
+    sheet.split("<row[ >]").iterator.drop(1).map { chunk =>
+      CellBlock.findAllMatchIn(chunk).map { c =>
+        val attrs = c.group(1)
+        val inner = Option(c.group(2)).getOrElse("")
+        CellType.findFirstMatchIn(attrs).map(_.group(1)) match {
+          case Some("s") =>
+            VVal.findFirstMatchIn(inner).map(_.group(1).trim)
+              .flatMap(_.toIntOption).filter(i => i >= 0 && i < shared.length)
+              .map(shared).getOrElse("")
+          case Some("inlineStr") =>
+            TRun.findAllMatchIn(inner).map(m => unescapeXml(m.group(1))).mkString
+          case _ => // numeric, t="str" formula results, booleans: raw <v>
+            VVal.findFirstMatchIn(inner).map(m => unescapeXml(m.group(1))).getOrElse("")
+        }
+      }.filter(_.nonEmpty).mkString("\t")
+    }.filter(_.nonEmpty).toSeq
+
+  private val OdtParagraph = "(?s)<text:(?:p|h)(?:\\s[^>]*)?>(.*?)</text:(?:p|h)>".r
+  private val OdtTab = "<text:tab\\s*/>".r
+  private val OdtSpace = "<text:s\\b[^>]*/>".r
+  private val AnyTagEmpty = "<[^>]*>".r
+
+  /** ODT paragraph texts of a `content.xml` body: `<text:p>`/`<text:h>`
+    * blocks, tab/space elements substituted, inline tags stripped to
+    * NOTHING (spans concatenate), entities decoded. */
+  private def odtParagraphsOf(content: String): Seq[String] =
+    OdtParagraph.findAllMatchIn(content).map { m =>
+      val tabs = OdtTab.replaceAllIn(m.group(1), "\t")
+      val spaced = OdtSpace.replaceAllIn(tabs, " ")
+      unescapeXml(AnyTagEmpty.replaceAllIn(spaced, ""))
+    }.filter(_.nonEmpty).toSeq
+
+  /** XLSX text: sheets in workbook order, rows as [[sheetLines]]. */
+  private def xlsxText(b: Array[Byte], entries: Seq[ZipEntry]): String = {
+    val workbook = entryText(b, entries, "xl/workbook.xml").getOrElse("")
+    val shared = entryText(b, entries, "xl/sharedStrings.xml").map { ss =>
+      SiBlock.findAllMatchIn(ss).map(si =>
+        TRun.findAllMatchIn(si.group(1)).map(m => unescapeXml(m.group(1))).mkString)
+        .toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+    val rids = SheetTag.findAllIn(workbook)
+      .flatMap(t => AttrRid.findFirstMatchIn(t).map(_.group(1))).toSeq
+    resolveOrderedParts(b, entries, rids,
+        "xl/_rels/workbook.xml.rels", "xl/", "xl/worksheets/sheet")
+      .flatMap(name => entryText(b, entries, name))
+      .flatMap(sheetLines(_, shared))
+      .mkString("\n")
+  }
+
+  /** PPTX text: slides in presentation order, per slide the `<a:p>`
+    * paragraphs' concatenated `<a:t>` runs. */
+  private def pptxText(b: Array[Byte], entries: Seq[ZipEntry]): String = {
+    val pres = entryText(b, entries, "ppt/presentation.xml").getOrElse("")
+    val rids = SldIdTag.findAllIn(pres)
+      .flatMap(t => AttrRid.findFirstMatchIn(t).map(_.group(1))).toSeq
+    resolveOrderedParts(b, entries, rids,
+        "ppt/_rels/presentation.xml.rels", "ppt/", "ppt/slides/slide")
+      .flatMap(name => entryText(b, entries, name))
+      .flatMap(slide => AParagraph.findAllMatchIn(slide).map(p =>
+        ATRun.findAllMatchIn(p.group(1)).map(m => unescapeXml(m.group(1))).mkString))
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
   /**
    * The single decode pass behind BOTH readouts: metadata always
    * (which for document formats includes the body — n_words counts
@@ -236,22 +372,55 @@ object OfficeZip {
           val names = entries.map(_.name).toSet
           val enc = entries.exists(e => (e.flag & 1) != 0) ||
             names.contains("META-INF/encryption.xml")
+          lazy val mimetype = entryText(b, entries, "mimetype").map(_.trim)
           val format =
             if (names.contains("word/document.xml")) "docx"
+            else if (names.contains("xl/workbook.xml")) "xlsx"
+            else if (names.contains("ppt/presentation.xml")) "pptx"
+            else if (mimetype.contains("application/vnd.oasis.opendocument.text"))
+              "odt"
             else if (names.contains("META-INF/container.xml") ||
-              entryText(b, entries, "mimetype").exists(_.trim == "application/epub+zip"))
+              mimetype.contains("application/epub+zip"))
               "epub"
             else "zip"
+          def coreField(re: scala.util.matching.Regex): String = {
+            val core = entryText(b, entries, "docProps/core.xml").getOrElse("")
+            re.findFirstMatchIn(core).map(x => unescapeXml(x.group(1))).getOrElse("")
+          }
           val (nWords, nParts, title, lang, text) =
             if (enc) (0L, 0L, "", "", "") // ciphertext is not content
             else format match {
               case "docx" =>
                 val doc = entryText(b, entries, "word/document.xml").getOrElse("")
-                val core = entryText(b, entries, "docProps/core.xml").getOrElse("")
                 val body = docxParagraphsOf(doc).mkString("\n")
                 (wsWords(body), WP.findAllMatchIn(doc).length.toLong,
-                  DcTitle.findFirstMatchIn(core).map(x => unescapeXml(x.group(1))).getOrElse(""),
-                  DcLanguage.findFirstMatchIn(core).map(x => unescapeXml(x.group(1))).getOrElse(""),
+                  coreField(DcTitle), coreField(DcLanguage),
+                  if (withText) body else "")
+              case "xlsx" =>
+                val workbook = entryText(b, entries, "xl/workbook.xml").getOrElse("")
+                val body = xlsxText(b, entries)
+                (wsWords(body), SheetTag.findAllIn(workbook).length.toLong,
+                  coreField(DcTitle), coreField(DcLanguage),
+                  if (withText) body else "")
+              case "odt" =>
+                val content = entryText(b, entries, "content.xml").getOrElse("")
+                val meta = entryText(b, entries, "meta.xml").getOrElse("")
+                val paras = odtParagraphsOf(content)
+                val body = paras.mkString("\n")
+                (wsWords(body), paras.length.toLong,
+                  DcTitle.findFirstMatchIn(meta).map(x => unescapeXml(x.group(1))).getOrElse(""),
+                  DcLanguage.findFirstMatchIn(meta).map(x => unescapeXml(x.group(1))).getOrElse(""),
+                  if (withText) body else "")
+              case "pptx" =>
+                val pres = entryText(b, entries, "ppt/presentation.xml").getOrElse("")
+                val declared = SldIdTag.findAllIn(pres).length.toLong
+                val nSlides = // declared list; numbered members when absent
+                  if (declared > 0) declared
+                  else entries.count(e => e.name.startsWith("ppt/slides/slide") &&
+                    e.name.endsWith(".xml")).toLong
+                val body = pptxText(b, entries)
+                (wsWords(body), nSlides,
+                  coreField(DcTitle), coreField(DcLanguage),
                   if (withText) body else "")
               case "epub" =>
                 val container = entryText(b, entries, "META-INF/container.xml").getOrElse("")
@@ -287,9 +456,11 @@ object OfficeZip {
   // ------------------------------------------------------ text payload
 
   /** Extracted document text (the l113 twin for office containers).
-    * `text` = DOCX paragraphs joined by `\n`, or EPUB spine chapters
-    * (each XHTML stripped to prose) joined by `\n`; encrypted
-    * documents and non-document zips report "". */
+    * `text` = DOCX paragraphs joined by `\n`, XLSX workbook-ordered
+    * sheet rows (cells TAB-joined), PPTX presentation-ordered slide
+    * paragraphs, or EPUB spine chapters (each XHTML stripped to prose)
+    * joined by `\n`; encrypted documents and non-document zips
+    * report "". */
   final case class OfficeText(doc_id: Long, format: String, text: String,
                               n_chars: Long, container: String)
 
@@ -357,7 +528,7 @@ object OfficeZip {
   def asDocuments(files: Dataset[MediaFile], idCol: String = "doc_id",
                   textCol: String = "text"): org.apache.spark.sql.DataFrame =
     extractText(files).toDF()
-      .filter((col("format") === "docx" || col("format") === "epub") &&
+      .filter(col("format").isin("docx", "xlsx", "pptx", "odt", "epub") &&
         col("n_chars") > 0)
       .select(col("doc_id").as(idCol), col("text").as(textCol))
 
@@ -396,6 +567,69 @@ object OfficeZip {
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     MediaFile(docId, OfficeFixtures.buildSyntheticEpub(
       s"<html><body><p>${esc(text)}</p></body></html>", docId % 2 == 0))
+  }
+
+  /** Construction half of the XLSX round trip (l131): the document's
+    * text as ONE shared string split across TWO `<t>` rich-text runs
+    * at the midpoint (run concatenation load-bearing, the l122
+    * discipline), referenced by a single `t="s"` cell whose sheet
+    * resolves through a REAL rels indirection (`r:id` → rels target) —
+    * so the round trip certifies the OPC resolution chain, the
+    * shared-string table, and the cell-type dispatch on every row.
+    * Deflate on even ids. */
+  def syntheticXlsx(docId: Long, text: String): MediaFile = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    var cut = text.length / 2
+    if (cut > 0 && cut < text.length && Character.isLowSurrogate(text.charAt(cut)))
+      cut -= 1
+    val (r1, r2) = (esc(text.substring(0, cut)), esc(text.substring(cut)))
+    val sharedStrings = "<?xml version=\"1.0\"?><sst count=\"1\" uniqueCount=\"1\">" +
+      s"<si><r><t xml:space=\"preserve\">$r1</t></r>" +
+      s"<r><t xml:space=\"preserve\">$r2</t></r></si></sst>"
+    MediaFile(docId,
+      OfficeFixtures.buildSyntheticXlsx(sharedStrings, docId % 2 == 0))
+  }
+
+  /** Construction half of the PPTX round trip (l132): the document's
+    * text as one slide paragraph split across TWO `<a:t>` runs,
+    * entity-escaped per run, the slide resolved through the
+    * presentation's `<p:sldId r:id>` rels chain. Deflate on even
+    * ids. */
+  def syntheticPptx(docId: Long, text: String): MediaFile = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    var cut = text.length / 2
+    if (cut > 0 && cut < text.length && Character.isLowSurrogate(text.charAt(cut)))
+      cut -= 1
+    val (r1, r2) = (esc(text.substring(0, cut)), esc(text.substring(cut)))
+    val slide = "<?xml version=\"1.0\"?>" +
+      "<p:sld xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\" " +
+      "xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\">" +
+      s"<p:txBody><a:p><a:r><a:t>$r1</a:t></a:r>" +
+      s"<a:r><a:t>$r2</a:t></a:r></a:p></p:txBody></p:sld>"
+    MediaFile(docId,
+      OfficeFixtures.buildSyntheticPptx(slide, docId % 2 == 0))
+  }
+
+  /** Construction half of the ODT round trip (l134): the document's
+    * text as one `<text:p>` split across TWO `<text:span>` inline
+    * elements at the midpoint (span concatenation load-bearing),
+    * entity-escaped per span. Deflate on even ids. */
+  def syntheticOdt(docId: Long, text: String): MediaFile = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    var cut = text.length / 2
+    if (cut > 0 && cut < text.length && Character.isLowSurrogate(text.charAt(cut)))
+      cut -= 1
+    val (r1, r2) = (esc(text.substring(0, cut)), esc(text.substring(cut)))
+    val content = "<?xml version=\"1.0\"?>" +
+      "<office:document-content xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+      "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">" +
+      "<office:body><office:text>" +
+      s"<text:p><text:span>$r1</text:span><text:span>$r2</text:span></text:p>" +
+      "</office:text></office:body></office:document-content>"
+    MediaFile(docId, OfficeFixtures.buildSyntheticOdt(content, docId % 2 == 0))
   }
 
   /** Stub fallback with the family's byte-length arithmetic. */

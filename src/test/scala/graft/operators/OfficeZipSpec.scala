@@ -166,6 +166,79 @@ class OfficeZipSpec extends AnyFunSuite {
     // only real document formats with text become cascade documents
     val docs = OfficeZip.asDocuments(OfficeFixtures.dataset(spark))
     assert(docs.select("doc_id").as[Long].collect().sorted.toSeq ==
-      Seq(1L, 2L, 3L, 9L)) // 9 = the zip64-forced docx
+      Seq(1L, 2L, 3L, 9L, 10L, 11L, 12L)) // zip64 docx, xlsx, pptx, odt
+  }
+
+  test("syntheticXlsx round-trips arbitrary unicode through the rels+sst chain") {
+    val rnd = new scala.util.Random(131L)
+    val texts = Seq("plain cell text", "amp & lt < gt > mixed", "café — déjà vu",
+      "日本語テキスト", "", "tab\there and\nnewline", "&&&<<<>>>") ++
+      (0 until 80).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "&" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = OfficeZip.decodeOfficeText(OfficeZip.syntheticXlsx(i.toLong, t))
+      assert(got.text == t, s"xlsx round trip broke for case $i: '${t.take(40)}'")
+      assert(got.format == "xlsx")
+    }
+  }
+
+  test("syntheticPptx round-trips arbitrary unicode through the sldId rels chain") {
+    val rnd = new scala.util.Random(132L)
+    val texts = Seq("slide prose", "amp & lt < gt >", "café 日本語", "",
+      "a", "runs   of whitespace") ++
+      (0 until 80).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "<" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = OfficeZip.decodeOfficeText(OfficeZip.syntheticPptx(i.toLong, t))
+      assert(got.text == t, s"pptx round trip broke for case $i: '${t.take(40)}'")
+      assert(got.format == "pptx")
+    }
+  }
+
+  test("xlsx sheets follow WORKBOOK order via rels, not filename order") {
+    // fixture 10 lists Beta(sheet2) before Alpha(sheet1): sheet2's rows
+    // must come first — numeric-filename order would invert the text
+    val xl = OfficeFixtures.fixtures(9)._1
+    val got = OfficeZip.decodeOfficeText(xl)
+    assert(got.text == "quarterly revenue\t42\ninline note\nnet income & tax")
+    assert(got.text.indexOf("quarterly") < got.text.indexOf("net income"))
+  }
+
+  test("pptx slides follow PRESENTATION order via rels") {
+    val pp = OfficeFixtures.fixtures(10)._1
+    val got = OfficeZip.decodeOfficeText(pp)
+    assert(got.text == "opening remarks\nclosing & thanks\nfin")
+  }
+
+  test("odt paragraphs: spans concatenate, tab/space elements substitute") {
+    val od = OfficeFixtures.fixtures(11)._1
+    val got = OfficeZip.decodeOfficeText(od)
+    assert(got.format == "odt")
+    assert(got.text == "Annual Report\nLibreOffice prose\twith & spaced words")
+  }
+
+  test("syntheticOdt round-trips arbitrary unicode through span splits") {
+    val rnd = new scala.util.Random(134L)
+    val texts = Seq("plain odt prose", "amp & lt < gt > mixed", "café — déjà vu",
+      "日本語テキスト", "", "tab\there", "&&&<<<>>>") ++
+      (0 until 80).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "&" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = OfficeZip.decodeOfficeText(OfficeZip.syntheticOdt(i.toLong, t))
+      assert(got.text == t, s"odt round trip broke for case $i: '${t.take(40)}'")
+      assert(got.format == "odt")
+    }
   }
 }
