@@ -152,6 +152,64 @@ object PdfFixtures {
       "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
   }
 
+  /** Construction-side stream encoders — the filter TWINS of the
+    * decode chain under test (deflate from `java.util.zip`, hex and
+    * base-85 armor per ISO 32000 §7.4.2–3), so an l133 round trip
+    * certifies the decoders against independent constructions. */
+  private[operators] def deflateStr(src: String): String = {
+    val in = src.getBytes("ISO-8859-1")
+    val d = new java.util.zip.Deflater()
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](in.length * 2 + 64)
+    val m = d.deflate(buf); d.end()
+    new String(buf, 0, m, "ISO-8859-1")
+  }
+
+  private[operators] def hexEncode(src: String): String =
+    src.map(c => f"${c.toInt & 0xFF}%02X").mkString + ">"
+
+  private[operators] def a85Encode(src: String): String = {
+    val out = new StringBuilder(src.length * 5 / 4 + 4)
+    var i = 0
+    while (i + 4 <= src.length) {
+      val v = ((src.charAt(i) & 0xFFL) << 24) | ((src.charAt(i + 1) & 0xFFL) << 16) |
+        ((src.charAt(i + 2) & 0xFFL) << 8) | (src.charAt(i + 3) & 0xFFL)
+      if (v == 0L) out.append('z')
+      else {
+        var d = 85L * 85 * 85 * 85
+        var r = v
+        while (d >= 1) { out.append(('!' + (r / d)).toChar); r %= d; d /= 85 }
+      }
+      i += 4
+    }
+    val rem = src.length - i
+    if (rem > 0) { // pad with zero bytes, emit rem+1 chars
+      var v = 0L
+      (0 until 4).foreach { k =>
+        v = (v << 8) | (if (i + k < src.length) src.charAt(i + k) & 0xFFL else 0L)
+      }
+      val five = new Array[Char](5)
+      var d = 85L * 85 * 85 * 85
+      var r = v
+      (0 until 5).foreach { k => five(k) = ('!' + (r / d)).toChar; r %= d; d /= 85 }
+      out.appendAll(five, 0, rem + 1)
+    }
+    out.append("~>").toString
+  }
+
+  /** A one-page PDF whose content stream carries an arbitrary
+    * `/Filter` entry over pre-encoded data — the l133 chain shapes. */
+  private[operators] def filteredPdf(version: String, data: String,
+                                     filterSpec: String): Array[Byte] =
+    (s"%PDF-$version\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${data.length} $filterSpec >>\nstream\n$data\nendstream\nendobj\n" +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      "trailer\n<< /Size 5 /Root 1 0 R >>\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+
   /** A one-page PDF whose page carries an INLINE `/Resources /Font`
     * dict naming a `/Type0` font (object 5) with an embedded
     * `/ToUnicode` CMap stream (object 6) — the subset-embedded

@@ -433,19 +433,94 @@ object PdfText {
     streams.toSeq
   }
 
-  /** FlateDecode only when it is the SOLE filter (`/Filter
-    * /FlateDecode` or the one-element array form) — a filter CHAIN
-    * leaves the inflated bytes still encoded by the remaining filters,
-    * so emitting them as text would be garbage, not degradation. Any
-    * other/chained filter yields no text (stated, not faked); no
-    * filter = raw. */
-  private val SoleFlate =
-    "/Filter\\s*(?:/FlateDecode(?![A-Za-z])|\\[\\s*/FlateDecode\\s*\\])".r
+  /** Stream filters applied IN LISTED ORDER (ISO 32000 §7.4 — a
+    * `/Filter [/ASCII85Decode /FlateDecode]` chain is ASCII-armored
+    * deflate, the email-safe shape): FlateDecode, ASCIIHexDecode and
+    * ASCII85Decode decode; any unknown filter in the chain yields no
+    * text (emitting partially-decoded bytes as "text" would be
+    * garbage, not degradation — stated, not faked). No filter = raw.
+    * `/DecodeParms` predictors are not applied (they dress xref
+    * streams, not real-world content streams) — a predictor-dressed
+    * content stream inflates to prediction deltas with no BT block,
+    * so it degrades to empty rather than emitting noise. */
+  private val FilterEntry = "/Filter\\s*(?:\\[([^\\]]*)\\]|/([A-Za-z0-9]+))".r
+  private val NameToken = "/([A-Za-z0-9]+)".r
+
+  private def filterList(dict: String): Seq[String] =
+    FilterEntry.findFirstMatchIn(dict).map { m =>
+      if (m.group(1) != null)
+        NameToken.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      else Seq(m.group(2))
+    }.getOrElse(Seq.empty)
+
+  /** ASCIIHexDecode (§7.4.2): hex digit pairs, whitespace ignored,
+    * `>` is EOD, an odd final digit pads a trailing 0. Non-hex junk
+    * before EOD is ignored (lenient degrade). */
+  private[operators] def asciiHexDecode(s: String): String = {
+    val end = s.indexOf('>')
+    val body = if (end < 0) s else s.substring(0, end)
+    val hex = body.filter(c => Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val out = new StringBuilder(padded.length / 2)
+    var k = 0
+    while (k + 2 <= padded.length) {
+      out.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
+      k += 2
+    }
+    out.toString
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes base-85
+    * big-endian, `z` = four zero bytes between groups, whitespace
+    * ignored, `~>` is EOD; a final partial group of n chars pads with
+    * `u` and emits n−1 bytes. Any other character → None (corrupt
+    * armor, degrade). */
+  private[operators] def ascii85Decode(s: String): Option[String] = {
+    val out = new StringBuilder(s.length * 4 / 5)
+    var acc = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (c == '~') done = true
+      else if (Character.isWhitespace(c)) ()
+      else if (c == 'z' && n == 0) // four zero bytes
+        out.append('\u0000').append('\u0000').append('\u0000').append('\u0000')
+      else if (c >= '!' && c <= 'u') {
+        acc = acc * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          out.append(((acc >> 24) & 0xFF).toChar).append(((acc >> 16) & 0xFF).toChar)
+            .append(((acc >> 8) & 0xFF).toChar).append((acc & 0xFF).toChar)
+          acc = 0L; n = 0
+        }
+      } else return None // corrupt armor
+      i += 1
+    }
+    if (n == 1) return None // a lone trailing char cannot encode bytes
+    if (n > 1) {
+      val pad = 5 - n
+      var a = acc
+      var k = 0
+      while (k < pad) { a = a * 85 + 84; k += 1 } // pad with 'u'
+      val bytes = Seq(((a >> 24) & 0xFF), ((a >> 16) & 0xFF), ((a >> 8) & 0xFF))
+        .take(n - 1)
+      bytes.foreach(b => out.append(b.toChar))
+    }
+    Some(out.toString)
+  }
 
   private def decodeStream(dict: String, raw: String): String =
     if (!dict.contains("/Filter")) raw
-    else if (SoleFlate.findFirstIn(dict).isDefined) inflate(raw)
-    else ""
+    else filterList(dict).foldLeft(Option(raw)) { (acc, f) =>
+      acc.flatMap(s => f match {
+        case "FlateDecode" => Some(inflate(s)) // corrupt deflate → ""
+        case "ASCIIHexDecode" => Some(asciiHexDecode(s))
+        case "ASCII85Decode" => ascii85Decode(s)
+        case _ => None // unknown filter: no text, never garbage
+      })
+    }.getOrElse("")
 
   /** Shared bounded inflate (zlib or raw per `nowrap`): 64 MiB
     * zip-bomb cap, truncated input stops cleanly, corrupt data → None.
@@ -703,6 +778,33 @@ object PdfText {
         "endbfrange\nendcmap\nend\nend"
     MediaFile(docId,
       PdfFixtures.cmapPdf("1.6", content, cmapSrc, flate = docId % 2 == 0))
+  }
+
+  /** [[syntheticPdf]]'s FILTER-CHAIN twin (l133): the same escaped-
+    * literal content stream, armored by doc_id % 3 — 0 =
+    * `[/ASCII85Decode /FlateDecode]` (deflate, then base-85 armor: the
+    * email-safe chain), 1 = `/ASCIIHexDecode` alone, 2 =
+    * `[/ASCIIHexDecode /FlateDecode]`. The decoders unwrap in listed
+    * order, so a round trip certifies both armor decoders AND the
+    * chain composition against the construction-side encoders. */
+  def syntheticPdfFiltered(docId: Long, text: String): MediaFile = {
+    val wrapped = new String(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      ISO_8859_1)
+    val escaped = wrapped.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val src = s"BT ($escaped) Tj ET"
+    val (data, spec) = (docId % 3) match {
+      case 0 => (PdfFixtures.a85Encode(PdfFixtures.deflateStr(src)),
+        "/Filter [/ASCII85Decode /FlateDecode]")
+      case 1 => (PdfFixtures.hexEncode(src), "/Filter /ASCIIHexDecode")
+      case _ => (PdfFixtures.hexEncode(PdfFixtures.deflateStr(src)),
+        "/Filter [/ASCIIHexDecode /FlateDecode]")
+    }
+    MediaFile(docId, PdfFixtures.filteredPdf("1.4", data, spec))
   }
 
   /** The l68-cascade adapter: extracted PDFs as a (id, text) document

@@ -107,7 +107,7 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.decodePdfText(MediaFile(1L, body)).text == "")
   }
 
-  test("filter CHAINS yield no text; sole FlateDecode still inflates") {
+  test("filter chains decode in listed order; unknown filters yield no text") {
     def withFilter(filter: String, data: String): Array[Byte] =
       ("%PDF-1.4\n" +
         "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
@@ -115,19 +115,25 @@ class PdfTextSpec extends AnyFunSuite {
         "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n" +
         s"4 0 obj\n<< /Length ${data.length} $filter >>\nstream\n$data\nendstream\nendobj\n" +
         "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
-    // a chain: inflated bytes would still be hex-encoded — no text
-    val chained = PdfText.decodePdfText(MediaFile(1L,
-      withFilter("/Filter [/FlateDecode /ASCIIHexDecode]", "xxxx")))
-    assert(chained.text == "")
-    // one-element array form still inflates
     val src = "BT (arrayed) Tj ET"
-    val d = new java.util.zip.Deflater()
-    d.setInput(src.getBytes("ISO-8859-1")); d.finish()
-    val buf = new Array[Byte](256)
-    val n = d.deflate(buf); d.end()
-    val flated = new String(buf, 0, n, "ISO-8859-1")
-    val ok = PdfText.decodePdfText(MediaFile(2L,
-      withFilter("/Filter [ /FlateDecode ]", flated)))
+    // [/FlateDecode /ASCIIHexDecode]: data was hex-armored FIRST, then
+    // deflated — decode inflates, then hex-decodes
+    val chained = PdfText.decodePdfText(MediaFile(1L,
+      withFilter("/Filter [/FlateDecode /ASCIIHexDecode]",
+        PdfFixtures.deflateStr(PdfFixtures.hexEncode(src)))))
+    assert(chained.text == "arrayed", s"got '${chained.text}'")
+    // corrupt deflate in a chain degrades to empty, never garbage
+    val corrupt = PdfText.decodePdfText(MediaFile(2L,
+      withFilter("/Filter [/FlateDecode /ASCIIHexDecode]", "xxxx")))
+    assert(corrupt.text == "")
+    // a chain containing an UNSUPPORTED filter yields no text
+    val dct = PdfText.decodePdfText(MediaFile(3L,
+      withFilter("/Filter [/FlateDecode /DCTDecode]",
+        PdfFixtures.deflateStr(src))))
+    assert(dct.text == "")
+    // one-element array form still inflates
+    val ok = PdfText.decodePdfText(MediaFile(4L,
+      withFilter("/Filter [ /FlateDecode ]", PdfFixtures.deflateStr(src))))
     assert(ok.text == "arrayed")
   }
 
@@ -303,6 +309,58 @@ class PdfTextSpec extends AnyFunSuite {
       mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
       val r = PdfText.decodePdfText(MediaFile(3L, mutated))
       assert(r.n_chars == r.text.length.toLong)
+    }
+  }
+
+  test("ascii85/asciihex decode known vectors and reject corrupt armor") {
+    // vectors cross-checked against python base64.a85encode at pin time
+    assert(PdfText.ascii85Decode("9jqo^~>").contains("Man "))
+    assert(PdfText.ascii85Decode("F*2M7/c~>").contains("sure."))
+    assert(PdfText.ascii85Decode("z@:B~>").contains("\u0000\u0000\u0000\u0000ab"))
+    assert(PdfText.ascii85Decode("BP@~>").contains("hi"))
+    assert(PdfText.ascii85Decode(" 9 j q o ^ ~>").contains("Man ")) // ws ignored
+    assert(PdfText.ascii85Decode("9jqoÿ~>").isEmpty) // out-of-range char
+    assert(PdfText.ascii85Decode("B~>").isEmpty) // lone trailing char
+    assert(PdfText.asciiHexDecode("48 65 6C6C 6F>") == "Hello")
+    assert(PdfText.asciiHexDecode("48656C6C6F7>") == "Hellop") // odd pads 0
+    // round trip through the construction encoders for random bytes
+    val rnd = new scala.util.Random(133L)
+    (0 until 200).foreach { _ =>
+      val raw = (0 until rnd.nextInt(60)).map(_ => rnd.nextInt(256).toChar).mkString
+      assert(PdfText.ascii85Decode(PdfFixtures.a85Encode(raw)).contains(raw))
+      assert(PdfText.asciiHexDecode(PdfFixtures.hexEncode(raw)) == raw)
+    }
+  }
+
+  test("syntheticPdfFiltered round-trips all three filter-chain shapes") {
+    val rnd = new scala.util.Random(233L)
+    val texts = Seq("plain ascii", "parens (and (nested)) \\ backslash",
+      "café — déjà vu", "日本語 with BT and ET inside", "") ++
+      (0 until 60).map { _ =>
+        (0 until rnd.nextInt(40)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "(" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = PdfText.decodePdfText(PdfText.syntheticPdfFiltered(i.toLong, t))
+      val back = new String(got.text.getBytes("ISO-8859-1"), "UTF-8")
+      assert(back == t, s"filter chain ${i % 3} broke for case $i: '${t.take(40)}'")
+    }
+    // unknown filters in a chain still yield no text, never garbage
+    val dct = PdfFixtures.filteredPdf("1.4", "ÿØÿ junk",
+      "/Filter [/DCTDecode]")
+    assert(PdfText.decodePdfText(MediaFile(1L, dct)).text == "")
+    // bit-flip fuzz across all three shapes never throws
+    (0 until 3).foreach { shape =>
+      val base = PdfText.syntheticPdfFiltered(shape.toLong, "flip target – ünïcode").payload
+      (0 until 120).foreach { _ =>
+        val mutated = base.clone()
+        val at = rnd.nextInt(mutated.length)
+        mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        val r = PdfText.decodePdfText(MediaFile(9L, mutated))
+        assert(r.n_chars == r.text.length.toLong)
+      }
     }
   }
 
