@@ -347,6 +347,20 @@ object Warc {
     WarcFile(fileId, if (fileId % 2 == 0) WarcFixtures.gz(rec) else rec)
   }
 
+  /** WET construction half (l135): Common Crawl's `*.warc.wet`
+    * extracted-text sidecar is a WARC whose `conversion` records carry
+    * the page's plain text as the record payload (no HTTP framing) —
+    * the zero-extraction entry point most corpus builds actually start
+    * from. One warcinfo header + one conversion record per file,
+    * gzipped on even ids. */
+  def syntheticWetFile(fileId: Long, uri: String, text: String): WarcFile = {
+    val rec =
+      WarcFixtures.record("warcinfo", None,
+        "software: graft-wet".getBytes("UTF-8")) ++
+        WarcFixtures.record("conversion", Some(uri), text.getBytes("UTF-8"))
+    WarcFile(fileId, if (fileId % 2 == 0) WarcFixtures.gz(rec) else rec)
+  }
+
   /** The distributed form: one narrow flatMap, no shuffle — record
     * extraction is embarrassingly parallel over files, and downstream
     * ops see a relational table of records, never bytes. */

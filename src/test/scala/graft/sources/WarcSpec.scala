@@ -118,6 +118,28 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("WET conversion records round-trip unicode text; warcinfo filtered by type") {
+    val rnd = new scala.util.Random(135L)
+    val texts = Seq("plain extracted prose", "café — déjà vu", "日本語テキスト",
+      "", "WARC/1.0 lookalike inside text", "line\nbreaks\nand\ttabs") ++
+      (0 until 60).map { _ =>
+        (0 until rnd.nextInt(60)).map { _ =>
+          val cp = rnd.nextInt(0x10FFFF + 1)
+          if (cp >= 0xD800 && cp <= 0xDFFF) "w" else new String(Character.toChars(cp))
+        }.mkString
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val f = Warc.syntheticWetFile(i.toLong, s"http://x/wet/$i", t)
+      val recs = Warc.parseFile(f.file_id, f.payload, headBytes = 8192)
+      assert(recs.length == 2, s"case $i: ${recs.length} records")
+      assert(recs.head.warc_type == "warcinfo")
+      val conv = recs(1)
+      assert(conv.warc_type == "conversion")
+      assert(conv.body_head == t, s"WET round trip broke for case $i: '${t.take(40)}'")
+      assert(conv.charset == "utf-8")
+    }
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = from
     while (i <= hay.length - needle.length) {
