@@ -3632,24 +3632,51 @@ object LlmQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // L133 — PDF FILTER-CHAIN round trip (PdfText.syntheticPdfFiltered
+    // ∘ extractText): stream filters decode IN LISTED ORDER (ISO 32000
+    // §7.4) — each document's content stream is armored by doc_id % 3
+    // as [/ASCII85Decode /FlateDecode] (the email-safe deflate armor),
+    // bare /ASCIIHexDecode, or [/ASCIIHexDecode /FlateDecode], and the
+    // extractor must unwrap the chain (base-85 / hex armor decoders,
+    // then the inflate). Construction-side encoders are independent
+    // twins (java.util.zip deflate + hand-written armor per the spec);
+    // oracle = the original text verbatim.
+    "l133_pdf_filterchain_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.PdfText.syntheticPdfFiltered(id, t) })
+        graft.operators.PdfText.extractText(files).toDF()
+          .select(col("doc_id"),
+            decode(encode(col("text"), "ISO-8859-1"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // L130 — MIXED-CONTAINER crawl cascade, COMPOSED end-to-end: the
     // corpus a real crawl delivers is not one format — it is WARC-
-    // wrapped HTML next to PDFs next to DOCX. Each document ships in
-    // ONE container chosen by doc_id % 3 (0 = a constructed single-
-    // record WARC file, gzipped on even ids, whose HTTP-200 body is
-    // the text inside style/comment/script chrome; 1 = syntheticPdf;
-    // 2 = syntheticDocx), and every 5th document ALSO ships a SECOND
+    // wrapped HTML next to PDFs next to DOCX next to EPUB. Each
+    // document ships in ONE container chosen by doc_id % 4 (0 = a
+    // constructed single-record WARC file, gzipped on even ids, whose
+    // HTTP-200 body is the text inside style/comment/script chrome;
+    // 1 = syntheticPdf; 2 = syntheticDocx; 3 = syntheticEpub), and
+    // every 5th document ALSO ships a SECOND
     // copy in the NEXT container type — a cross-container duplicate.
     // Per-type extract (WARC record walk → htmlToText; PDF content-
-    // stream walk; DOCX zip walk) → normalize → exact dedup → banded-
-    // MinHash near dedup. The exact stage collapses a cross-container
-    // pair ONLY if all three extractors converge to the same
-    // normalized text — the composition claim l121/l122/l50/l66
-    // certify per-family, here certified ACROSS families in one
-    // dataflow. Oracle = the same cascade from construction-side
-    // VALUES (the documents table itself): PDF/DOCX extraction is
-    // text-verbatim, the HTML leg re-runs the l66 chain in SQL, then
-    // the l68 dedup CTEs. Scale shape: three narrow mapPartitions
+    // stream walk; DOCX/EPUB zip walks) → normalize → exact dedup →
+    // banded-MinHash near dedup. The exact stage collapses a
+    // cross-container pair ONLY if all four extractors converge to the
+    // same normalized text — the composition claim l121/l122/l124/l50/
+    // l66 certify per-family, here certified ACROSS families in one
+    // dataflow (EPUB's collapse-ws invariant converges because
+    // normalizeText collapses whitespace on every leg). Oracle = the
+    // same cascade from construction-side
+    // VALUES (the documents table itself): PDF/DOCX/EPUB extraction is
+    // text-verbatim-up-to-normalization, the HTML leg re-runs the l66
+    // chain in SQL, then
+    // the l68 dedup CTEs. Scale shape: four narrow mapPartitions
     // codec boundaries, per-row projections, then dedupCorpus's
     // banded join — nothing quadratic, binary never on the driver.
     "l130_mixed_cascade" -> QueryDef(
@@ -3657,10 +3684,10 @@ object LlmQueries {
         import s.implicits._
         val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
         val mix = base.select((col("doc_id") * 10).as("mid"), col("text"),
-            (col("doc_id") % 3).as("typ"))
+            (col("doc_id") % 4).as("typ"))
           .unionAll(base.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") * 10 + 1).as("mid"), col("text"),
-              ((col("doc_id") + 1) % 3).as("typ")))
+              ((col("doc_id") + 1) % 4).as("typ")))
         val htmlDocs = {
           val files = mix.filter(col("typ") === 0).select(col("mid"), col("text"))
             .as[(Long, String)]
@@ -3690,7 +3717,15 @@ object LlmQueries {
           graft.operators.OfficeZip.extractText(files).toDF()
             .select(col("doc_id").as("mid"), col("text"))
         }
-        val docs = htmlDocs.unionAll(pdfDocs).unionAll(docxDocs)
+        val epubDocs = {
+          val files = mix.filter(col("typ") === 3).select(col("mid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) =>
+              graft.operators.OfficeZip.syntheticEpub(id, t) })
+          graft.operators.OfficeZip.extractText(files).toDF()
+            .select(col("doc_id").as("mid"), col("text"))
+        }
+        val docs = htmlDocs.unionAll(pdfDocs).unionAll(docxDocs).unionAll(epubDocs)
           .select(col("mid").as("doc_id"), normalizeText(col("text")).as("text"))
         Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
           .select(col("doc_id"),
@@ -3699,8 +3734,8 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("WITH base AS (SELECT doc_id, text FROM documents), " +
-        "mix AS (SELECT doc_id * 10 AS doc_id, text, doc_id % 3 AS typ FROM base " +
-        "UNION ALL SELECT doc_id * 10 + 1, text, (doc_id + 1) % 3 " +
+        "mix AS (SELECT doc_id * 10 AS doc_id, text, doc_id % 4 AS typ FROM base " +
+        "UNION ALL SELECT doc_id * 10 + 1, text, (doc_id + 1) % 4 " +
         "FROM base WHERE doc_id % 5 = 0), " +
         "ext AS (SELECT doc_id, CASE WHEN typ = 0 THEN " +
         htmlToTextSql(s"'$MixedChromePre' || text || '$MixedChromePost'") +
@@ -3714,6 +3749,88 @@ object LlmQueries {
         "(SELECT b_id FROM jac WHERE jaccard >= 0.8)) " +
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "md5(text) AS text_md5 FROM fin ORDER BY doc_id")),
+
+    // L131 — corpus-scale XLSX text ROUND TRIP (OfficeZip.syntheticXlsx
+    // ∘ extractText): the l122 discipline for spreadsheets — every
+    // document's text as ONE shared string split across two rich-text
+    // <t> runs (run fusion load-bearing per row), referenced by a
+    // t="s" cell whose sheet resolves through a REAL rels indirection,
+    // Deflate on even ids; oracle = the original text verbatim. A
+    // match certifies the OPC r:id→rels→target chain, the shared-
+    // string table decode, and the cell-type dispatch on 500 real
+    // documents.
+    "l131_xlsx_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.OfficeZip.syntheticXlsx(id, t) })
+        graft.operators.OfficeZip.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L132 — corpus-scale PPTX text ROUND TRIP (the slide twin): one
+    // slide paragraph split across two <a:t> runs, the slide resolved
+    // through the presentation's <p:sldId r:id> rels chain, Deflate on
+    // even ids; oracle = the original text verbatim.
+    "l132_pptx_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.OfficeZip.syntheticPptx(id, t) })
+        graft.operators.OfficeZip.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L135 — WET ingest round trip (Warc.syntheticWetFile ∘ records):
+    // Common Crawl's *.warc.wet sidecar is the zero-extraction entry
+    // point most corpus builds actually start from — WARC `conversion`
+    // records whose payload IS the page's extracted plain text, no
+    // HTTP framing. Each document's text wraps into a warcinfo +
+    // conversion WET file (gzipped on even ids) and reads back through
+    // the same streaming record walk as l50/l68 (non-HTTP branch:
+    // charset-sniffed body prefix); oracle = the original text
+    // verbatim. The warcinfo distractor proves the type filter.
+    "l135_wet_ingest" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.sources.Warc.syntheticWetFile(id,
+              s"http://corpus.example/wet/$id", t) })
+        graft.sources.Warc.records(files, headBytes = 8192).toDF()
+          .filter(col("warc_type") === "conversion")
+          .select(col("file_id").as("doc_id"), col("body_head").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L134 — corpus-scale ODT text ROUND TRIP (the OpenDocument /
+    // LibreOffice family): one <text:p> split across two <text:span>
+    // inline elements (span concatenation load-bearing — ODF inline
+    // tags strip to NOTHING, not spaces), entity-escaped per span,
+    // mimetype-member format detection, Deflate on even ids; oracle =
+    // the original text verbatim.
+    "l134_odt_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.OfficeZip.syntheticOdt(id, t) })
+        graft.operators.OfficeZip.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
     "l122_docx_roundtrip" -> QueryDef(
       (s, d) => {
