@@ -197,6 +197,40 @@ object PdfFixtures {
     out.append("~>").toString
   }
 
+  /** RunLength armor (§7.4.5 construction twin): runs of ≥ 3 identical
+    * bytes as 257−n repeats, everything else as ≤128-byte literal
+    * chunks, EOD 128. */
+  private[operators] def rleEncode(src: String): String = {
+    val out = new StringBuilder(src.length + 8)
+    var i = 0
+    while (i < src.length) {
+      var run = 1
+      while (i + run < src.length && run < 128 && src.charAt(i + run) == src.charAt(i))
+        run += 1
+      if (run >= 3) {
+        out.append((257 - run).toChar).append(src.charAt(i))
+        i += run
+      } else {
+        // literal chunk: extend until a >=3 repeat starts or 128 bytes;
+        // the final min caps the count byte at 127 (128 is EOD, and an
+        // overshoot from the 2-byte lookahead must spill to the next
+        // chunk, never collide with the marker)
+        var lit = i + run
+        var ended = false
+        while (!ended && lit < src.length && lit - i < 128) {
+          var next = 1
+          while (lit + next < src.length && next < 3 && src.charAt(lit + next) == src.charAt(lit))
+            next += 1
+          if (next >= 3) ended = true else lit += next
+        }
+        val n = math.min(lit - i, 128)
+        out.append((n - 1).toChar).appendAll(src.toCharArray, i, n)
+        i += n
+      }
+    }
+    out.append(128.toChar).toString
+  }
+
   /** A one-page PDF whose content stream carries an arbitrary
     * `/Filter` entry over pre-encoded data — the l133 chain shapes. */
   private[operators] def filteredPdf(version: String, data: String,

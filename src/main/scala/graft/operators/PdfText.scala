@@ -244,11 +244,32 @@ object PdfText {
     * 256-block, where the two readings agree). */
   private[operators] final case class CMap(codeBytes: Int, chars: Map[Int, String],
                                            ranges: Vector[(Int, Int, Vector[Int])]) {
-    def lookup(code: Int): Option[String] = chars.get(code).orElse {
-      ranges.collectFirst { case (lo, hi, dst) if code >= lo && code <= hi =>
-        val units = dst.updated(dst.length - 1, (dst.last + (code - lo)) & 0xFFFF)
-        units.map(_.toChar).mkString
+    /** Appends the mapping of `code` to `out` and returns true, or
+      * returns false when no entry covers it (caller falls back to the
+      * raw bytes). Append-into-builder keeps the per-CHARACTER corpus
+      * hot path (one call per code of every extracted string)
+      * allocation-free for the common single-unit range hit. */
+    def appendLookup(code: Int, out: StringBuilder): Boolean =
+      chars.get(code) match {
+        case Some(s) => out.append(s); true
+        case None =>
+          var i = 0
+          while (i < ranges.length) {
+            val (lo, hi, dst) = ranges(i)
+            if (code >= lo && code <= hi) {
+              var k = 0
+              while (k < dst.length - 1) { out.append(dst(k).toChar); k += 1 }
+              out.append(((dst(dst.length - 1) + (code - lo)) & 0xFFFF).toChar)
+              return true
+            }
+            i += 1
+          }
+          false
       }
+
+    def lookup(code: Int): Option[String] = {
+      val sb = new StringBuilder(2)
+      if (appendLookup(code, sb)) Some(sb.toString) else None
     }
   }
 
@@ -329,15 +350,13 @@ object PdfText {
     while (i < raw.length) {
       if (cm.codeBytes == 2 && i + 1 < raw.length) {
         val code = ((raw.charAt(i) & 0xFF) << 8) | (raw.charAt(i + 1) & 0xFF)
-        cm.lookup(code) match {
-          case Some(u) => out.append(u)
-          case None => out.append(raw.charAt(i)).append(raw.charAt(i + 1))
-        }
+        if (!cm.appendLookup(code, out))
+          out.append(raw.charAt(i)).append(raw.charAt(i + 1))
         i += 2
       } else if (cm.codeBytes == 2) { out.append(raw.charAt(i)); i += 1 }
       else {
-        out.append(cm.lookup(raw.charAt(i) & 0xFF)
-          .getOrElse(raw.charAt(i).toString))
+        if (!cm.appendLookup(raw.charAt(i) & 0xFF, out))
+          out.append(raw.charAt(i))
         i += 1
       }
     }
@@ -435,8 +454,9 @@ object PdfText {
 
   /** Stream filters applied IN LISTED ORDER (ISO 32000 §7.4 — a
     * `/Filter [/ASCII85Decode /FlateDecode]` chain is ASCII-armored
-    * deflate, the email-safe shape): FlateDecode, ASCIIHexDecode and
-    * ASCII85Decode decode; any unknown filter in the chain yields no
+    * deflate, the email-safe shape): FlateDecode, ASCIIHexDecode,
+    * ASCII85Decode and RunLengthDecode decode; any unknown filter in
+    * the chain yields no
     * text (emitting partially-decoded bytes as "text" would be
     * garbage, not degradation — stated, not faked). No filter = raw.
     * `/DecodeParms` predictors are not applied (they dress xref
@@ -511,6 +531,32 @@ object PdfText {
     Some(out.toString)
   }
 
+  /** RunLengthDecode (§7.4.5): length byte L ≤ 127 copies the next
+    * L+1 bytes literally, L ≥ 129 repeats the next byte 257−L times,
+    * L = 128 is EOD. A truncated run decodes what fits (degrade). */
+  private[operators] def runLengthDecode(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var done = false
+    while (i < s.length && !done) {
+      val l = s.charAt(i) & 0xFF
+      if (l == 128) done = true
+      else if (l <= 127) {
+        val n = math.min(l + 1, s.length - i - 1)
+        out.appendAll(s.toCharArray, i + 1, n)
+        i += 1 + l + 1
+      } else {
+        if (i + 1 < s.length) {
+          val c = s.charAt(i + 1)
+          var k = 0
+          while (k < 257 - l) { out.append(c); k += 1 }
+        }
+        i += 2
+      }
+    }
+    out.toString
+  }
+
   private def decodeStream(dict: String, raw: String): String =
     if (!dict.contains("/Filter")) raw
     else filterList(dict).foldLeft(Option(raw)) { (acc, f) =>
@@ -518,6 +564,7 @@ object PdfText {
         case "FlateDecode" => Some(inflate(s)) // corrupt deflate → ""
         case "ASCIIHexDecode" => Some(asciiHexDecode(s))
         case "ASCII85Decode" => ascii85Decode(s)
+        case "RunLengthDecode" => Some(runLengthDecode(s))
         case _ => None // unknown filter: no text, never garbage
       })
     }.getOrElse("")
@@ -765,7 +812,14 @@ object PdfText {
     * mis-applied a range offset) returns visibly different text, so
     * the oracle match proves the resources→font→CMap chain ran. */
   def syntheticPdfCmap(docId: Long, text: String): MediaFile = {
-    val hex = text.map(u => f"${(u + 2) & 0xFFFF}%04X").mkString
+    val hexDigits = "0123456789ABCDEF"
+    val hexSb = new StringBuilder(text.length * 4)
+    text.foreach { u =>
+      val c = (u + 2) & 0xFFFF
+      hexSb.append(hexDigits((c >> 12) & 0xF)).append(hexDigits((c >> 8) & 0xF))
+        .append(hexDigits((c >> 4) & 0xF)).append(hexDigits(c & 0xF))
+    }
+    val hex = hexSb.toString
     val content = s"BT /F1 12 Tf <$hex> Tj ET"
     val cmapSrc =
       "/CIDInit /ProcSet findresource begin\n" +
@@ -781,11 +835,12 @@ object PdfText {
   }
 
   /** [[syntheticPdf]]'s FILTER-CHAIN twin (l133): the same escaped-
-    * literal content stream, armored by doc_id % 3 — 0 =
+    * literal content stream, armored by doc_id % 4 — 0 =
     * `[/ASCII85Decode /FlateDecode]` (deflate, then base-85 armor: the
     * email-safe chain), 1 = `/ASCIIHexDecode` alone, 2 =
-    * `[/ASCIIHexDecode /FlateDecode]`. The decoders unwrap in listed
-    * order, so a round trip certifies both armor decoders AND the
+    * `[/ASCIIHexDecode /FlateDecode]`, 3 = `/RunLengthDecode`. The
+    * decoders unwrap in listed
+    * order, so a round trip certifies the armor decoders AND the
     * chain composition against the construction-side encoders. */
   def syntheticPdfFiltered(docId: Long, text: String): MediaFile = {
     val wrapped = new String(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -797,12 +852,13 @@ object PdfText {
       case c => c.toString
     }
     val src = s"BT ($escaped) Tj ET"
-    val (data, spec) = (docId % 3) match {
+    val (data, spec) = (docId % 4) match {
       case 0 => (PdfFixtures.a85Encode(PdfFixtures.deflateStr(src)),
         "/Filter [/ASCII85Decode /FlateDecode]")
       case 1 => (PdfFixtures.hexEncode(src), "/Filter /ASCIIHexDecode")
-      case _ => (PdfFixtures.hexEncode(PdfFixtures.deflateStr(src)),
+      case 2 => (PdfFixtures.hexEncode(PdfFixtures.deflateStr(src)),
         "/Filter [/ASCIIHexDecode /FlateDecode]")
+      case _ => (PdfFixtures.rleEncode(src), "/Filter /RunLengthDecode")
     }
     MediaFile(docId, PdfFixtures.filteredPdf("1.4", data, spec))
   }

@@ -323,6 +323,17 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.ascii85Decode("B~>").isEmpty) // lone trailing char
     assert(PdfText.asciiHexDecode("48 65 6C6C 6F>") == "Hello")
     assert(PdfText.asciiHexDecode("48656C6C6F7>") == "Hellop") // odd pads 0
+    // RunLengthDecode: literal run, 257-n repeat, EOD, truncation degrade
+    assert(PdfText.runLengthDecode("\u0002abc" + 128.toChar) == "abc")
+    assert(PdfText.runLengthDecode((257 - 5).toChar + "x" + 128.toChar) == "xxxxx")
+    assert(PdfText.runLengthDecode("\u0004ab") == "ab") // truncated literal
+    val rl = new scala.util.Random(233L)
+    (0 until 300).foreach { _ =>
+      val raw = (0 until rl.nextInt(500)).map(_ =>
+        if (rl.nextBoolean()) 'a' else rl.nextInt(256).toChar).mkString
+      assert(PdfText.runLengthDecode(PdfFixtures.rleEncode(raw)) == raw,
+        s"rle broke at length ${raw.length}")
+    }
     // round trip through the construction encoders for random bytes
     val rnd = new scala.util.Random(133L)
     (0 until 200).foreach { _ =>
@@ -332,7 +343,7 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
-  test("syntheticPdfFiltered round-trips all three filter-chain shapes") {
+  test("syntheticPdfFiltered round-trips all four filter-chain shapes") {
     val rnd = new scala.util.Random(233L)
     val texts = Seq("plain ascii", "parens (and (nested)) \\ backslash",
       "café — déjà vu", "日本語 with BT and ET inside", "") ++
@@ -345,14 +356,14 @@ class PdfTextSpec extends AnyFunSuite {
     texts.zipWithIndex.foreach { case (t, i) =>
       val got = PdfText.decodePdfText(PdfText.syntheticPdfFiltered(i.toLong, t))
       val back = new String(got.text.getBytes("ISO-8859-1"), "UTF-8")
-      assert(back == t, s"filter chain ${i % 3} broke for case $i: '${t.take(40)}'")
+      assert(back == t, s"filter chain ${i % 4} broke for case $i: '${t.take(40)}'")
     }
     // unknown filters in a chain still yield no text, never garbage
     val dct = PdfFixtures.filteredPdf("1.4", "ÿØÿ junk",
       "/Filter [/DCTDecode]")
     assert(PdfText.decodePdfText(MediaFile(1L, dct)).text == "")
     // bit-flip fuzz across all three shapes never throws
-    (0 until 3).foreach { shape =>
+    (0 until 4).foreach { shape =>
       val base = PdfText.syntheticPdfFiltered(shape.toLong, "flip target – ünïcode").payload
       (0 until 120).foreach { _ =>
         val mutated = base.clone()
