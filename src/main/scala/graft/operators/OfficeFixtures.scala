@@ -137,6 +137,21 @@ object OfficeFixtures {
       "<w:p><w:r><w:t>the quick brown fox jumps</w:t></w:r></w:p>" +
       "</w:body></w:document>"), deflate = true)))
 
+  /** DOCX 3: run-level whitespace ELEMENTS — an attribute-less
+    * `<w:tab/>` (tab char) next to an ATTRIBUTED tab-STOP definition
+    * inside `<w:pPr><w:tabs>` (must emit nothing), a `<w:br/>` and a
+    * `<w:cr/>` line break. Expected text, hand-folded:
+    * "col1\tcol2\nline one\nline two\nend" — 7 whitespace-run words
+    * (tab and breaks are whitespace), 2 paragraphs. */
+  private def docx3: Array[Byte] = buildZip(Seq(
+    Member("[Content_Types].xml", ContentTypes),
+    Member("word/document.xml", s("<?xml version=\"1.0\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      "<w:p><w:pPr><w:tabs><w:tab w:val=\"left\" w:pos=\"720\"/></w:tabs></w:pPr>" +
+      "<w:r><w:t>col1</w:t></w:r><w:r><w:tab/></w:r><w:r><w:t>col2</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t>line one</w:t><w:br/><w:t>line two</w:t><w:cr/><w:t>end</w:t></w:r></w:p>" +
+      "</w:body></w:document>"), deflate = true)))
+
   private def epubOpf: Array[Byte] = s("<?xml version=\"1.0\"?>" +
     "<package xmlns=\"http://www.idpf.org/2007/opf\" version=\"3.0\">" +
     "<metadata xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
@@ -304,7 +319,7 @@ object OfficeFixtures {
     val (d1, d2, e1, e2, de, pz, tz, tp) =
       (docx1, docx2, epub1, epub2, docxEnc, plainZip, truncatedZip, textPayload)
     val z64 = docxZip64
-    val (xl1, pp1, od1) = (xlsx1, pptx1, odt1)
+    val (xl1, pp1, od1, d3) = (xlsx1, pptx1, odt1, docx3)
     def bl(b: Array[Byte]) = b.length.toLong
     Seq(
       (MediaFile(1L, d1), OfficeMeta(1L, bl(d1), "docx", 3L, encrypted = false,
@@ -339,7 +354,11 @@ object OfficeFixtures {
       // 8 whitespace-run words from odt1's heading + tab/space/span
       // paragraph (hand-folded above)
       (MediaFile(12L, od1), OfficeMeta(12L, bl(od1), "odt", 3L, encrypted = false,
-        8L, 2L, "Year One", "fr", "zip")))
+        8L, 2L, "Year One", "fr", "zip")),
+      // 7 words across docx3's tab/br/cr whitespace elements (the
+      // attributed tab-STOP definition emits nothing)
+      (MediaFile(13L, d3), OfficeMeta(13L, bl(d3), "docx", 2L, encrypted = false,
+        7L, 2L, "", "", "zip")))
   }
 
   /** The l115 input frame. */
@@ -435,11 +454,13 @@ object OfficeFixtures {
     val xlsxText = "quarterly revenue\t42\ninline note\nnet income & tax"
     val pptxText = "opening remarks\nclosing & thanks\nfin"
     val odtText = "Annual Report\nLibreOffice prose\twith & spaced words"
+    val docx3Text = "col1\tcol2\nline one\nline two\nend"
     fixtures.map { case (file, meta) =>
       val text = (meta.format, meta.encrypted) match {
         case ("docx", false) if file.doc_id == 1L || file.doc_id == 9L =>
           docx1Text // doc 9 is docx1's members in the zip64 layout
         case ("docx", false) if file.doc_id == 2L => docx2Text
+        case ("docx", false) if file.doc_id == 13L => docx3Text
         case ("epub", false) => epubText
         case ("xlsx", false) => xlsxText
         case ("pptx", false) => pptxText

@@ -232,11 +232,25 @@ object OfficeZip {
 
   /** Paragraph texts of a `word/document.xml` body — each paragraph
     * the CONCATENATION of its `<w:t>` runs (runs split words
-    * arbitrarily; concatenation is the OOXML reading), entities
-    * decoded. */
+    * arbitrarily; concatenation is the OOXML reading) interleaved with
+    * the run-level whitespace ELEMENTS real Word files carry: an
+    * attribute-LESS `<w:tab/>` is a tab character (the attributed form
+    * inside `<w:tabs>` is a tab-STOP definition and must emit
+    * nothing), `<w:br/>` (any attrs — page breaks break text too) and
+    * `<w:cr/>` are line breaks. Entities decoded per run. */
+  private val WtOrBreak =
+    ("(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab\\s*/>|" +
+      "<w:br\\b[^>]*/>|<w:cr\\s*/>").r
+
   private def docxParagraphsOf(doc: String): Seq[String] =
     doc.split("<w:p[ >]").iterator.map { chunk =>
-      WT.findAllMatchIn(chunk).map(m => unescapeXml(m.group(1))).mkString
+      val sb = new StringBuilder
+      WtOrBreak.findAllMatchIn(chunk).foreach { m =>
+        if (m.group(1) != null) sb.append(unescapeXml(m.group(1)))
+        else if (m.matched.startsWith("<w:tab")) sb.append('\t')
+        else sb.append('\n')
+      }
+      sb.toString
     }.filter(_.nonEmpty).toSeq
 
   // ------------------------------------------------- xlsx / pptx parts
@@ -304,16 +318,19 @@ object OfficeZip {
 
   private val OdtParagraph = "(?s)<text:(?:p|h)(?:\\s[^>]*)?>(.*?)</text:(?:p|h)>".r
   private val OdtTab = "<text:tab\\s*/>".r
+  private val OdtBreak = "<text:line-break\\s*/>".r
   private val OdtSpace = "<text:s\\b[^>]*/>".r
   private val AnyTagEmpty = "<[^>]*>".r
 
   /** ODT paragraph texts of a `content.xml` body: `<text:p>`/`<text:h>`
-    * blocks, tab/space elements substituted, inline tags stripped to
+    * blocks, tab/line-break/space elements substituted, inline tags
+    * stripped to
     * NOTHING (spans concatenate), entities decoded. */
   private def odtParagraphsOf(content: String): Seq[String] =
     OdtParagraph.findAllMatchIn(content).map { m =>
       val tabs = OdtTab.replaceAllIn(m.group(1), "\t")
-      val spaced = OdtSpace.replaceAllIn(tabs, " ")
+      val broken = OdtBreak.replaceAllIn(tabs, "\n")
+      val spaced = OdtSpace.replaceAllIn(broken, " ")
       unescapeXml(AnyTagEmpty.replaceAllIn(spaced, ""))
     }.filter(_.nonEmpty).toSeq
 

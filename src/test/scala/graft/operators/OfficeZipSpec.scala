@@ -166,7 +166,19 @@ class OfficeZipSpec extends AnyFunSuite {
     // only real document formats with text become cascade documents
     val docs = OfficeZip.asDocuments(OfficeFixtures.dataset(spark))
     assert(docs.select("doc_id").as[Long].collect().sorted.toSeq ==
-      Seq(1L, 2L, 3L, 9L, 10L, 11L, 12L)) // zip64 docx, xlsx, pptx, odt
+      Seq(1L, 2L, 3L, 9L, 10L, 11L, 12L, 13L)) // zip64 docx, xlsx, pptx, odt, tab/br docx
+  }
+
+  test("odt line-break element becomes a newline") {
+    val content = "<?xml version=\"1.0\"?>" +
+      "<office:document-content xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+      "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">" +
+      "<office:body><office:text>" +
+      "<text:p>first<text:line-break/>second</text:p>" +
+      "</office:text></office:body></office:document-content>"
+    val got = OfficeZip.decodeOfficeText(Multimodal.MediaFile(1L,
+      OfficeFixtures.buildSyntheticOdt(content, deflate = false)))
+    assert(got.text == "first\nsecond")
   }
 
   test("syntheticXlsx round-trips arbitrary unicode through the rels+sst chain") {
