@@ -3657,26 +3657,29 @@ object LlmQueries {
 
     // L130 — MIXED-CONTAINER crawl cascade, COMPOSED end-to-end: the
     // corpus a real crawl delivers is not one format — it is WARC-
-    // wrapped HTML next to PDFs next to DOCX next to EPUB. Each
-    // document ships in ONE container chosen by doc_id % 4 (0 = a
+    // wrapped HTML next to PDF, DOCX, EPUB, XLSX, PPTX, and ODT. Each
+    // document ships in ONE container chosen by doc_id % 7 (0 = a
     // constructed single-record WARC file, gzipped on even ids, whose
     // HTTP-200 body is the text inside style/comment/script chrome;
-    // 1 = syntheticPdf; 2 = syntheticDocx; 3 = syntheticEpub), and
+    // 1 = syntheticPdf; 2 = syntheticDocx; 3 = syntheticEpub;
+    // 4 = syntheticXlsx; 5 = syntheticPptx; 6 = syntheticOdt), and
     // every 5th document ALSO ships a SECOND
     // copy in the NEXT container type — a cross-container duplicate.
     // Per-type extract (WARC record walk → htmlToText; PDF content-
-    // stream walk; DOCX/EPUB zip walks) → normalize → exact dedup →
+    // stream walk; four office zip walks) → normalize → exact dedup →
     // banded-MinHash near dedup. The exact stage collapses a
-    // cross-container pair ONLY if all four extractors converge to the
-    // same normalized text — the composition claim l121/l122/l124/l50/
+    // cross-container pair ONLY if ALL SEVEN extractor families
+    // converge to the
+    // same normalized text — the composition claim l121/l122/l124/
+    // l131/l132/l134/l50/
     // l66 certify per-family, here certified ACROSS families in one
     // dataflow (EPUB's collapse-ws invariant converges because
     // normalizeText collapses whitespace on every leg). Oracle = the
     // same cascade from construction-side
-    // VALUES (the documents table itself): PDF/DOCX/EPUB extraction is
-    // text-verbatim-up-to-normalization, the HTML leg re-runs the l66
-    // chain in SQL, then
-    // the l68 dedup CTEs. Scale shape: four narrow mapPartitions
+    // VALUES (the documents table itself): every non-HTML extraction
+    // is text-verbatim-up-to-normalization, the HTML leg re-runs the
+    // l66 chain in SQL, then
+    // the l68 dedup CTEs. Scale shape: seven narrow mapPartitions
     // codec boundaries, per-row projections, then dedupCorpus's
     // banded join — nothing quadratic, binary never on the driver.
     "l130_mixed_cascade" -> QueryDef(
@@ -3684,10 +3687,10 @@ object LlmQueries {
         import s.implicits._
         val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
         val mix = base.select((col("doc_id") * 10).as("mid"), col("text"),
-            (col("doc_id") % 4).as("typ"))
+            (col("doc_id") % 7).as("typ"))
           .unionAll(base.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") * 10 + 1).as("mid"), col("text"),
-              ((col("doc_id") + 1) % 4).as("typ")))
+              ((col("doc_id") + 1) % 7).as("typ")))
         val htmlDocs = {
           val files = mix.filter(col("typ") === 0).select(col("mid"), col("text"))
             .as[(Long, String)]
@@ -3717,16 +3720,28 @@ object LlmQueries {
           graft.operators.OfficeZip.extractText(files).toDF()
             .select(col("doc_id").as("mid"), col("text"))
         }
-        val epubDocs = {
-          val files = mix.filter(col("typ") === 3).select(col("mid"), col("text"))
+        def officeLeg(typ: Int,
+                      build: (Long, String) => graft.operators.Multimodal.MediaFile) = {
+          val files = mix.filter(col("typ") === typ).select(col("mid"), col("text"))
             .as[(Long, String)]
-            .mapPartitions(_.map { case (id, t) =>
-              graft.operators.OfficeZip.syntheticEpub(id, t) })
+            .mapPartitions(_.map { case (id, t) => build(id, t) })
           graft.operators.OfficeZip.extractText(files).toDF()
             .select(col("doc_id").as("mid"), col("text"))
         }
+        val epubDocs = officeLeg(3, graft.operators.OfficeZip.syntheticEpub)
+        val xlsxDocs = officeLeg(4, graft.operators.OfficeZip.syntheticXlsx)
+        val pptxDocs = officeLeg(5, graft.operators.OfficeZip.syntheticPptx)
+        val odtDocs = officeLeg(6, graft.operators.OfficeZip.syntheticOdt)
+        // materialize the extracted corpus ONCE: dedupCorpus references
+        // its input from several sides (exact window, shingle bands,
+        // join-backs), and without the checkpoint every reference
+        // re-runs all seven construct→extract codec legs — measured 2.5×
+        // wall on the 7-way shape. This is the standard persist-the-
+        // extracted-corpus-before-dedup step of a real pipeline.
         val docs = htmlDocs.unionAll(pdfDocs).unionAll(docxDocs).unionAll(epubDocs)
+          .unionAll(xlsxDocs).unionAll(pptxDocs).unionAll(odtDocs)
           .select(col("mid").as("doc_id"), normalizeText(col("text")).as("text"))
+          .localCheckpoint()
         Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
           .select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),
@@ -3734,8 +3749,8 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("WITH base AS (SELECT doc_id, text FROM documents), " +
-        "mix AS (SELECT doc_id * 10 AS doc_id, text, doc_id % 4 AS typ FROM base " +
-        "UNION ALL SELECT doc_id * 10 + 1, text, (doc_id + 1) % 4 " +
+        "mix AS (SELECT doc_id * 10 AS doc_id, text, doc_id % 7 AS typ FROM base " +
+        "UNION ALL SELECT doc_id * 10 + 1, text, (doc_id + 1) % 7 " +
         "FROM base WHERE doc_id % 5 = 0), " +
         "ext AS (SELECT doc_id, CASE WHEN typ = 0 THEN " +
         htmlToTextSql(s"'$MixedChromePre' || text || '$MixedChromePost'") +

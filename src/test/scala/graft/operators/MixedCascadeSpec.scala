@@ -8,12 +8,13 @@ import graft.functions.TextFunctions.{htmlToText, normalizeText}
 import graft.sources.Warc
 
 /** The l130 composition claim in miniature: the SAME prose shipped as a
-  * gzipped WARC-wrapped HTML response, a constructed PDF, a constructed
-  * DOCX, and a constructed EPUB must extract and NORMALIZE to one
-  * identical string,
+  * gzipped WARC-wrapped HTML response, a constructed PDF, and
+  * constructed DOCX/EPUB/XLSX/PPTX/ODT containers must extract and
+  * NORMALIZE to one identical string,
   * so the exact-dedup stage collapses the cross-container copies — and
   * distinct prose must survive. Per-family round trips are certified by
-  * l50/l66, l121, l122, l124; this pins that the families converge on
+  * l50/l66, l121, l122, l124, l131, l132, l134; this pins that the
+  * families converge on
   * the same canonical form ACROSS the container boundary. */
 class MixedCascadeSpec extends AnyFunSuite {
 
@@ -39,11 +40,14 @@ class MixedCascadeSpec extends AnyFunSuite {
         decode(encode(col("text"), "ISO-8859-1"), "UTF-8").as("text"))
     val docxDocs = OfficeZip.extractText(spark.createDataset(Seq(
         OfficeZip.syntheticDocx(30L, prose),
-        OfficeZip.syntheticEpub(40L, prose)))).toDF()
+        OfficeZip.syntheticEpub(40L, prose),
+        OfficeZip.syntheticXlsx(50L, prose),
+        OfficeZip.syntheticPptx(60L, prose),
+        OfficeZip.syntheticOdt(70L, prose)))).toDF()
       .select(col("doc_id"), col("text"))
     val docs = htmlDocs.unionAll(pdfDocs).unionAll(docxDocs)
       .select(col("doc_id"), normalizeText(col("text")).as("text"))
-    // all four extractions of `prose` are one normalized string
+    // all SEVEN extractions of `prose` are one normalized string
     assert(docs.filter(col("doc_id") =!= 11L)
       .select("text").distinct().count() == 1L)
     // the cascade keeps the smallest id per duplicate class + the distinct doc
