@@ -317,7 +317,12 @@ object OfficeZip {
     }.filter(_.nonEmpty).toSeq
 
   private val OdtParagraph = "(?s)<text:(?:p|h)(?:\\s[^>]*)?>(.*?)</text:(?:p|h)>".r
-  private val OdtTab = "<text:tab\\s*/>".r
+  // \b[^>]* admits the attributed form (<text:tab text:tab-ref="…"/>,
+  // legal ODF) — unlike w:tab, text:tab is ALWAYS a tab character (tab
+  // stops live in styles, not inline), so attributes never change the
+  // substitution; without this the attributed form fell through to
+  // AnyTagEmpty and fused the words on either side
+  private val OdtTab = "<text:tab\\b[^>]*/>".r
   private val OdtBreak = "<text:line-break\\s*/>".r
   private val OdtSpace = "<text:s\\b[^>]*/>".r
   private val AnyTagEmpty = "<[^>]*>".r

@@ -231,6 +231,71 @@ object PdfFixtures {
     out.append(128.toChar).toString
   }
 
+  /** The l136 construction half: a one-page PDF whose content stream
+    * is filtered (optional Flate) THEN encrypted — the §7.6.2 write
+    * order — with keys the construction derives from ITS OWN chosen
+    * owner password, permissions, and file ID through the public-spec
+    * algorithms ([[PdfCrypt]] Alg 2/3/4/5), exactly the dictionary an
+    * owner-locked print-driver PDF carries: real /O (computed from the
+    * owner password, Alg 3), real /U (the empty-user-password
+    * signature, Alg 4/5), signed /P, trailer /ID. The USER password is
+    * EMPTY, so a conforming reader opens it without prompting.
+    * `handler` picks the layout: 0 = R2/V1 RC4-40, 1 = R3/V2 RC4-128,
+    * 2 = R4/V4 crypt-filter RC4, 3 = R4/V4 AESV2 (AES-128-CBC, IV
+    * prepended, PKCS#5 padding). A round trip certifies the Encrypt-
+    * dict parse, the key derivation, the /U authentication, and the
+    * decrypt-before-filters ordering on every document. */
+  private[operators] def encryptedPdf(version: String, source: String,
+                                      flate: Boolean, handler: Int,
+                                      docId: Long,
+                                      userPw: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val (r, v, bits, aes) = handler match {
+      case 0 => (2, 1, 40, false)
+      case 1 => (3, 2, 128, false)
+      case 2 => (4, 4, 128, false)
+      case _ => (4, 4, 128, true)
+    }
+    val keyBytes = bits / 8
+    def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(b)
+    val id0 = md5(s"graft-id-$docId".getBytes("UTF-8"))
+    val ownerPw = s"owner-$docId".getBytes("UTF-8")
+    val o = PdfCrypt.computeO(ownerPw, userPw, r, keyBytes)
+    val p = -3904 // print allowed; modify/copy/annotate denied — the common lock
+    val key = PdfCrypt.fileKey(userPw, o, p, id0, r, keyBytes,
+      encryptMetadata = true)
+    val uSig = PdfCrypt.computeU(key, id0, r)
+    // R ≥ 3 writers pad /U to 32 with arbitrary bytes (spec compares 16)
+    val u = if (r == 2) uSig else uSig ++ new Array[Byte](16)
+    val filtered = if (flate) deflateStr(source) else source
+    val iv = md5(s"iv-$docId".getBytes("UTF-8")).take(16)
+    val enc = PdfCrypt.encryptData(key, 4L, 0,
+      filtered.getBytes("ISO-8859-1"), aes, if (aes) iv else null)
+    val data = new String(enc, "ISO-8859-1")
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val encDict = handler match {
+      case 0 => s"<< /Filter /Standard /V 1 /R 2 /O <${hex(o)}> /U <${hex(u)}> /P $p >>"
+      case 1 => s"<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+        s"/O <${hex(o)}> /U <${hex(u)}> /P $p >>"
+      case h =>
+        val cfm = if (h == 2) "V2" else "AESV2"
+        s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+          s"/CF << /StdCF << /CFM /$cfm /AuthEvent /DocOpen /Length $keyBytes >> >> " +
+          s"/StmF /StdCF /StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> /P $p >>"
+    }
+    (s"%PDF-$version\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${data.length}$filter >>\nstream\n$data\nendstream\nendobj\n" +
+      s"5 0 obj\n$encDict\nendobj\n" +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+  }
+
   /** A one-page PDF whose content stream carries an arbitrary
     * `/Filter` entry over pre-encoded data — the l133 chain shapes. */
   private[operators] def filteredPdf(version: String, data: String,
@@ -266,6 +331,38 @@ object PdfFixtures {
       "xref\n0 1\n0000000000 65535 f \n" +
       "trailer\n<< /Size 7 /Root 1 0 R >>\n" +
       "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+
+  /** The l138 shape: a one-page PDF whose page font is a SIMPLE font
+    * (Type1, no /ToUnicode) with an `/Encoding` dictionary carrying a
+    * `/Differences` array — the remapped/symbolic-font layout. The
+    * encoding dict is inline in the font (`indirectEnc = false`) or an
+    * indirect `/Type /Encoding` object (true): both real-writer
+    * shapes. Content shows the pre-encoded literal `data` through
+    * `/F1`. */
+  private[operators] def differencesPdf(version: String, data: String,
+                                        differences: String, flate: Boolean,
+                                        indirectEnc: Boolean): Array[Byte] = {
+    val encDict = s"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      s"/Differences [$differences] >>"
+    val fontObj =
+      if (indirectEnc)
+        "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding 6 0 R >>\nendobj\n" +
+          s"6 0 obj\n$encDict\nendobj\n"
+      else
+        "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/Encoding $encDict >>\nendobj\n"
+    (s"%PDF-$version\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n" +
+      contentObj(4, data, flate) +
+      fontObj +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size ${if (indirectEnc) 7 else 6} /Root 1 0 R >>\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+  }
 
   /** The PDF 1.5+ COMPRESSED layout (ISO 32000 §7.5.7–8): catalog,
     * page tree, and page dicts all live inside ONE Flate-compressed

@@ -40,11 +40,24 @@ import Multimodal.MediaFile
  *     bfrange runs, 1- or 2-byte codes per the codespace); bytes with
  *     no CMap, or codes a CMap does not cover, fall back to the
  *     ISO-8859-1 simple-font reading. This covers the common
- *     subset-embedded CID font; font programs WITHOUT a /ToUnicode
- *     stay out of scope and degrade to the raw reading.
- *   - An ENCRYPTED document (l112's gate) reports empty text: its
- *     streams are ciphertext, and emitting decode garbage as "text"
- *     would poison a corpus. A real pipeline decrypts upstream.
+ *     subset-embedded CID font. A simple font WITHOUT a /ToUnicode
+ *     but WITH an `/Encoding` dictionary carrying `/Differences`
+ *     (§9.6.5.1 — remapped or symbolic Type1/TrueType fonts) decodes
+ *     each byte through the Differences map (glyph names resolved per
+ *     the Adobe Glyph List: the common-name table plus the
+ *     `uniXXXX`/`uXXXX` forms); unmapped codes and fonts with neither
+ *     mechanism degrade to the raw reading.
+ *   - An ENCRYPTED document (l112's gate) first tries [[PdfCrypt]]'s
+ *     standard security handler with the EMPTY user password (ISO
+ *     32000 §7.6.3 — the owner-locked print-driver/scanner shape every
+ *     production extractor opens): if /U authenticates, streams are
+ *     decrypted (RC4-40/128 or AES-128-CBC per the dictionary) and the
+ *     text walk runs normally. A document whose user password is NOT
+ *     empty — or an unsupported handler (V5/AES-256, non-Standard) —
+ *     reports empty text: its streams are ciphertext, and emitting
+ *     decode garbage as "text" would poison a corpus. The l112
+ *     `encrypted` flag is unchanged either way (the document IS
+ *     encrypted; extractability is a separate fact).
  *
  * Degradation, never exceptions (the crawl-scale decode contract): a
  * payload without the `%PDF-` magic takes the stub path; a parseable
@@ -124,13 +137,21 @@ object PdfText {
     * (`/Type /XRef`, §7.5.8) needs no decoding here — its dictionary
     * (the part carrying `/Root` and `/Encrypt`) is plaintext by spec,
     * and object locations come from this keyword walk, not the xref. */
-  private[operators] def parseObjects(s: String, withStreams: Boolean = true): mutable.LinkedHashMap[Long, PdfObj] = {
+  /** `decrypt` (when non-null) maps one materialized stream payload
+    * (num, gen, dict, raw) → plaintext BEFORE any filter decode — the
+    * §7.6.2 ordering (a writer filters, THEN encrypts), used by the
+    * [[PdfCrypt]] empty-user-password path. ObjStm payloads pass
+    * through it too (object streams ARE encrypted), so compressed
+    * layouts expand from plaintext. */
+  private[operators] def parseObjects(s: String, withStreams: Boolean = true,
+      decrypt: (Long, Int, String, String) => String = null): mutable.LinkedHashMap[Long, PdfObj] = {
     val out = mutable.LinkedHashMap[Long, PdfObj]()
-    val objPat = java.util.regex.Pattern.compile("(\\d{1,9})\\s+\\d{1,5}\\s+obj\\b")
+    val objPat = java.util.regex.Pattern.compile("(\\d{1,9})\\s+(\\d{1,5})\\s+obj\\b")
     val mt = objPat.matcher(s)
     var pos = 0
     while (pos < s.length && mt.find(pos)) {
       val num = mt.group(1).toLong
+      val gen = mt.group(2).toInt
       var i = mt.end
       while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
       val (dict, afterDict) =
@@ -165,8 +186,10 @@ object PdfText {
         }
         val isObjStm = TypeObjStm.findFirstIn(dict).isDefined
         val payload =
-          if (withStreams || isObjStm) s.substring(d, math.min(end, s.length))
-          else "" // extent skipped; payload not materialized
+          if (withStreams || isObjStm) {
+            val raw = s.substring(d, math.min(end, s.length))
+            if (decrypt != null) decrypt(num, gen, dict, raw) else raw
+          } else "" // extent skipped; payload not materialized
         stream = Some(if (withStreams) payload else "")
         if (isObjStm) objStmPayload = Some(payload)
         next = s.indexOf("endobj", math.min(end, s.length)) match {
@@ -363,6 +386,120 @@ object PdfText {
     out.toString
   }
 
+  // --------------------------------------- /Encoding /Differences fonts
+
+  /** Adobe Glyph List, the common subset (public AGL specification):
+    * the names standard encodings and /Differences arrays actually
+    * use — ASCII names, the Latin-1 supplement, and the WinAnsi
+    * typographic set. Arbitrary Unicode goes through the `uniXXXX` /
+    * `uXXXX[XX]` name forms in [[glyphToUnicode]], so this table stays
+    * small without limiting coverage. */
+  private val AglNames: Map[String, Char] = {
+    val b = Map.newBuilder[String, Char]
+    ('A' to 'Z').foreach(c => b += c.toString -> c)
+    ('a' to 'z').foreach(c => b += c.toString -> c)
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (n, i) => b += n -> ('0' + i).toChar }
+    val punct = Seq(
+      "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"', "numbersign" -> '#',
+      "dollar" -> '$', "percent" -> '%', "ampersand" -> '&', "quotesingle" -> '\'',
+      "parenleft" -> '(', "parenright" -> ')', "asterisk" -> '*', "plus" -> '+',
+      "comma" -> ',', "hyphen" -> '-', "period" -> '.', "slash" -> '/',
+      "colon" -> ':', "semicolon" -> ';', "less" -> '<', "equal" -> '=',
+      "greater" -> '>', "question" -> '?', "at" -> '@', "bracketleft" -> '[',
+      "backslash" -> '\\', "bracketright" -> ']', "asciicircum" -> '^',
+      "underscore" -> '_', "grave" -> '`', "braceleft" -> '{', "bar" -> '|',
+      "braceright" -> '}', "asciitilde" -> '~',
+      // Latin-1 supplement
+      "exclamdown" -> '¡', "cent" -> '¢', "sterling" -> '£',
+      "currency" -> '¤', "yen" -> '¥', "brokenbar" -> '¦',
+      "section" -> '§', "dieresis" -> '¨', "copyright" -> '©',
+      "ordfeminine" -> 'ª', "guillemotleft" -> '«',
+      "logicalnot" -> '¬', "registered" -> '®', "macron" -> '¯',
+      "degree" -> '°', "plusminus" -> '±', "acute" -> '´',
+      "mu" -> 'µ', "paragraph" -> '¶', "periodcentered" -> '·',
+      "cedilla" -> '¸', "ordmasculine" -> 'º',
+      "guillemotright" -> '»', "onequarter" -> '¼',
+      "onehalf" -> '½', "threequarters" -> '¾',
+      "questiondown" -> '¿', "multiply" -> '×', "divide" -> '÷',
+      // WinAnsi typographic set
+      "quoteleft" -> '‘', "quoteright" -> '’',
+      "quotedblleft" -> '“', "quotedblright" -> '”',
+      "quotesinglbase" -> '‚', "quotedblbase" -> '„',
+      "endash" -> '–', "emdash" -> '—', "bullet" -> '•',
+      "dagger" -> '†', "daggerdbl" -> '‡', "ellipsis" -> '…',
+      "perthousand" -> '‰', "trademark" -> '™', "Euro" -> '€',
+      "florin" -> 'ƒ', "circumflex" -> 'ˆ', "tilde" -> '˜',
+      "Scaron" -> 'Š', "scaron" -> 'š', "OE" -> 'Œ',
+      "oe" -> 'œ', "Ydieresis" -> 'Ÿ', "Zcaron" -> 'Ž',
+      "zcaron" -> 'ž', "guilsinglleft" -> '‹',
+      "guilsinglright" -> '›', "fi" -> 'ﬁ', "fl" -> 'ﬂ')
+    b ++= punct
+    // accented Latin-1 letters: names are systematic (base + accent)
+    val accents = Seq("grave" -> 0, "acute" -> 1, "circumflex" -> 2,
+      "tilde" -> 3, "dieresis" -> 4)
+    def acc(base: Char, at: Int, names: Seq[(String, Int)]): Unit =
+      names.foreach { case (n, i) => b += (base + n) -> (at + i).toChar }
+    acc('A', 0xC0, accents); acc('a', 0xE0, accents)
+    acc('E', 0xC8, accents.take(3) :+ ("dieresis" -> 3)); acc('e', 0xE8, accents.take(3) :+ ("dieresis" -> 3))
+    acc('I', 0xCC, accents.take(3) :+ ("dieresis" -> 3)); acc('i', 0xEC, accents.take(3) :+ ("dieresis" -> 3))
+    acc('O', 0xD2, accents); acc('o', 0xF2, accents)
+    acc('U', 0xD9, accents.take(3) :+ ("dieresis" -> 3)); acc('u', 0xF9, accents.take(3) :+ ("dieresis" -> 3))
+    b += "Aring" -> 'Å'; b += "aring" -> 'å'
+    b += "AE" -> 'Æ'; b += "ae" -> 'æ'
+    b += "Ccedilla" -> 'Ç'; b += "ccedilla" -> 'ç'
+    b += "Eth" -> 'Ð'; b += "eth" -> 'ð'
+    b += "Ntilde" -> 'Ñ'; b += "ntilde" -> 'ñ'
+    b += "Oslash" -> 'Ø'; b += "oslash" -> 'ø'
+    b += "Yacute" -> 'Ý'; b += "yacute" -> 'ý'
+    b += "Thorn" -> 'Þ'; b += "thorn" -> 'þ'
+    b += "germandbls" -> 'ß'; b += "ydieresis" -> 'ÿ'
+    b.result()
+  }
+
+  /** One glyph name → Unicode per the AGL algorithm: `uniXXXX[XXXX…]`
+    * (one or more 4-hex UTF-16 units), `uXXXX`–`uXXXXXX` (a code
+    * point), else the common-name table. None = unknown name (the
+    * code keeps its raw fallback). */
+  private[operators] def glyphToUnicode(name: String): Option[String] = {
+    if (name.length >= 7 && name.startsWith("uni") &&
+        (name.length - 3) % 4 == 0 && name.drop(3).forall(isHex))
+      Some(name.drop(3).grouped(4)
+        .map(h => Integer.parseInt(h, 16).toChar).mkString)
+    else if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u' &&
+             name.drop(1).forall(isHex)) {
+      val cp = Integer.parseInt(name.drop(1), 16)
+      if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+        Some(new String(Character.toChars(cp)))
+      else None
+    } else AglNames.get(name).map(_.toString)
+  }
+
+  private val DifferencesArr = "(?s)/Differences\\s*\\[(.*?)\\]".r
+  private val DiffToken = "(\\d{1,3})(?![0-9])|/([^\\s/<>\\[\\]()]+)".r
+
+  /** An `/Encoding` dictionary's `/Differences` array (ISO 32000
+    * §9.6.5.1: an integer sets the next code, each following name
+    * assigns consecutive codes) as a 1-byte [[CMap]] — the simple-font
+    * twin of /ToUnicode. Codes whose names don't resolve (or outside
+    * 0–255) keep the raw base-encoding fallback; base encodings
+    * themselves stay the documented ISO-8859-1 reading. */
+  private[operators] def parseDifferences(encDict: String): Option[CMap] =
+    DifferencesArr.findFirstMatchIn(encDict).flatMap { m =>
+      val chars = Map.newBuilder[Int, String]
+      var code = -1
+      var any = false
+      DiffToken.findAllMatchIn(m.group(1)).foreach { t =>
+        if (t.group(1) != null) code = t.group(1).toInt
+        else {
+          if (code >= 0 && code <= 255)
+            glyphToUnicode(t.group(2)).foreach { u => chars += code -> u; any = true }
+          code += 1 // names consume consecutive codes even when unmapped
+        }
+      }
+      if (any) Some(CMap(1, chars.result(), Vector.empty)) else None
+    }
+
   /** `/Key << … >>` inline sub-dictionary of `dict`, when present. */
   private def dictValueDict(dict: String, key: String): Option[String] =
     ("(?s)/" + key + "\\s*<<").r.findFirstMatchIn(dict)
@@ -383,11 +520,22 @@ object PdfText {
     }.map { fd =>
       FontEntry.findAllMatchIn(fd).flatMap { m =>
         cache.getOrElseUpdate(m.group(2).toLong,
-          objs.get(m.group(2).toLong)
-            .flatMap(fo => refList(fo.dict, "ToUnicode").headOption)
-            .flatMap(objs.get)
-            .flatMap(tu => tu.stream.map(raw => decodeStream(tu.dict, raw)))
-            .flatMap(parseToUnicode))
+          objs.get(m.group(2).toLong).flatMap { fo =>
+            // /ToUnicode is authoritative for extraction (§9.10.2);
+            // a simple font without one falls back to its /Encoding
+            // dict's /Differences array (inline or indirect), and only
+            // then to the raw base-encoding reading
+            refList(fo.dict, "ToUnicode").headOption
+              .flatMap(objs.get)
+              .flatMap(tu => tu.stream.map(raw => decodeStream(tu.dict, raw)))
+              .flatMap(parseToUnicode)
+              .orElse {
+                dictValueDict(fo.dict, "Encoding")
+                  .orElse(refList(fo.dict, "Encoding").headOption
+                    .flatMap(objs.get).map(_.dict))
+                  .flatMap(parseDifferences)
+              }
+          })
           .map(m.group(1) -> _)
       }.toMap
     }.getOrElse(Map.empty)
@@ -536,6 +684,9 @@ object PdfText {
     * L = 128 is EOD. A truncated run decodes what fits (degrade). */
   private[operators] def runLengthDecode(s: String): String = {
     val out = new StringBuilder(s.length)
+    // one array copy for the whole stream, not one per literal chunk —
+    // toCharArray inside the loop is O(n²) on literal-heavy streams
+    val arr = s.toCharArray
     var i = 0
     var done = false
     while (i < s.length && !done) {
@@ -543,7 +694,7 @@ object PdfText {
       if (l == 128) done = true
       else if (l <= 127) {
         val n = math.min(l + 1, s.length - i - 1)
-        out.appendAll(s.toCharArray, i + 1, n)
+        out.appendAll(arr, i + 1, n)
         i += 1 + l + 1
       } else {
         if (i + 1 < s.length) {
@@ -605,7 +756,7 @@ object PdfText {
 
   /** Literal `(…)` string from `open` (pointing at `(`): spec escapes,
     * balanced unescaped parens. Returns (decoded, index past `)`). */
-  private def literalString(cs: String, open: Int, to: Int): (String, Int) = {
+  private[operators] def literalString(cs: String, open: Int, to: Int): (String, Int) = {
     val out = new StringBuilder
     var i = open + 1
     var depth = 1
@@ -639,7 +790,7 @@ object PdfText {
 
   /** Hex `<…>` string: pair hex digits (whitespace ignored, odd length
     * pads a trailing 0). Returns (decoded, index past `>`). */
-  private def hexString(cs: String, open: Int, to: Int): (String, Int) = {
+  private[operators] def hexString(cs: String, open: Int, to: Int): (String, Int) = {
     val close = cs.indexOf('>', open + 1)
     val end = if (close < 0 || close > to) to else close
     val hex = cs.substring(open + 1, end).filter(ch => Character.digit(ch, 16) >= 0)
@@ -728,16 +879,22 @@ object PdfText {
     * (no `%PDF-` header — same gate as [[Multimodal.parsePdfMeta]]). */
   def parsePdfText(m: MediaFile): Option[Doc] =
     Multimodal.parsePdfMeta(m).map { pm =>
+      val s = new String(m.payload, ISO_8859_1)
+      // encrypted: extract ONLY when the empty user password
+      // authenticates (the owner-locked common case); a real user
+      // password or an unsupported handler keeps the "" contract —
+      // ciphertext is not text
+      val decrypt = if (pm.encrypted) PdfCrypt.decryptor(s).orNull else null
       val text =
-        if (pm.encrypted) "" // ciphertext is not text — stated in the contract
+        if (pm.encrypted && decrypt == null) ""
         else {
-          val s = new String(m.payload, ISO_8859_1)
           val sb = new StringBuilder
           try {
-            pageContentStreams(s, parseObjects(s)).foreach { case (cs, fonts) =>
-              if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
-              extractTextOps(cs, sb, fonts)
-            }
+            pageContentStreams(s, parseObjects(s, withStreams = true, decrypt))
+              .foreach { case (cs, fonts) =>
+                if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+                extractTextOps(cs, sb, fonts)
+              }
           } catch { case NonFatal(_) => () } // degrade, never throw
           sb.toString
         }
@@ -861,6 +1018,71 @@ object PdfText {
       case _ => (PdfFixtures.rleEncode(src), "/Filter /RunLengthDecode")
     }
     MediaFile(docId, PdfFixtures.filteredPdf("1.4", data, spec))
+  }
+
+  /** [[syntheticPdf]]'s SIMPLE-FONT-REMAP twin (l138): the text's
+    * UTF-8 bytes are written SHIFTED by +2 (mod 256) in one literal
+    * string shown through a Type1 font with NO /ToUnicode, whose
+    * `/Encoding /Differences` array maps every code back to the
+    * original byte — codes whose target is an unambiguous ASCII
+    * letter/digit/punct by its Adobe-Glyph-List NAME (certifying the
+    * name table), everything else as `uniXXXX` (certifying the AGL
+    * hex form). The +2 shift makes ignoring the encoding fail
+    * visibly — the raw ISO-8859-1 reading returns shifted garbage.
+    * `doc_id % 2` toggles inline vs indirect /Encoding objects,
+    * `(doc_id / 2) % 2` the Flate armor. Shifted bytes that are
+    * string-delimiters or control bytes are octal-escaped, so the
+    * literal round-trips byte-exactly for any input. */
+  def syntheticPdfDifferences(docId: Long, text: String): MediaFile = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach { b =>
+      val c = ((b & 0xFF) + 2) & 0xFF
+      if (c == '(' || c == ')' || c == '\\' || c < 0x20)
+        sb.append('\\').append(Integer.toOctalString(c).reverse.padTo(3, '0').reverse)
+      else sb.append(c.toChar)
+    }
+    val diffs = new StringBuilder("0")
+    (0 to 255).foreach { code =>
+      val target = (code - 2) & 0xFF
+      val named =
+        if ((target >= 'A' && target <= 'Z') || (target >= 'a' && target <= 'z'))
+          Some(target.toChar.toString)
+        else if (target >= '0' && target <= '9')
+          Some(Seq("zero", "one", "two", "three", "four", "five", "six",
+            "seven", "eight", "nine")(target - '0'))
+        else None
+      diffs.append(" /").append(named.getOrElse(f"uni$target%04X"))
+    }
+    MediaFile(docId, PdfFixtures.differencesPdf("1.4",
+      s"BT /F1 12 Tf (${sb.toString}) Tj ET", diffs.toString,
+      flate = (docId / 2) % 2 == 0, indirectEnc = docId % 2 == 0))
+  }
+
+  /** [[syntheticPdf]]'s OWNER-LOCKED twin (l136): the same escaped-
+    * literal content stream, optionally Flate-filtered, then ENCRYPTED
+    * under the standard security handler with an EMPTY user password —
+    * the print-driver/scan-appliance shape that is the most common
+    * "encrypted" PDF in a real crawl. `doc_id % 4` rotates the handler
+    * layout (R2/V1 RC4-40, R3/V2 RC4-128, R4/V4 crypt-filter RC4,
+    * R4/V4 AESV2) and `(doc_id / 4) % 2` the Flate toggle, so all
+    * eight (handler × filter) combinations appear across the corpus.
+    * The construction derives /O from its own owner password and /U
+    * from the derived file key (Alg 3/4/5), so a correct extraction
+    * PROVES the reader ran the same public-spec derivation from the
+    * parsed dictionary — garbage text (or empty text) fails the
+    * oracle visibly. */
+  def syntheticPdfEncrypted(docId: Long, text: String): MediaFile = {
+    val wrapped = new String(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      ISO_8859_1)
+    val escaped = wrapped.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    MediaFile(docId, PdfFixtures.encryptedPdf("1.6", s"BT ($escaped) Tj ET",
+      flate = (docId / 4) % 2 == 0, handler = (docId % 4).toInt, docId))
   }
 
   /** The l68-cascade adapter: extracted PDFs as a (id, text) document

@@ -125,6 +125,13 @@ object LlmQueries {
     * q, so no pair of rank <= q ever re-forms once rank q is done. A
     * future corpus change that breaks either property fails loudly here
     * instead of silently diverging from the oracle. */
+  /** l139's corpus-trained merge table, recorded by the query run for
+    * the dump-time oracle builder (Verify writes oracle_sql.json after
+    * all queries execute, so the thunk observes what training learned
+    * on exactly the sfDir under test). */
+  private[graft] val l139TrainedMerges =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]](null)
+
   private[graft] lazy val byteBpeTrainCorpus: Seq[String] = Seq(
     "the quick brown fox jumps over the lazy dog by the river",
     "pack my box with five dozen liquor jugs for the long trip",
@@ -145,23 +152,35 @@ object LlmQueries {
     val vocab = counts.toSeq.map { case (t, c) =>
       (graft.operators.ByteBpe.toByteUnits(t).map(_.toString).toArray, c) }
     val ms = graft.operators.Bpe.trainMergesLocal(vocab, 40).map(m => (m._1, m._2))
-    val results = ms.map { case (a, b) => a + b }
-    require(results.distinct.size == results.size,
-      "l126 oracle precondition broken: duplicate merge result strings")
-    val created = scala.collection.mutable.Set.empty[String]
-    ms.foreach { case (a, b) =>
-      Seq(a, b).foreach(s => require(s.length == 1 || created.contains(s),
-        s"l126 oracle precondition broken: constituent '$s' not created earlier"))
-      created += (a + b)
-    }
+    assertByteBpePreconditions(ms, "l126")
     ms
   }
 
-  /** The replace-unroll oracle: each pre-token renders as a chr(1)-
-    * separated symbol string (one separator BEFORE each symbol, so a
-    * pair matches exactly at symbol boundaries), the merge list unrolls
+  /** The replace-unroll preconditions (see [[byteBpeTrainCorpus]]'s
+    * doc for the proof they make the unroll exact), asserted on EVERY
+    * merge table an unroll oracle prices with — l126's fixture-trained
+    * table and l139's corpus-trained one. A corpus whose training run
+    * breaks either property fails LOUDLY instead of silently diverging
+    * from the oracle. */
+  private[graft] def assertByteBpePreconditions(ms: Seq[(String, String)],
+                                                tag: String): Unit = {
+    val results = ms.map { case (a, b) => a + b }
+    require(results.distinct.size == results.size,
+      s"$tag oracle precondition broken: duplicate merge result strings")
+    val created = scala.collection.mutable.Set.empty[String]
+    ms.foreach { case (a, b) =>
+      Seq(a, b).foreach(s => require(s.length == 1 || created.contains(s),
+        s"$tag oracle precondition broken: constituent '$s' not created earlier"))
+      created += (a + b)
+    }
+  }
+
+  /** The replace-unroll oracle: each pre-token renders as a symbol
+    * string with every symbol wrapped in a chr(1) pair (both
+    * boundaries asserted — see [[byteBpeUnrollSql]]'s doc for the
+    * prefix hazard the one-sided scheme had), the merge list unrolls
     * as one global left-to-right `replace` per rank — exact under the
-    * [[l126Merges]] preconditions — and the symbol count is the
+    * [[l126Merges]] preconditions — and the symbol count is half the
     * separator count. Pre-tokens are derived relationally: the
     * normalized text is single-space-joined [A-Za-z0-9]+ words, on
     * which the published pattern provably reduces to "letter runs /
@@ -170,13 +189,32 @@ object LlmQueries {
     * runs survive normalization — so the lookahead branch RE2 lacks can
     * never fire). Space maps to 'Ġ' (all other bytes are printable
     * ASCII = identity under the GPT-2 byte table). */
-  private def l126OracleSql: String = {
-    def symLit(parts: Seq[String]): String =
-      parts.map(p => "chr(1) || '" + p.replace("'", "''") + "'").mkString(" || ")
-    val chain = l126Merges.foldLeft(
-      "chr(1) || array_to_string(regexp_extract_all(tok, '.'), chr(1))") {
+  private def l126OracleSql: String = byteBpeUnrollSql(l126Merges)
+
+  /** The replace-unroll pricing oracle over an arbitrary merge table
+    * satisfying [[assertByteBpePreconditions]] — shared by l126
+    * (fixture-trained) and l139 (corpus-trained, built at dump time
+    * from what the run learned).
+    *
+    * Symbol encoding: every symbol is wrapped in its OWN separator
+    * pair (`\x01 sym \x01`, two separators between adjacent symbols),
+    * so a pair's replace pattern asserts BOTH symbol boundaries. The
+    * original separator-BEFORE-only scheme asserted just the left
+    * boundary, and a corpus-trained table exposed the hazard l126's
+    * fixture table never hit: with merges (l,u) at rank 7 and (a,l)
+    * at rank 38, the rank-38 pattern `\x01a\x01l` matched the PREFIX
+    * of the already-merged symbol "lu" in "value" → the unroll
+    * fabricated "alu" where the real encoder holds (a, lu). With the
+    * pair-wrap, consecutive same-pair matches still chain (each match
+    * consumes only its own symbols' delimiters) and the symbol count
+    * is separators ÷ 2. */
+  private def byteBpeUnrollSql(merges: Seq[(String, String)]): String = {
+    def w(sym: String): String = "chr(1) || '" + sym.replace("'", "''") + "' || chr(1)"
+    val chain = merges.foldLeft(
+      "array_to_string(list_transform(regexp_extract_all(tok, '.'), " +
+        "c -> chr(1) || c || chr(1)), '')") {
       case (acc, (a, b)) =>
-        s"replace($acc, ${symLit(Seq(a, b))}, ${symLit(Seq(a + b))})"
+        s"replace($acc, ${w(a)} || ${w(b)}, ${w(a + b)})"
     }
     "WITH ws AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS w FROM documents), " +
       "wordt AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w)+1)) AS ord FROM ws), " +
@@ -184,7 +222,7 @@ object LlmQueries {
       "toks AS (SELECT doc_id, ord, unnest(rs) AS run, unnest(range(1, len(rs)+1)) AS rord FROM runs), " +
       "pt AS (SELECT doc_id, CASE WHEN ord > 1 AND rord = 1 THEN 'Ġ' || run ELSE run END AS tok FROM toks), " +
       s"enc AS (SELECT doc_id, $chain AS s FROM pt), " +
-      "cnt AS (SELECT doc_id, SUM(length(s) - length(replace(s, chr(1), ''))) AS n FROM enc GROUP BY doc_id) " +
+      "cnt AS (SELECT doc_id, SUM((length(s) - length(replace(s, chr(1), ''))) / 2) AS n FROM enc GROUP BY doc_id) " +
       "SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_tokens " +
       "FROM documents d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id"
   }
@@ -3311,6 +3349,42 @@ object LlmQueries {
       },
       Some(l126OracleSql)),
 
+    // L139 — byte-BPE trained ON THE CORPUS ITSELF, then priced with
+    // what it learned: the full train-on-your-own-data loop production
+    // budgets actually run (l126 prices with a FIXTURE-trained table;
+    // this closes the gap). The sf-scale documents table normalizes as
+    // in l126, ByteBpe.trainMerges runs the DISTRIBUTED trainer over it
+    // (corpus-wide pre-token counts with map-side combine, minCount=2
+    // prune, then the driver endgame every real trainer collects into —
+    // the collect is |distinct pruned pre-tokens| rows, a MODEL, not
+    // data), the learned table must pass the SAME replace-unroll
+    // preconditions as l126 (asserted in code — corpus drift fails
+    // loudly), and tokenCounts prices every document with it. The
+    // oracle is BUILT AT DUMP TIME (QueryDef.dynamic) as the l126
+    // replace-unroll over the merges the run recorded — so a trainer
+    // bug changes the merges, the oracle unrolls the changed merges,
+    // and the PRICING must still agree symbol-for-symbol with DuckDB's
+    // independent replay; ByteBpeSpec pins corpus-trained local ≡
+    // distributed so the recorded table is itself certified.
+    "l139_bytebpe_train_corpus" -> QueryDef.dynamic(
+      (s, d) => {
+        val norm = Tables.documents(s, d).select(col("doc_id"),
+          array_join(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)"),
+            " ").as("text"))
+        val trained = graft.operators.ByteBpe
+          .trainMerges(norm, "text", 48, minCount = 2L)
+          .map(m => (m._1, m._2))
+        assertByteBpePreconditions(trained, "l139")
+        l139TrainedMerges.set(trained)
+        graft.operators.ByteBpe.tokenCounts(norm, "doc_id", "text", trained)
+          .orderBy("doc_id")
+      },
+      () => Option(l139TrainedMerges.get).map(byteBpeUnrollSql).getOrElse(
+        // dump requested without the run (a filtered Verify that
+        // excludes l139 still BUILDS every map value before filtering
+        // it out): a well-formed placeholder that is never compared
+        "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens WHERE FALSE")),
+
     // L128 — corpus-scale IMAGE round trip (the l121 discipline for the
     // image family, completing round-trip certification across all five
     // media kinds): every document becomes a HAND-WRITTEN image (BMP on
@@ -3634,11 +3708,11 @@ object LlmQueries {
 
     // L133 — PDF FILTER-CHAIN round trip (PdfText.syntheticPdfFiltered
     // ∘ extractText): stream filters decode IN LISTED ORDER (ISO 32000
-    // §7.4) — each document's content stream is armored by doc_id % 3
+    // §7.4) — each document's content stream is armored by doc_id % 4
     // as [/ASCII85Decode /FlateDecode] (the email-safe deflate armor),
-    // bare /ASCIIHexDecode, or [/ASCIIHexDecode /FlateDecode], and the
-    // extractor must unwrap the chain (base-85 / hex armor decoders,
-    // then the inflate). Construction-side encoders are independent
+    // bare /ASCIIHexDecode, [/ASCIIHexDecode /FlateDecode], or bare
+    // /RunLengthDecode, and the extractor must unwrap the chain
+    // (base-85 / hex armor / RLE decoders, then the inflate). Construction-side encoders are independent
     // twins (java.util.zip deflate + hand-written armor per the spec);
     // oracle = the original text verbatim.
     "l133_pdf_filterchain_roundtrip" -> QueryDef(
@@ -3655,11 +3729,136 @@ object LlmQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // L140 — WARC REVISIT fold: Common Crawl's native dedup signal.
+    // Crawlers emit `revisit` records (WARC-Profile identical-payload-
+    // digest, WARC-Refers-To pointing at the record they re-observed)
+    // instead of re-storing duplicate payloads — free dedup mass a
+    // pipeline should fold in BEFORE computing any similarity of its
+    // own. Every document ships as a WET conversion record; every 4th
+    // also plants a revisit from a mirror URL referring back to it
+    // (Warc.syntheticWetRevisit). The fold: conversion records keep
+    // their payload (first-seen wins — the revisit carries none),
+    // revisits aggregate per referred identifier (the SMALL side,
+    // reduced before the join) and join back to the kept doc as its
+    // certified-duplicate count. Oracle = the same fold from the
+    // construction arithmetic. Scale shape: one narrow record walk,
+    // one map-side-combined count, one shuffle-hash join on the
+    // identifier — no similarity computation anywhere.
+    "l140_warc_revisit_fold" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.sources.Warc.syntheticWetRevisit(id,
+              s"http://corpus.example/wet/$id", t) })
+        val recs = graft.sources.Warc.records(files, headBytes = 1 << 20).toDF()
+        val docs = recs.filter(col("warc_type") === "conversion")
+          .select(col("file_id").as("doc_id"), col("target_uri"),
+            col("body_head").as("text"))
+        val revCounts = recs
+          .filter(col("warc_type") === "revisit" && col("refers_to") =!= "")
+          .select(regexp_replace(col("refers_to"), "^<|>$", "").as("ref_uri"))
+          .groupBy("ref_uri").agg(count(lit(1)).as("n_revisits"))
+        docs.join(revCounts.hint("shuffle_hash"),
+            docs("target_uri") === revCounts("ref_uri"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("n_revisits"), lit(0L)).as("n_revisits"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS n_revisits FROM documents ORDER BY doc_id")),
+
+    // L136 — OWNER-LOCKED ("encrypted") PDF round trip with the EMPTY
+    // user password (PdfText.syntheticPdfEncrypted ∘ extractText): the
+    // most common encrypted real-world PDF — print-driver output and
+    // government scans set an OWNER password but leave the user
+    // password empty, and every production extractor opens them. Each
+    // document's content stream is filtered then RC4-40/RC4-128/
+    // crypt-filter-RC4/AES-128-CBC-encrypted (doc_id % 4 rotates the
+    // handler; (doc_id/4) % 2 the Flate toggle) under a dictionary
+    // whose /O, /U, /P, /ID the CONSTRUCTION derives per ISO 32000
+    // §7.6.3 from its own owner password; the extractor must parse the
+    // dictionary, re-derive the file key from the empty user password,
+    // authenticate against /U, and decrypt each stream BEFORE the
+    // filter chain. Oracle = the original text verbatim — ciphertext,
+    // decode garbage, or the old blank-on-encrypted contract all fail
+    // visibly. (l112's `encrypted` flag is unchanged: the document IS
+    // encrypted; extractability is a separate fact.)
+    "l136_pdf_encrypted_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.PdfText.syntheticPdfEncrypted(id, t) })
+        graft.operators.PdfText.extractText(files).toDF()
+          .select(col("doc_id"),
+            decode(encode(col("text"), "ISO-8859-1"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L137 — LEGACY BINARY WORD round trip (.doc via MS-CFB;
+    // Cfb.syntheticDoc ∘ Cfb.extractText): pre-2007 Word is the
+    // remaining big real-crawl document family after the OPC/ODF zips —
+    // a COMPOUND FILE (public [MS-CFB] spec: 512/4096-byte sectors, FAT
+    // chains, 64-byte mini-stream sectors for streams under 4 KiB) whose
+    // WordDocument stream holds an [MS-DOC] FIB + PIECE TABLE. Each
+    // document's text splits into ~48-unit pieces stored alternately
+    // 8-bit-compressed (cp1252, fc bit 30) and UTF-16LE, located
+    // through the Clx in the 1Table/0Table stream the FIB's
+    // fWhichTblStm flag selects (a wrong-name distractor stream makes
+    // ignoring the flag fail visibly); doc_id % 3 == 0 prepends a Prc
+    // block the Clx walk must skip, doc_id % 5 == 0 writes a v4
+    // container. Oracle = the original text verbatim — the extraction
+    // decodes REAL Unicode (no Latin-1 re-read).
+    "l137_doc_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.Cfb.syntheticDoc(id, t) })
+        graft.operators.Cfb.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L138 — SIMPLE-FONT /Encoding /Differences round trip
+    // (PdfText.syntheticPdfDifferences ∘ extractText): the OTHER
+    // non-ToUnicode font problem (the l129 CMap machinery's cheap
+    // half) — remapped/symbolic Type1 fonts whose byte codes resolve
+    // through an /Encoding dictionary's /Differences array (ISO 32000
+    // §9.6.5.1) and the Adobe Glyph List. Every document's UTF-8 bytes
+    // are written +2-shifted (the l129 discipline: ignoring the
+    // encoding returns visibly shifted garbage) through a 256-entry
+    // Differences array that names ASCII letters/digits by their AGL
+    // NAMES and everything else as uniXXXX — certifying both name
+    // resolutions; doc_id % 2 toggles inline vs indirect /Encoding,
+    // (doc_id/2) % 2 the Flate armor. Oracle = the original text
+    // verbatim.
+    "l138_pdf_differences_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.PdfText.syntheticPdfDifferences(id, t) })
+        graft.operators.PdfText.extractText(files).toDF()
+          .select(col("doc_id"),
+            decode(encode(col("text"), "ISO-8859-1"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // L130 — MIXED-CONTAINER crawl cascade, COMPOSED end-to-end: the
     // corpus a real crawl delivers is not one format — it is WARC-
     // wrapped HTML next to PDF, DOCX, EPUB, XLSX, PPTX, and ODT. Each
     // document ships in ONE container chosen by doc_id % 7 (0 = a
-    // constructed single-record WARC file, gzipped on even ids, whose
+    // constructed single-record WARC file, gzipped on even synthetic
+    // ids, whose
     // HTTP-200 body is the text inside style/comment/script chrome;
     // 1 = syntheticPdf; 2 = syntheticDocx; 3 = syntheticEpub;
     // 4 = syntheticXlsx; 5 = syntheticPptx; 6 = syntheticOdt), and
@@ -3686,11 +3885,19 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val mix = base.select((col("doc_id") * 10).as("mid"), col("text"),
-            (col("doc_id") % 7).as("typ"))
+        // synthetic id scheme: primaries at 20k + k%2, duplicates at
+        // 20k + 10 + (k+1)%2. The +k%2 keeps the synthetic id's PARITY
+        // tracking doc_id's, so every constructor's compress-on-even-id
+        // toggle (gzip WARC, flate PDF, deflate office) actually splits
+        // the corpus half/half — the previous *10 scheme made every
+        // primary id even and routed 100% of primaries down the
+        // compressed legs. Duplicates get the OPPOSITE parity, so a
+        // cross-container pair also crosses the compressed/raw split.
+        val mix = base.select((col("doc_id") * 20 + col("doc_id") % 2).as("mid"),
+            col("text"), (col("doc_id") % 7).as("typ"))
           .unionAll(base.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") * 10 + 1).as("mid"), col("text"),
-              ((col("doc_id") + 1) % 7).as("typ")))
+            .select((col("doc_id") * 20 + 10 + (col("doc_id") + 1) % 2).as("mid"),
+              col("text"), ((col("doc_id") + 1) % 7).as("typ")))
         val htmlDocs = {
           val files = mix.filter(col("typ") === 0).select(col("mid"), col("text"))
             .as[(Long, String)]
@@ -3698,7 +3905,11 @@ object LlmQueries {
               graft.sources.Warc.syntheticResponse(id,
                 s"http://corpus.example/d/$id",
                 MixedChromePre + t + MixedChromePost) })
-          graft.sources.Warc.records(files, headBytes = 8192).toDF()
+          // 1 MiB body retention: the oracle runs htmlToText over the
+          // FULL document text, so any truncation of the HTTP body
+          // (chrome + text can exceed the old 8 KiB default) would
+          // silently diverge
+          graft.sources.Warc.records(files, headBytes = 1 << 20).toDF()
             .filter(col("warc_type") === "response" && col("http_status") === 200)
             .select(col("file_id").as("mid"),
               htmlToText(col("body_head")).as("text"))
@@ -3749,8 +3960,8 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("WITH base AS (SELECT doc_id, text FROM documents), " +
-        "mix AS (SELECT doc_id * 10 AS doc_id, text, doc_id % 7 AS typ FROM base " +
-        "UNION ALL SELECT doc_id * 10 + 1, text, (doc_id + 1) % 7 " +
+        "mix AS (SELECT doc_id * 20 + doc_id % 2 AS doc_id, text, doc_id % 7 AS typ FROM base " +
+        "UNION ALL SELECT doc_id * 20 + 10 + (doc_id + 1) % 2, text, (doc_id + 1) % 7 " +
         "FROM base WHERE doc_id % 5 = 0), " +
         "ext AS (SELECT doc_id, CASE WHEN typ = 0 THEN " +
         htmlToTextSql(s"'$MixedChromePre' || text || '$MixedChromePost'") +
@@ -3813,6 +4024,9 @@ object LlmQueries {
     // the same streaming record walk as l50/l68 (non-HTTP branch:
     // charset-sniffed body prefix); oracle = the original text
     // verbatim. The warcinfo distractor proves the type filter.
+    // headBytes = 1 MiB: "verbatim" holds up to that bound — real WET
+    // conversion payloads routinely exceed the old 8 KiB HTTP-prefix
+    // default and would have silently truncated (possibly mid-multibyte).
     "l135_wet_ingest" -> QueryDef(
       (s, d) => {
         import s.implicits._
@@ -3821,7 +4035,7 @@ object LlmQueries {
           .mapPartitions(_.map { case (id, t) =>
             graft.sources.Warc.syntheticWetFile(id,
               s"http://corpus.example/wet/$id", t) })
-        graft.sources.Warc.records(files, headBytes = 8192).toDF()
+        graft.sources.Warc.records(files, headBytes = 1 << 20).toDF()
           .filter(col("warc_type") === "conversion")
           .select(col("file_id").as("doc_id"), col("body_head").as("text"))
           .orderBy("doc_id")

@@ -17,13 +17,18 @@ case class WarcFile(file_id: Long, payload: Array[Byte])
   * otherwise the raw record payload; `http_status` is 0 for non-HTTP.
   * `charset` is the sniffed encoding `body_head` was decoded WITH
   * (BOM > HTTP Content-Type > meta charset > UTF-8-validity, falling
-  * back to windows-1252 — see [[Warc.sniffCharset]]). Strings default
+  * back to windows-1252 — see [[Warc.sniffCharset]]). `refers_to` is
+  * the `WARC-Refers-To` header ("" when absent) — Common Crawl's
+  * native dedup signal: a `revisit` record points at the record whose
+  * payload it re-observed, so a pipeline folds revisits in as
+  * PRE-CERTIFIED duplicates (l140) before computing any similarity of
+  * its own. Strings default
   * to "" rather than null so the columns stay non-nullable
   * BIGINT/VARCHAR across engines. */
 case class WarcRecord(file_id: Long, rec_idx: Long, warc_type: String,
                       target_uri: String, content_length: Long,
                       http_status: Long, body_len: Long, body_head: String,
-                      charset: String)
+                      charset: String, refers_to: String = "")
 
 /**
  * WARC (ISO 28500) ingestion — the Common Crawl container every
@@ -109,8 +114,12 @@ object Warc {
 
   /** `headBytes` sizes the retained body prefix: 48 for provenance
     * (the default), larger when downstream actually consumes the body —
-    * e.g. the l68 crawl cascade extracts text from it. Bounded by
-    * [[MaxHttpPrefix]] either way. */
+    * e.g. the l68 crawl cascade extracts text from it, and the l135 WET
+    * ingest keeps the whole conversion payload. The retained raw prefix
+    * is `headBytes + MaxHttpPrefix` (the extra 8 KiB is the HTTP header
+    * allowance, so an HTTP record still yields `headBytes` of BODY after
+    * the header split) — memory per record is O(headBytes), chosen by
+    * the caller, never O(payload). */
   def parseFile(fileId: Long, payload: Array[Byte], headBytes: Int): Seq[WarcRecord] = {
     val raw: InputStream = new ByteArrayInputStream(payload)
     val in0: InputStream =
@@ -132,7 +141,7 @@ object Warc {
           case Some(v) if !v.startsWith("WARC/") => throw Malformed
           case Some(_) =>
             // named header fields, case-insensitive, until the blank line
-            var warcType = ""; var uri = ""; var cl = -1L
+            var warcType = ""; var uri = ""; var cl = -1L; var refersTo = ""
             var h = readLine(in).getOrElse(throw Malformed)
             while (h.nonEmpty) {
               val i = h.indexOf(':')
@@ -142,6 +151,7 @@ object Warc {
                 k match {
                   case "warc-type" => warcType = v
                   case "warc-target-uri" => uri = v
+                  case "warc-refers-to" => refersTo = v
                   case "content-length" =>
                     cl = try v.toLong catch { case _: NumberFormatException => throw Malformed }
                   case _ => ()
@@ -151,11 +161,12 @@ object Warc {
             }
             if (cl < 0) throw Malformed
             // record payload: retain a bounded prefix, skip the rest
-            val prefixLen = math.min(cl, MaxHttpPrefix.toLong).toInt
+            val prefixLen = math.min(cl, headBytes.toLong + MaxHttpPrefix.toLong).toInt
             val prefix = new Array[Byte](prefixLen)
             if (in.readN(prefix, prefixLen) < prefixLen) throw Malformed
             if (in.skipN(cl - prefixLen) < cl - prefixLen) throw Malformed
             out += httpSplit(fileId, idx, warcType, uri, cl, prefix, headBytes)
+              .copy(refers_to = refersTo)
             idx += 1
         }
       }
@@ -358,6 +369,30 @@ object Warc {
       WarcFixtures.record("warcinfo", None,
         "software: graft-wet".getBytes("UTF-8")) ++
         WarcFixtures.record("conversion", Some(uri), text.getBytes("UTF-8"))
+    WarcFile(fileId, if (fileId % 2 == 0) WarcFixtures.gz(rec) else rec)
+  }
+
+  /** l140 construction half: the WET corpus carrying Common Crawl's
+    * native dedup signal — for `fileId % 4 == 0` the file holds, after
+    * its conversion record, a REVISIT record (empty payload,
+    * `WARC-Profile` identical-payload-digest, `WARC-Refers-To` pointing
+    * at the conversion it re-observed) from a different mirror URL.
+    * The fixture writes the referred record's Target-URI inside the
+    * angle brackets as the pointer value (real crawls write the
+    * record's `urn:uuid`; the fold joins on whatever identifier scheme
+    * the writer used — string equality either way). */
+  def syntheticWetRevisit(fileId: Long, uri: String, text: String): WarcFile = {
+    val base =
+      WarcFixtures.record("warcinfo", None,
+        "software: graft-wet".getBytes("UTF-8")) ++
+        WarcFixtures.record("conversion", Some(uri), text.getBytes("UTF-8"))
+    val rec =
+      if (fileId % 4 == 0)
+        base ++ WarcFixtures.record("revisit",
+          Some(s"http://mirror.example/re/$fileId"), Array.emptyByteArray,
+          Seq(s"WARC-Refers-To: <$uri>",
+            "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+      else base
     WarcFile(fileId, if (fileId % 2 == 0) WarcFixtures.gz(rec) else rec)
   }
 

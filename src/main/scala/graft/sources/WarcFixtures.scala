@@ -23,12 +23,15 @@ object WarcFixtures {
 
   private[sources] def crlf(lines: String*): String = lines.mkString("", "\r\n", "\r\n")
 
-  /** One WARC record: version + headers + blank + payload + \r\n\r\n. */
+  /** One WARC record: version + headers + blank + payload + \r\n\r\n.
+    * `extraHeaders` carries record-type-specific fields (a revisit's
+    * `WARC-Refers-To`/`WARC-Profile`). */
   private[sources] def record(warcType: String, uri: Option[String],
-                     payload: Array[Byte]): Array[Byte] = {
+                     payload: Array[Byte],
+                     extraHeaders: Seq[String] = Nil): Array[Byte] = {
     val head = crlf(
       Seq("WARC/1.0", s"WARC-Type: $warcType") ++
-        uri.map(u => s"WARC-Target-URI: $u") ++
+        uri.map(u => s"WARC-Target-URI: $u") ++ extraHeaders ++
         Seq("WARC-Date: 2024-01-01T00:00:00Z",
           s"Content-Length: ${payload.length}", ""): _*)
     head.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
@@ -59,10 +62,16 @@ object WarcFixtures {
       record("response", Some("http://example.com/a"), http("200 OK", BodyA)) ++
       record("response", Some("http://example.com/missing"), http("404 Not Found", BodyMiss))
 
-  /** Multi-member gzip: each record its own member, as crawlers write. */
+  /** Multi-member gzip: each record its own member, as crawlers write.
+    * The trailing REVISIT member (empty payload, `WARC-Refers-To`
+    * pointing at the response it re-observed — Common Crawl's native
+    * dedup signal) certifies the refers_to header surfaces. */
   private def fileB: Array[Byte] =
     gz(record("response", Some("http://example.org/b"), http("200 OK", BodyB))) ++
-      gz(record("request", Some("http://example.org/b"), ReqB.getBytes("UTF-8")))
+      gz(record("request", Some("http://example.org/b"), ReqB.getBytes("UTF-8"))) ++
+      gz(record("revisit", Some("http://example.org/b"), Array.emptyByteArray,
+        Seq("WARC-Refers-To: <urn:rec:b0>",
+          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
 
   /** Record 0 valid; record 1 declares 9999 payload bytes it lacks. */
   private def fileC: Array[Byte] =
@@ -85,7 +94,9 @@ object WarcFixtures {
       WarcRecord(2L, 0L, "response", "http://example.org/b",
         (httpOverhead + BodyB.length).toLong, 200L, BodyB.length.toLong, BodyB, "utf-8"),
       WarcRecord(2L, 1L, "request", "http://example.org/b",
-        ReqB.length.toLong, 0L, ReqB.length.toLong, ReqB, "utf-8"))),
+        ReqB.length.toLong, 0L, ReqB.length.toLong, ReqB, "utf-8"),
+      WarcRecord(2L, 2L, "revisit", "http://example.org/b",
+        0L, 0L, 0L, "", "utf-8", "<urn:rec:b0>"))),
     (WarcFile(3L, fileC), Seq(
       WarcRecord(3L, 0L, "response", "http://example.net/c",
         (http("301 Moved", "").length + BodyMoved.length).toLong, 301L,
@@ -103,10 +114,11 @@ object WarcFixtures {
       s"(CAST(${r.file_id} AS BIGINT), CAST(${r.rec_idx} AS BIGINT), " +
         s"'${r.warc_type}', '${r.target_uri}', " +
         s"CAST(${r.content_length} AS BIGINT), CAST(${r.http_status} AS BIGINT), " +
-        s"CAST(${r.body_len} AS BIGINT), '${r.body_head}', '${r.charset}')"
+        s"CAST(${r.body_len} AS BIGINT), '${r.body_head}', '${r.charset}', " +
+        s"'${r.refers_to}')"
     }.mkString(", ")
     s"SELECT * FROM (VALUES $rows) AS t(file_id, rec_idx, warc_type, " +
-      "target_uri, content_length, http_status, body_len, body_head, charset) " +
-      "ORDER BY file_id, rec_idx"
+      "target_uri, content_length, http_status, body_len, body_head, charset, " +
+      "refers_to) ORDER BY file_id, rec_idx"
   }
 }

@@ -217,6 +217,76 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(trained(3L) == 0L)
   }
 
+  test("string-replace unroll: pair-wrapped separators fix the prefix hazard (l139)") {
+    // the DuckDB oracle's Scala mirror — java String.replace is the
+    // same all-occurrences left-to-right non-overlapping semantics
+    def unrollPairWrap(units: String, merges: Seq[(String, String)]): Seq[String] = {
+      var s = units.map(u => "" + u + "").mkString
+      merges.foreach { case (a, b) =>
+        s = s.replace("" + a + "" + b + "",
+          "" + a + b + "")
+      }
+      s.split('').filter(_.nonEmpty).toSeq
+    }
+    def unrollOneSided(units: String, merges: Seq[(String, String)]): Seq[String] = {
+      var s = units.map(u => "" + u).mkString
+      merges.foreach { case (a, b) =>
+        s = s.replace("" + a + "" + b, "" + a + b)
+      }
+      s.split('').filter(_.nonEmpty).toSeq
+    }
+    // the corpus-trained hazard shape: (l,u) learned before (a,l), and
+    // a token where "lu" has already formed when rank (a,l) arrives —
+    // the one-sided pattern \x01a\x01l then matches the PREFIX of "lu"
+    val merges = Seq(("l", "u"), ("a", "l"))
+    val loop = Bpe.encodeWord("value", merges.zipWithIndex.toMap)
+    assert(loop == Seq("v", "a", "lu", "e"))
+    assert(unrollPairWrap("value", merges) == loop)
+    assert(unrollOneSided("value", merges) == Seq("v", "alu", "e"),
+      "the hazard this test documents — if this stops reproducing, the" +
+        " mirror no longer matches DuckDB replace semantics")
+    // consecutive same-pair matches still chain under the pair-wrap
+    assert(unrollPairWrap("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
+    assert(unrollPairWrap("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    // fuzz the pair-wrap against the encode loop on l126's table
+    val table = graft.queries.LlmQueries.l126Merges
+    val rank = table.zipWithIndex.toMap
+    val rnd = new scala.util.Random(139L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (0 until 2000).foreach { i =>
+      val tok = (if (rnd.nextBoolean()) "Ġ" else "") +
+        (0 until (1 + rnd.nextInt(12))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(unrollPairWrap(tok, table) == Bpe.encodeWord(tok, rank), s"case $i '$tok'")
+    }
+  }
+
+  test("corpus-trained table (l139): distributed ≡ local, preconditions hold") {
+    // a corpus engineered to learn prefix-hazard merge shapes: words
+    // share stems so pairs like (l,u) and (a,l) both train
+    val stems = Seq("value", "valor", "glue", "alumni", "lunar", "altar",
+      "blue", "plural", "salute", "aloud", "flux", "evaluate")
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until 8).map(k => stems((i * 7 + k * 3) % stems.length))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val distributed = ByteBpe.trainMerges(docs, "text", nMerges = 24, minCount = 2L)
+    // local twin: same pre-tokenizer, same driver endgame, no Spark agg
+    val p = java.util.regex.Pattern.compile(ByteBpe.PreTokenPattern)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    docs.as[(Long, String)].collect().foreach { case (_, t) =>
+      val m = p.matcher(t)
+      while (m.find()) counts.update(m.group, counts.getOrElse(m.group, 0L) + 1L)
+    }
+    val pruned = counts.toSeq.filter(_._2 >= 2L)
+    val local = Bpe.trainMergesLocal(
+      pruned.map { case (t, c) => (ByteBpe.toByteUnits(t).map(_.toString).toArray, c) },
+      24)
+    assert(distributed == local, "corpus-trained distributed ≡ local")
+    val ms = distributed.map(m => (m._1, m._2))
+    graft.queries.LlmQueries.assertByteBpePreconditions(ms, "spec")
+  }
+
   test("minCount prunes hapax pre-tokens from training but never from encode") {
     val docs = Seq((1L, "sun sun sun zq")).toDF("doc_id", "text")
     val merges = ByteBpe.trainMerges(docs, "text", nMerges = 5, minCount = 2L)

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import Multimodal.MediaFile
+
+/** The standard security handler (ISO 32000 §7.6.3), empty-user-
+  * password path: every supported handler layout round-trips, a REAL
+  * user password keeps the empty-text contract, tampered dictionaries
+  * fail closed, and an encrypted PDF 1.5+ ObjStm layout decrypts
+  * before expansion. */
+class PdfCryptSpec extends AnyFunSuite {
+
+  private val sample = "Owner-locked text: (parens) \\ backéslash 世界!"
+  private def wrapEscape(text: String): String = {
+    val wrapped = new String(text.getBytes("UTF-8"), "ISO-8859-1")
+    wrapped.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+  }
+  private def unwrap(extracted: String): String =
+    new String(extracted.getBytes("ISO-8859-1"), "UTF-8")
+
+  test("all four handler layouts round-trip, flated and raw") {
+    for (handler <- 0 to 3; flate <- Seq(true, false)) {
+      val body = PdfFixtures.encryptedPdf("1.6",
+        s"BT (${wrapEscape(sample)}) Tj ET", flate, handler, docId = 7L)
+      val doc = PdfText.decodePdfText(MediaFile(7L, body))
+      assert(unwrap(doc.text) == sample,
+        s"handler=$handler flate=$flate: got '${doc.text}'")
+      // the l112 gate still reports the document as encrypted
+      assert(Multimodal.parsePdfMeta(MediaFile(7L, body)).exists(_.encrypted))
+    }
+  }
+
+  test("a NON-empty user password keeps the empty-text contract") {
+    for (handler <- 0 to 3) {
+      val body = PdfFixtures.encryptedPdf("1.6",
+        s"BT (${wrapEscape(sample)}) Tj ET", flate = false, handler,
+        docId = 9L, userPw = "secret".getBytes("UTF-8"))
+      val doc = PdfText.decodePdfText(MediaFile(9L, body))
+      assert(doc.text == "", s"handler=$handler leaked: '${doc.text}'")
+    }
+  }
+
+  test("tampered /U or /O fails authentication closed (no garbage)") {
+    val body = new String(PdfFixtures.encryptedPdf("1.6",
+      s"BT (${wrapEscape(sample)}) Tj ET", flate = false, handler = 1,
+      docId = 3L), "ISO-8859-1")
+    for (key <- Seq("/U <", "/O <")) {
+      val at = body.indexOf(key) + key.length
+      val flipped = body.substring(0, at) +
+        (if (body.charAt(at) == '0') '1' else '0') + body.substring(at + 1)
+      val doc = PdfText.decodePdfText(
+        MediaFile(3L, flipped.getBytes("ISO-8859-1")))
+      assert(doc.text == "", s"tampered $key extracted '${doc.text}'")
+    }
+  }
+
+  test("unsupported handlers decline: V5/AES-256 and non-Standard filters") {
+    val base = new String(PdfFixtures.encryptedPdf("1.6",
+      "BT (hello) Tj ET", flate = false, handler = 1, docId = 5L), "ISO-8859-1")
+    val v5 = base.replace("/V 2 /R 3", "/V 5 /R 6")
+    assert(PdfText.decodePdfText(MediaFile(5L, v5.getBytes("ISO-8859-1"))).text == "")
+    val custom = base.replace("/Filter /Standard", "/Filter /MyCustomSec")
+    assert(PdfText.decodePdfText(MediaFile(5L, custom.getBytes("ISO-8859-1"))).text == "")
+  }
+
+  test("encrypted ObjStm layout: object streams decrypt BEFORE expansion") {
+    // hand-built PDF 1.6: catalog/pages/page dicts inside a deflated-
+    // then-RC4-encrypted /Type /ObjStm; content stream encrypted too;
+    // the /Type /XRef dict (plaintext by spec, NEVER encrypted)
+    // carries /Root, /Encrypt, and /ID — no `trailer` keyword
+    val r = 3; val keyBytes = 16
+    def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(b)
+    val id0 = md5("objstm-id".getBytes("UTF-8"))
+    val o = PdfCrypt.computeO("owner".getBytes("UTF-8"), Array.emptyByteArray, r, keyBytes)
+    val p = -3904
+    val key = PdfCrypt.fileKey(Array.emptyByteArray, o, p, id0, r, keyBytes,
+      encryptMetadata = true)
+    val u = PdfCrypt.computeU(key, id0, r) ++ new Array[Byte](16)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
+    val embedded = Seq(
+      2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+      3 -> "<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+      4 -> "<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>")
+    val header = new StringBuilder; val objBody = new StringBuilder
+    embedded.foreach { case (num, src) =>
+      header.append(s"$num ${objBody.length} "); objBody.append(src).append('\n')
+    }
+    val first = header.length
+    val packedPlain = PdfFixtures.deflateStr(header.toString + objBody.toString)
+    val packed = new String(PdfCrypt.encryptData(key, 1L, 0,
+      packedPlain.getBytes("ISO-8859-1"), aes = false), "ISO-8859-1")
+    val content = new String(PdfCrypt.encryptData(key, 5L, 0,
+      "BT (inside objstm) Tj ET".getBytes("ISO-8859-1"), aes = false), "ISO-8859-1")
+    val encDict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/O <${hex(o)}> /U <${hex(u)}> /P $p >>"
+    val xrefData = "  " * 8
+    val body = ("%PDF-1.6\n" +
+      s"1 0 obj\n<< /Type /ObjStm /N 3 /First $first /Length ${packed.length} " +
+      s"/Filter /FlateDecode >>\nstream\n$packed\nendstream\nendobj\n" +
+      s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      s"6 0 obj\n$encDict\nendobj\n" +
+      s"7 0 obj\n<< /Type /XRef /Size 8 /W [1 1 1] /Root 2 0 R /Encrypt 6 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] /Length ${xrefData.length} >>\n" +
+      s"stream\n$xrefData\nendstream\nendobj\n" +
+      "startxref\n9\n%%EOF\n").getBytes("ISO-8859-1")
+    val doc = PdfText.decodePdfText(MediaFile(11L, body))
+    assert(doc.text == "inside objstm", s"got '${doc.text}'")
+    assert(Multimodal.parsePdfMeta(MediaFile(11L, body)).exists(_.encrypted))
+  }
+
+  test("fuzz: bit-flipped encrypted payloads degrade, never throw") {
+    val rnd = new scala.util.Random(136L)
+    for (handler <- 0 to 3) {
+      val base = PdfFixtures.encryptedPdf("1.6",
+        s"BT (${wrapEscape(sample)}) Tj ET", flate = true, handler, docId = 13L)
+      (0 until 60).foreach { _ =>
+        val mutated = base.clone()
+        val at = rnd.nextInt(mutated.length)
+        mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        PdfText.decodePdfText(MediaFile(13L, mutated)) // must not throw
+      }
+    }
+  }
+}
