@@ -260,18 +260,185 @@ object Cfb {
     Some(out.toString.replace('\r', '\n'))
   }
 
-  /** Full-document extraction; None when the payload is not a CFB. */
+  // ------------------------------------------------- [MS-XLS] / BIFF8
+
+  // record ids (BIFF8, [MS-XLS] §2.3)
+  private val RecBof = 0x0809
+  private val RecEof = 0x000A
+  private val RecSst = 0x00FC
+  private val RecContinue = 0x003C
+  private val RecLabelSst = 0x00FD
+  private val RecBoundSheet = 0x0085
+
+  /** One BIFF record: (id, payload extent) walk over a Workbook
+    * stream. Returns (id, offset, length) triples; stops at the first
+    * malformed header (degrade). */
+  private def biffRecords(b: Array[Byte]): Seq[(Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    var i = 0
+    while (i + 4 <= b.length) {
+      val id = u16(b, i)
+      val len = u16(b, i + 2)
+      if (len < 0 || i + 4 + len > b.length) return out.toSeq
+      out += ((id, i + 4, len))
+      i += 4 + len
+    }
+    out.toSeq
+  }
+
+  /** A cursor over the SST payload plus its CONTINUE payloads. String
+    * CHARACTER data may split across a record boundary, and each
+    * continuation restarts with a fresh grbit byte (the
+    * compressed/UTF-16 flag may flip mid-string — [MS-XLS]
+    * §2.5.293) — the one genuinely tricky part of BIFF8. */
+  private final class SstCursor(parts: IndexedSeq[(Int, Int)], b: Array[Byte]) {
+    private var p = 0
+    private var off = 0
+    private var fresh = false // true right after crossing into a new part
+    private def partLen = parts(p)._2
+    private def advance(): Boolean = {
+      while (p < parts.length && off >= partLen) { p += 1; off = 0; fresh = true }
+      p < parts.length
+    }
+    private def rawU8(): Int = {
+      if (!advance()) return -1
+      val v = b(parts(p)._1 + off) & 0xFF
+      off += 1
+      v
+    }
+    /** Header/skip reads: a boundary inside them carries no grbit. */
+    def u8(): Int = { val v = rawU8(); fresh = false; v }
+    def u16le(): Int = { val a = u8(); val c = u8(); if (a < 0 || c < 0) -1 else a | (c << 8) }
+    def u32le(): Long = { val a = u16le(); val c = u16le(); if (a < 0 || c < 0) -1L else a.toLong | (c.toLong << 16) }
+    def skip(n: Long): Unit = { var k = 0L; while (k < n && u8() >= 0) k += 1 }
+    /** cch characters starting in `high` (UTF-16) vs compressed mode;
+      * each part crossing DURING character data consumes a fresh grbit
+      * byte that re-selects the mode for the remaining characters
+      * ([MS-XLS] §2.5.293 — writers never split a 2-byte char). */
+    def readChars(cch: Int, high0: Boolean): String = {
+      val sb = new StringBuilder(cch)
+      var high = high0
+      var left = cch
+      fresh = false // the mode byte for THIS fragment was already read
+      while (left > 0) {
+        if (!advance()) return sb.toString
+        if (fresh) {
+          fresh = false
+          val g = rawU8()
+          if (g < 0) return sb.toString
+          fresh = false
+          high = (g & 1) != 0
+        }
+        val c =
+          if (high) {
+            val lo = rawU8(); val hi = rawU8()
+            if (lo < 0 || hi < 0) return sb.toString
+            lo | (hi << 8)
+          } else rawU8()
+        if (c < 0) return sb.toString
+        sb.append(c.toChar)
+        left -= 1
+      }
+      sb.toString
+    }
+  }
+
+  /** The shared-string table: SST + CONTINUE payloads decoded into
+    * unique strings (rich-text runs and ext data skipped; compressed
+    * and UTF-16 modes, mode flips at continuation boundaries). */
+  private def parseSst(b: Array[Byte], recs: Seq[(Int, Int, Int)]): IndexedSeq[String] = {
+    val at = recs.indexWhere(_._1 == RecSst)
+    if (at < 0) return IndexedSeq.empty
+    val parts = (recs(at) +: recs.drop(at + 1).takeWhile(_._1 == RecContinue))
+      .map { case (_, o, l) => (o, l) }.toIndexedSeq
+    val cur = new SstCursor(parts, b)
+    cur.skip(4) // cstTotal
+    val unique = cur.u32le()
+    if (unique < 0 || unique > 1000000L) return IndexedSeq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0L
+    var ok = true
+    while (i < unique && ok) {
+      val cch = cur.u16le()
+      val grbit = cur.u8()
+      if (cch < 0 || grbit < 0 || (grbit & 0xF2) != 0) ok = false
+      else {
+        val rich = (grbit & 0x08) != 0
+        val ext = (grbit & 0x04) != 0
+        val cRun = if (rich) cur.u16le() else 0
+        val cbExt = if (ext) cur.u32le() else 0L
+        out += cur.readChars(cch, (grbit & 1) != 0)
+        cur.skip(4L * cRun + math.max(0L, cbExt))
+      }
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Workbook-stream text ([MS-XLS]): worksheet substreams located by
+    * the BoundSheet8 directory (lbPlyPos — sheets extract in TAB
+    * order, not stream order), each substream's LabelSst cells grouped
+    * by row (row-major, columns sorted), cells TAB-joined, rows and
+    * sheets newline-joined — the same reading as [[OfficeZip]]'s XLSX
+    * walk. Numeric cells are skipped (text extraction, stated).
+    * BIFF8 interns every cell string in the SST, so LabelSst + SST is
+    * the complete text path. */
+  private[operators] def xlsText(wb: Array[Byte]): String = {
+    val recs = biffRecords(wb)
+    if (recs.isEmpty || recs.head._1 != RecBof) return ""
+    val sst = parseSst(wb, recs)
+    // BoundSheet8: sheet-substream offsets in tab order
+    val sheetPos = recs.filter(_._1 == RecBoundSheet).map { case (_, o, l) =>
+      if (l >= 4) u32(wb, o) else -1L
+    }.filter(_ >= 0)
+    // worksheet substream extents: BOF at offset → records until EOF
+    def sheetText(bofAt: Long): String = {
+      val start = recs.indexWhere(r => (r._2 - 4).toLong == bofAt && r._1 == RecBof)
+      if (start < 0) return ""
+      val body = recs.drop(start + 1).takeWhile(_._1 != RecEof)
+      val rows = scala.collection.mutable.SortedMap.empty[Int,
+        scala.collection.mutable.SortedMap[Int, String]]
+      body.foreach { case (id, o, l) =>
+        if (id == RecLabelSst && l >= 10) {
+          val rw = u16(wb, o)
+          val col = u16(wb, o + 2)
+          val isst = u32(wb, o + 6)
+          if (isst >= 0 && isst < sst.length) {
+            val cells = rows.getOrElseUpdate(rw,
+              scala.collection.mutable.SortedMap.empty[Int, String])
+            cells(col) = sst(isst.toInt)
+          }
+        }
+      }
+      rows.valuesIterator
+        .map(_.valuesIterator.filter(_.nonEmpty).mkString("\t"))
+        .filter(_.nonEmpty).mkString("\n")
+    }
+    sheetPos.map(sheetText).filter(_.nonEmpty).mkString("\n")
+  }
+
+  /** Full-document extraction; None when the payload is not a CFB.
+    * Dispatch: a `WordDocument` stream → the [MS-DOC] piece-table walk
+    * (container "doc"); else a `Workbook`/`Book` stream → the BIFF8
+    * walk (container "xls"); any other compound file → empty text,
+    * container "cfb". */
   def parseDocText(m: MediaFile): Option[DocText] =
     parse(m.payload).map { cfb =>
-      val text = (for {
-        wd <- cfb.stream("WordDocument")
-        flags = u16(wd, 0x0A)
-        tblName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
-        tbl <- cfb.stream(tblName)
-        t <- pieceTableText(wd, tbl)
-      } yield t).getOrElse("")
-      val isDoc = cfb.stream("WordDocument").exists(w => u16(w, 0) == 0xA5EC)
-      DocText(m.doc_id, text, text.length.toLong, if (isDoc) "doc" else "cfb")
+      cfb.stream("WordDocument") match {
+        case Some(wd) if u16(wd, 0) == 0xA5EC =>
+          val text = (for {
+            tbl <- cfb.stream(if ((u16(wd, 0x0A) & 0x0200) != 0) "1Table" else "0Table")
+            t <- pieceTableText(wd, tbl)
+          } yield t).getOrElse("")
+          DocText(m.doc_id, text, text.length.toLong, "doc")
+        case _ =>
+          cfb.stream("Workbook").orElse(cfb.stream("Book")) match {
+            case Some(wb) =>
+              val text = try xlsText(wb) catch { case NonFatal(_) => "" }
+              DocText(m.doc_id, text, text.length.toLong, "xls")
+            case None => DocText(m.doc_id, "", 0L, "cfb")
+          }
+      }
     }
 
   /** Stub fallback (non-CFB payload is data, not an error). */
@@ -287,11 +454,11 @@ object Cfb {
 
   // --------------------------------------------- construction (fixtures)
 
-  /** Little-endian writers for the fixture builder. */
-  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+  /** Little-endian writers for the fixture builders. */
+  private[operators] def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
   }
-  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+  private[operators] def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
     b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
     b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
   }
@@ -429,6 +596,89 @@ object Cfb {
     if (nMiniContSectors > 0) writeSectors(miniContStart, miniData)
     large.zip(largeStarts).foreach { case ((_, d), s) => writeSectors(s, d) }
     out
+  }
+
+  // ------------------------------------------- BIFF8 construction side
+
+  private[operators] def biffRec(id: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](4 + payload.length)
+    putU16(out, 0, id); putU16(out, 2, payload.length)
+    System.arraycopy(payload, 0, out, 4, payload.length)
+    out
+  }
+
+  private[operators] def biffBof(dt: Int): Array[Byte] = {
+    val p = new Array[Byte](16)
+    putU16(p, 0, 0x0600) // BIFF8
+    putU16(p, 2, dt)     // 0x0005 globals / 0x0010 worksheet
+    putU16(p, 4, 0x0DBB); putU16(p, 6, 0x07CC)
+    biffRec(RecBof, p)
+  }
+
+  private[operators] def biffEof: Array[Byte] = biffRec(RecEof, Array.emptyByteArray)
+
+  /** XLUnicodeRichExtendedString body (no rich/ext): cch, grbit,
+    * chars — compressed when `high` is false (all units must be
+    * < 0x100), UTF-16LE otherwise. */
+  private[operators] def sstString(s: String, high: Boolean): Array[Byte] = {
+    val chars =
+      if (high) s.getBytes("UTF-16LE")
+      else s.map(c => (c & 0xFF).toByte).toArray
+    val out = new Array[Byte](3 + chars.length)
+    putU16(out, 0, s.length)
+    out(2) = if (high) 1 else 0
+    System.arraycopy(chars, 0, out, 3, chars.length)
+    out
+  }
+
+  private[operators] def biffSst(strings: Seq[(String, Boolean)]): Array[Byte] = {
+    val body = strings.map { case (s, h) => sstString(s, h) }
+    val p = new Array[Byte](8 + body.map(_.length).sum)
+    putU32(p, 0, strings.length.toLong)
+    putU32(p, 4, strings.length.toLong)
+    var o = 8
+    body.foreach { bb => System.arraycopy(bb, 0, p, o, bb.length); o += bb.length }
+    biffRec(RecSst, p)
+  }
+
+  private[operators] def biffLabelSst(row: Int, colIdx: Int, isst: Int): Array[Byte] = {
+    val p = new Array[Byte](10)
+    putU16(p, 0, row); putU16(p, 2, colIdx); putU16(p, 4, 0)
+    putU32(p, 6, isst.toLong)
+    biffRec(RecLabelSst, p)
+  }
+
+  private[operators] def biffBoundSheet(pos: Long, name: String): Array[Byte] = {
+    val nm = name.map(c => (c & 0xFF).toByte).toArray
+    val p = new Array[Byte](8 + nm.length)
+    putU32(p, 0, pos)
+    p(4) = 0; p(5) = 0 // visible worksheet
+    p(6) = name.length.toByte; p(7) = 0 // compressed sheet name
+    System.arraycopy(nm, 0, p, 8, nm.length)
+    biffRec(RecBoundSheet, p)
+  }
+
+  /** The l141 construction half: wrap a document's text into a real
+    * [MS-XLS] BIFF8 workbook — globals substream (BOF, BoundSheet8
+    * directory, SST holding the text as ONE shared string, EOF) + one
+    * worksheet substream (BOF, a LabelSst cell referencing it, EOF) —
+    * inside an [MS-CFB] container under the `Workbook` stream name.
+    * `doc_id % 2` picks the SST encoding (UTF-16 vs compressed — the
+    * compressed form only when every unit fits a byte), `doc_id % 5`
+    * the v4 sector size, so both string modes and both container
+    * generations appear across the corpus. */
+  def syntheticXls(docId: Long, text: String): MediaFile = {
+    val high = docId % 2 == 0 || text.exists(_ >= 0x100)
+    val globalsFixed = biffBof(0x0005)
+    val sst = biffSst(Seq((text, high)))
+    // BoundSheet8 length is independent of lbPlyPos: compute the sheet
+    // offset with a placeholder, then write the real one
+    val bsPlaceholder = biffBoundSheet(0L, "S1")
+    val sheetAt = globalsFixed.length + bsPlaceholder.length + sst.length + biffEof.length
+    val globals = globalsFixed ++ biffBoundSheet(sheetAt.toLong, "S1") ++ sst ++ biffEof
+    val sheet = biffBof(0x0010) ++ biffLabelSst(0, 0, 0) ++ biffEof
+    MediaFile(docId,
+      buildCfb(Seq("Workbook" -> (globals ++ sheet)), if (docId % 5 == 0) 12 else 9))
   }
 
   /** The l137 construction half: wrap a document's text into a real

@@ -33,14 +33,17 @@ import scala.util.control.NonFatal
  *    ciphertext and PKCS#5 block padding.
  *
  * Handler coverage: /Filter /Standard with V ∈ {1, 2} (RC4, 40–128
- * bit) and V = 4 crypt filters whose /StdCF /CFM is /V2 (RC4) or
- * /AESV2 (AES-128) — i.e. R ∈ {2, 3, 4}, the layouts Acrobat 4–9
- * wrote and the overwhelming majority of owner-locked documents in the
- * wild. V = 5 / R = 6 (AES-256, PDF 2.0) and non-Standard handlers
- * are declined: [[decryptor]] returns None and the document keeps the
+ * bit), V = 4 crypt filters whose /StdCF /CFM is /V2 (RC4) or
+ * /AESV2 (AES-128) — the layouts Acrobat 4–9 wrote — and V = 5 with
+ * R ∈ {5, 6} (/AESV3, AES-256: ISO 32000-2 §7.6.4 — the Algorithm-2.B
+ * iterated hash validates the empty password against /U and the
+ * 256-bit file key unwraps from /UE; data decrypts under the file key
+ * directly, no per-object keys). Non-Standard handlers, unknown crypt
+ * filters, and malformed dictionaries are declined: [[decryptor]]
+ * returns None and the document keeps the
  * empty-text contract. All crypto is JDK (`java.security.MessageDigest`
- * MD5, `javax.crypto` AES/CBC) plus the 10-line public RC4 schedule —
- * no dependencies.
+ * MD5/SHA-2, `javax.crypto` AES/CBC) plus the 10-line public RC4
+ * schedule — no dependencies.
  *
  * Scale: key derivation is once per document, per-object keys are one
  * MD5 each, and everything runs inside the same `mapPartitions` codec
@@ -151,6 +154,100 @@ object PdfCrypt {
       u
     }
 
+  // ------------------------------------------------- V5 / AES-256 (2.0)
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B (R6) / the single-SHA-256 R5 form: the
+    * password hash used both to VALIDATE against /U[0..32) and (with
+    * the key salt) to unwrap /UE. R6 iterates: 64× concatenation of
+    * (password ‖ K ‖ udata) AES-128-CBC-encrypted under K's halves,
+    * next digest picked by E[0..16) mod 3, at least 64 rounds, then
+    * until E's last byte ≤ round − 32. Shared by the fixture writer
+    * and the reader (the RC4 discipline: one public-spec function,
+    * independently-sourced inputs on the two sides). */
+  private[operators] def hash2B(password: Array[Byte], salt: Array[Byte],
+                                udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = sha("SHA-256", password, salt, udata)
+    if (r == 5) return k
+    // per-CALL instances, reused across the ≥64 rounds: getInstance is
+    // a provider lookup, and paying it per round made the KDF ~4× its
+    // intrinsic cost on the corpus path (this function runs twice per
+    // encrypted document — it IS a password KDF, slow by design, but
+    // only the crypto should be the cost)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val digests = Array("SHA-256", "SHA-384", "SHA-512")
+      .map(java.security.MessageDigest.getInstance)
+    var i = 0
+    var done = false
+    while (!done && i < 4096) { // spec loop; bound is a corruption guard
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(block, 0, k1, j * block.length, block.length); j += 1 }
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = cipher.doFinal(k1)
+      var sum = 0
+      var m = 0
+      while (m < 16) { sum += e(m) & 0xFF; m += 1 }
+      val d = digests(sum % 3)
+      d.reset()
+      k = d.digest(e)
+      if (i >= 63 && (e(e.length - 1) & 0xFF) <= i - 32) done = true
+      i += 1
+    }
+    k.take(32)
+  }
+
+  /** AES-CBC without padding (the /UE//OE key unwrap uses a zero IV
+    * and exact 32-byte blocks). */
+  private def aesNoPad(mode: Int, key: Array[Byte], iv: Array[Byte],
+                       data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Unwrap the V5 file key from /UE with the empty user password's
+    * intermediate key (Algorithm 2.A tail). */
+  private[operators] def unwrapFileKeyV5(userPw: Array[Byte], keySalt: Array[Byte],
+                                         ue: Array[Byte], r: Int): Array[Byte] =
+    aesNoPad(javax.crypto.Cipher.DECRYPT_MODE,
+      hash2B(userPw, keySalt, Array.emptyByteArray, r), new Array[Byte](16), ue)
+
+  /** Wrap (construction side). */
+  private[operators] def wrapFileKeyV5(userPw: Array[Byte], keySalt: Array[Byte],
+                                       fileKey: Array[Byte], r: Int): Array[Byte] =
+    aesNoPad(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(userPw, keySalt, Array.emptyByteArray, r), new Array[Byte](16), fileKey)
+
+  /** The /OE wrap (construction side): the owner key-salt hash takes
+    * the full 48-byte /U as its `udata` per Algorithm 9/10. */
+  private[operators] def wrapOwnerKeyV5(ownerPw: Array[Byte], keySalt: Array[Byte],
+                                        u48: Array[Byte], fileKey: Array[Byte]): Array[Byte] =
+    aesNoPad(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(ownerPw, keySalt, u48, 6), new Array[Byte](16), fileKey)
+
+  /** V5 stream/string decryption: AES-256-CBC with the FILE key
+    * directly (no per-object key), IV ‖ ciphertext, PKCS#5. */
+  private[operators] def decryptDataV5(fileKey: Array[Byte], data: Array[Byte]): Array[Byte] =
+    if (data.length < 32 || data.length % 16 != 0) Array.emptyByteArray
+    else try {
+      aesCipher(javax.crypto.Cipher.DECRYPT_MODE, fileKey, data.take(16))
+        .doFinal(data, 16, data.length - 16)
+    } catch { case NonFatal(_) => Array.emptyByteArray }
+
+  private[operators] def encryptDataV5(fileKey: Array[Byte], data: Array[Byte],
+                                       iv: Array[Byte]): Array[Byte] =
+    iv ++ aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, fileKey, iv).doFinal(data)
+
   /** Algorithm 1's per-object key. */
   private def objectKey(key: Array[Byte], num: Long, gen: Int, aes: Boolean): Array[Byte] = {
     val ext = Array(
@@ -258,6 +355,28 @@ object PdfCrypt {
       val v = intOf("V", 0)
       val r = intOf("R", 0)
       val lengthBits = intOf("Length", 40)
+      // V5 / AES-256 (ISO 32000-2 §7.6.4): validate the EMPTY user
+      // password against /U's 32-byte hash + 8-byte validation salt,
+      // unwrap the 256-bit file key from /UE with the key salt, then
+      // AES-256-CBC with the file key directly (no per-object keys)
+      if (v == 5 && (r == 5 || r == 6)) {
+        val u = stringValue(dict, "U").getOrElse(return None)
+        val ue = stringValue(dict, "UE").getOrElse(return None)
+        if (u.length < 48 || ue.length < 32) return None
+        val cfm = CfmEntry.findFirstMatchIn(dict).map(_.group(1))
+        if (!cfm.forall(_ == "AESV3")) return None
+        val streamsEncryptedV5 =
+          StmFEntry.findFirstMatchIn(dict).map(_.group(1)).forall(_ == "StdCF")
+        val validation = hash2B(Array.emptyByteArray,
+          java.util.Arrays.copyOfRange(u, 32, 40), Array.emptyByteArray, r)
+        if (!java.util.Arrays.equals(validation, u.take(32))) return None
+        val fileKey = unwrapFileKeyV5(Array.emptyByteArray,
+          java.util.Arrays.copyOfRange(u, 40, 48), ue.take(32), r)
+        return Some { (_: Long, _: Int, objDict: String, raw: String) =>
+          if (!streamsEncryptedV5 || objDict.contains("/XRef")) raw
+          else new String(decryptDataV5(fileKey, raw.getBytes(ISO_8859_1)), ISO_8859_1)
+        }
+      }
       if (!(r == 2 || r == 3 || r == 4)) return None
       if (!(v == 1 || v == 2 || v == 4)) return None
       val aes = v == 4 && {

@@ -242,13 +242,55 @@ object PdfFixtures {
     * EMPTY, so a conforming reader opens it without prompting.
     * `handler` picks the layout: 0 = R2/V1 RC4-40, 1 = R3/V2 RC4-128,
     * 2 = R4/V4 crypt-filter RC4, 3 = R4/V4 AESV2 (AES-128-CBC, IV
-    * prepended, PKCS#5 padding). A round trip certifies the Encrypt-
+    * prepended, PKCS#5 padding), 4 = R6/V5 AESV3 (AES-256: /U carries
+    * hash ‖ validation-salt ‖ key-salt, the 256-bit file key wraps
+    * into /UE under the Algorithm-2.B-derived intermediate key, /O//OE
+    * computed from the owner password with /U as udata). A round trip
+    * certifies the Encrypt-
     * dict parse, the key derivation, the /U authentication, and the
     * decrypt-before-filters ordering on every document. */
   private[operators] def encryptedPdf(version: String, source: String,
                                       flate: Boolean, handler: Int,
                                       docId: Long,
                                       userPw: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(b)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
+    val ownerPw = s"owner-$docId".getBytes("UTF-8")
+    val p = -3904
+    if (handler == 4) {
+      // V5/R6: deterministic construction salts + file key; the reader
+      // must re-derive everything from the dictionary alone
+      val fileKey = md5(s"fk-$docId".getBytes("UTF-8")) ++
+        md5(s"fk2-$docId".getBytes("UTF-8"))
+      val vs = md5(s"vs-$docId".getBytes("UTF-8")).take(8)
+      val ks = md5(s"ks-$docId".getBytes("UTF-8")).take(8)
+      val u = PdfCrypt.hash2B(userPw, vs, Array.emptyByteArray, 6) ++ vs ++ ks
+      val ue = PdfCrypt.wrapFileKeyV5(userPw, ks, fileKey, 6)
+      val ovs = md5(s"ovs-$docId".getBytes("UTF-8")).take(8)
+      val oks = md5(s"oks-$docId".getBytes("UTF-8")).take(8)
+      val o = PdfCrypt.hash2B(ownerPw, ovs, u, 6) ++ ovs ++ oks
+      val oe = PdfCrypt.wrapOwnerKeyV5(ownerPw, oks, u, fileKey)
+      val filtered = if (flate) deflateStr(source) else source
+      val iv = md5(s"iv-$docId".getBytes("UTF-8")).take(16)
+      val data = new String(
+        PdfCrypt.encryptDataV5(fileKey, filtered.getBytes("ISO-8859-1"), iv),
+        "ISO-8859-1")
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      val encDict = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        s"/StmF /StdCF /StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> " +
+        s"/OE <${hex(oe)}> /UE <${hex(ue)}> /P $p /EncryptMetadata true >>"
+      return (s"%PDF-$version\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${data.length}$filter >>\nstream\n$data\nendstream\nendobj\n" +
+        s"5 0 obj\n$encDict\nendobj\n" +
+        "xref\n0 1\n0000000000 65535 f \n" +
+        "trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R >>\n" +
+        "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+    }
     val (r, v, bits, aes) = handler match {
       case 0 => (2, 1, 40, false)
       case 1 => (3, 2, 128, false)
@@ -256,11 +298,9 @@ object PdfFixtures {
       case _ => (4, 4, 128, true)
     }
     val keyBytes = bits / 8
-    def md5(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5").digest(b)
     val id0 = md5(s"graft-id-$docId".getBytes("UTF-8"))
-    val ownerPw = s"owner-$docId".getBytes("UTF-8")
     val o = PdfCrypt.computeO(ownerPw, userPw, r, keyBytes)
-    val p = -3904 // print allowed; modify/copy/annotate denied — the common lock
+    // p = -3904: print allowed; modify/copy/annotate denied — the common lock
     val key = PdfCrypt.fileKey(userPw, o, p, id0, r, keyBytes,
       encryptMetadata = true)
     val uSig = PdfCrypt.computeU(key, id0, r)
@@ -271,7 +311,6 @@ object PdfFixtures {
     val enc = PdfCrypt.encryptData(key, 4L, 0,
       filtered.getBytes("ISO-8859-1"), aes, if (aes) iv else null)
     val data = new String(enc, "ISO-8859-1")
-    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
     val filter = if (flate) " /Filter /FlateDecode" else ""
     val encDict = handler match {
       case 0 => s"<< /Filter /Standard /V 1 /R 2 /O <${hex(o)}> /U <${hex(u)}> /P $p >>"

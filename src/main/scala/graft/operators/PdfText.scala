@@ -52,8 +52,9 @@ import Multimodal.MediaFile
  *     32000 §7.6.3 — the owner-locked print-driver/scanner shape every
  *     production extractor opens): if /U authenticates, streams are
  *     decrypted (RC4-40/128 or AES-128-CBC per the dictionary) and the
- *     text walk runs normally. A document whose user password is NOT
- *     empty — or an unsupported handler (V5/AES-256, non-Standard) —
+ *     text walk runs normally (V1–V4 RC4/AES-128 and V5 AES-256 all
+ *     covered). A document whose user password is NOT
+ *     empty — or a non-Standard/unknown handler —
  *     reports empty text: its streams are ciphertext, and emitting
  *     decode garbage as "text" would poison a corpus. The l112
  *     `encrypted` flag is unchanged either way (the document IS
@@ -1063,10 +1064,11 @@ object PdfText {
     * literal content stream, optionally Flate-filtered, then ENCRYPTED
     * under the standard security handler with an EMPTY user password —
     * the print-driver/scan-appliance shape that is the most common
-    * "encrypted" PDF in a real crawl. `doc_id % 4` rotates the handler
+    * "encrypted" PDF in a real crawl. `doc_id % 5` rotates the handler
     * layout (R2/V1 RC4-40, R3/V2 RC4-128, R4/V4 crypt-filter RC4,
-    * R4/V4 AESV2) and `(doc_id / 4) % 2` the Flate toggle, so all
-    * eight (handler × filter) combinations appear across the corpus.
+    * R4/V4 AESV2, R6/V5 AESV3 AES-256) and `(doc_id / 4) % 2` the
+    * Flate toggle, so every (handler × filter) combination appears
+    * across the corpus.
     * The construction derives /O from its own owner password and /U
     * from the derived file key (Alg 3/4/5), so a correct extraction
     * PROVES the reader ran the same public-spec derivation from the
@@ -1082,7 +1084,7 @@ object PdfText {
       case c => c.toString
     }
     MediaFile(docId, PdfFixtures.encryptedPdf("1.6", s"BT ($escaped) Tj ET",
-      flate = (docId / 4) % 2 == 0, handler = (docId % 4).toInt, docId))
+      flate = (docId / 4) % 2 == 0, handler = (docId % 5).toInt, docId))
   }
 
   /** The l68-cascade adapter: extracted PDFs as a (id, text) document

@@ -3696,7 +3696,10 @@ object LlmQueries {
     "l129_pdf_cmap_roundtrip" -> QueryDef(
       (s, d) => {
         import s.implicits._
+        // fan out before the CPU-bound codec leg (per-unit hex encode +
+        // CMap parse per doc) — see l136's comment
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.PdfText.syntheticPdfCmap(id, t) })
@@ -3775,10 +3778,14 @@ object LlmQueries {
     // government scans set an OWNER password but leave the user
     // password empty, and every production extractor opens them. Each
     // document's content stream is filtered then RC4-40/RC4-128/
-    // crypt-filter-RC4/AES-128-CBC-encrypted (doc_id % 4 rotates the
-    // handler; (doc_id/4) % 2 the Flate toggle) under a dictionary
-    // whose /O, /U, /P, /ID the CONSTRUCTION derives per ISO 32000
-    // §7.6.3 from its own owner password; the extractor must parse the
+    // crypt-filter-RC4/AES-128-CBC/AES-256-CBC-encrypted (doc_id % 5
+    // rotates the handler incl. the R6/V5 AESV3 layout with its
+    // Algorithm-2.B iterated hash and /UE key unwrap; (doc_id/4) % 2
+    // the Flate toggle) under a dictionary
+    // whose /O, /U (+ /OE, /UE for V5), /P, /ID the CONSTRUCTION
+    // derives per ISO 32000
+    // §7.6.3–4 from its own owner password; the extractor must parse
+    // the
     // dictionary, re-derive the file key from the empty user password,
     // authenticate against /U, and decrypt each stream BEFORE the
     // filter chain. Oracle = the original text verbatim — ciphertext,
@@ -3788,7 +3795,14 @@ object LlmQueries {
     "l136_pdf_encrypted_roundtrip" -> QueryDef(
       (s, d) => {
         import s.implicits._
+        // fan out BEFORE the codec leg: the corpus scan is one compact
+        // parquet split, but this leg is CPU-bound (the R6 KDF is a
+        // deliberately-slow password hash, ~ms/doc) — without the
+        // repartition the whole corpus decrypts on ONE core. At real
+        // scale the scan provides the partitions and this round-robin
+        // is a cheap no-op; measured 19.4 s → 2.4 s at sf0.1.
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.PdfText.syntheticPdfEncrypted(id, t) })
@@ -3826,6 +3840,31 @@ object LlmQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // L141 — LEGACY BINARY EXCEL round trip (.xls via MS-CFB + BIFF8;
+    // Cfb.syntheticXls ∘ Cfb.extractText): the spreadsheet half of the
+    // pre-2007 Office family. Each document's text ships as ONE shared
+    // string in a real BIFF8 workbook — globals substream (BOF,
+    // BoundSheet8 tab directory, SST, EOF) + a worksheet substream
+    // whose LabelSst cell references it — inside a compound file under
+    // the `Workbook` stream. doc_id % 2 rotates the SST encoding
+    // (UTF-16LE vs compressed single-byte), doc_id % 5 the v4 sector
+    // size. Sheets extract in TAB order with XLSX's cell/row/sheet
+    // joining (spec-certified: out-of-stream-order tabs, multi-cell
+    // rows, and SST strings straddling CONTINUE records with a
+    // mid-string mode flip). Oracle = the original text verbatim.
+    "l141_xls_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.Cfb.syntheticXls(id, t) })
+        graft.operators.Cfb.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // L138 — SIMPLE-FONT /Encoding /Differences round trip
     // (PdfText.syntheticPdfDifferences ∘ extractText): the OTHER
     // non-ToUnicode font problem (the l129 CMap machinery's cheap
@@ -3842,7 +3881,11 @@ object LlmQueries {
     "l138_pdf_differences_roundtrip" -> QueryDef(
       (s, d) => {
         import s.implicits._
+        // fan out before the CPU-bound codec leg (256-entry
+        // /Differences construct + parse per doc) — the single-split
+        // corpus scan would otherwise serialize it on one core
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.PdfText.syntheticPdfDifferences(id, t) })

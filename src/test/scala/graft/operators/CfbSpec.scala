@@ -33,10 +33,75 @@ class CfbSpec extends AnyFunSuite {
     assert(Cfb.decodeDocText(m2).text == "other flag value")
   }
 
-  test("a CFB that is not a Word document reports container=cfb, empty text") {
-    val payload = Cfb.buildCfb(Seq("Book" -> Array.fill[Byte](800)(0x42)), 9)
+  test("a CFB that is neither Word nor Excel reports container=cfb, empty text") {
+    val payload = Cfb.buildCfb(Seq("Contents" -> Array.fill[Byte](800)(0x42)), 9)
     val got = Cfb.decodeDocText(MediaFile(1L, payload))
     assert(got.container == "cfb" && got.text == "")
+  }
+
+  test("xls round trip: both SST encodings, both sector sizes") {
+    val texts = Seq(
+      "plain ascii cell text",
+      "unicode 世界 κόσμος ячейка",
+      "tab\tand\nnewline survive inside one cell",
+      ("wide " * 120).trim)
+    for (t <- texts; id <- 0L to 5L) {
+      val got = Cfb.decodeDocText(Cfb.syntheticXls(id, t))
+      assert(got.container == "xls", s"id=$id")
+      assert(got.text == t, s"id=$id got='${got.text.take(60)}'")
+    }
+  }
+
+  test("xls: sheets extract in BoundSheet8 tab order, cells tab-join by row") {
+    // two worksheets written in REVERSE stream order; tab order (the
+    // BoundSheet8 directory) must win — and within a sheet, two cells
+    // in one row tab-join while a second row newline-joins
+    def sheet(cells: Seq[(Int, Int, Int)]): Array[Byte] =
+      Cfb.biffBof(0x0010) ++
+        cells.flatMap { case (r, c, i) => Cfb.biffLabelSst(r, c, i) } ++
+        Cfb.biffEof
+    val sst = Cfb.biffSst(Seq(("first", false), ("second", true),
+      ("row2", false), ("tabbed", false)))
+    val bofG = Cfb.biffBof(0x0005)
+    val bsLen = Cfb.biffBoundSheet(0L, "A").length
+    val headerLen = bofG.length + 2 * bsLen + sst.length + Cfb.biffEof.length
+    val sheetB = sheet(Seq((0, 0, 2))) // stream-FIRST, tab-SECOND
+    val sheetA = sheet(Seq((0, 0, 0), (0, 3, 3), (2, 1, 1))) // tab-FIRST
+    val wb = bofG ++
+      Cfb.biffBoundSheet((headerLen + sheetB.length).toLong, "A") ++ // tab 1 → sheetA
+      Cfb.biffBoundSheet(headerLen.toLong, "B") ++ // tab 2 → sheetB
+      sst ++ Cfb.biffEof ++ sheetB ++ sheetA
+    val got = Cfb.decodeDocText(MediaFile(1L, Cfb.buildCfb(Seq("Workbook" -> wb), 9)))
+    assert(got.text == "first\ttabbed\nsecond\nrow2", s"got='${got.text}'")
+  }
+
+  test("xls: SST strings straddle CONTINUE records with a mode flip") {
+    // hand-split SST: the string "alphabetagamma" (14 chars) starts
+    // compressed in the SST record and continues UTF-16 in a CONTINUE
+    // record — the continuation's grbit byte re-selects the mode
+    val part1 = {
+      val head = new Array[Byte](8 + 3 + 5) // counts + cch/grbit + 5 chars
+      Cfb.putU32(head, 0, 1L); Cfb.putU32(head, 4, 1L)
+      Cfb.putU16(head, 8, 14); head(10) = 0 // compressed start
+      "alpha".zipWithIndex.foreach { case (c, i) => head(11 + i) = c.toByte }
+      Cfb.biffRec(0x00FC, head)
+    }
+    val part2 = {
+      val rest = "betagamma".getBytes("UTF-16LE")
+      val p = new Array[Byte](1 + rest.length)
+      p(0) = 1 // grbit: UTF-16 from here on
+      System.arraycopy(rest, 0, p, 1, rest.length)
+      Cfb.biffRec(0x003C, p)
+    }
+    val headerLen = Cfb.biffBof(0x0005).length +
+      Cfb.biffBoundSheet(0L, "S").length + part1.length + part2.length +
+      Cfb.biffEof.length
+    val wb = Cfb.biffBof(0x0005) ++
+      Cfb.biffBoundSheet(headerLen.toLong, "S") ++ part1 ++ part2 ++
+      Cfb.biffEof ++
+      Cfb.biffBof(0x0010) ++ Cfb.biffLabelSst(0, 0, 0) ++ Cfb.biffEof
+    val got = Cfb.decodeDocText(MediaFile(1L, Cfb.buildCfb(Seq("Workbook" -> wb), 9)))
+    assert(got.text == "alphabetagamma", s"got='${got.text}'")
   }
 
   test("non-CFB payloads take the stub path") {
@@ -57,13 +122,16 @@ class CfbSpec extends AnyFunSuite {
       val payload = Array.fill(rnd.nextInt(3000))(rnd.nextInt(256).toByte)
       Cfb.decodeDocText(MediaFile(i.toLong, payload))
     }
-    val base = Cfb.syntheticDoc(0L, "fuzz base document with some words")
-    (0 until 300).foreach { _ =>
-      val mutated = base.payload.clone()
-      val at = rnd.nextInt(mutated.length)
-      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
-      Cfb.decodeDocText(MediaFile(0L, mutated)) // degrade, never throw
+    Seq(Cfb.syntheticDoc(0L, "fuzz base document with some words"),
+        Cfb.syntheticXls(1L, "fuzz base workbook with some cells")).foreach { base =>
+      (0 until 300).foreach { _ =>
+        val mutated = base.payload.clone()
+        val at = rnd.nextInt(mutated.length)
+        mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        Cfb.decodeDocText(MediaFile(0L, mutated)) // degrade, never throw
+      }
     }
+    val base = Cfb.syntheticDoc(0L, "fuzz base document with some words")
     // truncations at every granularity
     Seq(0, 7, 511, 512, 700, base.payload.length / 2).foreach { n =>
       Cfb.decodeDocText(MediaFile(0L, base.payload.take(n)))

@@ -23,8 +23,8 @@ class PdfCryptSpec extends AnyFunSuite {
   private def unwrap(extracted: String): String =
     new String(extracted.getBytes("ISO-8859-1"), "UTF-8")
 
-  test("all four handler layouts round-trip, flated and raw") {
-    for (handler <- 0 to 3; flate <- Seq(true, false)) {
+  test("all five handler layouts round-trip, flated and raw") {
+    for (handler <- 0 to 4; flate <- Seq(true, false)) {
       val body = PdfFixtures.encryptedPdf("1.6",
         s"BT (${wrapEscape(sample)}) Tj ET", flate, handler, docId = 7L)
       val doc = PdfText.decodePdfText(MediaFile(7L, body))
@@ -36,7 +36,7 @@ class PdfCryptSpec extends AnyFunSuite {
   }
 
   test("a NON-empty user password keeps the empty-text contract") {
-    for (handler <- 0 to 3) {
+    for (handler <- 0 to 4) {
       val body = PdfFixtures.encryptedPdf("1.6",
         s"BT (${wrapEscape(sample)}) Tj ET", flate = false, handler,
         docId = 9L, userPw = "secret".getBytes("UTF-8"))
@@ -59,13 +59,30 @@ class PdfCryptSpec extends AnyFunSuite {
     }
   }
 
-  test("unsupported handlers decline: V5/AES-256 and non-Standard filters") {
+  test("malformed V5 dicts and non-Standard filters decline (no garbage)") {
     val base = new String(PdfFixtures.encryptedPdf("1.6",
       "BT (hello) Tj ET", flate = false, handler = 1, docId = 5L), "ISO-8859-1")
+    // claims V5 but carries an R3-shaped dict (32-byte /U, no /UE):
+    // structurally unusable for AES-256 → decline, never garbage
     val v5 = base.replace("/V 2 /R 3", "/V 5 /R 6")
     assert(PdfText.decodePdfText(MediaFile(5L, v5.getBytes("ISO-8859-1"))).text == "")
     val custom = base.replace("/Filter /Standard", "/Filter /MyCustomSec")
     assert(PdfText.decodePdfText(MediaFile(5L, custom.getBytes("ISO-8859-1"))).text == "")
+  }
+
+  test("V5/R6: tampered /U validation hash or /UE fails closed") {
+    val body = new String(PdfFixtures.encryptedPdf("2.0",
+      s"BT (${wrapEscape(sample)}) Tj ET", flate = true, handler = 4,
+      docId = 21L), "ISO-8859-1")
+    assert(unwrap(PdfText.decodePdfText(
+      MediaFile(21L, body.getBytes("ISO-8859-1"))).text) == sample)
+    for (key <- Seq("/U <", "/UE <")) {
+      val at = body.indexOf(key) + key.length
+      val flipped = body.substring(0, at) +
+        (if (body.charAt(at) == '0') '1' else '0') + body.substring(at + 1)
+      val doc = PdfText.decodePdfText(MediaFile(21L, flipped.getBytes("ISO-8859-1")))
+      assert(doc.text == "", s"tampered $key extracted '${doc.text.take(40)}'")
+    }
   }
 
   test("encrypted ObjStm layout: object streams decrypt BEFORE expansion") {
@@ -115,7 +132,7 @@ class PdfCryptSpec extends AnyFunSuite {
 
   test("fuzz: bit-flipped encrypted payloads degrade, never throw") {
     val rnd = new scala.util.Random(136L)
-    for (handler <- 0 to 3) {
+    for (handler <- 0 to 4) {
       val base = PdfFixtures.encryptedPdf("1.6",
         s"BT (${wrapEscape(sample)}) Tj ET", flate = true, handler, docId = 13L)
       (0 until 60).foreach { _ =>
