@@ -180,7 +180,13 @@ object Bench {
           // 173 s observed on l118's first cold run) that must not be
           // billed to the timed run. The generated-class cache is keyed
           // on source, so the warm run compiles what the timed run reuses.
-          if (!warmedUp(name)) { runOnce(fn, warmDir, name); warmedUp += name }
+          // Warmup is BEST-EFFORT under budget pressure: past 65% of the
+          // budget an unwarmed (JIT-tainted, "cold"-flagged) timing beats
+          // a skipped query — coverage first.
+          if (!warmedUp(name)) {
+            if (elapsedSec < budgetSec * 0.65) runOnce(fn, warmDir, name)
+            warmedUp += name
+          }
           val t0 = System.nanoTime()
           if (!runOnce(fn, sfDir, name)) failed += name
           times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9

@@ -31,9 +31,17 @@ import Multimodal.MediaFile
  *    clear (UTF-16LE at `fc`). Pieces concatenate in CP order;
  *    Word's `\r` paragraph marks read back as `\n`.
  *
+ *  - [MS-XLS] BIFF8 (`.xls`): the `Workbook` stream's record walk —
+ *    SST shared strings (CONTINUE straddles with mid-string mode
+ *    flips), worksheet LabelSst cells in BoundSheet8 tab order, the
+ *    XLSX walk's cell/row/sheet joining.
+ *  - [MS-PPT] (`.ppt`): the `PowerPoint Document` record tree —
+ *    containers recursed, TextCharsAtom/TextBytesAtom leaves collected
+ *    in stream order.
+ *
  * Degradation, never exceptions (the crawl decode contract): no CFB
- * signature → stub; a readable container without a `WordDocument`
- * stream (a `.xls`, `.ppt`, or any other CFB) → empty text, container
+ * signature → stub; a readable container that is none of the three
+ * Office families → empty text, container
  * "cfb"; bounds violations anywhere in the sector walk truncate to
  * whatever parsed. Caps: 64 Ki sectors (≤ 32 MiB v3 / 256 MiB v4
  * addressed), directory ≤ 64 Ki entries.
@@ -417,11 +425,73 @@ object Cfb {
     sheetPos.map(sheetText).filter(_.nonEmpty).mkString("\n")
   }
 
+  // ------------------------------------------------- [MS-PPT] (legacy)
+
+  private val PptTextChars = 0x0FA0 // TextCharsAtom: UTF-16LE
+  private val PptTextBytes = 0x0FA8 // TextBytesAtom: single-byte cp1252
+
+  /** `PowerPoint Document` stream text ([MS-PPT]): the record tree —
+    * 8-byte headers (recVer low nibble 0xF = container, recurse),
+    * TextCharsAtom (UTF-16LE) and TextBytesAtom (cp1252) leaves
+    * collected in stream order, one per paragraph block; PPT's `\r`
+    * paragraph marks read back as `\n`, blocks newline-joined. */
+  private[operators] def pptText(b: Array[Byte]): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= until && depth < 32) {
+        val verInst = u16(b, i)
+        val recType = u16(b, i + 2)
+        val len = u32(b, i + 4)
+        if (len < 0 || i + 8 + len > until) return // truncated: degrade
+        val payloadAt = i + 8
+        if ((verInst & 0xF) == 0xF) walk(payloadAt, (payloadAt + len).toInt, depth + 1)
+        else if (recType == PptTextChars && len % 2 == 0)
+          parts += new String(b, payloadAt, len.toInt, "UTF-16LE")
+        else if (recType == PptTextBytes)
+          parts += new String(b, payloadAt, len.toInt, "windows-1252")
+        i = (payloadAt + len).toInt
+      }
+    }
+    walk(0, b.length, 0)
+    parts.map(_.replace('\r', '\n')).filter(_.nonEmpty).mkString("\n")
+  }
+
+  // record type ids for the fixture writer (container values from
+  // [MS-PPT] §2.13.24: Document container + a text container shape)
+  private[operators] def pptRec(verInst: Int, recType: Int,
+                                payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    putU16(out, 0, verInst); putU16(out, 2, recType)
+    putU32(out, 4, payload.length.toLong)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  /** The l143 construction half: the document's text (with `\n` stored
+    * as PPT's `\r` paragraph marks) as ONE text atom — TextCharsAtom
+    * (UTF-16LE) on even ids or, when every unit fits a byte,
+    * TextBytesAtom — nested inside a Document container within the
+    * `PowerPoint Document` stream of an [MS-CFB] container. A sibling
+    * atom of an UNKNOWN record type carries junk the walk must skip. */
+  def syntheticPpt(docId: Long, text: String): MediaFile = {
+    val stored = text.replace('\n', '\r')
+    val chars = docId % 2 == 0 || stored.exists(_ >= 0x100)
+    val atom =
+      if (chars) pptRec(0x0000, PptTextChars, stored.getBytes("UTF-16LE"))
+      else pptRec(0x0000, PptTextBytes, stored.map(c => (c & 0xFF).toByte).toArray)
+    val junk = pptRec(0x0000, 0x0BC1, Array.fill[Byte](12)(0x5C)) // skipped
+    val doc = pptRec(0x000F, 0x03E8, junk ++ atom) // Document container
+    MediaFile(docId, buildCfb(Seq("PowerPoint Document" -> doc,
+      "Current User" -> Array.fill[Byte](16)(0x20)), if (docId % 5 == 0) 12 else 9))
+  }
+
   /** Full-document extraction; None when the payload is not a CFB.
     * Dispatch: a `WordDocument` stream → the [MS-DOC] piece-table walk
-    * (container "doc"); else a `Workbook`/`Book` stream → the BIFF8
-    * walk (container "xls"); any other compound file → empty text,
-    * container "cfb". */
+    * (container "doc"); a `Workbook`/`Book` stream → the BIFF8
+    * walk (container "xls"); a `PowerPoint Document` stream → the
+    * [MS-PPT] record-tree walk (container "ppt"); any other compound
+    * file → empty text, container "cfb". */
   def parseDocText(m: MediaFile): Option[DocText] =
     parse(m.payload).map { cfb =>
       cfb.stream("WordDocument") match {
@@ -436,7 +506,13 @@ object Cfb {
             case Some(wb) =>
               val text = try xlsText(wb) catch { case NonFatal(_) => "" }
               DocText(m.doc_id, text, text.length.toLong, "xls")
-            case None => DocText(m.doc_id, "", 0L, "cfb")
+            case None =>
+              cfb.stream("PowerPoint Document") match {
+                case Some(pp) =>
+                  val text = try pptText(pp) catch { case NonFatal(_) => "" }
+                  DocText(m.doc_id, text, text.length.toLong, "ppt")
+                case None => DocText(m.doc_id, "", 0L, "cfb")
+              }
           }
       }
     }
@@ -444,6 +520,158 @@ object Cfb {
   /** Stub fallback (non-CFB payload is data, not an error). */
   def decodeDocText(m: MediaFile): DocText =
     parseDocText(m).getOrElse(DocText(m.doc_id, "", 0L, "stub"))
+
+  // ------------------------------------------ [MS-OLEPS] property sets
+
+  /** Legacy Office metadata — the l112/l115 curation-gate fields for
+    * the CFB family. `kind` is the [[parseDocText]] dispatch
+    * ("doc"/"xls"/"ppt"/"cfb"); title/author/created come from the
+    * `\u0005SummaryInformation` property-set stream ([MS-OLEPS],
+    * public): property ids 2 (title), 4 (author), 12 (create time),
+    * strings as VT_LPSTR (cp1252) or VT_LPWSTR (UTF-16LE), the
+    * timestamp a FILETIME (100 ns since 1601) read back as epoch
+    * seconds. Missing stream/properties yield ""/0 — metadata is
+    * optional in real files. */
+  final case class OleMeta(doc_id: Long, kind: String, title: String,
+                           author: String, created_epoch: Long)
+
+  private val FiletimeEpochDelta = 11644473600L // 1601 → 1970, seconds
+
+  private def olePropString(b: Array[Byte], at: Int): Option[String] = {
+    val vt = u32(b, at)
+    if (vt == 30L) { // VT_LPSTR: cch incl. NUL, cp1252 bytes
+      val cch = u32(b, at + 4)
+      if (cch <= 0 || at + 8 + cch > b.length) None
+      else Some(new String(b, at + 8, (cch - 1).toInt, "windows-1252"))
+    } else if (vt == 31L) { // VT_LPWSTR: cch incl. NUL, UTF-16LE
+      val cch = u32(b, at + 4)
+      if (cch <= 0 || at + 8 + 2 * cch > b.length) None
+      else Some(new String(b, at + 8, 2 * (cch - 1).toInt, "UTF-16LE"))
+    } else None
+  }
+
+  /** Parse one SummaryInformation stream; never throws (degrade). */
+  private[operators] def summaryInfo(b: Array[Byte]): (String, String, Long) = {
+    try {
+      if (b.length < 48 || u16(b, 0) != 0xFFFE) return ("", "", 0L)
+      val nSections = u32(b, 24)
+      if (nSections < 1) return ("", "", 0L)
+      val secAt = u32(b, 44).toInt // first section's offset (after its FMTID)
+      if (secAt < 0 || secAt + 8 > b.length) return ("", "", 0L)
+      val nProps = u32(b, secAt + 4)
+      var title = ""; var author = ""; var created = 0L
+      var i = 0L
+      while (i < math.min(nProps, 256L)) {
+        val entry = secAt + 8 + (i * 8).toInt
+        val pid = u32(b, entry)
+        val off = u32(b, entry + 4)
+        val at = secAt + off.toInt
+        if (off > 0 && at + 4 <= b.length) {
+          if (pid == 2L) title = olePropString(b, at).getOrElse(title)
+          else if (pid == 4L) author = olePropString(b, at).getOrElse(author)
+          else if (pid == 12L && u32(b, at) == 64L && at + 12 <= b.length) {
+            val ft = u32(b, at + 4) | (u32(b, at + 8) << 32) // FILETIME LE
+            created = ft / 10000000L - FiletimeEpochDelta
+          }
+        }
+        i += 1
+      }
+      (title, author, created)
+    } catch { case NonFatal(_) => ("", "", 0L) }
+  }
+
+  /** Full metadata readout; None when the payload is not a CFB. */
+  def parseOleMeta(m: MediaFile): Option[OleMeta] =
+    parse(m.payload).map { cfb =>
+      val kind =
+        if (cfb.stream("WordDocument").exists(w => u16(w, 0) == 0xA5EC)) "doc"
+        else if (cfb.stream("Workbook").orElse(cfb.stream("Book")).isDefined) "xls"
+        else if (cfb.stream("PowerPoint Document").isDefined) "ppt"
+        else "cfb"
+      val (t, a, c) = cfb.stream("\u0005SummaryInformation")
+        .map(summaryInfo).getOrElse(("", "", 0L))
+      OleMeta(m.doc_id, kind, t, a, c)
+    }
+
+  def decodeOleMeta(m: MediaFile): OleMeta =
+    parseOleMeta(m).getOrElse(OleMeta(m.doc_id, "stub", "", "", 0L))
+
+  def extractMeta(files: Dataset[MediaFile]): Dataset[OleMeta] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(decodeOleMeta))
+  }
+
+  /** Construction half of the l144 metadata round trip: a real
+    * [MS-OLEPS] SummaryInformation stream — property-set header with
+    * the SummaryInformation FMTID, one section holding codepage
+    * (VT_I2 1252), title (VT_LPWSTR — carries arbitrary Unicode),
+    * author (VT_LPSTR cp1252), and create time (VT_FILETIME), values
+    * 4-byte aligned. */
+  private[operators] def olepsSummary(title: String, author: String,
+                                      createdEpoch: Long): Array[Byte] = {
+    def pad4(a: Array[Byte]): Array[Byte] =
+      if (a.length % 4 == 0) a else a ++ new Array[Byte]((4 - a.length % 4) % 4)
+    def lpwstr(s: String): Array[Byte] = {
+      val chars = (s + "\u0000").getBytes("UTF-16LE")
+      val out = new Array[Byte](8 + chars.length)
+      putU32(out, 0, 31L); putU32(out, 4, (s.length + 1).toLong)
+      System.arraycopy(chars, 0, out, 8, chars.length)
+      pad4(out)
+    }
+    def lpstr(s: String): Array[Byte] = {
+      val bytes = s.map(c => (c & 0xFF).toByte).toArray :+ 0.toByte
+      val out = new Array[Byte](8 + bytes.length)
+      putU32(out, 0, 30L); putU32(out, 4, bytes.length.toLong)
+      System.arraycopy(bytes, 0, out, 8, bytes.length)
+      pad4(out)
+    }
+    val codepage = { val a = new Array[Byte](8); putU32(a, 0, 2L); putU16(a, 4, 1252); a }
+    val ft = (createdEpoch + FiletimeEpochDelta) * 10000000L
+    val filetime = {
+      val a = new Array[Byte](12)
+      putU32(a, 0, 64L)
+      putU32(a, 4, ft & 0xFFFFFFFFL); putU32(a, 8, (ft >>> 32) & 0xFFFFFFFFL)
+      a
+    }
+    val values = Seq((1L, codepage), (2L, lpwstr(title)),
+      (4L, lpstr(author)), (12L, filetime))
+    val headerLen = 8 + values.length * 8
+    val offsets = values.map(_._2.length).scanLeft(headerLen)(_ + _).init
+    val cb = headerLen + values.map(_._2.length).sum
+    val sec = new Array[Byte](cb)
+    putU32(sec, 0, cb.toLong); putU32(sec, 4, values.length.toLong)
+    values.zip(offsets).zipWithIndex.foreach { case (((pid, v), off), i) =>
+      putU32(sec, 8 + i * 8, pid); putU32(sec, 12 + i * 8, off.toLong)
+      System.arraycopy(v, 0, sec, off, v.length)
+    }
+    // PropertySetStream header: byte order, version, OS, CLSID(0),
+    // one section: the SummaryInformation FMTID + section offset 48
+    val head = new Array[Byte](48)
+    putU16(head, 0, 0xFFFE); putU16(head, 2, 0)
+    putU32(head, 4, 0x00020005L)
+    putU32(head, 24, 1L)
+    val fmtid = Array(0xE0, 0x85, 0x9F, 0xF2, 0xF9, 0x4F, 0x68, 0x10,
+      0xAB, 0x91, 0x08, 0x00, 0x2B, 0x27, 0xB3, 0xD9).map(_.toByte)
+    System.arraycopy(fmtid, 0, head, 28, 16)
+    putU32(head, 44, 48L)
+    head ++ sec
+  }
+
+  /** The l144 construction half: a `.doc`-shaped compound file (the
+    * l137 fixture streams) PLUS a SummaryInformation stream whose
+    * title/author/created are doc_id arithmetic — the oracle restates
+    * them in SQL. The title carries a non-cp1252 char so the VT_LPWSTR
+    * path is load-bearing. */
+  def syntheticDocWithMeta(docId: Long, text: String): MediaFile = {
+    val base = syntheticDoc(docId, text)
+    val meta = olepsSummary(s"T世${docId % 97}", s"author-${docId % 7}",
+      1600000000L + docId)
+    // rebuild with the extra stream (buildCfb orders streams as given)
+    val cfb = parse(base.payload).get
+    val streams = cfb.entries.map(e => e.name -> cfb.stream(e.name).get) :+
+      ("\u0005SummaryInformation" -> meta)
+    MediaFile(docId, buildCfb(streams, if (docId % 5 == 0) 12 else 9))
+  }
 
   /** [[PdfText.extractText]]'s legacy-Word twin at the same
     * `mapPartitions` codec boundary. */

@@ -3865,6 +3865,76 @@ object LlmQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // L142 — RTF round trip (Rtf.syntheticRtf ∘ Rtf.extractText): the
+    // word-processor interchange format two decades of editors and
+    // email clients emitted. Each document's text wraps into a real
+    // RTF file — font table + an {\*\generator} ignorable group the
+    // walk must DROP (their content leaking into text fails the
+    // oracle), \par/\tab shaping, braces/backslash escapes, non-ASCII
+    // rotating between \uN with a \uc1 fallback '?' (emitting the
+    // fallback reads back visibly wrong) and \'hh byte escapes, plus a
+    // mid-body {\*\themedata} distractor. Oracle = the original text
+    // verbatim.
+    "l142_rtf_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.Rtf.syntheticRtf(id, t) })
+        graft.operators.Rtf.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L143 — LEGACY BINARY POWERPOINT round trip (.ppt via MS-CFB +
+    // the [MS-PPT] record tree; Cfb.syntheticPpt ∘ Cfb.extractText):
+    // completes the pre-2007 Office trio (l137 .doc, l141 .xls). Each
+    // document's text (\n as PPT's \r paragraph marks) ships as one
+    // TextCharsAtom (UTF-16LE, even ids) or TextBytesAtom (cp1252)
+    // inside a Document container next to an unknown-type sibling atom
+    // the walk must skip; doc_id % 5 rotates the v4 sector size.
+    // Oracle = the original text verbatim.
+    "l143_ppt_roundtrip" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.Cfb.syntheticPpt(id, t) })
+        graft.operators.Cfb.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L144 — LEGACY OFFICE METADATA round trip ([MS-OLEPS]
+    // SummaryInformation; Cfb.syntheticDocWithMeta ∘ Cfb.extractMeta):
+    // the l112/l115 curation-gate fields for the pre-2007 family —
+    // every .doc fixture gains a real property-set stream (header +
+    // SummaryInformation FMTID section) carrying title (VT_LPWSTR with
+    // a non-cp1252 char, so the UTF-16 string path is load-bearing),
+    // author (VT_LPSTR cp1252), and create time (VT_FILETIME, 100 ns
+    // since 1601) — all doc_id arithmetic the oracle restates in SQL;
+    // the FILETIME reads back as epoch seconds. `kind` certifies the
+    // container dispatch alongside the metadata.
+    "l144_ole_meta" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.Cfb.syntheticDocWithMeta(id, t) })
+        graft.operators.Cfb.extractMeta(files).toDF()
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, 'doc' AS kind, " +
+        "'T' || chr(19990) || CAST(doc_id % 97 AS VARCHAR) AS title, " +
+        "'author-' || CAST(doc_id % 7 AS VARCHAR) AS author, " +
+        "CAST(1600000000 + doc_id AS BIGINT) AS created_epoch " +
+        "FROM documents ORDER BY doc_id")),
+
     // L138 — SIMPLE-FONT /Encoding /Differences round trip
     // (PdfText.syntheticPdfDifferences ∘ extractText): the OTHER
     // non-ToUnicode font problem (the l129 CMap machinery's cheap
@@ -3898,22 +3968,26 @@ object LlmQueries {
 
     // L130 — MIXED-CONTAINER crawl cascade, COMPOSED end-to-end: the
     // corpus a real crawl delivers is not one format — it is WARC-
-    // wrapped HTML next to PDF, DOCX, EPUB, XLSX, PPTX, and ODT. Each
-    // document ships in ONE container chosen by doc_id % 7 (0 = a
+    // wrapped HTML next to PDF, the OPC/ODF zips, the pre-2007 binary
+    // Office trio, and RTF. Each
+    // document ships in ONE container chosen by doc_id % 11 (0 = a
     // constructed single-record WARC file, gzipped on even synthetic
     // ids, whose
     // HTTP-200 body is the text inside style/comment/script chrome;
     // 1 = syntheticPdf; 2 = syntheticDocx; 3 = syntheticEpub;
-    // 4 = syntheticXlsx; 5 = syntheticPptx; 6 = syntheticOdt), and
+    // 4 = syntheticXlsx; 5 = syntheticPptx; 6 = syntheticOdt;
+    // 7 = Cfb.syntheticDoc; 8 = Cfb.syntheticXls; 9 = Cfb.syntheticPpt;
+    // 10 = Rtf.syntheticRtf), and
     // every 5th document ALSO ships a SECOND
     // copy in the NEXT container type — a cross-container duplicate.
     // Per-type extract (WARC record walk → htmlToText; PDF content-
-    // stream walk; four office zip walks) → normalize → exact dedup →
+    // stream walk; four office zip walks; three compound-file walks;
+    // the RTF control-word walk) → normalize → exact dedup →
     // banded-MinHash near dedup. The exact stage collapses a
-    // cross-container pair ONLY if ALL SEVEN extractor families
+    // cross-container pair ONLY if ALL ELEVEN extractor families
     // converge to the
     // same normalized text — the composition claim l121/l122/l124/
-    // l131/l132/l134/l50/
+    // l131/l132/l134/l137/l141/l142/l143/l50/
     // l66 certify per-family, here certified ACROSS families in one
     // dataflow (EPUB's collapse-ws invariant converges because
     // normalizeText collapses whitespace on every leg). Oracle = the
@@ -3921,7 +3995,7 @@ object LlmQueries {
     // VALUES (the documents table itself): every non-HTML extraction
     // is text-verbatim-up-to-normalization, the HTML leg re-runs the
     // l66 chain in SQL, then
-    // the l68 dedup CTEs. Scale shape: seven narrow mapPartitions
+    // the l68 dedup CTEs. Scale shape: eleven narrow mapPartitions
     // codec boundaries, per-row projections, then dedupCorpus's
     // banded join — nothing quadratic, binary never on the driver.
     "l130_mixed_cascade" -> QueryDef(
@@ -3937,10 +4011,10 @@ object LlmQueries {
         // compressed legs. Duplicates get the OPPOSITE parity, so a
         // cross-container pair also crosses the compressed/raw split.
         val mix = base.select((col("doc_id") * 20 + col("doc_id") % 2).as("mid"),
-            col("text"), (col("doc_id") % 7).as("typ"))
+            col("text"), (col("doc_id") % 11).as("typ"))
           .unionAll(base.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") * 20 + 10 + (col("doc_id") + 1) % 2).as("mid"),
-              col("text"), ((col("doc_id") + 1) % 7).as("typ")))
+              col("text"), ((col("doc_id") + 1) % 11).as("typ")))
         val htmlDocs = {
           val files = mix.filter(col("typ") === 0).select(col("mid"), col("text"))
             .as[(Long, String)]
@@ -3986,14 +4060,39 @@ object LlmQueries {
         val xlsxDocs = officeLeg(4, graft.operators.OfficeZip.syntheticXlsx)
         val pptxDocs = officeLeg(5, graft.operators.OfficeZip.syntheticPptx)
         val odtDocs = officeLeg(6, graft.operators.OfficeZip.syntheticOdt)
+        // the LEGACY legs (pre-2007 Office trio + RTF) run through
+        // their own extractors — Cfb's compound-file dispatch and the
+        // RTF control-word walk — extraction text-verbatim like the
+        // office zips, so the convergence claim below extends to them
+        def cfbLeg(typ: Int,
+                   build: (Long, String) => graft.operators.Multimodal.MediaFile) = {
+          val files = mix.filter(col("typ") === typ).select(col("mid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) => build(id, t) })
+          graft.operators.Cfb.extractText(files).toDF()
+            .select(col("doc_id").as("mid"), col("text"))
+        }
+        val docDocs = cfbLeg(7, graft.operators.Cfb.syntheticDoc)
+        val xlsDocs = cfbLeg(8, graft.operators.Cfb.syntheticXls)
+        val pptDocs = cfbLeg(9, graft.operators.Cfb.syntheticPpt)
+        val rtfDocs = {
+          val files = mix.filter(col("typ") === 10).select(col("mid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) =>
+              graft.operators.Rtf.syntheticRtf(id, t) })
+          graft.operators.Rtf.extractText(files).toDF()
+            .select(col("doc_id").as("mid"), col("text"))
+        }
         // materialize the extracted corpus ONCE: dedupCorpus references
         // its input from several sides (exact window, shingle bands,
         // join-backs), and without the checkpoint every reference
-        // re-runs all seven construct→extract codec legs — measured 2.5×
-        // wall on the 7-way shape. This is the standard persist-the-
+        // re-runs all eleven construct→extract codec legs — measured
+        // 2.5× wall back on the 7-way shape. This is the standard
+        // persist-the-
         // extracted-corpus-before-dedup step of a real pipeline.
         val docs = htmlDocs.unionAll(pdfDocs).unionAll(docxDocs).unionAll(epubDocs)
           .unionAll(xlsxDocs).unionAll(pptxDocs).unionAll(odtDocs)
+          .unionAll(docDocs).unionAll(xlsDocs).unionAll(pptDocs).unionAll(rtfDocs)
           .select(col("mid").as("doc_id"), normalizeText(col("text")).as("text"))
           .localCheckpoint()
         Dedup.dedupCorpus(docs, "text", "doc_id", 0.8)
@@ -4003,8 +4102,8 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("WITH base AS (SELECT doc_id, text FROM documents), " +
-        "mix AS (SELECT doc_id * 20 + doc_id % 2 AS doc_id, text, doc_id % 7 AS typ FROM base " +
-        "UNION ALL SELECT doc_id * 20 + 10 + (doc_id + 1) % 2, text, (doc_id + 1) % 7 " +
+        "mix AS (SELECT doc_id * 20 + doc_id % 2 AS doc_id, text, doc_id % 11 AS typ FROM base " +
+        "UNION ALL SELECT doc_id * 20 + 10 + (doc_id + 1) % 2, text, (doc_id + 1) % 11 " +
         "FROM base WHERE doc_id % 5 = 0), " +
         "ext AS (SELECT doc_id, CASE WHEN typ = 0 THEN " +
         htmlToTextSql(s"'$MixedChromePre' || text || '$MixedChromePost'") +

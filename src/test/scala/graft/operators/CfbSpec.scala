@@ -104,6 +104,47 @@ class CfbSpec extends AnyFunSuite {
     assert(got.text == "alphabetagamma", s"got='${got.text}'")
   }
 
+  test("ppt round trip: both atom encodings, junk sibling atoms skipped") {
+    val texts = Seq(
+      "slide title and body",
+      "unicode スライド κείμενο",
+      "para\nbreaks\nsurvive",
+      ("bulk " * 200).trim)
+    for (t <- texts; id <- 0L to 5L) {
+      val got = Cfb.decodeDocText(Cfb.syntheticPpt(id, t))
+      assert(got.container == "ppt", s"id=$id")
+      assert(got.text == t, s"id=$id got='${got.text.take(60)}'")
+    }
+  }
+
+  test("ppt: multiple text atoms join with newlines in stream order") {
+    val a1 = Cfb.pptRec(0x0000, 0x0FA0, "first".getBytes("UTF-16LE"))
+    val a2 = Cfb.pptRec(0x0000, 0x0FA8, "second".map(c => (c & 0xFF).toByte).toArray)
+    val inner = Cfb.pptRec(0x000F, 0x0FF0, a2) // nested container
+    val doc = Cfb.pptRec(0x000F, 0x03E8, a1 ++ inner)
+    val got = Cfb.decodeDocText(MediaFile(1L,
+      Cfb.buildCfb(Seq("PowerPoint Document" -> doc), 9)))
+    assert(got.text == "first\nsecond", s"got='${got.text}'")
+  }
+
+  test("ole metadata: SummaryInformation round trip + dispatch kinds") {
+    for (id <- 0L to 6L) {
+      val m = Cfb.syntheticDocWithMeta(id, s"body text for $id")
+      val meta = Cfb.decodeOleMeta(m)
+      assert(meta.kind == "doc")
+      assert(meta.title == s"T世${id % 97}", s"title='${meta.title}'")
+      assert(meta.author == s"author-${id % 7}")
+      assert(meta.created_epoch == 1600000000L + id)
+      // the text walk is unaffected by the extra stream
+      assert(Cfb.decodeDocText(m).text == s"body text for $id")
+    }
+    // kinds without a SummaryInformation stream: fields default
+    val xls = Cfb.decodeOleMeta(Cfb.syntheticXls(1L, "cells"))
+    assert(xls.kind == "xls" && xls.title == "" && xls.created_epoch == 0L)
+    assert(Cfb.decodeOleMeta(Cfb.syntheticPpt(1L, "slides")).kind == "ppt")
+    assert(Cfb.decodeOleMeta(MediaFile(1L, "prose".getBytes("UTF-8"))).kind == "stub")
+  }
+
   test("non-CFB payloads take the stub path") {
     val got = Cfb.decodeDocText(MediaFile(1L, "just prose".getBytes("UTF-8")))
     assert(got.container == "stub" && got.text == "")
