@@ -264,8 +264,45 @@ object Cfb {
     }
     // Word stores paragraph marks as CR; the extraction contract reads
     // them back as LF (the same normalization every production .doc
-    // extractor applies)
-    Some(out.toString.replace('\r', '\n'))
+    // extractor applies). FIELDS ([MS-DOC] §2.8.25): real documents are
+    // full of them (HYPERLINK, PAGE, TOC) — the field CODE between the
+    // begin (0x13) and separator (0x14) marks is instruction text and
+    // is dropped; the field RESULT between separator and end (0x15) is
+    // the display text and is kept; the marks themselves never surface.
+    // Remaining sub-space control chars Word embeds in text (cell/row
+    // marks 0x07, pictures 0x01, embedded-object anchors 0x08, line
+    // break 0x0B → LF) are normalized so downstream text ops never see
+    // binary. Tab survives.
+    Some(stripFieldsAndControls(out.toString.replace('\r', '\n')))
+  }
+
+  private[operators] def stripFieldsAndControls(s: String): String = {
+    val out = new StringBuilder(s.length)
+    // field stack: one entry per open field, true once its separator
+    // was seen (code region closed). A field may have NO separator
+    // (no-result fields) — its end mark must close the code region,
+    // while a field WITH a separator had it closed already.
+    val sepSeen = scala.collection.mutable.ArrayBuffer[Boolean]()
+    var codeDepth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\u0013') { sepSeen += false; codeDepth += 1 } // begin
+      else if (c == '\u0014') { // separator: result follows
+        if (sepSeen.nonEmpty && !sepSeen.last) {
+          sepSeen(sepSeen.length - 1) = true; codeDepth -= 1
+        }
+      } else if (c == '\u0015') { // end
+        if (sepSeen.nonEmpty) {
+          if (!sepSeen.last) codeDepth -= 1
+          sepSeen.remove(sepSeen.length - 1)
+        }
+      } else if (c == '\u000B') { if (codeDepth == 0) out.append('\n') }
+      else if (c == '\u0007' || c == '\u0001' || c == '\u0005' || c == '\u0008') ()
+      else if (codeDepth == 0) out.append(c)
+      i += 1
+    }
+    out.toString
   }
 
   // ------------------------------------------------- [MS-XLS] / BIFF8
@@ -673,11 +710,23 @@ object Cfb {
     MediaFile(docId, buildCfb(streams, if (docId % 5 == 0) 12 else 9))
   }
 
-  /** [[PdfText.extractText]]'s legacy-Word twin at the same
+  /** [[PdfText.extractText]]'s legacy-Office twin at the same
     * `mapPartitions` codec boundary. */
   def extractText(files: Dataset[MediaFile]): Dataset[DocText] = {
     import files.sparkSession.implicits._
     files.mapPartitions(_.map(decodeDocText))
+  }
+
+  /** The l68-cascade adapter ([[PdfText.asDocuments]]'s twin): real
+    * legacy-Office documents with non-empty text as an (id, text)
+    * frame — the "optional .doc/.xls/.ppt ingest stage" in front of
+    * the text pipeline. */
+  def asDocuments(files: Dataset[MediaFile], idCol: String = "doc_id",
+                  textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    extractText(files).toDF()
+      .filter(col("container").isin("doc", "xls", "ppt") && col("n_chars") > 0)
+      .select(col("doc_id").as(idCol), col("text").as(textCol))
   }
 
   // --------------------------------------------- construction (fixtures)
@@ -922,7 +971,21 @@ object Cfb {
     * sector) container. Small documents land in the MINI stream,
     * large ones in FAT sectors — both real-writer placements. */
   def syntheticDoc(docId: Long, text: String): MediaFile = {
-    val stored = text.replace('\n', '\r')
+    val storedPlain = text.replace('\n', '\r')
+    // plant a FIELD around the second half ([MS-DOC] §2.8.25 — the
+    // shape every real document carries): begin mark + the HYPERLINK
+    // field CODE (which must NOT surface as text) + separator, the
+    // display text, end mark. A reader that emits field codes or the
+    // marks themselves fails the verbatim oracle visibly.
+    val stored =
+      if (storedPlain.length < 8) storedPlain
+      else {
+        var mid = storedPlain.length / 2
+        if (Character.isHighSurrogate(storedPlain.charAt(mid - 1))) mid += 1
+        storedPlain.substring(0, mid) +
+          "\u0013 HYPERLINK \"http://corpus.example/doc\" \u0014" +
+          storedPlain.substring(mid) + "\u0015"
+      }
     // piece split at ~48 units, respecting surrogate pairs
     val bounds = scala.collection.mutable.ArrayBuffer(0)
     while (bounds.last < stored.length) {

@@ -169,6 +169,15 @@ object Rtf {
     files.mapPartitions(_.map(decodeRtfText))
   }
 
+  /** The l68-cascade adapter ([[PdfText.asDocuments]]'s twin). */
+  def asDocuments(files: Dataset[MediaFile], idCol: String = "doc_id",
+                  textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    extractText(files).toDF()
+      .filter(col("container") === "rtf" && col("n_chars") > 0)
+      .select(col("doc_id").as(idCol), col("text").as(textCol))
+  }
+
   /** The l142 construction half: wrap a document's text into a real
     * RTF file — header with a font table the walk must DROP (its
     * "Arial;" must not leak into the text), the body escaping `{`/`}`/

@@ -3825,7 +3825,11 @@ object LlmQueries {
     // fWhichTblStm flag selects (a wrong-name distractor stream makes
     // ignoring the flag fail visibly); doc_id % 3 == 0 prepends a Prc
     // block the Clx walk must skip, doc_id % 5 == 0 writes a v4
-    // container. Oracle = the original text verbatim — the extraction
+    // container, and every document's second half is wrapped in a
+    // HYPERLINK FIELD (begin mark + field code + separator … end mark,
+    // [MS-DOC] §2.8.25 — the shape real documents carry), so a reader
+    // that surfaces field codes or marks fails the verbatim oracle.
+    // Oracle = the original text verbatim — the extraction
     // decodes REAL Unicode (no Latin-1 re-read).
     "l137_doc_roundtrip" -> QueryDef(
       (s, d) => {

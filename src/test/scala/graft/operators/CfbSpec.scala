@@ -24,6 +24,20 @@ class CfbSpec extends AnyFunSuite {
     }
   }
 
+  test("fields: codes dropped, results kept, marks and control chars stripped") {
+    // the planted HYPERLINK field (syntheticDoc wraps the second half)
+    // is covered by every round trip above; here the raw contract —
+    // text between begin(13) and sep(14) drops, sep..end(15) keeps,
+    // 0x0B is a line break, cell/pic marks vanish
+    assert(Cfb.stripFieldsAndControls(
+      "a\u0013 HYPERLINK \"http://x\" \u0014shown\u0015b") == "ashownb")
+    assert(Cfb.stripFieldsAndControls("l1\u000Bl2") == "l1\nl2")
+    assert(Cfb.stripFieldsAndControls("cell\u0007pic\u0001obj\u0008") == "cellpicobj")
+    // nested fields: outer code contains an inner field entirely
+    assert(Cfb.stripFieldsAndControls(
+      "x\u0013 IF \u0013 PAGE \u0014 1\u0015 \u0014result\u0015y") == "xresulty")
+  }
+
   test("a reader that ignored fWhichTblStm would read the distractor") {
     // the wrong-name table stream is 16 bytes of 0x5A — not a valid
     // Clx — so the correct text coming back proves the flag dispatch
