@@ -3772,6 +3772,30 @@ object LlmQueries {
       Some("SELECT doc_id, text, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END " +
         "AS BIGINT) AS n_revisits FROM documents ORDER BY doc_id")),
 
+    // L145 — TAR ingest round trip (Tar.syntheticTar ∘ Tar.members):
+    // the container dataset DISTRIBUTIONS ship in — fixture tarballs,
+    // text dumps, arXiv source bundles. Each document's text packs as
+    // `docs/<id>.txt` in a ustar archive (gzipped on even ids) BEHIND
+    // a directory entry and a PAX extended header whose payload must
+    // be stepped over, not emitted (the classic tar-walk bugs, made
+    // load-bearing: an extra member row or the pax payload as text
+    // fails the oracle). Oracle = the original text verbatim plus the
+    // construction-arithmetic member name.
+    "l145_tar_ingest" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.sources.Tar.syntheticTar(id, t) })
+        graft.sources.Tar.members(files).toDF()
+          .select(col("file_id").as("doc_id"), col("name"),
+            col("text_head").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, 'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name, " +
+        "text FROM documents ORDER BY doc_id")),
+
     // L136 — OWNER-LOCKED ("encrypted") PDF round trip with the EMPTY
     // user password (PdfText.syntheticPdfEncrypted ∘ extractText): the
     // most common encrypted real-world PDF — print-driver output and
