@@ -60,7 +60,39 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       ok
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    // CHEAPEST-FIRST pass order when a previous run's file copy is
+    // readable (the env-named path, else the repo-committed copy):
+    // under a wall-clock budget the cut then truncates the EXPENSIVE
+    // tail, not the lexicographic tail — round 17's driver run timed
+    // 84/199 because the budget fired mid-alphabet while the priciest
+    // queries sat unmeasured. Queries with no previous number (new
+    // this round, or -1 failures) assume 1.0 s — mid-pack, so they
+    // still get timed before the known-expensive tail.
+    val prevTimes: Map[String, Double] = {
+      val re = "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.]*)".r
+      Seq(outPath, "/root/repo/bench_out.json").distinct.iterator.flatMap { p =>
+        try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+          val tag = "\"queries\":{"
+          val start = s.indexOf(tag)
+          val end = if (start < 0) -1 else s.indexOf('}', start)
+          if (start < 0 || end < 0) None
+          else {
+            val m = re.findAllMatchIn(s.substring(start + tag.length, end))
+              .map(x => x.group(1) -> x.group(2).toDouble).toMap
+            if (m.nonEmpty) Some(m) else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.nextOption().getOrElse(Map.empty)
+    }
+    val ordered = {
+      val base = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (prevTimes.isEmpty) base
+      else base.sortBy { case (n, _) =>
+        (prevTimes.get(n).filter(_ >= 0).getOrElse(1.0), n) }
+    }
     // r18's bucketed-table CTAS is one-time-per-(session, dir) prep —
     // do it here so no timed rep (and not even warmup rep 1) pays the
     // two table writes inside its measurement window
@@ -89,7 +121,6 @@ object Bench {
     // explicit-locale formatting: the f-interpolator honors the JVM default
     // locale, and a comma-decimal locale would emit invalid JSON
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     // Render the full result from whatever samples exist right now. A
     // query with zero samples (budget hit before its first timed rep)
     // goes to "skipped", not to the queries map — a real number there

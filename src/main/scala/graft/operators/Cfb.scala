@@ -570,7 +570,8 @@ object Cfb {
     * seconds. Missing stream/properties yield ""/0 — metadata is
     * optional in real files. */
   final case class OleMeta(doc_id: Long, kind: String, title: String,
-                           author: String, created_epoch: Long)
+                           author: String, created_epoch: Long,
+                           category: String, company: String)
 
   private val FiletimeEpochDelta = 11644473600L // 1601 → 1970, seconds
 
@@ -587,34 +588,56 @@ object Cfb {
     } else None
   }
 
+  /** Walk the FIRST property-set section of an [MS-OLEPS] stream,
+    * invoking `f(pid, valueOffset)` per id/offset pair — the shape
+    * SummaryInformation and DocumentSummaryInformation share. */
+  private def walkPropSet(b: Array[Byte])(f: (Long, Int) => Unit): Unit = {
+    if (b.length < 48 || u16(b, 0) != 0xFFFE) return
+    val nSections = u32(b, 24)
+    if (nSections < 1) return
+    val secAt = u32(b, 44).toInt // first section's offset (after its FMTID)
+    if (secAt < 0 || secAt + 8 > b.length) return
+    val nProps = u32(b, secAt + 4)
+    var i = 0L
+    while (i < math.min(nProps, 256L)) {
+      val entry = secAt + 8 + (i * 8).toInt
+      val pid = u32(b, entry)
+      val off = u32(b, entry + 4)
+      val at = secAt + off.toInt
+      if (off > 0 && at + 4 <= b.length) f(pid, at)
+      i += 1
+    }
+  }
+
   /** Parse one SummaryInformation stream; never throws (degrade). */
   private[operators] def summaryInfo(b: Array[Byte]): (String, String, Long) = {
     try {
-      if (b.length < 48 || u16(b, 0) != 0xFFFE) return ("", "", 0L)
-      val nSections = u32(b, 24)
-      if (nSections < 1) return ("", "", 0L)
-      val secAt = u32(b, 44).toInt // first section's offset (after its FMTID)
-      if (secAt < 0 || secAt + 8 > b.length) return ("", "", 0L)
-      val nProps = u32(b, secAt + 4)
       var title = ""; var author = ""; var created = 0L
-      var i = 0L
-      while (i < math.min(nProps, 256L)) {
-        val entry = secAt + 8 + (i * 8).toInt
-        val pid = u32(b, entry)
-        val off = u32(b, entry + 4)
-        val at = secAt + off.toInt
-        if (off > 0 && at + 4 <= b.length) {
-          if (pid == 2L) title = olePropString(b, at).getOrElse(title)
-          else if (pid == 4L) author = olePropString(b, at).getOrElse(author)
-          else if (pid == 12L && u32(b, at) == 64L && at + 12 <= b.length) {
-            val ft = u32(b, at + 4) | (u32(b, at + 8) << 32) // FILETIME LE
-            created = ft / 10000000L - FiletimeEpochDelta
-          }
+      walkPropSet(b) { (pid, at) =>
+        if (pid == 2L) title = olePropString(b, at).getOrElse(title)
+        else if (pid == 4L) author = olePropString(b, at).getOrElse(author)
+        else if (pid == 12L && u32(b, at) == 64L && at + 12 <= b.length) {
+          val ft = u32(b, at + 4) | (u32(b, at + 8) << 32) // FILETIME LE
+          created = ft / 10000000L - FiletimeEpochDelta
         }
-        i += 1
       }
       (title, author, created)
     } catch { case NonFatal(_) => ("", "", 0L) }
+  }
+
+  /** The sibling `DocumentSummaryInformation` property set
+    * ([MS-OSHARED] GKPIDDSI): pid 2 = category, pid 15 = company —
+    * the other half of the legacy curation gate. Same walk, different
+    * FMTID/pids; missing stream/properties degrade to "". */
+  private[operators] def docSummaryInfo(b: Array[Byte]): (String, String) = {
+    try {
+      var category = ""; var company = ""
+      walkPropSet(b) { (pid, at) =>
+        if (pid == 2L) category = olePropString(b, at).getOrElse(category)
+        else if (pid == 15L) company = olePropString(b, at).getOrElse(company)
+      }
+      (category, company)
+    } catch { case NonFatal(_) => ("", "") }
   }
 
   /** Full metadata readout; None when the payload is not a CFB. */
@@ -627,11 +650,13 @@ object Cfb {
         else "cfb"
       val (t, a, c) = cfb.stream("\u0005SummaryInformation")
         .map(summaryInfo).getOrElse(("", "", 0L))
-      OleMeta(m.doc_id, kind, t, a, c)
+      val (cat, comp) = cfb.stream("\u0005DocumentSummaryInformation")
+        .map(docSummaryInfo).getOrElse(("", ""))
+      OleMeta(m.doc_id, kind, t, a, c, cat, comp)
     }
 
   def decodeOleMeta(m: MediaFile): OleMeta =
-    parseOleMeta(m).getOrElse(OleMeta(m.doc_id, "stub", "", "", 0L))
+    parseOleMeta(m).getOrElse(OleMeta(m.doc_id, "stub", "", "", 0L, "", ""))
 
   def extractMeta(files: Dataset[MediaFile]): Dataset[OleMeta] = {
     import files.sparkSession.implicits._
@@ -644,24 +669,25 @@ object Cfb {
     * (VT_I2 1252), title (VT_LPWSTR — carries arbitrary Unicode),
     * author (VT_LPSTR cp1252), and create time (VT_FILETIME), values
     * 4-byte aligned. */
+  private def pad4(a: Array[Byte]): Array[Byte] =
+    if (a.length % 4 == 0) a else a ++ new Array[Byte]((4 - a.length % 4) % 4)
+  private def lpwstr(s: String): Array[Byte] = {
+    val chars = (s + "\u0000").getBytes("UTF-16LE")
+    val out = new Array[Byte](8 + chars.length)
+    putU32(out, 0, 31L); putU32(out, 4, (s.length + 1).toLong)
+    System.arraycopy(chars, 0, out, 8, chars.length)
+    pad4(out)
+  }
+  private def lpstr(s: String): Array[Byte] = {
+    val bytes = s.map(c => (c & 0xFF).toByte).toArray :+ 0.toByte
+    val out = new Array[Byte](8 + bytes.length)
+    putU32(out, 0, 30L); putU32(out, 4, bytes.length.toLong)
+    System.arraycopy(bytes, 0, out, 8, bytes.length)
+    pad4(out)
+  }
+
   private[operators] def olepsSummary(title: String, author: String,
                                       createdEpoch: Long): Array[Byte] = {
-    def pad4(a: Array[Byte]): Array[Byte] =
-      if (a.length % 4 == 0) a else a ++ new Array[Byte]((4 - a.length % 4) % 4)
-    def lpwstr(s: String): Array[Byte] = {
-      val chars = (s + "\u0000").getBytes("UTF-16LE")
-      val out = new Array[Byte](8 + chars.length)
-      putU32(out, 0, 31L); putU32(out, 4, (s.length + 1).toLong)
-      System.arraycopy(chars, 0, out, 8, chars.length)
-      pad4(out)
-    }
-    def lpstr(s: String): Array[Byte] = {
-      val bytes = s.map(c => (c & 0xFF).toByte).toArray :+ 0.toByte
-      val out = new Array[Byte](8 + bytes.length)
-      putU32(out, 0, 30L); putU32(out, 4, bytes.length.toLong)
-      System.arraycopy(bytes, 0, out, 8, bytes.length)
-      pad4(out)
-    }
     val codepage = { val a = new Array[Byte](8); putU32(a, 0, 2L); putU16(a, 4, 1252); a }
     val ft = (createdEpoch + FiletimeEpochDelta) * 10000000L
     val filetime = {
@@ -670,8 +696,30 @@ object Cfb {
       putU32(a, 4, ft & 0xFFFFFFFFL); putU32(a, 8, (ft >>> 32) & 0xFFFFFFFFL)
       a
     }
-    val values = Seq((1L, codepage), (2L, lpwstr(title)),
-      (4L, lpstr(author)), (12L, filetime))
+    olepsStream(
+      Array(0xE0, 0x85, 0x9F, 0xF2, 0xF9, 0x4F, 0x68, 0x10,
+        0xAB, 0x91, 0x08, 0x00, 0x2B, 0x27, 0xB3, 0xD9).map(_.toByte),
+      Seq((1L, codepage), (2L, lpwstr(title)),
+        (4L, lpstr(author)), (12L, filetime)))
+  }
+
+  /** The DocumentSummaryInformation construction twin: GKPIDDSI FMTID,
+    * category as VT_LPSTR (cp1252) and company as VT_LPWSTR (carries
+    * arbitrary Unicode — the load-bearing wide path of this set). */
+  private[operators] def olepsDocSummary(category: String,
+                                         company: String): Array[Byte] = {
+    val codepage = { val a = new Array[Byte](8); putU32(a, 0, 2L); putU16(a, 4, 1252); a }
+    olepsStream(
+      Array(0x02, 0xD5, 0xCD, 0xD5, 0x9C, 0x2E, 0x1B, 0x10,
+        0x93, 0x97, 0x08, 0x00, 0x2B, 0x2C, 0xF9, 0xAE).map(_.toByte),
+      Seq((1L, codepage), (2L, lpstr(category)), (15L, lpwstr(company))))
+  }
+
+  /** One [MS-OLEPS] PropertySetStream: byte order, version, OS,
+    * CLSID(0), ONE section at offset 48 under the given FMTID, the
+    * section's id/offset table and 4-byte-aligned values. */
+  private def olepsStream(fmtid: Array[Byte],
+                          values: Seq[(Long, Array[Byte])]): Array[Byte] = {
     val headerLen = 8 + values.length * 8
     val offsets = values.map(_._2.length).scanLeft(headerLen)(_ + _).init
     val cb = headerLen + values.map(_._2.length).sum
@@ -681,14 +729,10 @@ object Cfb {
       putU32(sec, 8 + i * 8, pid); putU32(sec, 12 + i * 8, off.toLong)
       System.arraycopy(v, 0, sec, off, v.length)
     }
-    // PropertySetStream header: byte order, version, OS, CLSID(0),
-    // one section: the SummaryInformation FMTID + section offset 48
     val head = new Array[Byte](48)
     putU16(head, 0, 0xFFFE); putU16(head, 2, 0)
     putU32(head, 4, 0x00020005L)
     putU32(head, 24, 1L)
-    val fmtid = Array(0xE0, 0x85, 0x9F, 0xF2, 0xF9, 0x4F, 0x68, 0x10,
-      0xAB, 0x91, 0x08, 0x00, 0x2B, 0x27, 0xB3, 0xD9).map(_.toByte)
     System.arraycopy(fmtid, 0, head, 28, 16)
     putU32(head, 44, 48L)
     head ++ sec
@@ -696,17 +740,20 @@ object Cfb {
 
   /** The l144 construction half: a `.doc`-shaped compound file (the
     * l137 fixture streams) PLUS a SummaryInformation stream whose
-    * title/author/created are doc_id arithmetic — the oracle restates
-    * them in SQL. The title carries a non-cp1252 char so the VT_LPWSTR
-    * path is load-bearing. */
+    * title/author/created are doc_id arithmetic AND its sibling
+    * DocumentSummaryInformation (GKPIDDSI category/company) — the
+    * oracle restates all five in SQL. Title and company carry
+    * non-cp1252 chars so both VT_LPWSTR paths are load-bearing. */
   def syntheticDocWithMeta(docId: Long, text: String): MediaFile = {
     val base = syntheticDoc(docId, text)
     val meta = olepsSummary(s"T世${docId % 97}", s"author-${docId % 7}",
       1600000000L + docId)
-    // rebuild with the extra stream (buildCfb orders streams as given)
+    val docMeta = olepsDocSummary(s"cat-${docId % 5}", s"C株${docId % 13}")
+    // rebuild with the extra streams (buildCfb orders streams as given)
     val cfb = parse(base.payload).get
     val streams = cfb.entries.map(e => e.name -> cfb.stream(e.name).get) :+
-      ("\u0005SummaryInformation" -> meta)
+      ("\u0005SummaryInformation" -> meta) :+
+      ("\u0005DocumentSummaryInformation" -> docMeta)
     MediaFile(docId, buildCfb(streams, if (docId % 5 == 0) 12 else 9))
   }
 

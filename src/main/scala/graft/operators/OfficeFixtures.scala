@@ -376,6 +376,21 @@ object OfficeFixtures {
       Member("[Content_Types].xml", ContentTypes, deflate = deflate),
       Member("word/document.xml", s(documentXml), deflate = deflate)))
 
+  /** The l147 construction hook ([[graft.sources.Zip]]'s tar-twin
+    * round trip): a PLAIN archive zip — directory entry (listed but
+    * not a member), the text STORED, the text raw-DEFLATED, and an
+    * encryption-FLAGGED copy the reader must surface with an empty
+    * head (visible, not readable). `zip64` forces the sentinel +
+    * extended-information layout on a quarter of the corpus. */
+  private[graft] def buildSyntheticArchiveZip(fileId: Long,
+                                              text: String): Array[Byte] =
+    buildZip(Seq(
+      Member(s"docs/", Array.emptyByteArray),
+      Member(s"docs/$fileId.txt", s(text)),
+      Member(s"docs/$fileId.z.txt", s(text), deflate = true),
+      Member(s"docs/$fileId.locked.txt", s(text), encryptedFlag = true)),
+      zip64 = fileId % 4 == 0)
+
   /** The l124 construction hook: a minimal four-member EPUB around a
     * given chapter XHTML body. */
   private[operators] def buildSyntheticEpub(chapterXhtml: String,

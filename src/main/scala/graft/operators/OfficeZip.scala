@@ -94,7 +94,7 @@ object OfficeZip {
     * materializing a single >2 GiB member still degrades to None in
     * [[entryBytes]] (a JVM byte array cannot hold it — the stated cap,
     * structure reads regardless). */
-  private[operators] final case class ZipEntry(name: String, method: Int,
+  private[graft] final case class ZipEntry(name: String, method: Int,
                                                flag: Int, compSize: Long,
                                                uncompSize: Long, localOff: Long)
 
@@ -120,7 +120,7 @@ object OfficeZip {
     * PKWARE APPNOTE §4.3.14–15. None when no EOCD resolves or the
     * directory does not parse; corrupt zip64 pointers degrade to the
     * classic fields' conservative reading. */
-  private[operators] def centralDirectory(b: Array[Byte]): Option[Seq[ZipEntry]] = {
+  private[graft] def centralDirectory(b: Array[Byte]): Option[Seq[ZipEntry]] = {
     if (b.length < 22) return None
     var i = b.length - 22
     val lo = math.max(0, b.length - 22 - 65535)
@@ -187,7 +187,7 @@ object OfficeZip {
   /** Entry payload via its LOCAL header (name/extra lengths re-read
     * there — they can differ from the CD). None for encrypted entries,
     * unknown methods, or out-of-bounds shapes. */
-  private[operators] def entryBytes(b: Array[Byte], e: ZipEntry): Option[Array[Byte]] = {
+  private[graft] def entryBytes(b: Array[Byte], e: ZipEntry): Option[Array[Byte]] = {
     if ((e.flag & 1) != 0) return None // encrypted: visible, not readable
     if (e.localOff < 0 || e.localOff + 30 > b.length) return None // Long-checked pre-narrow
     val off = e.localOff.toInt

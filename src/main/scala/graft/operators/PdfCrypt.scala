@@ -199,7 +199,10 @@ object PdfCrypt {
       val d = digests(sum % 3)
       d.reset()
       k = d.digest(e)
-      if (i >= 63 && (e(e.length - 1) & 0xFF) <= i - 32) done = true
+      // ISO 32000-2 Algorithm 2.B: at least 64 rounds, stop when the
+      // last byte of E is <= (rounds COMPLETED - 32); after 0-based
+      // round i, rounds completed = i + 1, so the bound is i - 31.
+      if (i >= 63 && (e(e.length - 1) & 0xFF) <= i - 31) done = true
       i += 1
     }
     k.take(32)
@@ -365,8 +368,10 @@ object PdfCrypt {
         if (u.length < 48 || ue.length < 32) return None
         val cfm = CfmEntry.findFirstMatchIn(dict).map(_.group(1))
         if (!cfm.forall(_ == "AESV3")) return None
+        // absent /StmF defaults to /Identity (streams NOT encrypted,
+        // ISO 32000 Table 20) — same contract as the V4 branch below
         val streamsEncryptedV5 =
-          StmFEntry.findFirstMatchIn(dict).map(_.group(1)).forall(_ == "StdCF")
+          StmFEntry.findFirstMatchIn(dict).map(_.group(1)).contains("StdCF")
         val validation = hash2B(Array.emptyByteArray,
           java.util.Arrays.copyOfRange(u, 32, 40), Array.emptyByteArray, r)
         if (!java.util.Arrays.equals(validation, u.take(32))) return None

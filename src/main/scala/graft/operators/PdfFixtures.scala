@@ -378,6 +378,34 @@ object PdfFixtures {
     * indirect `/Type /Encoding` object (true): both real-writer
     * shapes. Content shows the pre-encoded literal `data` through
     * `/F1`. */
+  /** [[differencesPdf]]'s NAMED-BASE-ENCODING twin (l146): the
+    * `/Encoding` VALUE passes through verbatim — a bare name
+    * (`/WinAnsiEncoding`) or a dict carrying `/BaseEncoding` plus a
+    * partial `/Differences` — inline in the font dict or as an
+    * indirect object (both real-writer shapes). */
+  private[operators] def baseEncPdf(version: String, data: String,
+                                    encValue: String, flate: Boolean,
+                                    indirectEnc: Boolean): Array[Byte] = {
+    val fontObj =
+      if (indirectEnc)
+        "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding 6 0 R >>\nendobj\n" +
+          s"6 0 obj\n$encValue\nendobj\n"
+      else
+        "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/Encoding $encValue >>\nendobj\n"
+    (s"%PDF-$version\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n" +
+      contentObj(4, data, flate) +
+      fontObj +
+      "xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size ${if (indirectEnc) 7 else 6} /Root 1 0 R >>\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1")
+  }
+
   private[operators] def differencesPdf(version: String, data: String,
                                         differences: String, flate: Boolean,
                                         indirectEnc: Boolean): Array[Byte] = {
@@ -448,7 +476,7 @@ object PdfFixtures {
     val xrefNum = 4 + 2 * n
     // fake W [1 1 1] rows — locations come from the keyword walk, the
     // xref stream is here for its PLAINTEXT dict (/Root), per the spec
-    val xrefData = "  " * (xrefNum + 1)
+    val xrefData = "\u0001\u0000\u0000" * (xrefNum + 1)
     val xref =
       s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [1 1 1] " +
         s"/Root 2 0 R /Length ${xrefData.length} >>\n" +

@@ -501,6 +501,53 @@ object PdfText {
       if (any) Some(CMap(1, chars.result(), Vector.empty)) else None
     }
 
+  // ------------------------------------------- named base encodings
+
+  /** cp1252's 0x80–0x9F block — exactly where `/WinAnsiEncoding`
+    * (ISO 32000 Annex D.2) differs from the raw ISO-8859-1 reading:
+    * smart quotes, en/em dashes, €, ™, … — the characters
+    * Word-exported PDFs use constantly. Built from the JDK's public
+    * windows-1252 charset; the five undefined positions (0x81, 0x8D,
+    * 0x8F, 0x90, 0x9D) decode as C1 controls there and are dropped so
+    * they keep the raw fallback. Below 0x80 and from 0xA0 up, WinAnsi
+    * agrees with Latin-1, which IS the raw fallback. */
+  private[operators] val WinAnsiHigh: Map[Int, String] = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    (0x80 to 0x9F).flatMap { b =>
+      val s = new String(Array(b.toByte), cs)
+      // undefined positions decode as U+FFFD — drop them (raw fallback)
+      if (s.length == 1 && s.charAt(0) >= 0xA0 && s.charAt(0) != '�')
+        Some(b -> s)
+      else None
+    }.toMap
+  }
+
+  /** `/MacRomanEncoding` (Annex D.2) over its full 0x80–0xFF high
+    * half, from the JDK's x-MacRoman charset with the two Annex-D
+    * deviations: 0xDB is `currency` (not the post-8.5 €) and 0xF0
+    * (the Apple private-use glyph) is undefined. */
+  private[operators] val MacRomanHigh: Map[Int, String] =
+    try {
+      val cs = java.nio.charset.Charset.forName("x-MacRoman")
+      ((0x80 to 0xFF).flatMap { b =>
+        val s = new String(Array(b.toByte), cs)
+        if (s.length == 1 && s.charAt(0) != '�') Some(b -> s) else None
+      }.toMap - 0xF0) + (0xDB -> "¤")
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private[operators] def baseEncodingTable(name: String): Option[Map[Int, String]] =
+    name match {
+      case "WinAnsiEncoding" => Some(WinAnsiHigh)
+      case "MacRomanEncoding" => Some(MacRomanHigh)
+      // StandardEncoding / PDFDocEncoding stay on the documented raw
+      // ISO-8859-1 reading (they agree with it on ASCII, and no
+      // mainstream writer pairs them with non-ASCII simple-font text)
+      case _ => None
+    }
+
+  private val BaseEncEntry = "/BaseEncoding\\s*/([A-Za-z0-9]+)".r
+  private val EncNameEntry = "/Encoding\\s*/([A-Za-z0-9]+)".r
+
   /** `/Key << … >>` inline sub-dictionary of `dict`, when present. */
   private def dictValueDict(dict: String, key: String): Option[String] =
     ("(?s)/" + key + "\\s*<<").r.findFirstMatchIn(dict)
@@ -523,9 +570,11 @@ object PdfText {
         cache.getOrElseUpdate(m.group(2).toLong,
           objs.get(m.group(2).toLong).flatMap { fo =>
             // /ToUnicode is authoritative for extraction (§9.10.2);
-            // a simple font without one falls back to its /Encoding
-            // dict's /Differences array (inline or indirect), and only
-            // then to the raw base-encoding reading
+            // a simple font without one falls back to its /Encoding —
+            // a dict (inline or indirect) whose named /BaseEncoding
+            // table fills every code the /Differences array doesn't
+            // override (§9.6.5), or the base-encoding NAME alone —
+            // and only then to the raw ISO-8859-1 reading
             refList(fo.dict, "ToUnicode").headOption
               .flatMap(objs.get)
               .flatMap(tu => tu.stream.map(raw => decodeStream(tu.dict, raw)))
@@ -533,8 +582,21 @@ object PdfText {
               .orElse {
                 dictValueDict(fo.dict, "Encoding")
                   .orElse(refList(fo.dict, "Encoding").headOption
-                    .flatMap(objs.get).map(_.dict))
-                  .flatMap(parseDifferences)
+                    .flatMap(objs.get).map(_.dict)) match {
+                  case Some(encDict) =>
+                    val base = BaseEncEntry.findFirstMatchIn(encDict)
+                      .map(_.group(1)).flatMap(baseEncodingTable)
+                      .getOrElse(Map.empty)
+                    parseDifferences(encDict) match {
+                      case Some(cm) => Some(cm.copy(chars = base ++ cm.chars))
+                      case None if base.nonEmpty => Some(CMap(1, base, Vector.empty))
+                      case None => None
+                    }
+                  case None =>
+                    EncNameEntry.findFirstMatchIn(fo.dict).map(_.group(1))
+                      .flatMap(baseEncodingTable)
+                      .map(t => CMap(1, t, Vector.empty))
+                }
               }
           })
           .map(m.group(1) -> _)
@@ -1058,6 +1120,61 @@ object PdfText {
     MediaFile(docId, PdfFixtures.differencesPdf("1.4",
       s"BT /F1 12 Tf (${sb.toString}) Tj ET", diffs.toString,
       flate = (docId / 2) % 2 == 0, indirectEnc = docId % 2 == 0))
+  }
+
+  /** The 27 defined cp1252 high-block characters in byte order — the
+    * per-document PROBE l146 appends so the WinAnsi table is exercised
+    * on EVERY row (a corpus document need not contain smart quotes). */
+  private[operators] val WinAnsiProbe: String =
+    (0x80 to 0x9F).flatMap(WinAnsiHigh.get).mkString
+
+  private val WinAnsiInv: Map[Int, Int] =
+    WinAnsiHigh.map { case (b, s) => s.codePointAt(0) -> b }
+
+  /** [[syntheticPdf]]'s NAMED-BASE-ENCODING twin (l146): the text is
+    * projected onto WinAnsi (cp1252) — codepoints outside its image
+    * become `?`, exactly `regexp_replace` in the oracle — then encoded
+    * through the INVERSE cp1252 table and shown through a simple font
+    * whose `/Encoding` is the bare NAME `/WinAnsiEncoding` (even ids)
+    * or a dict whose `/Differences [128 /quoteleft 145 /Euro]` SWAPS
+    * the two codes over the same `/BaseEncoding` (odd ids, inline or
+    * indirect) — construction swaps the bytes to match, so extraction
+    * is identical across variants and BOTH the name-only and the
+    * base-under-Differences paths are load-bearing. A probe line of
+    * all 27 high-block characters rides on every document: ignoring
+    * the base encoding extracts C1 controls, ignoring the Differences
+    * returns € for ‘ — both fail the oracle visibly. */
+  def syntheticPdfBaseEnc(docId: Long, text: String): MediaFile = {
+    val swap = docId % 2 == 1
+    val sb = new StringBuilder(text.length + 40)
+    def enc(s: String): Unit = {
+      val it = s.codePoints().iterator()
+      while (it.hasNext) {
+        val cp = it.next().intValue()
+        val b =
+          if (cp < 0x80 || (cp >= 0xA0 && cp <= 0xFF)) cp
+          else WinAnsiInv.get(cp) match {
+            case Some(x) =>
+              if (swap && x == 0x80) 0x91
+              else if (swap && x == 0x91) 0x80
+              else x
+            case None => '?'.toInt
+          }
+        if (b == '(' || b == ')' || b == '\\' || b < 0x20)
+          sb.append('\\').append(Integer.toOctalString(b).reverse.padTo(3, '0').reverse)
+        else sb.append(b.toChar)
+      }
+    }
+    enc(text); enc("\n" + WinAnsiProbe)
+    val encValue =
+      if (swap)
+        "<< /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+          "/Differences [128 /quoteleft 145 /Euro] >>"
+      else "/WinAnsiEncoding"
+    MediaFile(docId, PdfFixtures.baseEncPdf("1.4",
+      s"BT /F1 12 Tf (${sb.toString}) Tj ET", encValue,
+      flate = (docId / 4) % 2 == 0,
+      indirectEnc = swap && (docId / 2) % 2 == 0))
   }
 
   /** [[syntheticPdf]]'s OWNER-LOCKED twin (l136): the same escaped-

@@ -2285,6 +2285,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.OfficeZip.syntheticEpub(id, t) })
@@ -3639,6 +3640,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.PdfText.syntheticPdf(id, t) })
@@ -3670,6 +3672,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.PdfText.syntheticPdfObjStm(id, t) })
@@ -3722,6 +3725,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.PdfText.syntheticPdfFiltered(id, t) })
@@ -3751,6 +3755,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.sources.Warc.syntheticWetRevisit(id,
@@ -3779,22 +3784,67 @@ object LlmQueries {
     // a directory entry and a PAX extended header whose payload must
     // be stepped over, not emitted (the classic tar-walk bugs, made
     // load-bearing: an extra member row or the pax payload as text
-    // fails the oracle). Oracle = the original text verbatim plus the
-    // construction-arithmetic member name.
+    // fails the oracle). A second copy rides under a >100-char path —
+    // GNU 'L' longname on even ids, PAX `path=` on odd — so a walk
+    // that ignores the override surfaces the 100-byte truncation and
+    // fails. Oracle = the original text verbatim plus both
+    // construction-arithmetic member names.
     "l145_tar_ingest" -> QueryDef(
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.sources.Tar.syntheticTar(id, t) })
         graft.sources.Tar.members(files).toDF()
-          .select(col("file_id").as("doc_id"), col("name"),
+          .select(col("file_id").as("doc_id"), col("member_idx"), col("name"),
             col("text_head").as("text"))
-          .orderBy("doc_id")
+          .orderBy("doc_id", "member_idx")
       },
-      Some("SELECT doc_id, 'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name, " +
-        "text FROM documents ORDER BY doc_id")),
+      Some("SELECT doc_id, CAST(0 AS BIGINT) AS member_idx, " +
+        "'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name, text FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), " +
+        "'docs/' || repeat('d', 96) || '/' || CAST(doc_id AS VARCHAR) || '.txt', text " +
+        "FROM documents ORDER BY doc_id, member_idx")),
+
+    // L147 — GENERIC ZIP ingest round trip (OfficeFixtures
+    // .buildSyntheticArchiveZip ∘ Zip.members): the other half of the
+    // container-distribution story l145 opened — plain
+    // zip-of-text-files archives rather than OPC/ODF documents. Each
+    // document packs as a STORED member, a raw-DEFLATE member, and an
+    // encryption-FLAGGED member the reader must list but not read
+    // (empty head — listing and readability are separate facts),
+    // behind a directory entry that must not surface; ids % 4 == 0
+    // force the zip64 sentinel + extended-information layout at
+    // fixture size. The walk is OfficeZip's certified central-
+    // directory machinery, re-surfaced tar-style. Oracle = three
+    // construction-arithmetic rows per document.
+    "l147_zip_ingest" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.sources.WarcFile(id,
+              graft.operators.OfficeFixtures.buildSyntheticArchiveZip(id, t)) })
+        graft.sources.Zip.members(files).toDF()
+          .select(col("file_id").as("doc_id"), col("member_idx"), col("name"),
+            col("size"), col("method"), col("text_head").as("text"))
+          .orderBy("doc_id", "member_idx")
+      },
+      Some("SELECT doc_id, CAST(0 AS BIGINT) AS member_idx, " +
+        "'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name, " +
+        "CAST(strlen(text) AS BIGINT) AS size, CAST(0 AS BIGINT) AS method, " +
+        "text FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), " +
+        "'docs/' || CAST(doc_id AS VARCHAR) || '.z.txt', " +
+        "CAST(strlen(text) AS BIGINT), CAST(8 AS BIGINT), text FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), " +
+        "'docs/' || CAST(doc_id AS VARCHAR) || '.locked.txt', " +
+        "CAST(strlen(text) AS BIGINT), CAST(0 AS BIGINT), '' FROM documents " +
+        "ORDER BY doc_id, member_idx")),
 
     // L136 — OWNER-LOCKED ("encrypted") PDF round trip with the EMPTY
     // user password (PdfText.syntheticPdfEncrypted ∘ extractText): the
@@ -3859,6 +3909,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.Cfb.syntheticDoc(id, t) })
@@ -3884,6 +3935,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.Cfb.syntheticXls(id, t) })
@@ -3907,6 +3959,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.Rtf.syntheticRtf(id, t) })
@@ -3928,6 +3981,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.Cfb.syntheticPpt(id, t) })
@@ -3951,6 +4005,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.Cfb.syntheticDocWithMeta(id, t) })
@@ -3960,7 +4015,9 @@ object LlmQueries {
       Some("SELECT doc_id, 'doc' AS kind, " +
         "'T' || chr(19990) || CAST(doc_id % 97 AS VARCHAR) AS title, " +
         "'author-' || CAST(doc_id % 7 AS VARCHAR) AS author, " +
-        "CAST(1600000000 + doc_id AS BIGINT) AS created_epoch " +
+        "CAST(1600000000 + doc_id AS BIGINT) AS created_epoch, " +
+        "'cat-' || CAST(doc_id % 5 AS VARCHAR) AS category, " +
+        "'C' || chr(26666) || CAST(doc_id % 13 AS VARCHAR) AS company " +
         "FROM documents ORDER BY doc_id")),
 
     // L138 — SIMPLE-FONT /Encoding /Differences round trip
@@ -3993,6 +4050,36 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
+    // L146 — NAMED BASE ENCODING round trip (PdfText.syntheticPdfBaseEnc
+    // ∘ extractText): the most common simple-font shape Word-exported
+    // PDFs carry — `/Encoding /WinAnsiEncoding` with NO /Differences,
+    // whose cp1252 0x80–0x9F block (smart quotes, dashes, €, ™) differs
+    // from the raw ISO-8859-1 reading exactly where typography lives.
+    // The text is PROJECTED onto cp1252 (non-encodable codepoints →
+    // '?', the regexp_replace below) and every document appends a probe
+    // line of all 27 high-block characters, so the table is load-
+    // bearing on every row: ignoring the encoding extracts C1
+    // controls. Odd ids route the SAME base table under a /Differences
+    // array that swaps two codes (€ ↔ ‘, construction swaps to match),
+    // certifying the base-fills-what-Differences-doesn't merge of
+    // ISO 32000 §9.6.5 with one shared oracle.
+    "l146_pdf_base_encoding" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.operators.PdfText.syntheticPdfBaseEnc(id, t) })
+        graft.operators.PdfText.extractText(files).toDF()
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, regexp_replace(text, " +
+        "'[^\\x00-\\x7f\\xa0-\\xff€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ]', '?', 'g') " +
+        "|| chr(10) || '€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ' AS text " +
+        "FROM documents ORDER BY doc_id")),
 
     // L130 — MIXED-CONTAINER crawl cascade, COMPOSED end-to-end: the
     // corpus a real crawl delivers is not one format — it is WARC-
@@ -4043,6 +4130,15 @@ object LlmQueries {
           .unionAll(base.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") * 20 + 10 + (col("doc_id") + 1) % 2).as("mid"),
               col("text"), ((col("doc_id") + 1) % 11).as("typ")))
+          // NO per-leg fan-out here, deliberately: unlike the
+          // single-leg round trips (l136-l147, where one mapPartitions
+          // sees the whole corpus and a repartition is the difference
+          // between 1 and 32 cores), the eleven legs below are UNION
+          // branches of one job — their single-split tasks already run
+          // concurrently across families, so max(leg), not sum(leg).
+          // Measured: repartition here 10.3 s, + localCheckpoint
+          // 15.3 s, as-is 4.5 s (sf0.1 warm). At real scale the scan
+          // provides per-leg partitions anyway.
         val htmlDocs = {
           val files = mix.filter(col("typ") === 0).select(col("mid"), col("text"))
             .as[(Long, String)]
@@ -4159,6 +4255,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.OfficeZip.syntheticXlsx(id, t) })
@@ -4176,6 +4273,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.OfficeZip.syntheticPptx(id, t) })
@@ -4201,6 +4299,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.sources.Warc.syntheticWetFile(id,
@@ -4222,6 +4321,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.OfficeZip.syntheticOdt(id, t) })
@@ -4235,6 +4335,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             graft.operators.OfficeZip.syntheticDocx(id, t) })

@@ -149,12 +149,17 @@ class CfbSpec extends AnyFunSuite {
       assert(meta.title == s"T世${id % 97}", s"title='${meta.title}'")
       assert(meta.author == s"author-${id % 7}")
       assert(meta.created_epoch == 1600000000L + id)
-      // the text walk is unaffected by the extra stream
+      // the sibling DocumentSummaryInformation set (GKPIDDSI):
+      // category via VT_LPSTR, company via VT_LPWSTR (unicode)
+      assert(meta.category == s"cat-${id % 5}", s"category='${meta.category}'")
+      assert(meta.company == s"C株${id % 13}", s"company='${meta.company}'")
+      // the text walk is unaffected by the extra streams
       assert(Cfb.decodeDocText(m).text == s"body text for $id")
     }
     // kinds without a SummaryInformation stream: fields default
     val xls = Cfb.decodeOleMeta(Cfb.syntheticXls(1L, "cells"))
     assert(xls.kind == "xls" && xls.title == "" && xls.created_epoch == 0L)
+    assert(xls.category == "" && xls.company == "")
     assert(Cfb.decodeOleMeta(Cfb.syntheticPpt(1L, "slides")).kind == "ppt")
     assert(Cfb.decodeOleMeta(MediaFile(1L, "prose".getBytes("UTF-8"))).kind == "stub")
   }

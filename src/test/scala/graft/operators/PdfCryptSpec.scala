@@ -130,6 +130,61 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(Multimodal.parsePdfMeta(MediaFile(11L, body)).exists(_.encrypted))
   }
 
+  test("Algorithm 2.B matches a spec-literal independent reimplementation") {
+    // Written 1-based straight from ISO 32000-2 §7.6.4.3.4's prose
+    // ("repeat until the last byte of E is <= the number of rounds
+    // performed - 32"), sharing NOTHING with hash2B — this pins the
+    // termination boundary an off-by-one would shift (fixture round
+    // trips cannot: writer and reader share hash2B).
+    def ref2B(password: Array[Byte], salt: Array[Byte],
+              udata: Array[Byte]): Array[Byte] = {
+      var k = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(password ++ salt ++ udata)
+      var rounds = 0
+      var done = false
+      while (!done) {
+        rounds += 1
+        val block = password ++ k ++ udata
+        val k1 = Array.fill(64)(block).flatten
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+          new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+        val e = cipher.doFinal(k1)
+        val mod = e.take(16).map(_ & 0xFF).sum % 3
+        k = java.security.MessageDigest.getInstance(
+          Seq("SHA-256", "SHA-384", "SHA-512")(mod)).digest(e)
+        if (rounds >= 64 && (e.last & 0xFF) <= rounds - 32) done = true
+      }
+      k.take(32)
+    }
+    val rnd = new scala.util.Random(182L)
+    (0 until 200).foreach { i =>
+      val salt = Array.fill(8)(rnd.nextInt(256).toByte)
+      val udata = if (i % 3 == 0) Array.fill(48)(rnd.nextInt(256).toByte)
+                  else Array.emptyByteArray
+      assert(java.util.Arrays.equals(
+        PdfCrypt.hash2B(Array.emptyByteArray, salt, udata, 6),
+        ref2B(Array.emptyByteArray, salt, udata)), s"iter $i")
+    }
+    // R5 (no iteration) stays the plain SHA-256
+    val salt5 = Array.fill(8)(7.toByte)
+    assert(java.util.Arrays.equals(
+      PdfCrypt.hash2B(Array.emptyByteArray, salt5, Array.emptyByteArray, 5),
+      java.security.MessageDigest.getInstance("SHA-256").digest(salt5)))
+  }
+
+  test("V5: absent /StmF means streams are NOT encrypted (Identity default)") {
+    val body = new String(PdfFixtures.encryptedPdf("2.0", "BT (plain v5) Tj ET",
+      flate = false, handler = 4, docId = 33L), "ISO-8859-1")
+    val noStmF = body.replace("/StmF /StdCF /StrF /StdCF ", "")
+    assert(noStmF != body, "fixture dict shape changed — update the test")
+    val hook = PdfCrypt.decryptor(noStmF)
+    assert(hook.isDefined) // empty-user-password authentication still passes
+    val raw = "arbitrary plaintext stream "
+    assert(hook.get(5L, 0, "<< /Length 28 >>", raw) == raw) // untouched
+  }
+
   test("fuzz: bit-flipped encrypted payloads degrade, never throw") {
     val rnd = new scala.util.Random(136L)
     for (handler <- 0 to 4) {

@@ -263,9 +263,9 @@ class PdfTextSpec extends AnyFunSuite {
 
   test("the CMap decode is non-identity: ignoring it would fail") {
     // unit 'A' (0x41) is written as code 0x43 — raw emission of the
-    // code bytes yields " C", not "A"
+    // code bytes yields "\u0000C", not "A"
     val got = PdfText.decodePdfText(PdfText.syntheticPdfCmap(1L, "A"))
-    assert(got.text == "A" && got.text != " C")
+    assert(got.text == "A" && got.text != "\u0000C")
   }
 
   test("fonts without a usable /ToUnicode fall back to the raw reading") {
@@ -373,6 +373,52 @@ class PdfTextSpec extends AnyFunSuite {
         assert(r.n_chars == r.text.length.toLong)
       }
     }
+  }
+
+  test("named base encoding: WinAnsi bare name + base-under-Differences (l146)") {
+    val texts = Seq("plain ascii only", "smart \u201cquotes\u201d \u2013 and \u2014 \u20acuro\u2122",
+      "mixed \u4e16\u754c with latin-1 caf\u00e9 \u00f1", "\u0192\u0160\u017d\u0178 \u0153\u017e \u2030\u2039\u203a")
+    val winAnsiImage = PdfText.WinAnsiHigh.values.map(_.codePointAt(0)).toSet
+    for (t <- texts; id <- 0L to 7L) {
+      val got = PdfText.decodePdfText(PdfText.syntheticPdfBaseEnc(id, t)).text
+      val projected = t.codePoints().toArray.map { cp =>
+        if (cp < 0x80 || (cp >= 0xA0 && cp <= 0xFF) || winAnsiImage(cp))
+          new String(Character.toChars(cp))
+        else "?"
+      }.mkString
+      assert(got == projected + "\n" + PdfText.WinAnsiProbe, s"id=$id t='$t'")
+    }
+    // the table is exactly cp1252's 27 defined high positions
+    assert(PdfText.WinAnsiHigh.size == 27 && PdfText.WinAnsiProbe.length == 27)
+    assert(PdfText.WinAnsiHigh(0x80) == "\u20ac" && PdfText.WinAnsiHigh(0x97) == "\u2014")
+    Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D).foreach(b => assert(!PdfText.WinAnsiHigh.contains(b)))
+  }
+
+  test("ignoring a named base encoding fails visibly (C1 controls)") {
+    // same content bytes, /Encoding name the reader does NOT know:
+    // the probe line keeps its raw 0x80-0x9F reading — visibly
+    // different from every WinAnsi-decoded extraction
+    val raw = new String((0x91 to 0x94).map(_.toChar).toArray) // '' "" as bytes
+    val body = PdfFixtures.baseEncPdf("1.4", s"BT /F1 12 Tf ($raw) Tj ET",
+      "/SomeUnknownEncoding", flate = false, indirectEnc = false)
+    val got = PdfText.decodePdfText(MediaFile(1L, body)).text
+    assert(got == raw) // C1 controls, NOT smart quotes
+    val win = PdfFixtures.baseEncPdf("1.4", s"BT /F1 12 Tf ($raw) Tj ET",
+      "/WinAnsiEncoding", flate = false, indirectEnc = false)
+    assert(PdfText.decodePdfText(MediaFile(1L, win)).text == "\u2018\u2019\u201c\u201d")
+  }
+
+  test("MacRomanEncoding: full high half, Annex D currency/0xF0 deviations") {
+    assert(PdfText.MacRomanHigh(0xDB) == "\u00a4") // Annex D: currency, not post-8.5 euro
+    assert(!PdfText.MacRomanHigh.contains(0xF0))    // Apple logo: undefined
+    assert(PdfText.MacRomanHigh(0xD2) == "\u201c" && PdfText.MacRomanHigh(0x8E) == "\u00e9")
+    val bytes = (0x80 to 0xFF).map(_.toChar).mkString
+    val body = PdfFixtures.baseEncPdf("1.4", s"BT /F1 12 Tf ($bytes) Tj ET",
+      "/MacRomanEncoding", flate = true, indirectEnc = false)
+    val got = PdfText.decodePdfText(MediaFile(2L, body)).text
+    val expect = (0x80 to 0xFF).map(b =>
+      PdfText.MacRomanHigh.getOrElse(b, b.toChar.toString)).mkString
+    assert(got == expect)
   }
 
   test("extracted PDF text composes into the l68 dedup cascade") {
