@@ -3780,7 +3780,9 @@ object LlmQueries {
     // L145 — TAR ingest round trip (Tar.syntheticTar ∘ Tar.members):
     // the container dataset DISTRIBUTIONS ship in — fixture tarballs,
     // text dumps, arXiv source bundles. Each document's text packs as
-    // `docs/<id>.txt` in a ustar archive (gzipped on even ids) BEHIND
+    // `docs/<id>.txt` in a ustar archive (outer wrapping rotated by
+    // id % 4: gzip / plain / zstd / xz — the last two through the
+    // public zstd-jni and org.tukaani.xz libraries Spark bundles) BEHIND
     // a directory entry and a PAX extended header whose payload must
     // be stepped over, not emitted (the classic tar-walk bugs, made
     // load-bearing: an extra member row or the pax payload as text
@@ -3845,6 +3847,69 @@ object LlmQueries {
         "'docs/' || CAST(doc_id AS VARCHAR) || '.locked.txt', " +
         "CAST(strlen(text) AS BIGINT), CAST(0 AS BIGINT), '' FROM documents " +
         "ORDER BY doc_id, member_idx")),
+
+    // L148 — ARCHIVE-DISTRIBUTION corpus cascade: the l130 composition
+    // claim applied to the CONTAINER-OF-CONTAINERS layer — a dataset
+    // that arrives as a mix of tarballs (gzip/plain/zstd/xz outer
+    // wrappings) and plain zips, whose members must converge to ONE
+    // corpus before dedup. Primaries ship by parity (even synthetic id
+    // → tar, odd → zip); every 5th document ALSO ships in the OTHER
+    // container under a shifted id — a cross-container duplicate that
+    // exact dedup collapses ONLY if the tar and zip member walks
+    // extract byte-identical text. Members are selected by their
+    // construction name (the zip's deflate/locked siblings and the
+    // tar's long-path twin stay out — name-based routing, the real
+    // pipeline's move). Oracle = the same mix + keep-min-id dedup in
+    // SQL. Scale shape: two narrow codec legs, one windowed exact
+    // dedup on the text hash — no similarity computation.
+    "l148_archive_corpus_cascade" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val mix = base
+          .select((col("doc_id") * 10).as("sid"), col("text"),
+            (col("doc_id") % 2).as("c"))
+          .unionAll(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") * 10 + 5).as("sid"), col("text"),
+              ((col("doc_id") + 1) % 2).as("c")))
+        val tarDocs = {
+          val files = mix.filter(col("c") === 0).select(col("sid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) =>
+              graft.sources.Tar.syntheticTar(id, t) })
+          graft.sources.Tar.members(files).toDF()
+            .filter(col("name") ===
+              concat(lit("docs/"), col("file_id"), lit(".txt")))
+            .select(col("file_id").as("sid"), col("text_head").as("text"))
+        }
+        val zipDocs = {
+          val files = mix.filter(col("c") === 1).select(col("sid"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, t) =>
+              graft.sources.WarcFile(id,
+                graft.operators.OfficeFixtures.buildSyntheticArchiveZip(id, t)) })
+          graft.sources.Zip.members(files).toDF()
+            .filter(col("name") ===
+              concat(lit("docs/"), col("file_id"), lit(".txt")))
+            .select(col("file_id").as("sid"), col("text_head").as("text"))
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("sid"))
+        tarDocs.unionAll(zipDocs)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("sid").as("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH mix AS (SELECT doc_id * 10 AS sid, text FROM documents " +
+        "UNION ALL SELECT doc_id * 10 + 5, text FROM documents WHERE doc_id % 5 = 0), " +
+        "kept AS (SELECT sid, text, ROW_NUMBER() OVER " +
+        "(PARTITION BY md5(text) ORDER BY sid) AS rn FROM mix) " +
+        "SELECT sid AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "md5(text) AS text_md5 FROM kept WHERE rn = 1 ORDER BY doc_id")),
 
     // L136 — OWNER-LOCKED ("encrypted") PDF round trip with the EMPTY
     // user password (PdfText.syntheticPdfEncrypted ∘ extractText): the

@@ -18,8 +18,11 @@ import org.apache.spark.sql.Dataset
  * name, size, UTF-8 text head); directories and pax/extended headers
  * are SKIPPED but their payload blocks are correctly stepped over (the
  * classic tar-walk bug is treating a pax header's payload as a
- * member). gzip-wrapped archives (`.tar.gz`) decompress transparently
- * with the same 1 GiB bomb cap as [[Warc]]. Malformed input = prefix
+ * member). gzip-, zstd-, and xz-wrapped archives (`.tar.gz` /
+ * `.tar.zst` / `.tar.xz`, sniffed by magic bytes) decompress
+ * transparently with the same 1 GiB bomb cap as [[Warc]] — zstd/xz via
+ * the public zstd-jni / org.tukaani.xz libraries Spark bundles.
+ * Malformed input = prefix
  * semantics: every member before the first bad header is emitted.
  *
  * Scale: one narrow flatMap per archive — the [[Warc.records]]
@@ -54,22 +57,42 @@ object Tar {
     new String(b, off, end - off, "UTF-8")
   }
 
+  private def magic(b: Array[Byte], m: Int*): Boolean =
+    b.length >= m.length && m.zipWithIndex.forall { case (v, i) => (b(i) & 0xFF) == v }
+
+  /** Transparent decompression by magic bytes: gzip (`java.util.zip`),
+    * zstd and xz via the PUBLIC zstd-jni / org.tukaani.xz libraries
+    * Spark itself bundles — the `.tar.gz`/`.tar.zst`/`.tar.xz` shapes
+    * HF-era dataset distributions actually ship. All three drain
+    * through the same 1 GiB bomb cap; a corrupt stream yields None
+    * (no members, never a throw). Plain payloads pass through. */
+  private[sources] def decompress(payload: Array[Byte]): Option[Array[Byte]] = {
+    def drain(in: java.io.InputStream): Array[Byte] =
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(payload.length * 4L, 1 << 16), 1L << 22).toInt)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0 && out.size < MaxBytes) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    try {
+      val src = new java.io.ByteArrayInputStream(payload)
+      if (magic(payload, 0x1F, 0x8B))
+        Some(drain(new java.util.zip.GZIPInputStream(src)))
+      else if (magic(payload, 0x28, 0xB5, 0x2F, 0xFD))
+        Some(drain(new com.github.luben.zstd.ZstdInputStream(src)))
+      else if (magic(payload, 0xFD, '7', 'z', 'X', 'Z', 0x00))
+        // memory limit in KiB — the same 1 GiB cap, enforced inside xz
+        Some(drain(new org.tukaani.xz.XZInputStream(src, 1 << 20)))
+      else Some(payload)
+    } catch { case NonFatal(_) => None }
+  }
+
   /** Pure single-archive walk (unit-testable without Spark). */
   def parseArchive(fileId: Long, payload: Array[Byte],
                    headBytes: Int): Seq[TarMember] = {
-    val bytes =
-      if (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F &&
-          (payload(1) & 0xFF) == 0x8B) {
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          val out = new java.io.ByteArrayOutputStream(payload.length * 4)
-          val buf = new Array[Byte](1 << 16)
-          var n = in.read(buf)
-          while (n > 0 && out.size < MaxBytes) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toByteArray
-        } catch { case NonFatal(_) => return Seq.empty }
-      } else payload
+    val bytes = decompress(payload).getOrElse(return Seq.empty)
     val out = scala.collection.mutable.ArrayBuffer[TarMember]()
     var at = 0
     var idx = 0L
@@ -188,7 +211,8 @@ object Tar {
   /** The >100-char member path both long-name mechanisms carry. */
   def longPath(fileId: Long): String = s"docs/${"d" * 96}/$fileId.txt"
 
-  /** The l145 construction half: one `.tar` (gzipped on even ids)
+  /** The l145 construction half: one `.tar` (wrapping rotated by
+    * id % 4: gzip / plain / zstd / xz)
     * holding the document's text as `docs/<id>.txt`, preceded by a
     * DIRECTORY entry and a PAX extended header whose payload must be
     * stepped over, not emitted as a member — the classic tar-walk
@@ -219,6 +243,32 @@ object Tar {
         longLeg ++
         headerBlock(long.take(100), body.length.toLong, '0') ++ pad512(body) ++
         new Array[Byte](1024) // the two terminating zero blocks
-    WarcFile(fileId, if (fileId % 2 == 0) WarcFixtures.gz(raw) else raw)
+    WarcFile(fileId, (fileId % 4) match {
+      case 0 => WarcFixtures.gz(raw)
+      case 1 | -1 => raw
+      case 2 | -2 => zstd(raw)
+      case _ => xz(raw)
+    })
+  }
+
+  /** Construction twins of [[decompress]]'s zstd/xz legs (the same
+    * Spark-bundled public libraries). */
+  private[sources] def zstd(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  private[sources] def xz(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    // preset 0 + minimal dictionary: the default preset-6 8 MiB LZMA2
+    // dictionary costs ~10 ms and megabytes of churn PER DOCUMENT in
+    // the construction half — the reader side is unaffected
+    val opts = new org.tukaani.xz.LZMA2Options(0)
+    opts.setDictSize(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN)
+    val x = new org.tukaani.xz.XZOutputStream(bos, opts)
+    x.write(data); x.close()
+    bos.toByteArray
   }
 }
