@@ -3911,6 +3911,36 @@ object LlmQueries {
         "SELECT sid AS doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "md5(text) AS text_md5 FROM kept WHERE rn = 1 ORDER BY doc_id")),
 
+    // L149 — PACKED-ARCHIVE ingest round trip (Tar.syntheticTarMulti ∘
+    // Tar.members): real distributions pack THOUSANDS of documents per
+    // tarball, not one — so this packs 8 docs per archive (grouped by
+    // doc_id / 8, a real shuffle-and-pack stage: the training-shard
+    // geometry), wraps each archive by archive-id % 4 (gzip / plain /
+    // zstd / xz), then recovers every document from the member WALK
+    // with its id parsed back out of the member NAME — the
+    // name-to-key recovery step every real archive-ingest pipeline
+    // performs. Oracle = the corpus verbatim: a lost member, a
+    // misparsed multi-member boundary, or a name/id mismatch all fail
+    // visibly. Scale shape: one groupBy-pack shuffle, one narrow
+    // member flatMap, per-row regexp.
+    "l149_packed_tar_ingest" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .groupByKey(_._1 / 8)
+          .mapGroups { (gid, rows) =>
+            graft.sources.Tar.syntheticTarMulti(gid, rows.toSeq.sortBy(_._1))
+          }
+        graft.sources.Tar.members(files).toDF()
+          .filter(col("name").rlike("^docs/[0-9]+\\.txt$"))
+          .select(regexp_extract(col("name"), "^docs/([0-9]+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+            col("text_head").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // L136 — OWNER-LOCKED ("encrypted") PDF round trip with the EMPTY
     // user password (PdfText.syntheticPdfEncrypted ∘ extractText): the
     // most common encrypted real-world PDF — print-driver output and

@@ -251,6 +251,32 @@ object Tar {
     })
   }
 
+  /** The l149 construction half: ONE archive holding MANY documents —
+    * the geometry real distributions ship (thousands of members per
+    * tarball, not one). Members are `docs/<doc_id>.txt` in the given
+    * order behind the same dir + pax preamble as [[syntheticTar]];
+    * outer wrapping rotates on the ARCHIVE id (gzip/plain/zstd/xz). */
+  def syntheticTarMulti(archiveId: Long,
+                        docs: Seq[(Long, String)]): WarcFile = {
+    val pax = "29 mtime=1600000001.000000\n".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream(docs.map(_._2.length).sum + 4096)
+    bos.write(headerBlock("docs/", 0L, '5'))
+    bos.write(headerBlock("pax_header", pax.length.toLong, 'x')); bos.write(pad512(pax))
+    docs.foreach { case (id, text) =>
+      val body = text.getBytes("UTF-8")
+      bos.write(headerBlock(s"docs/$id.txt", body.length.toLong, '0'))
+      bos.write(pad512(body))
+    }
+    bos.write(new Array[Byte](1024))
+    val raw = bos.toByteArray
+    WarcFile(archiveId, (archiveId % 4) match {
+      case 0 => WarcFixtures.gz(raw)
+      case 1 | -1 => raw
+      case 2 | -2 => zstd(raw)
+      case _ => xz(raw)
+    })
+  }
+
   /** Construction twins of [[decompress]]'s zstd/xz legs (the same
     * Spark-bundled public libraries). */
   private[sources] def zstd(data: Array[Byte]): Array[Byte] = {
