@@ -122,11 +122,22 @@ object Warc {
     * the caller, never O(payload). */
   def parseFile(fileId: Long, payload: Array[Byte], headBytes: Int): Seq[WarcRecord] = {
     val raw: InputStream = new ByteArrayInputStream(payload)
+    def m(i: Int, v: Int) = payload.length > i && (payload(i) & 0xff) == v
+    // outer-wrapping sniff: .warc.gz (per-record gzip members, which
+    // GZIPInputStream concatenates), plus whole-file zstd/xz via the
+    // public zstd-jni / org.tukaani.xz libraries Spark bundles — all
+    // STREAMING (the walk stays O(headBytes) memory), all IOException
+    // failures degrading to prefix semantics like a bad record
     val in0: InputStream =
-      if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
-        try new GZIPInputStream(new BufferedInputStream(raw))
-        catch { case _: java.io.IOException => return Seq.empty }
-      else raw
+      try {
+        if (m(0, 0x1f) && m(1, 0x8b))
+          new GZIPInputStream(new BufferedInputStream(raw))
+        else if (m(0, 0x28) && m(1, 0xb5) && m(2, 0x2f) && m(3, 0xfd))
+          new com.github.luben.zstd.ZstdInputStream(new BufferedInputStream(raw))
+        else if (m(0, 0xfd) && m(1, '7') && m(2, 'z') && m(3, 'X') && m(4, 'Z') && m(5, 0))
+          new org.tukaani.xz.XZInputStream(new BufferedInputStream(raw), 1 << 20)
+        else raw
+      } catch { case _: java.io.IOException => return Seq.empty }
     val in = new BoundedIn(in0)
     val out = ArrayBuffer.empty[WarcRecord]
     try {
@@ -363,13 +374,19 @@ object Warc {
     * the page's plain text as the record payload (no HTTP framing) —
     * the zero-extraction entry point most corpus builds actually start
     * from. One warcinfo header + one conversion record per file,
-    * gzipped on even ids. */
+    * outer wrapping rotated by id % 4 (gzip / plain / zstd / xz — the
+    * same four shapes the tar walk certifies). */
   def syntheticWetFile(fileId: Long, uri: String, text: String): WarcFile = {
     val rec =
       WarcFixtures.record("warcinfo", None,
         "software: graft-wet".getBytes("UTF-8")) ++
         WarcFixtures.record("conversion", Some(uri), text.getBytes("UTF-8"))
-    WarcFile(fileId, if (fileId % 2 == 0) WarcFixtures.gz(rec) else rec)
+    WarcFile(fileId, (fileId % 4) match {
+      case 0 => WarcFixtures.gz(rec)
+      case 1 | -1 => rec
+      case 2 | -2 => Tar.zstd(rec)
+      case _ => Tar.xz(rec)
+    })
   }
 
   /** l140 construction half: the WET corpus carrying Common Crawl's
