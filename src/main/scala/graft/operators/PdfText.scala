@@ -156,7 +156,16 @@ object PdfText {
       var i = mt.end
       while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
       val (dict, afterDict) =
-        if (s.startsWith("<<", i)) balancedDict(s, i) else ("", i)
+        if (s.startsWith("<<", i)) balancedDict(s, i)
+        else {
+          // dict-less body (bare name / number / array — e.g. an
+          // indirect /Encoding that is just `/WinAnsiEncoding`,
+          // §9.6.5 allows it): retain a bounded prefix so resolvers
+          // can still read the value
+          val e = s.indexOf("endobj", i)
+          val end = math.min(if (e < 0) s.length else e, i + 256)
+          (s.substring(i, end).trim, i)
+        }
       var j = afterDict
       while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
       var stream: Option[String] = None
@@ -547,6 +556,9 @@ object PdfText {
 
   private val BaseEncEntry = "/BaseEncoding\\s*/([A-Za-z0-9]+)".r
   private val EncNameEntry = "/Encoding\\s*/([A-Za-z0-9]+)".r
+  // a body that IS a bare name, nothing else (anchored: never fires
+  // on a dict or array body)
+  private val BareEncName = "^/([A-Za-z0-9]+)$".r
 
   /** `/Key << … >>` inline sub-dictionary of `dict`, when present. */
   private def dictValueDict(dict: String, key: String): Option[String] =
@@ -584,8 +596,15 @@ object PdfText {
                   .orElse(refList(fo.dict, "Encoding").headOption
                     .flatMap(objs.get).map(_.dict)) match {
                   case Some(encDict) =>
+                    // /BaseEncoding inside the dict, or — when the
+                    // indirect object's whole body is a bare base-
+                    // encoding name (`6 0 obj /WinAnsiEncoding
+                    // endobj`) — that name itself
                     val base = BaseEncEntry.findFirstMatchIn(encDict)
-                      .map(_.group(1)).flatMap(baseEncodingTable)
+                      .map(_.group(1))
+                      .orElse(BareEncName.findFirstMatchIn(encDict.trim)
+                        .map(_.group(1)))
+                      .flatMap(baseEncodingTable)
                       .getOrElse(Map.empty)
                     parseDifferences(encDict) match {
                       case Some(cm) => Some(cm.copy(chars = base ++ cm.chars))

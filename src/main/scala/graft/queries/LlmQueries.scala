@@ -3941,6 +3941,45 @@ object LlmQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // L150 — JSONL-SHARD ingest round trip (Jsonl.syntheticShard ∘
+    // Jsonl.lines ∘ from_json): the distribution format most LLM
+    // corpora actually arrive in — `.jsonl.{gz,zst,xz,bz2}` shards,
+    // one JSON object per line. Documents pack 16-per-shard by
+    // doc_id div 16 (the training-shard geometry, a real
+    // shuffle-and-pack stage); every 7th document ALSO lands verbatim
+    // in the NEXT shard — the cross-shard duplication real multi-source
+    // merges produce — so the exact-dedup tail is load-bearing (skip
+    // it and every 7th row doubles). Outer wrapping rotates by shard
+    // id across all five transparent codecs (gzip/plain/zstd/xz/
+    // bzip2); the per-line field extraction is Spark's own `from_json`
+    // (Catalyst, column-pruned), not hand parsing. Oracle = the corpus
+    // VERBATIM: a lost line, a broken JSON escape, a codec slip, or a
+    // surviving duplicate all fail visibly. Scale shape: one
+    // groupBy-pack shuffle, one narrow streaming line flatMap
+    // (O(longest line) memory per shard), one exact-dedup shuffle.
+    "l150_jsonl_shard_ingest" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val mix = base.select(col("doc_id"), col("text"),
+            expr("doc_id div 16").as("shard"))
+          .unionAll(base.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), col("text"),
+              expr("doc_id div 16 + 1").as("shard")))
+        val files = mix.as[(Long, String, Long)]
+          .groupByKey(_._3)
+          .mapGroups { (sid, rows) =>
+            graft.sources.Jsonl.syntheticShard(sid,
+              rows.map(r => (r._1, r._2)).toSeq.sortBy(_._1)) }
+        graft.sources.Jsonl.lines(files).toDF()
+          .select(from_json(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, text STRING")).as("j"))
+          .select(col("j.id").as("doc_id"), col("j.text").as("text"))
+          .distinct()
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // L136 — OWNER-LOCKED ("encrypted") PDF round trip with the EMPTY
     // user password (PdfText.syntheticPdfEncrypted ∘ extractText): the
     // most common encrypted real-world PDF — print-driver output and

@@ -98,4 +98,20 @@ object Tables {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
     }
+
+  /** Streaming twin of an archive-shard landing zone: a parquet
+    * directory of `(file_id, payload)` rows — tarballs, zips, WARC or
+    * JSONL shards as opaque bytes — read with `readStream`, so the
+    * member walks ([[Tar.members]], [[Zip.members]], [[Warc.records]],
+    * [[Jsonl.lines]]) run per micro-batch as shards ARRIVE (the
+    * crawl-drop geometry: new archives land, members flow downstream
+    * incrementally). The walks are stateless flatMaps, so stream rows
+    * ≡ batch rows exactly — pinned by ArchiveStreamSpec. */
+  def archiveStream(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[WarcFile] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("file_id LONG, payload BINARY")
+      .parquet(dir)
+      .as[WarcFile]
+  }
 }

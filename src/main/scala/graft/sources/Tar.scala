@@ -18,23 +18,38 @@ import org.apache.spark.sql.Dataset
  * name, size, UTF-8 text head); directories and pax/extended headers
  * are SKIPPED but their payload blocks are correctly stepped over (the
  * classic tar-walk bug is treating a pax header's payload as a
- * member). gzip-, zstd-, and xz-wrapped archives (`.tar.gz` /
- * `.tar.zst` / `.tar.xz`, sniffed by magic bytes) decompress
- * transparently with the same 1 GiB bomb cap as [[Warc]] — zstd/xz via
- * the public zstd-jni / org.tukaani.xz libraries Spark bundles.
- * Malformed input = prefix
+ * member). gzip-, bzip2-, zstd-, and xz-wrapped archives (`.tar.gz` /
+ * `.tar.bz2` / `.tar.zst` / `.tar.xz`, sniffed by magic bytes)
+ * decompress transparently — gzip via `java.util.zip`, bzip2 via
+ * Apache commons-compress, zstd/xz via zstd-jni / org.tukaani.xz: all
+ * PUBLIC libraries Spark itself bundles. Malformed input = prefix
  * semantics: every member before the first bad header is emitted.
  *
  * Scale: one narrow flatMap per archive — the [[Warc.records]]
- * geometry; member bodies never exceed the caller's `headBytes`
- * retention in memory.
+ * geometry — and the walk is STREAMING like [[Warc.parseFile]]: tar is
+ * strictly sequential, so headers are read 512 bytes at a time off the
+ * decompressing `InputStream`, member bodies past the retained
+ * `headBytes` prefix are `skip`ped, and peak memory is O(headBytes)
+ * per task regardless of decompressed archive size (a 50 GB arXiv
+ * tarball walks in constant memory). Bomb guards are therefore
+ * CPU-side, not memory-side: a total-consumed cap ([[MaxArchiveBytes]])
+ * against never-ending adversarial codec streams, a member-count cap
+ * ([[MaxMembers]]), and a [[MaxNameBytes]] clamp on GNU-'L'/PAX name
+ * payloads (PATH_MAX-scale — a crafted archive cannot allocate an
+ * archive-sized name String).
  */
 object Tar {
 
   final case class TarMember(file_id: Long, member_idx: Long, name: String,
                              size: Long, text_head: String)
 
-  private val MaxBytes = 1L << 30 // decompression bomb cap
+  /** Total decompressed bytes the walk will consume before stopping
+    * with prefix semantics — a CPU guard against adversarial
+    * infinite-ratio streams, NOT a memory bound (memory is
+    * O(headBytes) regardless). 64 GiB covers real tarball corpora. */
+  private[sources] val MaxArchiveBytes = 1L << 36
+  private[sources] val MaxMembers = 1 << 20
+  private[sources] val MaxNameBytes = 1 << 16 // GNU 'L'/PAX payload clamp
 
   private def octal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L
@@ -60,78 +75,118 @@ object Tar {
   private def magic(b: Array[Byte], m: Int*): Boolean =
     b.length >= m.length && m.zipWithIndex.forall { case (v, i) => (b(i) & 0xFF) == v }
 
-  /** Transparent decompression by magic bytes: gzip (`java.util.zip`),
-    * zstd and xz via the PUBLIC zstd-jni / org.tukaani.xz libraries
-    * Spark itself bundles — the `.tar.gz`/`.tar.zst`/`.tar.xz` shapes
-    * HF-era dataset distributions actually ship. All three drain
-    * through the same 1 GiB bomb cap; a corrupt stream yields None
-    * (no members, never a throw). Plain payloads pass through. */
-  private[sources] def decompress(payload: Array[Byte]): Option[Array[Byte]] = {
-    def drain(in: java.io.InputStream): Array[Byte] =
-      try {
-        val out = new java.io.ByteArrayOutputStream(
-          math.min(math.max(payload.length * 4L, 1 << 16), 1L << 22).toInt)
-        val buf = new Array[Byte](1 << 16)
-        var n = in.read(buf)
-        while (n > 0 && out.size < MaxBytes) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      } finally in.close()
+  /** Transparent codec sniff by magic bytes: gzip (`java.util.zip`),
+    * bzip2 (Apache commons-compress), zstd / xz (zstd-jni /
+    * org.tukaani.xz) — all PUBLIC libraries Spark itself bundles, the
+    * `.tar.{gz,bz2,zst,xz}` shapes dataset distributions actually
+    * ship. Returns a STREAMING decompressor (nothing materialized);
+    * a corrupt header yields None (no members, never a throw). Plain
+    * payloads pass through. */
+  private[sources] def codecStream(payload: Array[Byte]): Option[java.io.InputStream] = {
     try {
-      val src = new java.io.ByteArrayInputStream(payload)
+      val src = new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(payload))
       if (magic(payload, 0x1F, 0x8B))
-        Some(drain(new java.util.zip.GZIPInputStream(src)))
+        Some(new java.util.zip.GZIPInputStream(src))
+      else if (magic(payload, 'B', 'Z', 'h'))
+        Some(new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(src, /* decompressConcatenated = */ true))
       else if (magic(payload, 0x28, 0xB5, 0x2F, 0xFD))
-        Some(drain(new com.github.luben.zstd.ZstdInputStream(src)))
+        Some(new com.github.luben.zstd.ZstdInputStream(src))
       else if (magic(payload, 0xFD, '7', 'z', 'X', 'Z', 0x00))
-        // memory limit in KiB — the same 1 GiB cap, enforced inside xz
-        Some(drain(new org.tukaani.xz.XZInputStream(src, 1 << 20)))
-      else Some(payload)
+        // memory limit in KiB — caps the xz decoder's own allocations
+        Some(new org.tukaani.xz.XZInputStream(src, 1 << 20))
+      else Some(src)
     } catch { case NonFatal(_) => None }
   }
 
-  /** Pure single-archive walk (unit-testable without Spark). */
+  /** Pure single-archive walk (unit-testable without Spark) —
+    * STREAMING: reads headers and the retained `headBytes` prefix off
+    * the codec stream, `skip`s the rest of each body. O(headBytes)
+    * memory; prefix semantics on any malformed or truncated input. */
   def parseArchive(fileId: Long, payload: Array[Byte],
                    headBytes: Int): Seq[TarMember] = {
-    val bytes = decompress(payload).getOrElse(return Seq.empty)
+    val in = codecStream(payload).getOrElse(return Seq.empty)
+    try walk(fileId, in, headBytes)
+    finally { try in.close() catch { case NonFatal(_) => () } }
+  }
+
+  /** Best-effort exact read; returns bytes actually read (< len only
+    * at end of stream). */
+  private def readN(in: java.io.InputStream, buf: Array[Byte], len: Int): Int = {
+    var off = 0
+    var n = 0
+    while (off < len && n >= 0) {
+      n = in.read(buf, off, len - off)
+      if (n > 0) off += n
+    }
+    off
+  }
+
+  private def skipN(in: java.io.InputStream, n: Long, buf: Array[Byte]): Long = {
+    // read-to-skip, not InputStream.skip: codec streams' skip() may
+    // not decompress-and-discard consistently across implementations
+    var left = n
+    var c = 0
+    while (left > 0 && c >= 0) {
+      c = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (c > 0) left -= c
+    }
+    n - left
+  }
+
+  private def walk(fileId: Long, in: java.io.InputStream,
+                   headBytes: Int): Seq[TarMember] = {
     val out = scala.collection.mutable.ArrayBuffer[TarMember]()
-    var at = 0
+    val hdr = new Array[Byte](512)
+    val skipBuf = new Array[Byte](1 << 16)
+    var consumed = 0L
     var idx = 0L
     // A GNU 'L' longname or a PAX `path=` record overrides the NEXT
     // member's (100-byte-truncated) header name — arXiv source bundles
     // and HF dumps routinely exceed 100-char paths.
     var pendingName: Option[String] = None
     try {
-      while (at + 512 <= bytes.length) {
+      while (consumed < MaxArchiveBytes && out.length < MaxMembers) {
+        if (readN(in, hdr, 512) < 512) return out.toSeq // truncated: prefix
+        consumed += 512
         // two zero blocks end the archive; one zero name byte on a
         // zero block is the practical end test
-        if (bytes(at) == 0) return out.toSeq
-        val name = cstr(bytes, at, 100)
-        val size = octal(bytes, at + 124, 12)
-        val typeflag = bytes(at + 156) & 0xFF
+        if (hdr(0) == 0) return out.toSeq
+        val name = cstr(hdr, 0, 100)
+        val size = octal(hdr, 124, 12)
+        val typeflag = hdr(156) & 0xFF
         if (size < 0 || name.isEmpty) return out.toSeq // malformed: prefix
-        val contentAt = at + 512
         // Long throughout: a malformed 12-digit octal size (~6.9e10)
-        // overflows Int blocks*512 — a wrap to <= at would loop forever
-        // appending the same member on untrusted crawl input.
-        val next = contentAt.toLong + ((size + 511L) / 512L) * 512L
+        // must only ever mean "skip to EOF", never an Int wrap.
+        val padded = ((size + 511L) / 512L) * 512L
         if (typeflag == '0' || typeflag == 0) {
-          val keep = math.min(size, math.min(headBytes.toLong,
-            math.max(0, bytes.length - contentAt).toLong)).toInt
+          val keep = math.min(size, headBytes.toLong).toInt
+          val body = new Array[Byte](keep)
+          val got = readN(in, body, keep)
+          consumed += got
           out += TarMember(fileId, idx, pendingName.getOrElse(name), size,
-            new String(bytes, contentAt, keep, "UTF-8"))
+            new String(body, 0, got, "UTF-8"))
           pendingName = None
           idx += 1
-        } else if (typeflag == 'L') { // GNU longname: payload names the next member
-          val keep = math.min(size,
-            math.max(0, bytes.length - contentAt).toLong).toInt
-          pendingName = Some(cstr(bytes, contentAt, keep))
-        } else if (typeflag == 'x') { // pax extended header: `path=` wins
-          val keep = math.min(size,
-            math.max(0, bytes.length - contentAt).toLong).toInt
-          paxPath(bytes, contentAt, keep).foreach(p => pendingName = Some(p))
-        } // '5' dir, 'g' pax-global: stepped over, not emitted
-        if (next > bytes.length.toLong || next <= at) return out.toSeq
-        at = next.toInt
+          if (got < keep) return out.toSeq // truncated final member: prefix
+          consumed += skipN(in, padded - keep, skipBuf)
+        } else if (typeflag == 'L' || typeflag == 'x') {
+          // GNU longname / pax extended header: the name payload is
+          // clamped to MaxNameBytes (PATH_MAX-scale) — a crafted size
+          // cannot allocate an archive-sized String; the rest of an
+          // oversized payload is skipped, not kept.
+          val keep = math.min(size, MaxNameBytes.toLong).toInt
+          val body = new Array[Byte](keep)
+          val got = readN(in, body, keep)
+          consumed += got
+          if (typeflag == 'L') pendingName = Some(cstr(body, 0, got))
+          else paxPath(body, 0, got).foreach(p => pendingName = Some(p))
+          if (got < keep) return out.toSeq
+          consumed += skipN(in, padded - keep, skipBuf)
+        } else { // '5' dir, 'g' pax-global: stepped over, not emitted
+          consumed += skipN(in, padded, skipBuf)
+        }
       }
     } catch { case NonFatal(_) => () } // malformed: prefix semantics
     out.toSeq
@@ -169,7 +224,7 @@ object Tar {
 
   // --------------------------------------------- construction (fixtures)
 
-  private def headerBlock(name: String, size: Long, typeflag: Byte): Array[Byte] = {
+  private[sources] def headerBlock(name: String, size: Long, typeflag: Byte): Array[Byte] = {
     val h = new Array[Byte](512)
     val nm = name.getBytes("UTF-8")
     System.arraycopy(nm, 0, h, 0, math.min(nm.length, 100))
@@ -211,8 +266,26 @@ object Tar {
   /** The >100-char member path both long-name mechanisms carry. */
   def longPath(fileId: Long): String = s"docs/${"d" * 96}/$fileId.txt"
 
+  /** One-shot codec warm-up for benchmark prep: the FIRST use of each
+    * codec pays its native-library load / class-init cost (zstd-jni
+    * JNI load, xz + commons-compress class graphs — observed in the
+    * tens of seconds on a loaded box when billed to a timed query).
+    * Round-trips a tiny buffer through all five transparent codecs so
+    * timed runs only ever see warm paths. Local-mode tasks share this
+    * JVM, so a driver-side touch warms the executor path too. */
+  def warmCodecs(): Unit = {
+    val tiny = "codec warmup".getBytes("UTF-8")
+    Seq(WarcFixtures.gz(tiny), tiny, zstd(tiny), xz(tiny), bz2(tiny))
+      .foreach { wrapped =>
+        codecStream(wrapped).foreach { in =>
+          try { val buf = new Array[Byte](64); while (in.read(buf) > 0) () }
+          finally in.close()
+        }
+      }
+  }
+
   /** The l145 construction half: one `.tar` (wrapping rotated by
-    * id % 4: gzip / plain / zstd / xz)
+    * id % 5: gzip / plain / zstd / xz / bzip2)
     * holding the document's text as `docs/<id>.txt`, preceded by a
     * DIRECTORY entry and a PAX extended header whose payload must be
     * stepped over, not emitted as a member — the classic tar-walk
@@ -243,19 +316,27 @@ object Tar {
         longLeg ++
         headerBlock(long.take(100), body.length.toLong, '0') ++ pad512(body) ++
         new Array[Byte](1024) // the two terminating zero blocks
-    WarcFile(fileId, (fileId % 4) match {
-      case 0 => WarcFixtures.gz(raw)
-      case 1 | -1 => raw
-      case 2 | -2 => zstd(raw)
-      case _ => xz(raw)
-    })
+    WarcFile(fileId, wrap(fileId, raw))
   }
+
+  /** Outer-wrapping rotation shared by the fixture builders (tar,
+    * [[Jsonl]] shards): all five transparent codecs [[codecStream]]
+    * sniffs. */
+  private[sources] def wrap(id: Long, raw: Array[Byte]): Array[Byte] =
+    math.floorMod(id, 5L) match {
+      case 0L => WarcFixtures.gz(raw)
+      case 1L => raw
+      case 2L => zstd(raw)
+      case 3L => xz(raw)
+      case _ => bz2(raw)
+    }
 
   /** The l149 construction half: ONE archive holding MANY documents —
     * the geometry real distributions ship (thousands of members per
     * tarball, not one). Members are `docs/<doc_id>.txt` in the given
     * order behind the same dir + pax preamble as [[syntheticTar]];
-    * outer wrapping rotates on the ARCHIVE id (gzip/plain/zstd/xz). */
+    * outer wrapping rotates on the ARCHIVE id
+    * (gzip/plain/zstd/xz/bzip2). */
   def syntheticTarMulti(archiveId: Long,
                         docs: Seq[(Long, String)]): WarcFile = {
     val pax = "29 mtime=1600000001.000000\n".getBytes("UTF-8")
@@ -268,13 +349,7 @@ object Tar {
       bos.write(pad512(body))
     }
     bos.write(new Array[Byte](1024))
-    val raw = bos.toByteArray
-    WarcFile(archiveId, (archiveId % 4) match {
-      case 0 => WarcFixtures.gz(raw)
-      case 1 | -1 => raw
-      case 2 | -2 => zstd(raw)
-      case _ => xz(raw)
-    })
+    WarcFile(archiveId, wrap(archiveId, bos.toByteArray))
   }
 
   /** Construction twins of [[decompress]]'s zstd/xz legs (the same
@@ -283,6 +358,16 @@ object Tar {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     val z = new com.github.luben.zstd.ZstdOutputStream(bos)
     z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  private[sources] def bz2(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    // blockSize 1 (100 KB): ample for fixture archives, avoids the
+    // default 900 KB per-document work-area churn in construction
+    val b = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos, 1)
+    b.write(data); b.close()
     bos.toByteArray
   }
 

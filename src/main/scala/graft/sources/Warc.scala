@@ -124,14 +124,18 @@ object Warc {
     val raw: InputStream = new ByteArrayInputStream(payload)
     def m(i: Int, v: Int) = payload.length > i && (payload(i) & 0xff) == v
     // outer-wrapping sniff: .warc.gz (per-record gzip members, which
-    // GZIPInputStream concatenates), plus whole-file zstd/xz via the
-    // public zstd-jni / org.tukaani.xz libraries Spark bundles — all
-    // STREAMING (the walk stays O(headBytes) memory), all IOException
-    // failures degrading to prefix semantics like a bad record
+    // GZIPInputStream concatenates), plus whole-file bzip2/zstd/xz via
+    // the public commons-compress / zstd-jni / org.tukaani.xz libraries
+    // Spark bundles — all STREAMING (the walk stays O(headBytes)
+    // memory), all IOException failures degrading to prefix semantics
+    // like a bad record
     val in0: InputStream =
       try {
         if (m(0, 0x1f) && m(1, 0x8b))
           new GZIPInputStream(new BufferedInputStream(raw))
+        else if (m(0, 'B') && m(1, 'Z') && m(2, 'h'))
+          new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorInputStream(new BufferedInputStream(raw), true)
         else if (m(0, 0x28) && m(1, 0xb5) && m(2, 0x2f) && m(3, 0xfd))
           new com.github.luben.zstd.ZstdInputStream(new BufferedInputStream(raw))
         else if (m(0, 0xfd) && m(1, '7') && m(2, 'z') && m(3, 'X') && m(4, 'Z') && m(5, 0))
@@ -373,19 +377,20 @@ object Warc {
     * extracted-text sidecar is a WARC whose `conversion` records carry
     * the page's plain text as the record payload (no HTTP framing) —
     * the zero-extraction entry point most corpus builds actually start
-    * from. One warcinfo header + one conversion record per file,
-    * outer wrapping rotated by id % 4 (gzip / plain / zstd / xz — the
-    * same four shapes the tar walk certifies). */
+    * from. One warcinfo header + one conversion record per file, outer
+    * wrapping rotated by id % 5 (gzip / plain / zstd / xz / bzip2 —
+    * the same five shapes the tar walk certifies). */
   def syntheticWetFile(fileId: Long, uri: String, text: String): WarcFile = {
     val rec =
       WarcFixtures.record("warcinfo", None,
         "software: graft-wet".getBytes("UTF-8")) ++
         WarcFixtures.record("conversion", Some(uri), text.getBytes("UTF-8"))
-    WarcFile(fileId, (fileId % 4) match {
-      case 0 => WarcFixtures.gz(rec)
-      case 1 | -1 => rec
-      case 2 | -2 => Tar.zstd(rec)
-      case _ => Tar.xz(rec)
+    WarcFile(fileId, math.floorMod(fileId, 5L) match {
+      case 0L => WarcFixtures.gz(rec)
+      case 1L => rec
+      case 2L => Tar.zstd(rec)
+      case 3L => Tar.xz(rec)
+      case _ => Tar.bz2(rec)
     })
   }
 

@@ -406,6 +406,16 @@ class PdfTextSpec extends AnyFunSuite {
     val win = PdfFixtures.baseEncPdf("1.4", s"BT /F1 12 Tf ($raw) Tj ET",
       "/WinAnsiEncoding", flate = false, indirectEnc = false)
     assert(PdfText.decodePdfText(MediaFile(1L, win)).text == "\u2018\u2019\u201c\u201d")
+    // INDIRECT bare-name /Encoding (`6 0 obj /WinAnsiEncoding endobj`,
+    // legal per \u00a79.6.5) resolves the same way \u2014 pre-round-19 this fell
+    // through to the raw C1 reading
+    val ind = PdfFixtures.baseEncPdf("1.4", s"BT /F1 12 Tf ($raw) Tj ET",
+      "/WinAnsiEncoding", flate = false, indirectEnc = true)
+    assert(PdfText.decodePdfText(MediaFile(1L, ind)).text == "\u2018\u2019\u201c\u201d")
+    // and an indirect UNKNOWN name still degrades to the raw reading
+    val indUnk = PdfFixtures.baseEncPdf("1.4", s"BT /F1 12 Tf ($raw) Tj ET",
+      "/SomeUnknownEncoding", flate = false, indirectEnc = true)
+    assert(PdfText.decodePdfText(MediaFile(1L, indUnk)).text == raw)
   }
 
   test("MacRomanEncoding: full high half, Annex D currency/0xF0 deviations") {
