@@ -3980,6 +3980,42 @@ object LlmQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // L151 — 7z ARCHIVE ingest round trip (SevenZ.synthetic7z ∘
+    // SevenZ.members): the tail of the distribution-format story after
+    // tar (l145) and zip (l147) — academic bundles ship `.7z`. The
+    // container (LZMA2-coded header tables) is decoded by Apache
+    // commons-compress, the PUBLIC library Spark bundles (same
+    // dependency posture as the zstd/xz codec legs, SURVEY §7.6); the
+    // engine-side contract — bounded heads, archive-order member_idx,
+    // directory skip, listed-vs-readable split — is this query's
+    // surface. Each document rides THREE times under different
+    // per-member coders (LZMA2 / COPY / BZIP2-in-7z), so all three
+    // decode paths are load-bearing on every row. Oracle = three
+    // construction-arithmetic rows per document.
+    "l151_7z_ingest" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val files = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            graft.sources.SevenZ.synthetic7z(id, t) })
+        graft.sources.SevenZ.members(files).toDF()
+          .select(col("file_id").as("doc_id"), col("member_idx"), col("name"),
+            col("size"), col("text_head").as("text"))
+          .orderBy("doc_id", "member_idx")
+      },
+      Some("SELECT doc_id, CAST(0 AS BIGINT) AS member_idx, " +
+        "'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS name, " +
+        "CAST(strlen(text) AS BIGINT) AS size, text FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), " +
+        "'docs/' || CAST(doc_id AS VARCHAR) || '.c.txt', " +
+        "CAST(strlen(text) AS BIGINT), text FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), " +
+        "'docs/' || CAST(doc_id AS VARCHAR) || '.b.txt', " +
+        "CAST(strlen(text) AS BIGINT), text FROM documents " +
+        "ORDER BY doc_id, member_idx")),
+
     // L136 — OWNER-LOCKED ("encrypted") PDF round trip with the EMPTY
     // user password (PdfText.syntheticPdfEncrypted ∘ extractText): the
     // most common encrypted real-world PDF — print-driver output and
