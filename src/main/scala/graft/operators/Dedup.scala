@@ -309,7 +309,11 @@ object Dedup {
           least(col("cluster"), coalesce(col("__nbmin"), col("cluster"))).as("__next"))
         .localCheckpoint()
       converged = merged.filter(col("__next") < col("cluster")).isEmpty
-      labels = merged.select(col("id"), col("__next").as("cluster")).localCheckpoint()
+      // one checkpoint per round is enough: `merged` is already
+      // materialized, and the label projection over it is narrow — a
+      // second localCheckpoint here was one extra materialization job
+      // per round (× every CC caller) for a lineage already O(1) deep
+      labels = merged.select(col("id"), col("__next").as("cluster"))
       iter += 1
     }
     labels
@@ -922,30 +926,40 @@ object Dedup {
     val buckets = embs
       .select(col(idCol), explode(array(tables: _*)).as("__tb"))
       .select(col(idCol), col("__tb.tbl").as("tbl"), col("__tb.bkt").as("bkt"))
-      .persist()
-    try {
-      // Same degenerate-bucket guard as minhashCandidatePairs: a bucket
-      // of g members emits g(g−1)/2 pairs, and a corpus with many
-      // IDENTICAL vectors (same content embedded repeatedly — the norm
-      // in an undeduplicated crawl) concentrates whole duplicate groups
-      // into single buckets in EVERY table. The 10× scale probe drove
-      // the unbounded join out of memory exactly this way. Production
-      // order remains exact-dedup-before-ANN; the cap is the guard rail
-      // for corpora that skip it (recall cost documented at the caller).
-      val capped =
-        if (maxBucketSize == Int.MaxValue) buckets
-        else {
-          val w = Window.partitionBy("tbl", "bkt")
-          buckets.withColumn("__bsz", count(lit(1)).over(w))
-            .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-        }
-      val a = capped.select(col("tbl"), col("bkt"), col(idCol).as("a_id"))
-      val b = capped.select(col("tbl"), col("bkt"), col(idCol).as("b_id"))
-      a.join(b, Seq("tbl", "bkt"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-        .localCheckpoint()
-    } finally buckets.unpersist()
+    // Same degenerate-bucket guard as minhashCandidatePairs: a bucket
+    // of g members emits g(g−1)/2 pairs, and a corpus with many
+    // IDENTICAL vectors (same content embedded repeatedly — the norm
+    // in an undeduplicated crawl) concentrates whole duplicate groups
+    // into single buckets in EVERY table. The 10× scale probe drove
+    // the unbounded join out of memory exactly this way. Production
+    // order remains exact-dedup-before-ANN; the cap is the guard rail
+    // for corpora that skip it (recall cost documented at the caller).
+    if (maxBucketSize == Int.MaxValue) {
+      // Unbounded buckets: keep the streaming self-join — a single
+      // degenerate bucket can exceed one task's memory as an array.
+      val b0 = buckets.persist()
+      try {
+        val a = b0.select(col("tbl"), col("bkt"), col(idCol).as("a_id"))
+        val b = b0.select(col("tbl"), col("bkt"), col(idCol).as("b_id"))
+        a.join(b, Seq("tbl", "bkt"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+          .localCheckpoint()
+      } finally b0.unpersist()
+    } else {
+      val b0 = buckets.persist()
+      try {
+        val w = Window.partitionBy("tbl", "bkt")
+        val capped = b0.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+        val a = capped.select(col("tbl"), col("bkt"), col(idCol).as("a_id"))
+        val b = capped.select(col("tbl"), col("bkt"), col(idCol).as("b_id"))
+        a.join(b, Seq("tbl", "bkt"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+          .localCheckpoint()
+      } finally b0.unpersist()
+    }
   }
 
   /** Embedding near-dup pairs with cosine > threshold over the

@@ -556,8 +556,17 @@ object Similarity {
     val scored = pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
       .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .select(col("a_id"), col("b_id"), col("sim"))
-    val sym = scored.select(col("a_id").as("src"), col("b_id").as("nbr"), col("sim"))
-      .unionByName(scored.select(col("b_id").as("src"), col("a_id").as("nbr"), col("sim")))
+    // Symmetrize by EXPLODING each scored edge into its two directions —
+    // NOT by unioning `scored` with its own swap: a self-union duplicates
+    // the whole join+dot subtree in the physical plan (both branches
+    // re-run the two vector joins and every dot product — verified in the
+    // l35 before-plan: two identical BroadcastHashJoin chains under one
+    // Union). The explode evaluates the joins and the cosine ONCE per
+    // undirected pair; rows are identical.
+    val sym = scored.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("nbr"), col("sim")),
+        struct(col("b_id").as("src"), col("a_id").as("nbr"), col("sim")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.nbr").as("nbr"), col("__e.sim").as("sim"))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
     sym
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -651,24 +660,48 @@ object Similarity {
     var g = graph0.select(col("src"), col("nbr"), col("sim"), col("rnk"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val adjAll = g.select(col("src").as("node"), col("nbr").as("member"))
-        .unionByName(g.select(col("nbr").as("node"), col("src").as("member")))
-        .distinct()
-      val adj =
-        if (maxDegree == Int.MaxValue) adjAll
-        else {
-          // member-ascending prefix for the oracle-replayable cap;
-          // xxhash64 order for the sampled variant (a deterministic
-          // uniform draw — hub neighborhoods keep a representative
-          // subset instead of the lowest ids)
-          val wd = Window.partitionBy(col("node")).orderBy(
-            (if (hashSample) Seq(xxhash64(col("node"), col("member")), col("member"))
-             else Seq(col("member"))): _*)
-          adjAll.withColumn("__dr", row_number().over(wd))
-            .filter(col("__dr") <= maxDegree).drop("__dr")
-        }
+      // Undirected closed neighborhood via an EXPLODE of each edge's two
+      // directions (g is a localCheckpoint, but the self-union form still
+      // doubled the scan + distinct input; the explode emits both
+      // directions from one pass), then ONE hash-partitioned
+      // collect_set per pivot. The per-pivot member array is what the
+      // cap, the sample, and the co-neighbor pair generation all want:
+      //  - member-ascending prefix cap = sort_array + slice (replaces a
+      //    full count-window sort),
+      //  - xxhash64 sample order = sort_array over (hash, member) structs,
+      //  - co-neighbor pairs = in-row unfold of the SORTED array
+      //    (a < b by construction) — replaces the adj-on-adj self-equi-
+      //    join (two exchanges) with a narrow generator.
+      // Memory per row is bounded: the array is clamped to maxDegree
+      // members (finite for every declared caller; the Int.MaxValue
+      // opt-out keeps whole neighborhoods, the documented hub hazard of
+      // the uncapped variant — unchanged semantics, now also unchanged
+      // memory posture since collect_set holds what the join's per-key
+      // group held).
+      val adjSets = g.select(explode(array(
+          struct(col("src").as("node"), col("nbr").as("member")),
+          struct(col("nbr").as("node"), col("src").as("member")))).as("__d"))
+        .select(col("__d.node").as("node"), col("__d.member").as("member"))
+        .groupBy(col("node"))
+        .agg(collect_set(col("member")).as("__ms"))
+      val members =
+        if (maxDegree == Int.MaxValue) sort_array(col("__ms"))
+        else if (hashSample)
+          // deterministic uniform draw: order by (xxhash64(node, m), m),
+          // keep sampleK, back to ascending members for the pair unfold
+          expr(s"sort_array(transform(slice(sort_array(transform(__ms, " +
+            s"m -> struct(xxhash64(node, m) AS h, m AS m))), 1, $maxDegree), " +
+            s"s -> s.m))")
+        else expr(s"slice(sort_array(__ms), 1, $maxDegree)")
       // co-neighbor candidates (u < w once per pivot, distinct across
-      // pivots) ∪ the current edges as undirected pairs
+      // pivots) ∪ the current edges as undirected pairs. The capped
+      // member array explodes back to (node, member) rows and
+      // self-joins on the pivot — a generator + equi-join stays in
+      // whole-stage codegen, where an in-row HOF pair unfold
+      // (flatten∘transform) is CodegenFallback and measured 2× slower
+      // end-to-end on l116.
+      val adj = adjSets.select(col("node"), explode(members).as("member"))
+        .localCheckpoint()
       val pairs = adj.select(col("node"), col("member").as("a_id"))
         .join(adj.select(col("node"), col("member").as("b_id")), Seq("node"))
         .filter(col("a_id") < col("b_id"))
@@ -679,8 +712,13 @@ object Similarity {
       val scored = pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
         .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
         .select(col("a_id"), col("b_id"), col("sim"))
-      val sym = scored.select(col("a_id").as("src"), col("b_id").as("nbr"), col("sim"))
-        .unionByName(scored.select(col("b_id").as("src"), col("a_id").as("nbr"), col("sim")))
+      // explode-symmetrize: one evaluation of the joins + cosine per
+      // undirected pair (see knnGraphRhp — the self-union form re-ran
+      // the whole scoring subtree for the swapped direction)
+      val sym = scored.select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("nbr"), col("sim")),
+          struct(col("b_id").as("src"), col("a_id").as("nbr"), col("sim")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.nbr").as("nbr"), col("__e.sim").as("sim"))
       val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
       g = sym.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= k)
