@@ -262,7 +262,61 @@ object Bench {
     // the clock: 20 timed / 169 skipped. Interleaving means a budget cut
     // at query k leaves queries 1..k each with a (warmed) timing — every
     // second spent buys a number.
-    val warmedUp = scala.collection.mutable.Set.empty[String]
+    val warmedUp = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // PARALLEL WARMUP PHASE (round 19): the round-18 run spent ~150 s of
+    // its 600 s budget on 205 SEQUENTIAL sf0.001 warmups — pass 2 then
+    // died at query 128, so the artifact stayed cold (passes < 2) for the
+    // seventh round. Warmup is not a measurement (its only job is paying
+    // the one-shot Janino/codec costs the timed runs must not carry), so
+    // it is safe to overlap: a small pool drains the warmup list
+    // concurrently while timed passes stay strictly sequential. Each
+    // warmup runs on its OWN SparkSession clone — `newSession()` shares
+    // the SparkContext, SharedState (external catalog with the bucketed
+    // prep tables, file-index caches) and the JVM-global codegen cache,
+    // but isolates the session conf, so operators that scope a conf flag
+    // around a build (nanosAsLong events reads, the constraint-
+    // propagation guards in the iterative operators) cannot race each
+    // other. A budget valve stops the phase at 35% of the budget; any
+    // query the phase did not reach falls back to the interleaved warmup
+    // below, exactly as before. Warmup failures are tolerated (the timed
+    // run decides pass/fail); leftover jobs are cancelled by group.
+    locally {
+      val warmBudget = budgetSec * 0.35
+      val pool = math.min(6, math.max(2, Runtime.getRuntime.availableProcessors() / 6))
+      val exec = java.util.concurrent.Executors.newFixedThreadPool(pool,
+        (r: Runnable) => { val t = new Thread(r, "bench-warm"); t.setDaemon(true); t })
+      val started = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      ordered.foreach { case (name, fn) =>
+        exec.submit(new Runnable {
+          def run(): Unit = {
+            if (elapsedSec < warmBudget && !warmedUp.contains(name)) {
+              started.add(s"warm-$name")
+              try {
+                val sess = spark.newSession()
+                sess.sparkContext.setJobGroup(s"warm-$name", s"warm $name", true)
+                fn(sess, warmDir).write.format("noop").mode("overwrite").save()
+                warmedUp.add(name)
+              } catch { case _: Throwable => () }
+            }
+          }
+        })
+      }
+      exec.shutdown()
+      val headroom = math.max(1L, ((warmBudget - elapsedSec) * 1000).toLong)
+      if (!exec.awaitTermination(headroom, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        System.err.println(f"[bench] warmup valve at $elapsedSec%.1f s — " +
+          s"${warmedUp.size} of ${ordered.size} warmed, rest interleave")
+        exec.shutdownNow()
+        started.forEach(g =>
+          try spark.sparkContext.cancelJobGroup(g) catch { case _: Throwable => () })
+      } else {
+        System.err.println(f"[bench] parallel warmup done at $elapsedSec%.1f s " +
+          s"(${warmedUp.size} of ${ordered.size})")
+      }
+      // drop whatever the warmups persisted/checkpointed before timing
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     for (pass <- 1 to reps if !budgetHit) {
       for ((name, fn) <- ordered if !budgetHit) {
         if (elapsedSec >= budgetSec) {
@@ -279,9 +333,9 @@ object Bench {
           // Warmup is BEST-EFFORT under budget pressure: past 65% of the
           // budget an unwarmed (JIT-tainted, "cold"-flagged) timing beats
           // a skipped query — coverage first.
-          if (!warmedUp(name)) {
+          if (!warmedUp.contains(name)) {
             if (elapsedSec < budgetSec * 0.65) runOnce(fn, warmDir, name, capBase)
-            warmedUp += name
+            warmedUp.add(name)
           }
           // adaptive cap: 4× the query's last recorded time, floored at
           // capBase — a genuinely slow query is never falsely capped,
