@@ -69,12 +69,18 @@ object Pca {
       .as("__q"))
     val firsts = q.select(posexplode(col("__q")).as(Seq("d", "qd")))
       .groupBy("d").agg(sum(col("qd")).as("s"))
-    val pairs = q.select(explode(expr(
-        "flatten(transform(sequence(0, size(__q) - 1), i -> " +
-          "transform(sequence(i, size(__q) - 1), j -> " +
-          "struct(i AS i, j AS j, __q[i] * __q[j] AS p))))")).as("p"))
-      .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("p.p")).as("sum_qiqj"))
+    // Pair expansion as TWO posexplodes (i over the vector, j over its
+    // tail slice) instead of one in-row flatten∘transform HOF: explode
+    // is a codegen Generate, while HOF lambdas are CodegenFallback —
+    // the interpreted unfold allocated dim²/2 structs per row and
+    // measured ~1.7× slower end-to-end on l74 (sf0.1). Same (i, j,
+    // qi·qj) rows, same exact-integer sums.
+    val pairs = q.select(col("__q"), posexplode(col("__q")).as(Seq("__i", "__qi")))
+      .select(col("__i"), col("__qi"),
+        posexplode(expr("slice(__q, __i + 1, size(__q) - __i)")).as(Seq("__joff", "__qj")))
+      .groupBy(col("__i").cast("long").as("i"),
+        (col("__i") + col("__joff")).cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("__qi") * col("__qj")).as("sum_qiqj"))
     val stats = pairs
       .join(broadcast(firsts.select(col("d").cast("long").as("i"),
         col("s").as("sum_qi"))), Seq("i"))
