@@ -170,9 +170,18 @@ object Scoring {
       // too — spans address positions in the PAGE, not the kept list)
       .select(struct(col(idCol).as("id"), (col("__ord") + 1).cast("long").as("ord"))
         .as("__bid"), col("__blk")("t").as("__bt"))
+    // Materialized ONCE: three consumers below (the span islands, and
+    // both sides of the majority/runner-up self-join) would otherwise
+    // each re-derive the whole block-parse + 256-bucket classifier
+    // subtree — the plan carried the html pipeline 3× (6 parquet scans,
+    // 24 exchanges; measured 3.6 → 2.4 s warm on l87 after this). The
+    // checkpointed relation is one narrow row per KEPT block — the
+    // post-classifier contraction of the corpus, the same O(blocks)
+    // class as minhashCandidatePairs' checkpointed pair set.
     val perBlock = hashedMulticlassScore(blocks, "__bt", "__bid", classes)
       .select(col("__bid.id").as(idCol), col("__bid.ord").as("ord"),
         col("n_tokens"), col("pred"))
+      .localCheckpoint()
     def classIdx(c: Column): Column =
       classes.zipWithIndex.tail.foldLeft(when(c === classes.head._1, 0)) {
         case (acc, ((lab, _), i)) => acc.when(c === lab, i)
