@@ -188,11 +188,15 @@ object Bench {
         // a failed query must not masquerade as a fast one: report -1 so
         // the driver (and a human) sees the hole instead of a bogus
         // timing; an always-capped query reports its cap (a truthful
-        // lower bound, named in "capped" below)
-        (name, if (failed(name)) -1.0
+        // lower bound, named in "capped" below). A query with a GOOD
+        // earlier-pass sample keeps it even if a later pass errors
+        // (observed: an external SIGTERM mid-pass-2 shut the context
+        // down under 22 in-flight queries and the -1s discarded their
+        // valid pass-1 timings); the "errors" list still names it.
+        (name, if (failed(name) && times(name).isEmpty) -1.0
                else if (times(name).nonEmpty) times(name).min
                else cappedAt.getOrElse(name, Double.NaN),
-         failed(name), times(name))
+         failed(name) && times(name).isEmpty, times(name))
       }
       val measured = results.filter { case (_, v, f, _) => f || !v.isNaN }
       val skipped = results.collect { case (k, v, false, _) if v.isNaN => "\"" + k + "\"" }

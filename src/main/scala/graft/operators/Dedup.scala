@@ -448,16 +448,21 @@ object Dedup {
                          k: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val cl = duplicateClusters(docs, textCol, idCol, k, bands, shingleN)
       .withColumnRenamed("id", idCol)
-    val withCl = docs.join(cl.hint("shuffle_hash"), Seq(idCol), "left")
+    // Decide with SLIM rows, move heavy rows once (guide §8): the rank
+    // window runs over (id, priority, cluster) — clustered rows only,
+    // text never enters a window sort — and the losers (rank > 1, the
+    // only rows that leave the output) anti-join the corpus once. The
+    // previous two-branch form (filter-null ∪ filter-not-null+window
+    // over the full-width join) consumed its docs-join twice, replaying
+    // the whole duplicateClusters pipeline and the docs scan per branch
+    // (12 parquet scans in the l55 before-plan — guide §1.2).
+    val slim = docs.select(col(idCol), priority.as("__prio"))
+      .join(cl.hint("shuffle_hash"), Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster")).orderBy(priority.desc, col(idCol))
-    val best = withCl.filter(col("cluster").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(docs.columns.map(col): _*)
-    withCl.filter(col("cluster").isNull)
-      .select(docs.columns.map(col): _*)
-      .unionByName(best)
+      .partitionBy(col("cluster")).orderBy(col("__prio").desc, col(idCol))
+    val losers = slim.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col(idCol))
+    docs.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** Benchmark-contamination check: for each document, the number of

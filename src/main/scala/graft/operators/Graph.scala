@@ -181,13 +181,21 @@ object Graph {
       .withColumn("dist", lit(0L)).localCheckpoint()
     var reached = frontier
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
+    // ONE job per round, not two: the round's checkpoint is LAZY and
+    // the emptiness test's count() is the action that materializes it
+    // (a count, not isEmpty, because it computes EVERY partition — a
+    // lazily-checkpointed RDD must be fully computed before its lineage
+    // is truncated; a short-circuiting isEmpty could checkpoint a
+    // partially-computed RDD). Same fusion as connectedComponents'.
+    var frontierLive = !frontier.isEmpty
+    while (h <= maxHops && frontierLive) {
       val next = frontier.drop("dist")
         .join(e.hint("shuffle_hash"), col(nodeCol) === col("__src"))
         .select(col("__dst").as(nodeCol)).distinct()
         .join(reached.select(nodeCol).hint("shuffle_hash"), Seq(nodeCol), "left_anti")
         .withColumn("dist", lit(h.toLong))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      frontierLive = next.count() > 0
       reached = reached.union(next)
       frontier = next
       h += 1

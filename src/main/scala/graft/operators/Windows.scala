@@ -237,6 +237,12 @@ object Windows {
       .agg(sum(col("__m")).as("__s"), count(lit(1)).as("__n"))
       .select(col(keyCol), col("bucket"),
         (col("__s").cast("double") / col("__n") / lit(1000000.0)).as("__v"))
+      // measured feeds FOUR consumers (spine, the spine join, chunkAgg,
+      // spineChunks) — without the checkpoint each replays the events
+      // scan + the (key, bucket) agg (8 parquet scans in the r23
+      // before-plan; guide §3.3). The frame is one slim row per
+      // measured (key, bucket) — orders of magnitude below event rows.
+      .localCheckpoint()
     val spine = measured.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
@@ -303,6 +309,10 @@ object Windows {
     val counts = events
       .select(col(keyCol), expr(s"unix_timestamp($tsCol) div $bucketSec").as("bucket"))
       .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("n_events"))
+      // counts feeds the spine AND the spine join (and `filled` feeds
+      // runningSumChunked twice) — checkpoint the slim per-(key,
+      // bucket) agg so no consumer replays the events scan (guide §3.3)
+      .localCheckpoint()
     val spine = counts.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))

@@ -458,10 +458,18 @@ object RelationalQueries {
     // double divisions are of exact small ints — see SCALE.md).
     "r17_spend_quartiles" -> QueryDef(
       (s, d) => {
+        // spend feeds FIVE consumers (the ranked rows, both sides of
+        // runningSumScalable's triangular offsets self-join, and the
+        // per-segment counts): without the checkpoint the plan replays
+        // the orders agg + customer join per consumer — 16 parquet
+        // scans / 32 exchanges in plans/r19/r17_..._before.txt (guide
+        // §3.3: materialize an intermediate to truncate a plan that
+        // multiplies a subtree)
         val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
           .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
             col("o_custkey") === col("c_custkey"))
+          .localCheckpoint()
         val ranked = graft.operators.Windows.runningSumScalable(
           spend, Seq("c_mktsegment"),
           floor(-col("spend") / lit(1000.0)).cast("long"),
