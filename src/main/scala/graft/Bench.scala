@@ -214,10 +214,13 @@ object Bench {
       val spread = measured.map { case (k, _, _, ts) =>
         "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val errors = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
+      // errors name EVERY query that failed on ANY pass — including one
+      // that kept a good earlier-pass timing (its value stays the valid
+      // minimum, but the failure must not be hidden as a clean run)
+      val errors = ordered.collect { case (k, _) if failed(k) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val timedCount = measured.count { case (_, _, f, _) => !f }
-      val errorCount = results.count(_._3)
+      val errorCount = ordered.count { case (k, _) => failed(k) }
       val skippedCount = results.count { case (_, v, f, _) => !f && v.isNaN }
       val total = measured.collect { case (_, v, false, _) => v }.sum
       // "cold": fewer than 2 complete passes means the min-of-N could
@@ -286,7 +289,7 @@ object Bench {
     // run decides pass/fail); leftover jobs are cancelled by group.
     locally {
       val warmBudget = budgetSec * 0.35
-      val pool = math.min(6, math.max(2, Runtime.getRuntime.availableProcessors() / 6))
+      val pool = math.min(8, math.max(2, Runtime.getRuntime.availableProcessors() / 4))
       val exec = java.util.concurrent.Executors.newFixedThreadPool(pool,
         (r: Runnable) => { val t = new Thread(r, "bench-warm"); t.setDaemon(true); t })
       val started = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -300,6 +303,36 @@ object Bench {
                 sess.sparkContext.setJobGroup(s"warm-$name", s"warm $name", true)
                 fn(sess, warmDir).write.format("noop").mode("overwrite").save()
                 warmedUp.add(name)
+              } catch { case _: Throwable => () }
+            }
+          }
+        })
+      }
+      // TARGET-SF warmup leg for the known-expensive tail (round 20):
+      // the sf0.001 warmup pays Janino codegen (keyed on source, shared)
+      // but NOT the volume-dependent one-shot costs — C2 JIT of codec /
+      // decode inner loops only kicks in after thousands of invocations,
+      // which 5 rows never trigger. Round 19's driver run capped l135/
+      // l151/l62/l116 at 20 s on pass 1 where their steady state is
+      // 1.4-3.8 s: the caps were pure first-run-at-volume cost. Queries
+      // whose previous time is ≥ 1.5 s therefore ALSO warm once at the
+      // TARGET dir, slowest first, inside the same budget valve — warmup
+      // is not a measurement (nothing from these runs is recorded), it
+      // only moves the one-shot costs out of pass 1's timing window; the
+      // timed passes still compute everything from the parquet inputs.
+      val heavy = ordered.collect {
+        case (name, fn) if prevTimes.get(name).exists(_ >= 1.5) =>
+          (name, fn, prevTimes(name))
+      }.sortBy(-_._3)
+      heavy.foreach { case (name, fn, _) =>
+        exec.submit(new Runnable {
+          def run(): Unit = {
+            if (elapsedSec < warmBudget) {
+              started.add(s"warm2-$name")
+              try {
+                val sess = spark.newSession()
+                sess.sparkContext.setJobGroup(s"warm2-$name", s"warm2 $name", true)
+                fn(sess, sfDir).write.format("noop").mode("overwrite").save()
               } catch { case _: Throwable => () }
             }
           }
@@ -341,11 +374,21 @@ object Bench {
             if (elapsedSec < budgetSec * 0.65) runOnce(fn, warmDir, name, capBase)
             warmedUp.add(name)
           }
-          // adaptive cap: 4× the query's last recorded time, floored at
+          // adaptive cap: 4× the query's best time (this run's minimum
+          // when one exists, else the previous round's file), floored at
           // capBase — a genuinely slow query is never falsely capped,
-          // while a cold spike on a known-1 s query is cut at capBase
+          // while a cold spike on a known-1 s query is cut at capBase.
+          // PROGRESSIVE on repeat caps: a query whose every run so far
+          // hit the watchdog gets 3× its last cap on the next pass —
+          // round 19's driver run capped the same 4 queries at 20 s on
+          // every pass (the cap never grew), so they finished the round
+          // with lower bounds instead of timings and the artifact
+          // recorded 20.0 as if it were a measurement.
+          val best = if (times(name).nonEmpty) Some(times(name).min)
+                     else prevTimes.get(name).filter(_ > 0)
           val cap = math.max(capBase,
-            prevTimes.get(name).filter(_ > 0).getOrElse(0.0) * 4.0)
+            math.max(best.getOrElse(0.0) * 4.0,
+              cappedAt.getOrElse(name, 0.0) * 3.0))
           val (ok, capped, dt) = runOnce(fn, sfDir, name, cap)
           if (!ok) failed += name
           else if (capped) cappedAt(name) = math.max(cap, cappedAt.getOrElse(name, 0.0))

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write
+  // creates, fills and deletes a temp file under java.io.tmpdir — a
+  // per-image filesystem round-trip that serializes concurrent decoders
+  // on the tmpfs inode lock (profiled on l128: 32-way decode taskTime
+  // 50-97 s vs 2.5 s single-threaded, wall WORSE than one core). The
+  // payloads here are in-memory byte arrays bounded by the ingest
+  // contract, so the memory-backed cache is strictly better at any
+  // scale. Object-init runs once per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** An opaque media payload + id — the ingest schema. */
   final case class MediaFile(doc_id: Long, payload: Array[Byte])
 

@@ -3399,7 +3399,13 @@ object LlmQueries {
     "l128_image_roundtrip" -> QueryDef(
       (s, d) => {
         import s.implicits._
+        // fan out BEFORE the image leg (the l136 pattern): the corpus
+        // scan is one compact parquet split, and the BMP/PNG construct +
+        // ImageIO decode otherwise runs the whole corpus on ONE core
+        // (profiled: 4 tasks, taskTime ≈ wall). At real scale the scan
+        // provides the partitions and this round-robin is a cheap no-op.
         val files = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions(_.map(graft.operators.ImageFixtures.syntheticImage))
         graft.operators.Multimodal.imageProfiles(files).toDF().orderBy("doc_id")
       },
@@ -4685,8 +4691,16 @@ object LlmQueries {
         val classes = Seq("en", "de", "fr", "es").zipWithIndex.map { case (lang, c) =>
           lang -> Array.tabulate(256)(b => (((b + 37 * c) % 256) - 128) / 256.0)
         }
+        // fan out BEFORE the parse leg (the l136 pattern): the corpus
+        // scan is one compact parquet split, and the block parse +
+        // classifier checkpoint otherwise materializes on ONE core
+        // (profiled: 11 stages × ~1 task, 2.4 s of single-thread CPU).
+        // At real scale the scan provides the partitions and this
+        // round-robin is a cheap no-op.
         graft.operators.Scoring.blockLanguageSpans(
-            Tables.documents(s, d).select(id, html.as("page")), "page", "doc_id", classes)
+            Tables.documents(s, d).select(id, html.as("page"))
+              .repartition(s.sparkContext.defaultParallelism),
+            "page", "doc_id", classes)
           .orderBy("doc_id", "span_from")
       },
       Some {
