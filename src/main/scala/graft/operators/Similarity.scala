@@ -701,7 +701,6 @@ object Similarity {
       // (flatten∘transform) is CodegenFallback and measured 2× slower
       // end-to-end on l116.
       val adj = adjSets.select(col("node"), explode(members).as("member"))
-        .localCheckpoint()
       val pairs = adj.select(col("node"), col("member").as("a_id"))
         .join(adj.select(col("node"), col("member").as("b_id")), Seq("node"))
         .filter(col("a_id") < col("b_id"))
